@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Parquet table loaders for the driver-generated testdata layout
+  * (`TESTDATA.md`): one parquet file per table under the sf dir.
+  *
+  * At cluster scale these would be catalog tables; the seam is a
+  * single `spark.read.parquet` call so swapping in a catalog /
+  * bucketed layout touches only this file.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as raw nanos (`nanosAsLong`) and convert
+    * with exact integer division (`DIV 1000` → micros) so the value
+    * matches DuckDB's own nanos→micros truncation bit-for-bit. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}
+
+/** Float-stabilization helpers for the DuckDB oracle compare.
+  *
+  * Doubles that cross an engine boundary are scaled to integers with
+  * `FLOOR(x * scale + 0.5)` — IEEE-identical in Spark and DuckDB — so
+  * ulp-level engine differences and Spark's nondeterministic
+  * double-sum reduction order can never flip a hash (SURVEY.md §5).
+  *
+  *  - [[e6]] for per-row sequentially-computed scores (error ~1e-15,
+  *    boundary distance 5e-7).
+  *  - [[e2]] for large aggregated sums of decimal-ish inputs (exact
+  *    decimal totals land ~integer cents; accumulated fp error ≪ 0.5
+  *    at cent scale).
+  */
+object Stab {
+  def e6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)).cast(LongType)
+  def e2(c: Column): Column = floor(c * lit(100.0) + lit(0.5)).cast(LongType)
+  /** SQL fragments for the same ops (DuckDB side). */
+  def sqlE6(expr: String): String = s"CAST(FLOOR(($expr) * 1000000.0 + 0.5) AS BIGINT)"
+  def sqlE2(expr: String): String = s"CAST(FLOOR(($expr) * 100.0 + 0.5) AS BIGINT)"
+}

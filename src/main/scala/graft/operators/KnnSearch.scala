@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.core.{Stab, Tables}
+import graft.functions.vectors._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Brute-force exact kNN over the `embeddings` table — the Spark
+  * re-expression of the reference's
+  * `BruteForceCosineSimilarityIndex.search`
+  * (/root/reference/src/models/collection.py:243-330) plus the metric
+  * variants and the batch kNN-join the reference runs as one query at
+  * a time.
+  *
+  * Plan shape (and why it scales): query vectors are a tiny relation →
+  * `broadcast` cross join against the big table (no shuffle of the
+  * vectors), score with a codegen'd expression, then per-query top-k
+  * via `row_number <= k` which Spark ≥3.5 executes as a
+  * WindowGroupLimit (per-partition k-row heap before the single
+  * shuffle on q_id). The big table is scanned exactly once per batch
+  * of queries, never re-shuffled — at 100 TB the scan is the only
+  * unavoidable cost and everything else stays map-side.
+  *
+  * Ranking happens on the e6-stabilized score so the top-k cut is
+  * reproducible across engines (SURVEY.md §5).
+  */
+object KnnSearch {
+
+  /** Per-query top-k given a scored (q_id, neighbor_id, score_e6) frame.
+    * `asc=true` ranks ascending (distances), else descending. */
+  def topK(scored: DataFrame, k: Int, asc: Boolean): DataFrame = {
+    val order: Seq[Column] =
+      if (asc) Seq(col("score_e6").asc, col("neighbor_id").asc)
+      else Seq(col("score_e6").desc, col("neighbor_id").asc)
+    val w = Window.partitionBy(col("q_id")).orderBy(order: _*)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private def scoredAgainstQueries(spark: SparkSession, dir: String,
+      queryPred: Column, score: (Column, Column) => Column): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    emb.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        Stab.e6(score(col("embedding"), col("q_vec"))).as("score_e6"))
+  }
+
+  def bruteCosine(spark: SparkSession, dir: String): DataFrame =
+    topK(scoredAgainstQueries(spark, dir, col("vec_id") < 5, cosineSim), 10, asc = false)
+
+  def bruteDot(spark: SparkSession, dir: String): DataFrame =
+    topK(scoredAgainstQueries(spark, dir, col("vec_id") < 5, dotProduct), 10, asc = false)
+
+  def bruteL2(spark: SparkSession, dir: String): DataFrame =
+    topK(scoredAgainstQueries(spark, dir, col("vec_id") < 5, l2Distance), 10, asc = true)
+
+  /** Exact kNN join for a bounded query set (every 50th vector),
+    * self-matches excluded — the batch analog of running the /query
+    * endpoint for a workload of queries at once. */
+  def knnJoinExact(spark: SparkSession, dir: String): DataFrame =
+    topK(
+      scoredAgainstQueries(spark, dir, col("vec_id") % 50 === 0, cosineSim)
+        .filter(col("q_id") =!= col("neighbor_id")),
+      5, asc = false)
+
+  // ---- DuckDB oracle SQL -------------------------------------------------
+  // Same double left-to-right accumulation as the codegen'd expressions:
+  // list_sum over a generate_series-driven transform sums DOUBLEs
+  // sequentially, so both engines produce bit-identical doubles before
+  // the e6 stabilization.
+
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def sqlNormSq(a: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))"
+
+  private def sqlCosine(a: String, b: String): String =
+    s"(CASE WHEN ${sqlNormSq(a)} = 0 OR ${sqlNormSq(b)} = 0 THEN 0.0 " +
+      s"ELSE ${sqlDot(a, b)} / (sqrt(${sqlNormSq(a)}) * sqrt(${sqlNormSq(b)})) END)"
+
+  private def sqlL2(a: String, b: String): String =
+    s"sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))"
+
+  private def knnSql(scoreExpr: String, queryWhere: String, k: Int,
+      asc: Boolean, excludeSelf: Boolean): String = {
+    val dir = if (asc) "ASC" else "DESC"
+    val selfFilter = if (excludeSelf) "WHERE q.q_id <> e.vec_id" else ""
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE $queryWhere),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id AS neighbor_id,
+       |    ${Stab.sqlE6(scoreExpr)} AS score_e6
+       |  FROM embeddings e CROSS JOIN q $selfFilter
+       |)
+       |SELECT q_id, neighbor_id, score_e6, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score_e6 $dir, neighbor_id ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  val bruteCosineSql: String =
+    knnSql(sqlCosine("e.embedding", "q.q_vec"), "vec_id < 5", 10, asc = false, excludeSelf = false)
+  val bruteDotSql: String =
+    knnSql(sqlDot("e.embedding", "q.q_vec"), "vec_id < 5", 10, asc = false, excludeSelf = false)
+  val bruteL2Sql: String =
+    knnSql(sqlL2("e.embedding", "q.q_vec"), "vec_id < 5", 10, asc = true, excludeSelf = false)
+  val knnJoinExactSql: String =
+    knnSql(sqlCosine("e.embedding", "q.q_vec"), "vec_id % 50 = 0", 5, asc = false, excludeSelf = true)
+}

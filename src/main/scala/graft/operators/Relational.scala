@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.core.{Stab, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational / analytics core: the generic query-engine surface the
+  * vector ops compose with, and the bench headliners.
+  *
+  * Scale notes (100 TB):
+  *  - dims (`customer`, `nation`, `region`, `part`) are broadcast —
+  *    the fact table never shuffles to meet them;
+  *  - aggregations are partial-agg shapes (map-side combine);
+  *  - the date/segment filters sit directly on the scans so Parquet
+  *    sees them as `PushedFilters`.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        Stab.e2(sum($"l_quantity")).as("sum_qty"),
+        Stab.e2(sum($"l_extendedprice")).as("sum_base_price"),
+        Stab.e2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_price"),
+        Stab.e2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))).as("sum_charge"),
+        Stab.e6(avg($"l_quantity")).as("avg_qty"),
+        Stab.e6(avg($"l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1AggSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Stab.sqlE2("sum(l_quantity)")} AS sum_qty,
+       |  ${Stab.sqlE2("sum(l_extendedprice)")} AS sum_base_price,
+       |  ${Stab.sqlE2("sum(l_extendedprice * (1.0 - l_discount))")} AS sum_disc_price,
+       |  ${Stab.sqlE2("sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))")} AS sum_charge,
+       |  ${Stab.sqlE6("avg(l_quantity)")} AS avg_qty,
+       |  ${Stab.sqlE6("avg(l_discount)")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: revenue of BUILDING-segment orders, top 10.
+    * `customer` is a broadcast dim; ordering happens on the
+    * stabilized revenue so the top-10 cut is engine-independent. */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > lit("1996-01-01").cast("timestamp"))
+    li.join(broadcast(ord), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(Stab.e2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_e2"))
+      .select($"o_orderkey", unix_timestamp($"o_orderdate").as("o_orderdate_epoch"),
+        $"o_orderpriority", $"revenue_e2")
+      .orderBy($"revenue_e2".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  val q3JoinSql: String =
+    s"""SELECT o_orderkey, CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_epoch,
+       |  o_orderpriority,
+       |  ${Stab.sqlE2("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue_e2
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND l_shipdate > TIMESTAMP '1996-01-01'
+       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue_e2 DESC, o_orderkey ASC
+       |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style: revenue by nation for one region/date window,
+    * 5-way star join with all dims broadcast. */
+  def q5Join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dims = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .join(Tables.region(spark, dir).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"c_nationkey", $"n_name")
+    val sup = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(ord), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(Stab.e2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_e2"))
+      .orderBy($"revenue_e2".desc, $"n_name".asc)
+  }
+
+  val q5JoinSql: String =
+    s"""SELECT n_name,
+       |  ${Stab.sqlE2("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue_e2
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue_e2 DESC, n_name ASC""".stripMargin
+
+  /** Top-3 parts by retail price per brand. Spark ≥3.5 rewrites the
+    * `row_number <= k` filter into a WindowGroupLimit so each
+    * partition keeps only k rows before the shuffle. */
+  def windowTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"p_brand")
+      .orderBy($"p_retailprice".desc, $"p_partkey".asc)
+    Tables.part(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"p_brand", $"rank", $"p_partkey", Stab.e2($"p_retailprice").as("price_e2"))
+      .orderBy($"p_brand", $"rank")
+  }
+
+  val windowTopKSql: String =
+    s"""SELECT p_brand, rank, p_partkey, ${Stab.sqlE2("p_retailprice")} AS price_e2
+       |FROM (
+       |  SELECT p_brand, p_partkey, p_retailprice,
+       |    row_number() OVER (PARTITION BY p_brand
+       |                       ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+       |  FROM part) t
+       |WHERE rank <= 3
+       |ORDER BY p_brand, rank""".stripMargin
+
+  /** Tumbling 1-hour windowed aggregation over the event stream
+    * (batch twin of streaming.EventStream — same logical op). */
+  def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Stab.e2(sum($"value")).as("sum_value_e2"),
+        Stab.e6(avg($"value")).as("avg_value_e6"))
+      .select(unix_timestamp($"hour").as("hour_epoch"), $"event_type",
+        $"n_events", $"sum_value_e2", $"avg_value_e6")
+      .orderBy($"hour_epoch", $"event_type")
+  }
+
+  val eventsWindowAggSql: String =
+    s"""SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+       |  event_type, count(*) AS n_events,
+       |  ${Stab.sqlE2("sum(value)")} AS sum_value_e2,
+       |  ${Stab.sqlE6("avg(value)")} AS avg_value_e6
+       |FROM events
+       |GROUP BY date_trunc('hour', ts), event_type
+       |ORDER BY hour_epoch, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity closes a session):
+    * lag → new-session flag → cumulative sum = session id, then one
+    * row per session. Two window passes over the same
+    * (user_id, ts) partitioning — a single shuffle, reused. */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_seq")
+      .agg(min(unix_timestamp($"ts")).as("session_start_epoch"),
+        max(unix_timestamp($"ts")).as("session_end_epoch"),
+        count(lit(1)).as("n_events"),
+        Stab.e2(sum($"value")).as("sum_value_e2"))
+      .orderBy($"user_id", $"session_seq")
+  }
+
+  val eventsSessionizeSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+       |              - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+       |), sessions AS (
+       |  SELECT user_id, ts, value,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |                           ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM flagged
+       |)
+       |SELECT user_id, session_seq,
+       |  min(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS session_start_epoch,
+       |  max(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS session_end_epoch,
+       |  count(*) AS n_events,
+       |  ${Stab.sqlE2("sum(value)")} AS sum_value_e2
+       |FROM sessions
+       |GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+}
