@@ -1,6 +1,8 @@
 package graft
 
+import graft.dedup.Dedup
 import graft.operators._
+import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -27,6 +29,17 @@ object SparkEntry {
     "knn_brute_dot" -> (KnnSearch.bruteDot _),
     "knn_brute_l2" -> (KnnSearch.bruteL2 _),
     "knn_join_exact" -> (KnnSearch.knnJoinExact _),
+    // dedup family
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_minhash" -> (Dedup.minhash _),
+    "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_embedding" -> (Dedup.embeddingNearDup _),
+    // text analysis family
+    "text_tokens" -> (TextOps.textTokens _),
+    "text_quality" -> (TextOps.textQuality _),
+    "text_lang_id" -> (TextOps.textLangId _),
+    "text_fingerprint" -> (TextOps.textFingerprint _),
   )
 
   /** DuckDB-runnable ANSI SQL twin for each oracle-checkable query. */
@@ -41,5 +54,14 @@ object SparkEntry {
     "knn_brute_dot" -> KnnSearch.bruteDotSql,
     "knn_brute_l2" -> KnnSearch.bruteL2Sql,
     "knn_join_exact" -> KnnSearch.knnJoinExactSql,
+    "dedup_exact" -> Dedup.exactSql,
+    "dedup_minhash" -> Dedup.minhashSql,
+    "dedup_simhash" -> Dedup.simhashSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dedup_embedding" -> Dedup.embeddingNearDupSql,
+    "text_tokens" -> TextOps.textTokensSql,
+    "text_quality" -> TextOps.textQualitySql,
+    "text_lang_id" -> TextOps.textLangIdSql,
+    "text_fingerprint" -> TextOps.textFingerprintSql,
   )
 }

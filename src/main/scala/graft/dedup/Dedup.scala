@@ -1,0 +1,251 @@
+package graft.dedup
+
+import graft.core.{Stab, Tables}
+import graft.functions.vectors._
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+  * near-dup.
+  *
+  * Scale design (100 TB): no operator ever materializes n² —
+  * candidate pairs always come from an equality join on a bucket key
+  * (band signature, simhash band, blocking key), which Spark executes
+  * as a linear shuffle + per-bucket pair expansion. Exact dedup is a
+  * single hash aggregate with map-side combine. Skewed buckets are
+  * bounded: a band key collision set of size m yields m² pairs only
+  * within that bucket, and AQE's skew-join split handles the rare hot
+  * bucket.
+  *
+  * Determinism: every hash is the shared md5-based
+  * [[TextOps.hash60]]; every float crossing the oracle boundary is
+  * e6-stabilized, and thresholds are applied ON the stabilized
+  * integer so the cut is identical in both engines.
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime for the permutation family
+  private val numHashes = 32
+  private val bandRows = 4 // 8 bands of 4 rows
+
+  /** Exact dedup: group by md5(text); `keep_doc_id` is the canonical
+    * survivor (min id), `n_docs > 1` marks duplicate groups. */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy(md5($"text").as("text_md5"))
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keep_doc_id"))
+      .orderBy($"text_md5")
+  }
+
+  val exactSql: String =
+    """SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+      |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin
+
+  /** (doc_id, shingle-hash mod P) — distinct word-3-gram shingles. */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(TextOps.shingles(TextOps.tokens($"text"), 3)).as("s"))
+      .distinct()
+      .select($"doc_id", (TextOps.hash60($"s") % P).as("x"))
+  }
+
+  private val shingleHashesSql: String =
+    s"""SELECT DISTINCT doc_id, ${TextOps.hash60Sql("s")} % $P AS x
+       |FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("w", 3)}) AS s
+       |      FROM (SELECT doc_id, ${TextOps.tokensSql} AS w FROM documents))""".stripMargin
+
+  /** MinHash signatures → LSH band buckets → candidate pairs.
+    * Output: (doc_a, doc_b, n_bands, est_jaccard_e6) where est is the
+    * fraction of the 32 minhashes agreeing.
+    *
+    * The permutation family is `(a_h·x + b_h) mod P` with
+    * `a_h = (1000003·h + 12345) mod P`, `b_h = (999331·h + 54321) mod P`
+    * — all arithmetic < 2^62, exact in BIGINT in both engines. */
+  def minhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hs = broadcast(spark.range(0, numHashes).select($"id".as("h")))
+    val mh = shingleHashes(spark, dir).crossJoin(hs)
+      .groupBy($"doc_id", $"h")
+      .agg(min(
+        ((lit(1000003L) * $"h" + 12345L) % P * $"x" + (lit(999331L) * $"h" + 54321L) % P) % P
+      ).as("mv"))
+    val sig = mh.groupBy($"doc_id")
+      .agg(transform(array_sort(collect_list(struct($"h", $"mv"))), s => s.getField("mv")).as("sig"))
+    val nBands = numHashes / bandRows
+    val bands = sig.select($"doc_id",
+        explode(sequence(lit(0), lit(nBands - 1))).as("b"), $"sig")
+      .select($"doc_id", $"b",
+        array_join(slice($"sig", $"b" * bandRows + 1, lit(bandRows)), ",").as("key"))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    pairs
+      .join(sig.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sig.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
+      .select($"doc_a", $"doc_b", $"n_bands",
+        Stab.e6(size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y), b => b))
+          .cast("double") / numHashes).as("est_jaccard_e6"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val minhashSql: String = {
+    val nBands = numHashes / bandRows
+    s"""WITH shd AS (
+       |  $shingleHashesSql
+       |), hs AS (SELECT unnest(generate_series(0, ${numHashes - 1})) AS h),
+       |mh AS (
+       |  SELECT doc_id, h,
+       |    min(((1000003*h + 12345) % $P * x + (999331*h + 54321) % $P) % $P) AS mv
+       |  FROM shd CROSS JOIN hs GROUP BY doc_id, h
+       |), sig AS (
+       |  SELECT doc_id, list(mv ORDER BY h) AS sig FROM mh GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, b,
+       |    array_to_string(sig[$bandRows*b+1:$bandRows*b+$bandRows], ',') AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${nBands - 1})) AS b)
+       |), pairs AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_bands
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id
+       |)
+       |SELECT doc_a, doc_b, n_bands,
+       |  ${Stab.sqlE6(s"CAST(list_sum(list_prepend(0, list_transform(generate_series(1, $numHashes), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))) AS DOUBLE) / $numHashes")} AS est_jaccard_e6
+       |FROM pairs
+       |JOIN sig sa ON sa.doc_id = doc_a
+       |JOIN sig sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** 60-bit SimHash (term-frequency weighted) + banded near-dup pairs
+    * with hamming distance ≤ 6 (4 bands of 15 bits — a pair must agree
+    * on at least one full band to become a candidate, standard
+    * pigeonhole blocking). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wh = Tables.documents(spark, dir)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("word"))
+      .select($"doc_id", TextOps.hash60($"word").as("h"))
+    val bits = wh.crossJoin(broadcast(spark.range(0, 60).select($"id".as("j"))))
+      .groupBy($"doc_id", $"j")
+      .agg(when(expr("sum((shiftright(h, cast(j AS int)) & 1) * 2 - 1)") > 0, 1L)
+        .otherwise(0L).as("bit"))
+    val sh = bits.groupBy($"doc_id")
+      .agg(expr("sum(shiftleft(bit, cast(j AS int)))").as("simhash"))
+    val bands = sh.select($"doc_id", $"simhash",
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .select($"doc_id", $"simhash", $"b",
+        expr("shiftright(simhash, cast(b * 15 AS int)) & 32767").as("bv"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast(LongType).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 6)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val simhashSql: String =
+    s"""WITH wh AS (
+       |  SELECT doc_id, ${TextOps.hash60Sql("word")} AS h
+       |  FROM (SELECT doc_id, unnest(${TextOps.tokensSql}) AS word FROM documents)
+       |), bits AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN sum(((h >> j) & 1)*2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
+       |  GROUP BY doc_id, j
+       |), sh AS (
+       |  SELECT doc_id, CAST(sum(bit << j) AS BIGINT) AS simhash FROM bits GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, simhash, b, (simhash >> (b*15)) & 32767 AS bv
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+       |)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM bands x JOIN bands y
+       |  ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |WHERE CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Word-3-gram Jaccard similarity: bounded query set (every 100th
+    * doc) against the corpus via a shingle-equality join (shared
+    * shingles counted once per pair — linear in postings, never n²).
+    * Threshold applied on the e6-stabilized value. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shd = Tables.documents(spark, dir)
+      .select($"doc_id", explode(TextOps.shingles(TextOps.tokens($"text"), 3)).as("s"))
+      .distinct()
+    val sizes = shd.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val q = shd.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("q_id"), $"s".as("q_s"))
+    val shared = q.join(shd, col("q_s") === col("s") && col("q_id") =!= col("doc_id"))
+      .groupBy($"q_id", col("doc_id").as("d_id"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select($"doc_id".as("q_id"), $"n".as("n_q")), "q_id")
+      .join(sizes.select($"doc_id".as("d_id"), $"n".as("n_d")), "d_id")
+      .select($"q_id", $"d_id", $"shared",
+        Stab.e6($"shared".cast("double") / ($"n_q" + $"n_d" - $"shared")).as("jaccard_e6"))
+      .filter($"jaccard_e6" >= 10000) // jaccard >= 0.01 on the stabilized value
+      .orderBy($"q_id", $"d_id")
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH shd AS (
+       |  SELECT DISTINCT doc_id, s
+       |  FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("w", 3)}) AS s
+       |        FROM (SELECT doc_id, ${TextOps.tokensSql} AS w FROM documents))
+       |), sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |q AS (SELECT doc_id AS q_id, s FROM shd WHERE doc_id % 100 = 0),
+       |shared AS (
+       |  SELECT q.q_id, shd.doc_id AS d_id, count(*) AS shared
+       |  FROM q JOIN shd ON q.s = shd.s AND q.q_id <> shd.doc_id
+       |  GROUP BY q.q_id, shd.doc_id
+       |)
+       |SELECT q_id, d_id, shared,
+       |  ${Stab.sqlE6("CAST(shared AS DOUBLE) / (sq.n + sd.n - shared)")} AS jaccard_e6
+       |FROM shared
+       |JOIN sizes sq ON sq.doc_id = q_id
+       |JOIN sizes sd ON sd.doc_id = d_id
+       |WHERE ${Stab.sqlE6("CAST(shared AS DOUBLE) / (sq.n + sd.n - shared)")} >= 10000
+       |ORDER BY q_id, d_id""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs within `label` blocks
+    * (the blocking key stands in for an LSH bucket — the 100 TB path
+    * swaps it for `ann_lsh_bucketed`'s hyperplane bucket with the
+    * same join shape). Threshold cosine ≥ 0.40 on the stabilized
+    * value. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    emb.as("a").join(emb.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        Stab.e6(cosineSim(col("a.embedding"), col("b.embedding"))).as("cos_e6"))
+      .filter($"cos_e6" >= 400000)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val embeddingNearDupSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    val cos = s"(${dot("a.embedding", "b.embedding")} / " +
+      s"(sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")})))"
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       |  ${Stab.sqlE6(cos)} AS cos_e6
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${Stab.sqlE6(cos)} >= 400000
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+}

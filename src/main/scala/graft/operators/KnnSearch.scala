@@ -34,7 +34,7 @@ object KnnSearch {
       if (asc) Seq(col("score_e6").asc, col("neighbor_id").asc)
       else Seq(col("score_e6").desc, col("neighbor_id").asc)
     val w = Window.partitionBy(col("q_id")).orderBy(order: _*)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy(col("q_id"), col("rank"))
   }

@@ -129,7 +129,7 @@ object Relational {
     val w = Window.partitionBy($"p_brand")
       .orderBy($"p_retailprice".desc, $"p_partkey".asc)
     Tables.part(spark, dir)
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 3)
       .select($"p_brand", $"rank", $"p_partkey", Stab.e2($"p_retailprice").as("price_e2"))
       .orderBy($"p_brand", $"rank")
@@ -201,8 +201,8 @@ object Relational {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
        |), sessions AS (
        |  SELECT user_id, ts, value,
-       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-       |                           ROWS UNBOUNDED PRECEDING) AS session_seq
+       |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
        |  FROM flagged
        |)
        |SELECT user_id, session_seq,

@@ -1,0 +1,210 @@
+package graft.text
+
+import graft.core.{Stab, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators over the `documents` table: tokenization,
+  * token counting, quality scoring, stopword-profile language ID, and
+  * winnowing fingerprints.
+  *
+  * Everything is pure column algebra (`functions._`) — codegen'd,
+  * partition-local, no shuffle except the final `orderBy` for
+  * deterministic output, so each op is a single scan at any scale.
+  *
+  * Cross-engine determinism: tokenization is
+  * `lower → split [^a-z0-9]+ → drop empties`, hashing is
+  * `md5 → first 15 hex digits → 60-bit int` — every step has an
+  * identical DuckDB twin (see the `*Sql` values).
+  */
+object TextOps {
+
+  /** lower → split on non-alphanumeric runs → drop empty fragments. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+
+  val tokensSql: String =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Word k-shingles joined with single spaces; empty when fewer than
+    * k tokens (guarded: Spark's `sequence(1, n)` DESCENDS for n<1). */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " "))
+    ).otherwise(array().cast("array<string>"))
+
+  def shinglesSql(w: String, k: Int): String =
+    s"CASE WHEN len($w) >= $k THEN list_transform(generate_series(1, len($w) - ${k - 1}), " +
+      s"i -> array_to_string($w[i:i+${k - 1}], ' ')) ELSE [] END"
+
+  /** First 60 bits of md5 as a non-negative long — the shared
+    * cross-engine string hash. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  def hash60Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  // ---- text_tokens -------------------------------------------------------
+
+  /** BPE-ish pre-tokenizer: letter runs | digit runs | single symbol. */
+  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        length($"text").cast(LongType).as("n_chars_len"),
+        size(tokens($"text")).cast(LongType).as("n_tokens_ws"),
+        regexp_count(lower($"text"), lit(bpePattern)).cast(LongType).as("n_tokens_bpe"))
+      .orderBy($"doc_id")
+  }
+
+  val textTokensSql: String =
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars_len,
+       |  CAST(len($tokensSql) AS BIGINT) AS n_tokens_ws,
+       |  CAST(len(regexp_extract_all(lower(text), '$bpePattern')) AS BIGINT) AS n_tokens_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- text_quality ------------------------------------------------------
+
+  private val enStopwords = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stoplist = array(enStopwords.map(lit): _*)
+    val t = tokens($"text")
+    Tables.documents(spark, dir)
+      .select($"doc_id", length($"text").cast(LongType).as("n_chars_len"), t.as("w"))
+      .select($"doc_id", $"n_chars_len",
+        size($"w").cast(LongType).as("n_tokens"),
+        size(array_distinct($"w")).cast(LongType).as("n_distinct"),
+        size(filter($"w", x => array_contains(stoplist, x))).cast(LongType).as("n_stop"),
+        aggregate($"w", lit(0L), (acc, x) => acc + length(x)).as("sum_token_len"))
+      .select($"doc_id", $"n_chars_len", $"n_tokens", $"n_distinct", $"n_stop",
+        Stab.e6(when($"n_tokens" > 0, $"n_stop".cast("double") / $"n_tokens").otherwise(0.0)).as("stop_ratio_e6"),
+        Stab.e6(when($"n_tokens" > 0, $"n_distinct".cast("double") / $"n_tokens").otherwise(0.0)).as("distinct_ratio_e6"),
+        Stab.e6(when($"n_tokens" > 0, $"sum_token_len".cast("double") / $"n_tokens").otherwise(0.0)).as("avg_token_len_e6"))
+      .orderBy($"doc_id")
+  }
+
+  val textQualitySql: String = {
+    val stop = enStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, length(text) AS n_chars_len, $tokensSql AS w FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_chars_len,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(w, x -> list_contains($stop, x))) AS BIGINT) AS n_stop,
+       |    CAST(list_sum(list_prepend(0, list_transform(w, x -> length(x)))) AS BIGINT) AS sum_token_len
+       |  FROM t
+       |)
+       |SELECT doc_id, n_chars_len, n_tokens, n_distinct, n_stop,
+       |  ${Stab.sqlE6("CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END")} AS stop_ratio_e6,
+       |  ${Stab.sqlE6("CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 0.0 END")} AS distinct_ratio_e6,
+       |  ${Stab.sqlE6("CASE WHEN n_tokens > 0 THEN CAST(sum_token_len AS DOUBLE) / n_tokens ELSE 0.0 END")} AS avg_token_len_e6
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- text_lang_id ------------------------------------------------------
+
+  /** Tiny stopword profiles; scored by membership count, argmax with
+    * alphabetical tie-break (the CASE chain tests langs in
+    * alphabetical order with >=, so the first maximal lang wins in
+    * BOTH engines). */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "un", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "que", "une", "dans"),
+    "zh" -> Seq("shi", "de", "le", "wo", "ni", "zai", "you", "he"),
+  )
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = tokens($"text")
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang".as("lang_actual"), t.as("w"))
+      .select(Seq($"doc_id", $"lang_actual") ++ langProfiles.map { case (lang, words) =>
+        val wl = array(words.map(lit): _*)
+        size(filter($"w", x => array_contains(wl, x))).cast(LongType).as(s"s_$lang")
+      }: _*)
+    val langs = langProfiles.map(_._1)
+    val pred = langs.foldRight(lit(langs.last)) { case (lang, rest) =>
+      val isMax = langs.filter(_ != lang)
+        .map(o => col(s"s_$lang") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(isMax, lit(lang)).otherwise(rest)
+    }
+    scored.withColumn("lang_pred", pred).orderBy($"doc_id")
+  }
+
+  val textLangIdSql: String = {
+    val scoreCols = langProfiles.map { case (lang, words) =>
+      val wl = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(w, x -> list_contains($wl, x))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = langProfiles.map(_._1)
+    val cases = langs.dropRight(1).map { lang =>
+      val cond = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang AS lang_actual, $tokensSql AS w FROM documents
+       |), s AS (
+       |  SELECT doc_id, lang_actual,
+       |    $scoreCols
+       |  FROM t
+       |)
+       |SELECT *, CASE
+       |    $cases
+       |    ELSE '${langs.last}' END AS lang_pred
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- text_fingerprint (winnowing) --------------------------------------
+
+  /** Winnowing fingerprints: char 8-grams → 60-bit rolling hash set →
+    * min per 4-gram window → distinct mins per doc
+    * (Schleimer/Wilkerson/Aiken, SIGMOD'03). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val txt = lower($"text")
+    val grams = when(length(txt) >= 8,
+      transform(sequence(lit(1), length(txt) - 7),
+        i => hash60(txt.substr(i, lit(8))))
+    ).otherwise(array().cast("array<bigint>"))
+    val wins = when(size($"g") >= 4,
+      transform(sequence(lit(1), size($"g") - 3),
+        i => array_min(slice($"g", i, lit(4))))
+    ).otherwise($"g")
+    Tables.documents(spark, dir)
+      .select($"doc_id", grams.as("g"))
+      .select($"doc_id", explode(array_distinct(wins)).as("fp"))
+      .orderBy($"doc_id", $"fp")
+  }
+
+  val textFingerprintSql: String = {
+    val h = hash60Sql("substr(t, i, 8)")
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(t) >= 8
+       |      THEN list_transform(generate_series(1, length(t) - 7), i -> $h)
+       |      ELSE [] END AS g
+       |  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+       |), w AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(g) >= 4
+       |      THEN list_transform(generate_series(1, len(g) - 3), i -> list_min(g[i:i+3]))
+       |      ELSE g END AS wins
+       |  FROM g
+       |)
+       |SELECT DISTINCT doc_id, fp
+       |FROM (SELECT doc_id, unnest(wins) AS fp FROM w)
+       |ORDER BY doc_id, fp""".stripMargin
+  }
+}
