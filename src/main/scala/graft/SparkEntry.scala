@@ -1,9 +1,14 @@
 package graft
 
+import graft.core.Stab
 import graft.dedup.Dedup
+import graft.embed.Embedder
+import graft.functions.vectors
+import graft.index.{IvfIndex, LshIndex, NswIndex}
 import graft.operators._
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory; every implemented operator has a `queries` entry and,
@@ -40,7 +45,34 @@ object SparkEntry {
     "text_quality" -> (TextOps.textQuality _),
     "text_lang_id" -> (TextOps.textLangId _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
+    // collections / data model (reference CRUD surface)
+    "chunk_documents" -> (Collections.chunkDocuments _),
+    "crud_upsert" -> (Collections.crudUpsert _),
+    "crud_delete_cascade" -> (Collections.crudDeleteCascade _),
+    "query_e2e" -> (Collections.queryE2E _),
+    "mm_features" -> (Collections.mmFeatures _),
+    "embed_text" -> (embedText _),
+    // ANN index family
+    "ivf_build" -> (IvfIndex.ivfBuild _),
+    "ivf_search" -> (IvfIndex.ivfSearch _),
+    "ann_lsh_bucketed" -> (LshIndex.annLshBucketed _),
+    "nsw_build" -> (NswIndex.nswBuild _),
+    "nsw_search" -> (NswIndex.nswSearch _),
   )
+
+  /** `embed_text`: deterministic embedder fingerprint per doc —
+    * dimension, unit norm, and the first component (rows-only; the
+    * embedder has no SQL twin by design). */
+  private def embedText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", Embedder.embedText($"text").as("emb"))
+      .select($"doc_id",
+        size($"emb").cast("long").as("dim"),
+        Stab.e6(sqrt(vectors.dotProduct($"emb", $"emb"))).as("norm_e6"),
+        Stab.e6(element_at($"emb", 1).cast("double")).as("c0_e6"))
+      .orderBy($"doc_id")
+  }
 
   /** DuckDB-runnable ANSI SQL twin for each oracle-checkable query. */
   def oracleSql: Map[String, String] = Map(
@@ -63,5 +95,9 @@ object SparkEntry {
     "text_quality" -> TextOps.textQualitySql,
     "text_lang_id" -> TextOps.textLangIdSql,
     "text_fingerprint" -> TextOps.textFingerprintSql,
+    "chunk_documents" -> Collections.chunkDocumentsSql,
+    "crud_upsert" -> Collections.crudUpsertSql,
+    "crud_delete_cascade" -> Collections.crudDeleteCascadeSql,
+    "nsw_build" -> NswIndex.nswBuildSql,
   )
 }

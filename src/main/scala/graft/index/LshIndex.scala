@@ -1,0 +1,66 @@
+package graft.index
+
+import graft.core.{Stab, Tables}
+import graft.functions.vectors._
+import graft.operators.KnnSearch
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Random-hyperplane (sign) LSH — the 100 TB similarity-search path.
+  *
+  * Every vector gets a `nBits`-bit bucket id (sign of the dot product
+  * with `nBits` fixed pseudo-random hyperplanes). Search probes the
+  * query's bucket plus all single-bit-flip neighbors (multi-probe),
+  * so the candidate set is bucket-local: the big table is hit with an
+  * equality join on `bucket`, a linear shuffle — never a full scan
+  * per query, never n². Bucket skew is bounded by the bit count and
+  * AQE's skew split.
+  *
+  * Hyperplanes are seed-fixed (deterministic across runs/engines) and
+  * broadcast as literals into the plan.
+  */
+object LshIndex {
+
+  val defaultBits = 6
+  val defaultTables = 2
+
+  /** Seed-fixed hyperplanes: dim × nBits floats in [-0.5, 0.5). */
+  def planes(dim: Int, nBits: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rng.nextFloat() - 0.5f))
+  }
+
+  /** Bucket id column: bit p = (dot(v, plane_p) >= 0). */
+  def bucketOf(v: Column, ps: Array[Array[Float]]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(x => lit(x)): _*)
+      when(dotProduct(v, plane) >= 0d, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** `ann_lsh_bucketed`: bucketed ANN for the fixed query set —
+    * `defaultTables` independent hash tables (standard LSH recall
+    * amplification), each probed at the query bucket plus all
+    * single-bit flips. Candidates are deduped before top-k. Rows-only
+    * check (+ recall spec). */
+  def annLshBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val embRaw = Tables.embeddings(spark, dir)
+    val flips = array((lit(0L) +: (0 until defaultBits).map(i => lit(1L << i))): _*)
+    val scoredPerTable = (0 until defaultTables).map { t =>
+      val ps = planes(64, defaultBits, seed = 42L + t)
+      val emb = embRaw.select($"vec_id", $"embedding",
+        bucketOf($"embedding", ps).as("bucket"))
+      val probed = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"bucket".as("q_bucket"),
+          explode(flips).as("flip"))
+        .select($"q_id", $"q_vec", $"q_bucket".bitwiseXOR($"flip").as("bucket"))
+      emb.join(broadcast(probed), Seq("bucket"))
+        .select($"q_id", $"vec_id".as("neighbor_id"),
+          Stab.e6(cosineSim($"embedding", $"q_vec")).as("score_e6"))
+    }
+    // same (q_id, neighbor) from different tables scores identically →
+    // distinct is an exact dedup
+    val scored = scoredPerTable.reduce(_ unionByName _).distinct()
+    KnnSearch.topK(scored, 10, asc = false)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.index
+
+import graft.core.{Stab, Tables}
+import graft.functions.vectors._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** NSW (navigable small world) — the reference's graph index
+  * (/root/reference/src/models/nsw_index.py) re-expressed for batch:
+  *
+  *  - BUILD (nsw_index.py:36-52): the k-nearest-neighbor graph is a
+  *    single batch job — score candidate pairs, keep top-`k` per
+  *    node. Here candidates are exact (the embeddings tables are
+  *    small); at 100 TB the identical plan runs over LSH-bucketed
+  *    candidates (`LshIndex`) instead of the cross product.
+  *  - SEARCH (nsw_index.py:117-165): the reference's per-query greedy
+  *    walk becomes a fixed number of BSP supersteps: expand the
+  *    frontier through the edges table (one equality join per hop),
+  *    score new nodes, keep a beam. All queries traverse
+  *    simultaneously — per-hop cost is one join, independent of query
+  *    count.
+  *
+  * Deterministic: entry point = min vec_id, beam ties broken on
+  * (score_e6 desc, vec_id asc).
+  */
+object NswIndex {
+
+  val graphDegree = 5 // matches reference NSWIndex(n_neighbors=5)
+  val beamWidth = 8
+  val hops = 4
+
+  /** Directed kNN edges: top-`graphDegree` neighbors per vector. */
+  def buildEdges(emb: DataFrame, degree: Int = graphDegree): DataFrame = {
+    val pairs = emb.select(col("vec_id").as("src"), col("embedding").as("src_vec"))
+      .crossJoin(emb.select(col("vec_id").as("dst"), col("embedding").as("dst_vec")))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        Stab.e6(cosineSim(col("src_vec"), col("dst_vec"))).as("score_e6"))
+    pairs.withColumn("rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("score_e6").desc, col("dst").asc)).cast("long"))
+      .filter(col("rank") <= degree)
+  }
+
+  /** `nsw_build` query (oracle: plain SQL — same top-k-per-node). */
+  def nswBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    buildEdges(Tables.embeddings(spark, dir))
+      .orderBy($"src", $"rank")
+  }
+
+  val nswBuildSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    val cos = s"(CASE WHEN ${dot("a.embedding", "a.embedding")} = 0 OR ${dot("b.embedding", "b.embedding")} = 0 THEN 0.0 " +
+      s"ELSE ${dot("a.embedding", "b.embedding")} / (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")})) END)"
+    s"""WITH scored AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst, ${Stab.sqlE6(cos)} AS score_e6
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |)
+       |SELECT src, dst, score_e6, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY src
+       |    ORDER BY score_e6 DESC, dst ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $graphDegree
+       |ORDER BY src, rank""".stripMargin
+  }
+
+  /** Batch beam search over a prebuilt edge table for a queries
+    * frame (q_id, q_vec). Returns top-`k` of everything visited. */
+  def beamSearch(emb: DataFrame, edges: DataFrame, queries: DataFrame,
+      k: Int = 5): DataFrame = {
+    val scoreAgainst = (nodes: DataFrame) =>
+      nodes.join(emb.select(col("vec_id").as("node"), col("embedding")), Seq("node"))
+        .select(col("q_id"), col("node"),
+          Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"),
+          col("q_vec"))
+    val entry = emb.agg(min(col("vec_id")).as("node"))
+    var visited = scoreAgainst(queries.crossJoin(broadcast(entry)))
+    var frontier = visited
+    for (_ <- 1 to hops) {
+      val expanded = frontier
+        .join(edges.select(col("src").as("node"), col("dst")), Seq("node"))
+        .select(col("q_id"), col("dst").as("node"), col("q_vec"))
+        .distinct()
+        .join(visited.select(col("q_id"), col("node")), Seq("q_id", "node"), "left_anti")
+      val scored = scoreAgainst(expanded)
+      visited = visited.unionByName(scored)
+      frontier = scored.withColumn("brank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)))
+        .filter(col("brank") <= beamWidth)
+        .drop("brank")
+    }
+    visited.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("node").as("neighbor_id"), col("score_e6"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** `nsw_search` query: beam search for the fixed query set.
+    * Rows-only check (+ recall spec vs brute force). */
+  def nswSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val edges = buildEdges(emb)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    beamSearch(emb, edges, queries)
+  }
+}

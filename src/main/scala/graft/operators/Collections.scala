@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.core.{Stab, Tables}
+import graft.embed.Embedder
+import graft.functions.vectors._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The reference's collection data model re-expressed as batch
+  * DataFrame algebra: chunking (document → chunks,
+  * /root/reference/src/models/datarecord.py:33-41), upsert
+  * (collection.py:121-155), cascade delete (main.py:203-210), and
+  * the /query endpoint end-to-end (main.py:316-344).
+  *
+  * The reference enforces uniqueness via one-file-per-record and
+  * loops per record; here a batch of mutations is one anti-join +
+  * union (or a partition overwrite at scale), so a million-row
+  * mutation batch costs one shuffle, not a million filesystem ops.
+  */
+object Collections {
+
+  private val chunkSize = 200
+  private val overlap = 50
+  private val stride = chunkSize - overlap // 150
+
+  /** Fixed-size overlapping chunks: one full-stride chunk per stride
+    * step plus a tail — integer arithmetic only, identical in both
+    * engines. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nChunks = greatest(lit(1L),
+      expr(s"1 + CAST(ceil(CAST(length(text) - $chunkSize AS DOUBLE) / $stride) AS BIGINT)"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text", nChunks.as("n_chunks"))
+      .select($"doc_id", explode(sequence(lit(0L), $"n_chunks" - 1)).as("chunk_idx"), $"text")
+      .select($"doc_id", $"chunk_idx",
+        $"text".substr(($"chunk_idx" * stride + 1).cast("int"), lit(chunkSize)).as("chunk_text"))
+      .withColumn("chunk_len", length($"chunk_text").cast(LongType))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val chunkDocumentsSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, text,
+       |    greatest(1, 1 + CAST(ceil(CAST(length(text) - $chunkSize AS DOUBLE) / $stride) AS BIGINT)) AS n_chunks
+       |  FROM documents
+       |), e AS (
+       |  SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx, text FROM n
+       |)
+       |SELECT doc_id, chunk_idx,
+       |  substr(text, CAST(chunk_idx * $stride + 1 AS INT), $chunkSize) AS chunk_text,
+       |  CAST(length(substr(text, CAST(chunk_idx * $stride + 1 AS INT), $chunkSize)) AS BIGINT) AS chunk_len
+       |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Batch upsert with reference semantics (update-else-insert;
+    * main.py:216-236 parent checks become key discipline). The
+    * mutation batch is synthetic but deterministic: docs with
+    * `doc_id % 10 = 0` get updated (text uppercased), 50 new docs
+    * arrive under `doc_id + 1000000`. One anti-join + union. */
+  def crudUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val updates = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id", upper($"text").as("text"), lit("updated").as("op"))
+    val inserts = docs.filter($"doc_id" < 50)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text", lit("inserted").as("op"))
+    val kept = docs.join(updates.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"text", lit("kept").as("op"))
+    kept.unionByName(updates).unionByName(inserts)
+      .select($"doc_id", md5($"text").as("text_md5"), $"op")
+      .orderBy($"doc_id")
+  }
+
+  val crudUpsertSql: String =
+    """SELECT doc_id, md5(text) AS text_md5, op FROM (
+      |  SELECT doc_id, text, 'kept' AS op FROM documents WHERE doc_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, upper(text) AS text, 'updated' AS op FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text, 'inserted' AS op FROM documents WHERE doc_id < 50
+      |) ORDER BY doc_id""".stripMargin
+
+  /** Cascade delete: removing every `source = 'src0'` document also
+    * removes its chunks — one left-anti join against the deleted key
+    * set (the reference loops chunk files, main.py:203-210). Output:
+    * surviving chunk counts per doc. */
+  def crudDeleteCascade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val deleted = Tables.documents(spark, dir)
+      .filter($"source" === "src0").select($"doc_id")
+    chunkDocuments(spark, dir)
+      .join(deleted, Seq("doc_id"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"), min($"chunk_len").as("min_chunk_len"))
+      .orderBy($"doc_id")
+  }
+
+  val crudDeleteCascadeSql: String =
+    s"""WITH chunks AS ($chunkDocumentsSql)
+       |SELECT doc_id, count(*) AS n_chunks, min(chunk_len) AS min_chunk_len
+       |FROM chunks
+       |WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src0')
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The /query endpoint end-to-end: embed a fixed query text with
+    * the deterministic embedder, cosine-score every document
+    * embedding, return top-10 with content — the whole reference
+    * serving path as one DataFrame plan (rows-only check: DuckDB
+    * cannot express the embedder). */
+  def queryE2E(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queryText = "fast hash join on the sorted key order table"
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", Embedder.embedText($"text").as("embedding"))
+    val q = spark.range(1).select(
+      Embedder.embedText(lit(queryText)).as("q_vec"))
+    docs.crossJoin(broadcast(q))
+      .select($"doc_id", substring($"text", 1, 40).as("snippet"),
+        Stab.e6(cosineSim($"embedding", $"q_vec")).as("score_e6"))
+      .orderBy($"score_e6".desc, $"doc_id".asc) // TakeOrderedAndProject, no global sort
+      .limit(10)
+  }
+
+  /** Multimodal column plumbing: an opaque binary payload + typed
+    * metadata struct, batched per-partition feature extraction via a
+    * typed Dataset mapPartitions (the seam where a real image/audio
+    * decoder would run; the decode itself is a STUB — a deterministic
+    * byte statistic — because no media libs ship in this
+    * environment). Schema, partitioning, and batch shape are real. */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withPayload = Tables.documents(spark, dir)
+      .select($"doc_id",
+        encode($"text", "UTF-8").as("payload"),
+        struct(
+          (length($"text") % 640).cast(LongType).as("width"),
+          (length($"text") % 480).cast(LongType).as("height"),
+          $"source".as("codec")).as("meta"))
+    val ds = withPayload.as[MMRecord]
+    ds.mapPartitions { it =>
+      // Batch shape: the iterator is the partition — a real decoder
+      // would hand `it.grouped(batchSize)` to a native/model runtime.
+      it.map { r =>
+        // STUB decode: deterministic byte statistics stand in for
+        // pixel/sample features.
+        var sum = 0L
+        var i = 0
+        while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
+        val mean = if (r.payload.length == 0) 0L else sum / r.payload.length
+        MMFeatures(r.doc_id, r.payload.length.toLong,
+          r.meta.width, r.meta.height, r.meta.codec, mean)
+      }
+    }.toDF()
+      .orderBy($"doc_id")
+  }
+}
+
+/** Typed multimodal record: opaque binary payload + typed metadata. */
+case class MMMeta(width: Long, height: Long, codec: String)
+case class MMRecord(doc_id: Long, payload: Array[Byte], meta: MMMeta)
+case class MMFeatures(doc_id: Long, n_bytes: Long, width: Long,
+    height: Long, codec: String, byte_mean: Long)

@@ -1,0 +1,181 @@
+package graft
+
+import graft.embed.Embedder
+import graft.functions.vectors._
+import graft.index.{IvfIndex, LshIndex, NswIndex}
+import graft.store.CollectionStore
+import graft.streaming.EventStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class VectorFunctionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("cosine/dot/l2 match hand computation and handle zero vectors") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)), // orthogonal
+      (Array(1f, 2f, 2f), Array(1f, 2f, 2f)), // identical
+      (Array(0f, 0f, 0f), Array(1f, 1f, 1f)), // zero norm
+      (Array(3f, 4f, 0f), Array(4f, 3f, 0f)),
+    ).toDF("a", "b")
+    val rows = df.select(
+      cosineSim($"a", $"b"), dotProduct($"a", $"b"), l2Distance($"a", $"b")
+    ).collect()
+    assert(rows(0).getDouble(0) == 0.0 && rows(0).getDouble(1) == 0.0)
+    assert(math.abs(rows(1).getDouble(0) - 1.0) < 1e-12)
+    assert(rows(2).getDouble(0) == 0.0) // zero-norm guard, reference collection.py:311
+    assert(math.abs(rows(3).getDouble(0) - 24.0 / 25.0) < 1e-12)
+    assert(math.abs(rows(3).getDouble(2) - math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("null inputs propagate null") {
+    val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]])).toDF("a", "b")
+    assert(df.select(cosineSim($"a", $"b")).collect()(0).isNullAt(0))
+  }
+}
+
+class EmbedderSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("embedder is deterministic, unit-norm, dim-sized, case/punct-insensitive") {
+    val df = Seq("the quick brown fox", "THE QUICK  brown, fox!", "", "   ").toDF("t")
+    val rows = df.select(Embedder.embedText($"t").as("e")).collect()
+      .map(_.getSeq[Float](0))
+    assert(rows.forall(_.length == 64))
+    assert(rows(0) == rows(1)) // tokenization normalizes case + punctuation
+    val norm = math.sqrt(rows(0).map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    assert(rows(2).forall(_ == 0f) && rows(3).forall(_ == 0f)) // empty text → zero vector
+  }
+}
+
+/** Recall of each ANN path against exact brute force on sf0.001. */
+class AnnRecallSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def neighborSets(df: DataFrame, k: Int): Map[Long, Set[Long]] =
+    df.filter(col("rank") <= k).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+
+  private def recall(got: Map[Long, Set[Long]], want: Map[Long, Set[Long]]): Double = {
+    val per = want.map { case (q, w) =>
+      got.get(q).map(g => g.intersect(w).size.toDouble / w.size).getOrElse(0.0)
+    }
+    per.sum / per.size
+  }
+
+  lazy val brute = neighborSets(SparkEntry.queries("knn_brute_cosine")(spark, sf), 10)
+
+  test("IVF probe search recall@10 >= 0.6 vs brute force") {
+    val ivf = neighborSets(SparkEntry.queries("ivf_search")(spark, sf), 10)
+    val r = recall(ivf, brute)
+    assert(r >= 0.6, s"IVF recall $r")
+  }
+
+  test("LSH bucketed search recall@10 >= 0.3 vs brute force") {
+    val lsh = neighborSets(SparkEntry.queries("ann_lsh_bucketed")(spark, sf), 10)
+    val r = recall(lsh, brute)
+    assert(r >= 0.3, s"LSH recall $r")
+  }
+
+  test("NSW beam search recall@5 >= 0.6 vs brute force") {
+    val bruteTop5 = brute.map { case (q, _) =>
+      q -> neighborSets(SparkEntry.queries("knn_brute_cosine")(spark, sf), 5)(q)
+    }
+    val nsw = neighborSets(SparkEntry.queries("nsw_search")(spark, sf), 5)
+    val r = recall(nsw, bruteTop5)
+    assert(r >= 0.6, s"NSW recall $r")
+  }
+}
+
+class CollectionStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("upsert preserves created_at, bumps updated_at; delete cascades by key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString + "/docs"
+    val store = new CollectionStore(spark, dir, "id")
+    store.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), nowMs = 1000L)
+    assert(store.count() == 2)
+
+    store.upsert(Seq((2L, "b2"), (3L, "c")).toDF("id", "payload"), nowMs = 2000L)
+    val rows = store.load().orderBy("id").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L))
+    val r2 = rows(1)
+    assert(r2.getAs[String]("payload") == "b2")
+    assert(r2.getAs[Long]("created_at_ms") == 1000L) // preserved (collection.py:135)
+    assert(r2.getAs[Long]("updated_at_ms") == 2000L) // bumped
+    assert(rows(2).getAs[Long]("created_at_ms") == 2000L) // fresh insert
+
+    store.delete(Seq(1L, 3L).toDF("id"))
+    assert(store.load().collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** FileStreamSource needs a directory — stage the events file. */
+  lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming windowed agg over events matches the batch twin") {
+    val stream = EventStream.readStream(spark, eventsDir)
+    val q = EventStream.windowedAgg(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_agg").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_agg")
+        .select(col("hour"), col("event_type"), col("n_events"), col("sum_value"))
+      val want = graft.core.Tables.events(spark, sf)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      assert(got.count() == want.count())
+      assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gaps") {
+    val stream = EventStream.readStream(spark, eventsDir)
+      .withWatermark("ts", "0 seconds")
+    val sessions = EventStream.sessionize(spark, stream)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+      // single batch: only gap-closed (not timeout-closed) sessions are
+      // emitted; they must agree with the batch sessionizer's closed set
+      val batch = SparkEntry.queries("events_sessionize")(spark, sf)
+      assert(got.count() > 0)
+      assert(got.count() <= batch.count())
+      val g = got.filter(col("n_events") > 0).count()
+      assert(g == got.count())
+    } finally q.stop()
+  }
+}
