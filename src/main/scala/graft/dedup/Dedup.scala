@@ -49,7 +49,7 @@ object Dedup {
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select($"doc_id", explode(TextOps.shingles(TextOps.tokens($"text"), 3)).as("s"))
+      .select($"doc_id", explode(graft.functions.hashes.wordShingles($"text", 3)).as("s"))
       .distinct()
       .select($"doc_id", (TextOps.hash60($"s") % P).as("x"))
   }
@@ -68,14 +68,14 @@ object Dedup {
     * — all arithmetic < 2^62, exact in BIGINT in both engines. */
   def minhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hs = broadcast(spark.range(0, numHashes).select($"id".as("h")))
-    val mh = shingleHashes(spark, dir).crossJoin(hs)
-      .groupBy($"doc_id", $"h")
-      .agg(min(
-        ((lit(1000003L) * $"h" + 12345L) % P * $"x" + (lit(999331L) * $"h" + 54321L) % P) % P
-      ).as("mv"))
-    val sig = mh.groupBy($"doc_id")
-      .agg(transform(array_sort(collect_list(struct($"h", $"mv"))), s => s.getField("mv")).as("sig"))
+    // Single-pass signature expression: the naive explode over 32
+    // hash slots shuffles numShingles×32 rows; this shuffles only the
+    // per-doc shingle sets and computes the signature in one loop.
+    val sig = shingleHashes(spark, dir)
+      .groupBy($"doc_id")
+      .agg(collect_list($"x").as("xs"))
+      .select($"doc_id", graft.functions.hashes.minHashSignature($"xs", numHashes).as("sig"))
+      .cache() // reused by bands (self-join) and the est-jaccard joins
     val nBands = numHashes / bandRows
     val bands = sig.select($"doc_id",
         explode(sequence(lit(0), lit(nBands - 1))).as("b"), $"sig")
@@ -130,15 +130,14 @@ object Dedup {
     * pigeonhole blocking). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wh = Tables.documents(spark, dir)
-      .select($"doc_id", explode(TextOps.tokens($"text")).as("word"))
-      .select($"doc_id", TextOps.hash60($"word").as("h"))
-    val bits = wh.crossJoin(broadcast(spark.range(0, 60).select($"id".as("j"))))
-      .groupBy($"doc_id", $"j")
-      .agg(when(expr("sum((shiftright(h, cast(j AS int)) & 1) * 2 - 1)") > 0, 1L)
-        .otherwise(0L).as("bit"))
-    val sh = bits.groupBy($"doc_id")
-      .agg(expr("sum(shiftleft(bit, cast(j AS int)))").as("simhash"))
+    // Single-pass expression: the naive formulation explodes
+    // words × 60 bit-slots (15.6M shuffled rows at sf0.1); SimHash60
+    // computes the whole sketch per row with zero shuffle.
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id",
+        transform(TextOps.tokens($"text"), t => TextOps.hash60(t)).as("hs"))
+      .select($"doc_id", graft.functions.hashes.simHash60($"hs").as("simhash"))
+      .cache() // both sides of the band self-join
     val bands = sh.select($"doc_id", $"simhash",
         explode(sequence(lit(0), lit(3))).as("b"))
       .select($"doc_id", $"simhash", $"b",
@@ -182,17 +181,20 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val shd = Tables.documents(spark, dir)
-      .select($"doc_id", explode(TextOps.shingles(TextOps.tokens($"text"), 3)).as("s"))
+      .select($"doc_id", explode(graft.functions.hashes.wordShingles($"text", 3)).as("s"))
       .distinct()
+      .cache() // reused: postings join + sizes + query side
     val sizes = shd.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val q = shd.filter($"doc_id" % 100 === 0)
       .select($"doc_id".as("q_id"), $"s".as("q_s"))
-    val shared = q.join(shd, col("q_s") === col("s") && col("q_id") =!= col("doc_id"))
+    // the 1% query side broadcasts; the corpus postings are scanned once
+    val shared = broadcast(q)
+      .join(shd, col("q_s") === col("s") && col("q_id") =!= col("doc_id"))
       .groupBy($"q_id", col("doc_id").as("d_id"))
       .agg(count(lit(1)).as("shared"))
     shared
-      .join(sizes.select($"doc_id".as("q_id"), $"n".as("n_q")), "q_id")
-      .join(sizes.select($"doc_id".as("d_id"), $"n".as("n_d")), "d_id")
+      .join(broadcast(sizes.select($"doc_id".as("q_id"), $"n".as("n_q"))), "q_id")
+      .join(broadcast(sizes.select($"doc_id".as("d_id"), $"n".as("n_d"))), "d_id")
       .select($"q_id", $"d_id", $"shared",
         Stab.e6($"shared".cast("double") / ($"n_q" + $"n_d" - $"shared")).as("jaccard_e6"))
       .filter($"jaccard_e6" >= 10000) // jaccard >= 0.01 on the stabilized value

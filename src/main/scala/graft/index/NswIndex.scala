@@ -70,22 +70,28 @@ object NswIndex {
     * frame (q_id, q_vec). Returns top-`k` of everything visited. */
   def beamSearch(emb: DataFrame, edges: DataFrame, queries: DataFrame,
       k: Int = 5): DataFrame = {
+    // The graph and vectors are the persisted index: materialize once.
+    // Without this every superstep re-derives the whole kNN build.
+    val embSel = emb.select(col("vec_id").as("node"), col("embedding")).cache()
+    val edgeSel = edges.select(col("src").as("node"), col("dst")).cache()
     val scoreAgainst = (nodes: DataFrame) =>
-      nodes.join(emb.select(col("vec_id").as("node"), col("embedding")), Seq("node"))
+      nodes.join(embSel, Seq("node"))
         .select(col("q_id"), col("node"),
           Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"),
           col("q_vec"))
     val entry = emb.agg(min(col("vec_id")).as("node"))
-    var visited = scoreAgainst(queries.crossJoin(broadcast(entry)))
+    // localCheckpoint: each superstep's result is tiny (queries × beam)
+    // — materializing it stops the plan DAG doubling per hop.
+    var visited = scoreAgainst(queries.crossJoin(broadcast(entry))).localCheckpoint(true)
     var frontier = visited
     for (_ <- 1 to hops) {
       val expanded = frontier
-        .join(edges.select(col("src").as("node"), col("dst")), Seq("node"))
+        .join(edgeSel, Seq("node"))
         .select(col("q_id"), col("dst").as("node"), col("q_vec"))
         .distinct()
         .join(visited.select(col("q_id"), col("node")), Seq("q_id", "node"), "left_anti")
-      val scored = scoreAgainst(expanded)
-      visited = visited.unionByName(scored)
+      val scored = scoreAgainst(expanded).localCheckpoint(true)
+      visited = visited.unionByName(scored).localCheckpoint(true)
       frontier = scored.withColumn("brank", row_number().over(
           Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)))
         .filter(col("brank") <= beamWidth)
