@@ -49,9 +49,9 @@ object Dedup {
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select($"doc_id", explode(graft.functions.hashes.wordShingles($"text", 3)).as("s"))
+      .select($"doc_id", explode(graft.functions.hashes.hashedWordShingles($"text", 3)).as("h"))
+      .select($"doc_id", ($"h" % P).as("x"))
       .distinct()
-      .select($"doc_id", (TextOps.hash60($"s") % P).as("x"))
   }
 
   private val shingleHashesSql: String =
@@ -134,8 +134,7 @@ object Dedup {
     // words × 60 bit-slots (15.6M shuffled rows at sf0.1); SimHash60
     // computes the whole sketch per row with zero shuffle.
     val sh = Tables.documents(spark, dir)
-      .select($"doc_id",
-        transform(TextOps.tokens($"text"), t => TextOps.hash60(t)).as("hs"))
+      .select($"doc_id", graft.functions.hashes.hashedWordShingles($"text", 1).as("hs"))
       .select($"doc_id", graft.functions.hashes.simHash60($"hs").as("simhash"))
       .cache() // both sides of the band self-join
     val bands = sh.select($"doc_id", $"simhash",

@@ -173,18 +173,9 @@ object TextOps {
     * (Schleimer/Wilkerson/Aiken, SIGMOD'03). */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val txt = lower($"text")
-    val grams = when(length(txt) >= 8,
-      transform(sequence(lit(1), length(txt) - 7),
-        i => hash60(txt.substr(i, lit(8))))
-    ).otherwise(array().cast("array<bigint>"))
-    val wins = when(size($"g") >= 4,
-      transform(sequence(lit(1), size($"g") - 3),
-        i => array_min(slice($"g", i, lit(4))))
-    ).otherwise($"g")
     Tables.documents(spark, dir)
-      .select($"doc_id", grams.as("g"))
-      .select($"doc_id", explode(array_distinct(wins)).as("fp"))
+      .select($"doc_id",
+        explode(graft.functions.hashes.winnowFingerprints($"text", 8, 4)).as("fp"))
       .orderBy($"doc_id", $"fp")
   }
 
