@@ -65,6 +65,27 @@ object IvfIndex {
     KnnSearch.topK(scored, k, asc = false)
   }
 
+  /** Persist the index in its scale layout: the vectors table
+    * partitioned by `cluster_id` (a probe then reads n_probe/k of the
+    * files) plus the tiny centroids table. */
+  def persist(built: Built, path: String): Unit = {
+    built.assigned.write.mode("overwrite")
+      .partitionBy("cluster_id").parquet(s"$path/vectors")
+    built.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe search against a persisted layout. The probe pairs are
+    * broadcast into a join on the partition column, so Spark's
+    * dynamic partition pruning restricts the scan to the probed
+    * `cluster_id=` directories instead of the whole index. */
+  def searchPersisted(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int = defaultNProbe, k: Int = 10): DataFrame = {
+    val built = Built(
+      assigned = spark.read.parquet(s"$path/vectors"),
+      centroids = spark.read.parquet(s"$path/centroids"))
+    search(built, queries, nProbe, k)
+  }
+
   /** `ivf_build` query: cluster histogram (k rows). Rows-only check —
     * DuckDB has no KMeans; the ScalaTest spec asserts recall against
     * brute force instead. */

@@ -97,6 +97,19 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.3, s"LSH recall $r")
   }
 
+  test("persisted IVF layout (partitionBy cluster_id) returns identical results") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val built = IvfIndex.build(spark, emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.persist(built, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val inMem = IvfIndex.search(built, queries).collect().map(_.toString).sorted
+    val onDisk = IvfIndex.searchPersisted(spark, dir, queries).collect().map(_.toString).sorted
+    assert(inMem.nonEmpty && inMem.sameElements(onDisk))
+  }
+
   test("NSW beam search recall@5 >= 0.6 vs brute force") {
     val bruteTop5 = brute.map { case (q, _) =>
       q -> neighborSets(SparkEntry.queries("knn_brute_cosine")(spark, sf), 5)(q)
