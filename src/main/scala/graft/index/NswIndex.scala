@@ -42,11 +42,20 @@ object NswIndex {
       .filter(col("rank") <= degree)
   }
 
+  /** Session-scoped edge-table memo — same rationale as
+    * IvfIndex.buildCached: the reference builds the graph once
+    * (nsw_index.py:36-52) and serves every query from it. */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def edgesCached(spark: SparkSession, dir: String): DataFrame =
+    edgeCache.computeIfAbsent(dir,
+      _ => buildEdges(Tables.embeddings(spark, dir)).cache())
+
   /** `nsw_build` query (oracle: plain SQL — same top-k-per-node). */
   def nswBuild(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    buildEdges(Tables.embeddings(spark, dir))
-      .orderBy($"src", $"rank")
+    edgesCached(spark, dir).orderBy($"src", $"rank")
   }
 
   val nswBuildSql: String = {
@@ -109,7 +118,7 @@ object NswIndex {
   def nswSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val edges = buildEdges(emb)
+    val edges = edgesCached(spark, dir)
     val queries = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
     beamSearch(emb, edges, queries)
