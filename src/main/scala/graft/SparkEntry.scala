@@ -58,6 +58,8 @@ object SparkEntry {
     "ann_lsh_bucketed" -> (LshIndex.annLshBucketed _),
     "nsw_build" -> (NswIndex.nswBuild _),
     "nsw_search" -> (NswIndex.nswSearch _),
+    // composite cleaning pipeline
+    "pipeline_clean" -> (Collections.pipelineClean _),
   )
 
   /** `embed_text`: deterministic embedder fingerprint per doc —
@@ -99,5 +101,7 @@ object SparkEntry {
     "crud_upsert" -> Collections.crudUpsertSql,
     "crud_delete_cascade" -> Collections.crudDeleteCascadeSql,
     "nsw_build" -> NswIndex.nswBuildSql,
+    "pipeline_clean" -> Collections.pipelineCleanSql(
+      TextOps.textQualitySql, Dedup.minhashSql),
   )
 }

@@ -155,6 +155,48 @@ object Collections {
     }.toDF()
       .orderBy($"doc_id")
   }
+
+  /** `pipeline_clean`: the composite training-data cleaning pass —
+    * quality gates (token count, distinct-token ratio) ∘ exact dedup
+    * (keep first per md5 group) ∘ MinHash near-dedup (drop the higher
+    * doc_id of each candidate pair). Shows the operators composing
+    * into one declarative plan; every stage is individually oracled,
+    * and so is the composite. */
+  def pipelineClean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val quality = graft.text.TextOps.textQuality(spark, dir)
+    val exactDrop = Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5($"text")).orderBy($"doc_id".asc)))
+      .filter($"rn" > 1).select($"doc_id")
+    val nearDrop = graft.dedup.Dedup.minhash(spark, dir)
+      .select($"doc_b".as("doc_id")).distinct()
+    quality
+      .filter($"n_tokens" >= 20 && $"distinct_ratio_e6" >= 300000)
+      .join(exactDrop, Seq("doc_id"), "left_anti")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_tokens", $"distinct_ratio_e6")
+      .orderBy($"doc_id")
+  }
+
+  def pipelineCleanSql(qualitySql: String, minhashSql: String): String =
+    s"""WITH quality AS ($qualitySql),
+       |exact_drop AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+       |      ORDER BY doc_id ASC) AS rn
+       |    FROM documents) t
+       |  WHERE rn > 1
+       |),
+       |near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM ($minhashSql) m)
+       |SELECT doc_id, n_tokens, distinct_ratio_e6
+       |FROM quality
+       |WHERE n_tokens >= 20 AND distinct_ratio_e6 >= 300000
+       |  AND doc_id NOT IN (SELECT doc_id FROM exact_drop)
+       |  AND doc_id NOT IN (SELECT doc_id FROM near_drop)
+       |ORDER BY doc_id""".stripMargin
+
 }
 
 /** Typed multimodal record: opaque binary payload + typed metadata. */
