@@ -49,6 +49,28 @@ class VectorFunctionsSpec extends AnyFunSuite {
     val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]])).toDF("a", "b")
     assert(df.select(cosineSim($"a", $"b")).collect()(0).isNullAt(0))
   }
+
+  test("expression family is callable from plain SQL after registration") {
+    graft.functions.registry.register(spark)
+    Seq(("the quick brown fox over the lazy dog", Array(3f, 4f), Array(4f, 3f)))
+      .toDF("t", "a", "b").createOrReplaceTempView("reg_probe")
+    val row = spark.sql(
+      """SELECT cosine_sim(a, b), dot_product(a, b), l2_distance(a, b),
+        |  simhash60(hashed_word_shingles(t, 1)),
+        |  size(minhash_signature(hashed_word_shingles(t, 3), 16)),
+        |  size(word_shingles(t, 2)),
+        |  size(winnow_fingerprints(t, 8, 4)),
+        |  size(text_embed(t, 64))
+        |FROM reg_probe""".stripMargin).collect()(0)
+    assert(math.abs(row.getDouble(0) - 24.0 / 25.0) < 1e-12)
+    assert(row.getDouble(1) == 24.0)
+    assert(math.abs(row.getDouble(2) - math.sqrt(2.0)) < 1e-12)
+    assert(row.getLong(3) >= 0L)
+    assert(row.getInt(4) == 16)
+    assert(row.getInt(5) == 7) // 8 tokens → 7 bigrams
+    assert(row.getInt(6) > 0)
+    assert(row.getInt(7) == 64)
+  }
 }
 
 class EmbedderSpec extends AnyFunSuite {
