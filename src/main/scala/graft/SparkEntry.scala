@@ -50,13 +50,24 @@ object SparkEntry {
     "crud_upsert" -> (Collections.crudUpsert _),
     "crud_delete_cascade" -> (Collections.crudDeleteCascade _),
     "query_e2e" -> (Collections.queryE2E _),
+    "query_index_cosine" -> ((s: SparkSession, d: String) => Collections.queryWithIndex(s, d, "cosine")),
+    "query_index_ivf" -> ((s: SparkSession, d: String) => Collections.queryWithIndex(s, d, "ivf")),
+    "query_index_nsw" -> ((s: SparkSession, d: String) => Collections.queryWithIndex(s, d, "nsw")),
     "mm_features" -> (Collections.mmFeatures _),
     "embed_text" -> (embedText _),
+    // libraries level + write-path invariants
+    "crud_library" -> (Libraries.crudLibrary _),
+    "crud_integrity" -> (Libraries.crudIntegrity _),
+    "crud_library_cascade" -> (Libraries.crudLibraryCascade _),
+    "crud_update_merge" -> (Libraries.crudUpdateMerge _),
+    "crud_upsert_embed" -> (Libraries.crudUpsertEmbed _),
+    "meta_filter" -> (Libraries.metaFilter _),
     // ANN index family
     "ivf_build" -> (IvfIndex.ivfBuild _),
     "ivf_search" -> (IvfIndex.ivfSearch _),
     "ann_lsh_bucketed" -> (LshIndex.annLshBucketed _),
     "nsw_build" -> (NswIndex.nswBuild _),
+    "nsw_build_lsh" -> (NswIndex.nswBuildLsh _),
     "nsw_search" -> (NswIndex.nswSearch _),
     // composite cleaning pipeline
     "pipeline_clean" -> (Collections.pipelineClean _),
@@ -100,6 +111,12 @@ object SparkEntry {
     "chunk_documents" -> Collections.chunkDocumentsSql,
     "crud_upsert" -> Collections.crudUpsertSql,
     "crud_delete_cascade" -> Collections.crudDeleteCascadeSql,
+    "query_index_cosine" -> Collections.queryIndexCosineSql,
+    "crud_library" -> Libraries.crudLibrarySql,
+    "crud_integrity" -> Libraries.crudIntegritySql,
+    "crud_library_cascade" -> Libraries.crudLibraryCascadeSql,
+    "crud_update_merge" -> Libraries.crudUpdateMergeSql,
+    "meta_filter" -> Libraries.metaFilterSql,
     "nsw_build" -> NswIndex.nswBuildSql,
     "pipeline_clean" -> Collections.pipelineCleanSql(
       TextOps.textQualitySql, Dedup.minhashSql),

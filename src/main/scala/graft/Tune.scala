@@ -1,0 +1,61 @@
+package graft
+
+import graft.core.Tables
+import graft.index.{IvfIndex, LshIndex, NswIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only parameter sweep for the ANN recall bars: prints IVF
+  * recall@10 across (k, nProbe) and NSW-LSH edge agreement across
+  * (tables, bits, refine rounds) so the index defaults are chosen
+  * from measurement, not guesses. Not part of the driver contract. */
+object Tune {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val emb = Tables.embeddings(spark, sfDir).cache()
+    val nVec = emb.count()
+    println(s"TUNE n=$nVec dir=$sfDir")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec")).cache()
+    queries.count()
+
+    def neighborSets(df: DataFrame, k: Int): Map[Long, Set[Long]] =
+      df.filter(col("rank") <= k).collect()
+        .groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+
+    def recall(got: Map[Long, Set[Long]], want: Map[Long, Set[Long]]): Double = {
+      val per = want.map { case (q, w) =>
+        got.getOrElse(q, Set.empty).intersect(w).size.toDouble / w.size }
+      per.sum / per.size
+    }
+
+    val brute = neighborSets(
+      SparkEntry.queries("knn_brute_cosine")(spark, sfDir), 10)
+
+    for (k <- Seq(8, 16); nProbe <- Seq(5, 6, 8, 10, 12) if nProbe < k) {
+      val built = IvfIndex.build(spark, emb, k = k)
+      val r = recall(neighborSets(IvfIndex.search(built, queries, nProbe = nProbe), 10), brute)
+      println(f"IVF k=$k%-3d nProbe=$nProbe%-3d scanFrac=${nProbe.toDouble / k}%.2f recall=$r%.3f")
+    }
+
+    val exact = NswIndex.buildEdges(emb).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    for ((t, b, rounds) <- Seq((8, 3, 2), (8, 3, 3), (10, 3, 2), (8, 4, 2), (12, 3, 2))) {
+      val lsh = NswIndex.buildEdgesLsh(emb, nTables = t, nBits = b, refineRounds = rounds)
+        .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+      val agree = lsh.intersect(exact).size.toDouble / exact.size
+      println(f"NSWLSH tables=$t%-2d bits=$b rounds=$rounds agree=$agree%.3f")
+    }
+    spark.stop()
+  }
+}

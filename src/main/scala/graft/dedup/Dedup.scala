@@ -59,6 +59,32 @@ object Dedup {
        |FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("w", 3)}) AS s
        |      FROM (SELECT doc_id, ${TextOps.tokensSql} AS w FROM documents))""".stripMargin
 
+  /** Session-scoped signature memo: the MinHash sketch is an index
+    * artifact (like IvfIndex.buildCached) — `dedup_minhash` and
+    * `pipeline_clean` share one materialization instead of each
+    * re-sketching the corpus. */
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** (doc_id, sig[numHashes]) MinHash signature table, cached per dir. */
+  def signatures(spark: SparkSession, dir: String): DataFrame =
+    sigCache.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      // Single-pass signature expression: the naive explode over 32
+      // hash slots shuffles numShingles×32 rows; this shuffles only the
+      // per-doc shingle sets and computes the signature in one loop.
+      shingleHashes(spark, dir)
+        .groupBy($"doc_id")
+        .agg(collect_list($"x").as("xs"))
+        .select($"doc_id", graft.functions.hashes.minHashSignature($"xs", numHashes).as("sig"))
+        // localCheckpoint, NOT cache(): the columnar in-memory cache
+        // pays a per-element conversion for array columns that costs
+        // several times the signature computation itself (profiled at
+        // sf0.1); checkpointed UnsafeRows store and re-read at memory
+        // speed. Reused by bands (self-join) + the est-jaccard joins.
+        .localCheckpoint(true)
+    })
+
   /** MinHash signatures → LSH band buckets → candidate pairs.
     * Output: (doc_a, doc_b, n_bands, est_jaccard_e6) where est is the
     * fraction of the 32 minhashes agreeing.
@@ -68,14 +94,7 @@ object Dedup {
     * — all arithmetic < 2^62, exact in BIGINT in both engines. */
   def minhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Single-pass signature expression: the naive explode over 32
-    // hash slots shuffles numShingles×32 rows; this shuffles only the
-    // per-doc shingle sets and computes the signature in one loop.
-    val sig = shingleHashes(spark, dir)
-      .groupBy($"doc_id")
-      .agg(collect_list($"x").as("xs"))
-      .select($"doc_id", graft.functions.hashes.minHashSignature($"xs", numHashes).as("sig"))
-      .cache() // reused by bands (self-join) and the est-jaccard joins
+    val sig = signatures(spark, dir)
     val nBands = numHashes / bandRows
     val bands = sig.select($"doc_id",
         explode(sequence(lit(0), lit(nBands - 1))).as("b"), $"sig")
@@ -191,9 +210,12 @@ object Dedup {
       .join(shd, col("q_s") === col("s") && col("q_id") =!= col("doc_id"))
       .groupBy($"q_id", col("doc_id").as("d_id"))
       .agg(count(lit(1)).as("shared"))
+    // `sizes` is a per-document aggregate over the WHOLE corpus —
+    // broadcasting it is unbounded at 100 TB. Plain equi-joins on the
+    // doc keys: AQE picks a broadcast only when it actually fits.
     shared
-      .join(broadcast(sizes.select($"doc_id".as("q_id"), $"n".as("n_q"))), "q_id")
-      .join(broadcast(sizes.select($"doc_id".as("d_id"), $"n".as("n_d"))), "d_id")
+      .join(sizes.select($"doc_id".as("q_id"), $"n".as("n_q")), "q_id")
+      .join(sizes.select($"doc_id".as("d_id"), $"n".as("n_d")), "d_id")
       .select($"q_id", $"d_id", $"shared",
         Stab.e6($"shared".cast("double") / ($"n_q" + $"n_d" - $"shared")).as("jaccard_e6"))
       .filter($"jaccard_e6" >= 10000) // jaccard >= 0.01 on the stabilized value

@@ -22,7 +22,17 @@ import org.apache.spark.sql.functions._
 object LshIndex {
 
   val defaultBits = 6
-  val defaultTables = 2
+  val defaultTables = 4
+
+  /** Bit depth must scale with corpus size — a constant bucket count
+    * means unbounded bucket size at 100 TB. `ceil(log2(n /
+    * targetBucket))` keeps the expected bucket population near
+    * `targetBucket` at any n (search wants small buckets + many
+    * probes; graph builds want larger buckets for candidate
+    * coverage — pick `targetBucket` accordingly). */
+  def adaptiveBits(n: Long, targetBucket: Int): Int =
+    math.max(2, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
 
   /** Seed-fixed hyperplanes: dim × nBits floats in [-0.5, 0.5). */
   def planes(dim: Int, nBits: Int, seed: Long = 42L): Array[Array[Float]] = {
@@ -45,9 +55,11 @@ object LshIndex {
   def annLshBucketed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val embRaw = Tables.embeddings(spark, dir)
-    val flips = array((lit(0L) +: (0 until defaultBits).map(i => lit(1L << i))): _*)
+    // search wants small buckets (≈8) amplified by many probes+tables
+    val nBits = adaptiveBits(embRaw.count(), targetBucket = 8)
+    val flips = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
     val scoredPerTable = (0 until defaultTables).map { t =>
-      val ps = planes(64, defaultBits, seed = 42L + t)
+      val ps = planes(64, nBits, seed = 42L + t)
       val emb = embRaw.select($"vec_id", $"embedding",
         bucketOf($"embedding", ps).as("bucket"))
       val probed = emb.filter($"vec_id" < 5)

@@ -123,6 +123,75 @@ object Collections {
       .limit(10)
   }
 
+  /** The /query surface with index-type selection (reference
+    * main.py:320-341 dispatches one query endpoint over three
+    * interchangeable indexes, collection.py:179-215) — `indexType ∈
+    * {cosine, ivf, nsw}` picks the search path, and every path joins
+    * record content back, returning the reference's
+    * `{id, content, confidence}` shape. `vec_id` and `doc_id` share
+    * an id space in the testdata, standing in for the record key.
+    *
+    * All three paths share the scale shape of their index: brute =
+    * one scan + WindowGroupLimit; ivf = centroid-pruned probe; nsw =
+    * BSP beam over the edge table. The content join is a tiny
+    * (queries × k) relation against documents — broadcast side is the
+    * hits, never the corpus. */
+  def queryWithIndex(spark: SparkSession, dir: String, indexType: String,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    import graft.index.{IvfIndex, NswIndex}
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val hits = indexType match {
+      case "cosine" =>
+        KnnSearch.topK(
+          emb.crossJoin(broadcast(queries))
+            .select($"q_id", $"vec_id".as("neighbor_id"),
+              Stab.e6(cosineSim($"embedding", $"q_vec")).as("score_e6")),
+          k, asc = false)
+      case "ivf" =>
+        IvfIndex.search(IvfIndex.buildCached(spark, dir), queries, k = k)
+      case "nsw" =>
+        NswIndex.beamSearch(emb, NswIndex.edgesCached(spark, dir), queries, k = k)
+      case other => throw new IllegalArgumentException(
+        s"unknown index type '$other' (expected cosine|ivf|nsw)")
+    }
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", substring($"text", 1, 40).as("content"))
+    // hits is queries × k rows — broadcast it into the documents scan
+    // so the content join never shuffles the corpus.
+    docs.join(broadcast(hits), $"neighbor_id" === $"doc_id")
+      .select($"q_id", $"neighbor_id".as("id"), $"content",
+        $"score_e6".as("confidence_e6"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** DuckDB twin for the `cosine` variant of [[queryWithIndex]] (the
+    * ivf/nsw variants are rows-only + the interchangeability spec). */
+  val queryIndexCosineSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    val cos = s"(CASE WHEN ${dot("e.embedding", "e.embedding")} = 0 OR ${dot("q.q_vec", "q.q_vec")} = 0 THEN 0.0 " +
+      s"ELSE ${dot("e.embedding", "q.q_vec")} / (sqrt(${dot("e.embedding", "e.embedding")}) * sqrt(${dot("q.q_vec", "q.q_vec")})) END)"
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id AS neighbor_id, ${Stab.sqlE6(cos)} AS score_e6
+       |  FROM embeddings e CROSS JOIN q
+       |),
+       |topk AS (
+       |  SELECT q_id, neighbor_id, score_e6, rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score_e6 DESC, neighbor_id ASC) AS rank
+       |    FROM scored) t
+       |  WHERE rank <= 10
+       |)
+       |SELECT t.q_id, t.neighbor_id AS id, substr(d.text, 1, 40) AS content,
+       |  t.score_e6 AS confidence_e6, t.rank
+       |FROM topk t JOIN documents d ON t.neighbor_id = d.doc_id
+       |ORDER BY t.q_id, t.rank""".stripMargin
+  }
+
   /** Multimodal column plumbing: an opaque binary payload + typed
     * metadata struct, batched per-partition feature extraction via a
     * typed Dataset mapPartitions (the seam where a real image/audio

@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.core.{Stab, Tables}
+import graft.embed.Embedder
+import graft.functions.vectors._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's top hierarchy level and its write-path invariants,
+  * re-expressed as batch DataFrame algebra:
+  *
+  *  - library CRUD (/root/reference/src/main.py:108-153),
+  *  - referential integrity enforced on every write — library
+  *    existence (main.py:159-162) and the chunk→document→library
+  *    chain (main.py:221-232) — here a batch orphan-detection
+  *    operator built from anti-joins,
+  *  - library-scoped cascade delete (main.py:130-141 deletes a
+  *    library and everything under it),
+  *  - partial update with column-merge semantics — non-null fields
+  *    overwrite, null fields keep the stored value, `created_at` is
+  *    preserved (collection.py:134-142),
+  *  - embedding auto-generation on write — content updates without a
+  *    supplied embedding are re-embedded (main.py:234-238, 297-299),
+  *  - the `metadata` map column every record carries
+  *    (datarecord.py:17), modeled as a Spark `map<string,string>` and
+  *    filtered via `element_at`.
+  *
+  * Libraries derive from the documents' `source` column (one library
+  * per source). The reference checks integrity one record per HTTP
+  * request; at 100 TB the same invariants are one scan + anti-joins —
+  * linear, shuffle-partitioned on the key, no driver loops.
+  */
+object Libraries {
+
+  /** `crud_library`: the libraries table with per-library stats plus
+    * a CRUD batch in `crud_upsert`'s style — one library's metadata
+    * updated, one new empty library inserted, rest kept. */
+  def crudLibrary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val libs = Tables.documents(spark, dir)
+      .groupBy($"source".as("library_id"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+    val stamped = libs.withColumn("op",
+      when($"library_id" === "src0", lit("updated")).otherwise(lit("kept")))
+    val inserted = spark.range(1).select(
+      lit("src_new").as("library_id"), lit(0L).as("n_docs"),
+      lit(0L).as("total_chars"), lit("inserted").as("op"))
+    stamped.unionByName(inserted).orderBy($"library_id")
+  }
+
+  val crudLibrarySql: String =
+    """SELECT library_id, n_docs, total_chars, op FROM (
+      |  SELECT source AS library_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |    CASE WHEN source = 'src0' THEN 'updated' ELSE 'kept' END AS op
+      |  FROM documents GROUP BY source
+      |  UNION ALL
+      |  SELECT 'src_new', CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'inserted'
+      |) ORDER BY library_id""".stripMargin
+
+  /** `crud_integrity`: batch orphan detection over the 3-level chain.
+    * Scenario: library `src1` was deleted without cascading (its
+    * documents are orphans), and documents with `doc_id % 7 = 3` were
+    * deleted without cascading (their chunks are orphans). Both
+    * violations surface from one anti-join each — the set-algebra
+    * form of the reference's per-write existence checks. */
+  def crudIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val libs = docs.select($"source").distinct().filter($"source" =!= "src1")
+    val docOrphans = docs
+      .join(libs, Seq("source"), "left_anti")
+      .select(lit("doc_no_library").as("kind"), $"doc_id",
+        lit(-1L).as("chunk_idx"), $"source".as("parent"))
+    val deletedDocs = docs.filter($"doc_id" % 7 === 3).select($"doc_id")
+    val chunkOrphans = Collections.chunkDocuments(spark, dir)
+      .join(deletedDocs, Seq("doc_id"), "left_semi")
+      .select(lit("chunk_no_document").as("kind"), $"doc_id",
+        $"chunk_idx", $"doc_id".cast("string").as("parent"))
+    docOrphans.unionByName(chunkOrphans)
+      .orderBy($"kind", $"doc_id", $"chunk_idx")
+  }
+
+  val crudIntegritySql: String =
+    s"""WITH chunks AS (${Collections.chunkDocumentsSql}),
+       |libs AS (SELECT DISTINCT source FROM documents WHERE source <> 'src1')
+       |SELECT kind, doc_id, chunk_idx, parent FROM (
+       |  SELECT 'doc_no_library' AS kind, doc_id, CAST(-1 AS BIGINT) AS chunk_idx,
+       |    source AS parent
+       |  FROM documents WHERE source NOT IN (SELECT source FROM libs)
+       |  UNION ALL
+       |  SELECT 'chunk_no_document', doc_id, chunk_idx, CAST(doc_id AS VARCHAR)
+       |  FROM chunks WHERE doc_id % 7 = 3
+       |) ORDER BY kind, doc_id, chunk_idx""".stripMargin
+
+  /** `crud_library_cascade`: delete libraries `src0` and `src3`; the
+    * cascade drops their documents and those documents' chunks in the
+    * same plan (reference main.py:130-141 loops; here two anti-joins
+    * feed one aggregation). Output: surviving per-library doc/chunk
+    * counts. */
+  def crudLibraryCascade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val deleted = Seq("src0", "src3")
+    val surviving = Tables.documents(spark, dir)
+      .filter(!$"source".isin(deleted: _*))
+      .select($"doc_id", $"source")
+    Collections.chunkDocuments(spark, dir)
+      .join(surviving, Seq("doc_id"))
+      .groupBy($"source".as("library_id"))
+      .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_chunks"))
+      .orderBy($"library_id")
+  }
+
+  val crudLibraryCascadeSql: String =
+    s"""WITH chunks AS (${Collections.chunkDocumentsSql}),
+       |surviving AS (
+       |  SELECT doc_id, source FROM documents WHERE source NOT IN ('src0', 'src3')
+       |)
+       |SELECT s.source AS library_id,
+       |  CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_chunks
+       |FROM chunks c JOIN surviving s USING (doc_id)
+       |GROUP BY s.source ORDER BY library_id""".stripMargin
+
+  /** `crud_update_merge`: partial update with column-merge semantics.
+    * The update batch carries a new `text` for `doc_id % 5 = 0` but
+    * null `lang`/`source` — null means "not supplied", so the merge
+    * keeps the stored values (reference collection.py:134-142 skips
+    * None fields); `created_at` is preserved, `updated_at` bumps only
+    * for updated rows. */
+  def crudUpdateMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"lang", $"source",
+        $"doc_id".as("created_at"), $"doc_id".as("updated_at"))
+    val updates = Tables.documents(spark, dir)
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", concat($"text", lit(" v2")).as("u_text"),
+        lit(null).cast("string").as("u_lang"), lit(null).cast("string").as("u_source"))
+    base.join(updates, Seq("doc_id"), "left")
+      .select($"doc_id",
+        md5(coalesce($"u_text", $"text")).as("text_md5"),
+        coalesce($"u_lang", $"lang").as("lang"),
+        coalesce($"u_source", $"source").as("source"),
+        $"created_at",
+        when($"u_text".isNotNull, lit(1700000000L)).otherwise($"updated_at").as("updated_at"))
+      .orderBy($"doc_id")
+  }
+
+  val crudUpdateMergeSql: String =
+    """SELECT doc_id,
+      |  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS text_md5,
+      |  lang, source,
+      |  doc_id AS created_at,
+      |  CASE WHEN doc_id % 5 = 0 THEN CAST(1700000000 AS BIGINT) ELSE doc_id END AS updated_at
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** `crud_upsert_embed`: embedding auto-generation on write. The
+    * update batch changes content WITHOUT supplying an embedding, so
+    * the write path re-embeds the new content; kept rows keep their
+    * stored vectors (reference main.py:234-238 on create, 297-299 on
+    * content update). Rows-only driver check (the embedder has no SQL
+    * twin); `LibrariesSpec` asserts the updated rows' vectors equal a
+    * fresh embed of the new content and kept rows' vectors are
+    * untouched. */
+  def crudUpsertEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // the "stored" state: every doc already embedded from its text
+    val stored = docs.select($"doc_id", $"text",
+      Embedder.embedText($"text").as("embedding"))
+    // update batch: new content, embedding column absent → null
+    val updates = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id", upper($"text").as("u_text"))
+    stored.join(updates, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"u_text".isNotNull, lit("updated")).otherwise(lit("kept")).as("op"),
+        coalesce($"u_text", $"text").as("content"),
+        // auto-embed fires only where content changed and no vector
+        // was supplied; otherwise the stored vector is reused
+        when($"u_text".isNotNull, Embedder.embedText($"u_text"))
+          .otherwise($"embedding").as("embedding"))
+      .select($"doc_id", $"op",
+        Stab.e6(sqrt(dotProduct($"embedding", $"embedding"))).as("norm_e6"),
+        Stab.e6(element_at($"embedding", 1).cast("double")).as("c0_e6"))
+      .orderBy($"doc_id")
+  }
+
+  /** `meta_filter`: the reference's per-record `metadata` map
+    * (datarecord.py:17) as a native `map<string,string>` column,
+    * filtered and projected via `element_at`. The oracle states the
+    * same predicate over the flat columns, so the hash check proves
+    * the map round-trips values exactly. */
+  def metaFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withMeta = Tables.documents(spark, dir)
+      .select($"doc_id", map(
+        lit("lang"), $"lang",
+        lit("source"), $"source",
+        lit("n_chars"), $"n_chars".cast("string")).as("metadata"))
+    withMeta
+      .filter(element_at($"metadata", "lang") === "en" &&
+        element_at($"metadata", "n_chars").cast("long") > 300)
+      .select($"doc_id",
+        element_at($"metadata", "source").as("meta_source"),
+        element_at($"metadata", "n_chars").cast("long").as("meta_n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  val metaFilterSql: String =
+    """SELECT doc_id, source AS meta_source, n_chars AS meta_n_chars
+      |FROM documents WHERE lang = 'en' AND n_chars > 300
+      |ORDER BY doc_id""".stripMargin
+}

@@ -49,8 +49,11 @@ object Relational {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q3-style: revenue of BUILDING-segment orders, top 10.
-    * `customer` is a broadcast dim; ordering happens on the
-    * stabilized revenue so the top-10 cut is engine-independent. */
+    * `customer` is the only broadcast side — `orders` is fact-sized
+    * (scales with SF), so lineitem ⋈ orders is a shuffle join on the
+    * order key; broadcasting it would OOM at 100 TB. Ordering happens
+    * on the stabilized revenue so the top-10 cut is
+    * engine-independent. */
   def q3Join(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
@@ -58,7 +61,7 @@ object Relational {
       .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
     val li = Tables.lineitem(spark, dir)
       .filter($"l_shipdate" > lit("1996-01-01").cast("timestamp"))
-    li.join(broadcast(ord), $"l_orderkey" === $"o_orderkey")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(Stab.e2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_e2"))
@@ -83,7 +86,9 @@ object Relational {
        |LIMIT 10""".stripMargin
 
   /** TPC-H Q5-style: revenue by nation for one region/date window,
-    * 5-way star join with all dims broadcast. */
+    * 5-way star join. Only the true dims (customer/nation/region,
+    * supplier) broadcast; lineitem ⋈ orders is a shuffle join on the
+    * order key because both sides are fact-sized. */
   def q5Join(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dims = Tables.customer(spark, dir)
@@ -97,7 +102,7 @@ object Relational {
         $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
       .select($"o_orderkey", $"o_custkey")
     Tables.lineitem(spark, dir)
-      .join(broadcast(ord), $"l_orderkey" === $"o_orderkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(dims), $"o_custkey" === $"c_custkey")
       .join(broadcast(sup),
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")

@@ -1,16 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface: the same logical ops as the batch
   * `events_window_agg` / `events_sessionize` queries, expressed as
-  * streams — `readStream` → watermarked windowed agg, and
-  * `flatMapGroupsWithState` gap-sessionization with event-time
-  * timeout. The batch/stream pair share semantics, so a backfill and
-  * the live pipeline produce consistent tables.
+  * streams — `readStream` → watermarked windowed agg here, and
+  * `flatMapGroupsWithState` gap-sessionization in [[SessionStream]].
+  * The batch/stream pairs share semantics, so a backfill and the live
+  * pipeline produce consistent tables.
   */
 object EventStream {
 
@@ -42,50 +41,4 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
-      event_type: String, value: Double)
-  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
-  case class SessionOut(user_id: Long, session_start_ms: Long,
-      session_end_ms: Long, n_events: Long, sum_value: Double)
-
-  /** Gap-based sessionization (30 min) via flatMapGroupsWithState:
-    * a session closes when its event-time timeout fires or a gap
-    * appears inside a batch. Streaming twin of `events_sessionize`. */
-  def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
-    import spark.implicits._
-    val gapMs = 30L * 60 * 1000
-    events.select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value")).as[Ev]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(SessionOut(userId, s.start, s.last, s.n, s.sum))
-          } else {
-            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var closed = List.empty[SessionOut]
-            var cur = state.getOption
-            evs.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
-                case Some(s) =>
-                  closed ::= SessionOut(userId, s.start, s.last, s.n, s.sum)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
-            }
-            closed.reverseIterator
-          }
-      }
-  }
 }
