@@ -42,15 +42,18 @@ object Tune {
     val brute = neighborSets(
       SparkEntry.queries("knn_brute_cosine")(spark, sfDir), 10)
 
-    for (k <- Seq(8, 16); nProbe <- Seq(5, 6, 8, 10, 12) if nProbe < k) {
-      val built = IvfIndex.build(spark, emb, k = k)
+    for (init <- Seq("k-means||", "random"); nProbe <- Seq(10, 11, 12)) {
+      val t0 = System.nanoTime()
+      val built = IvfIndex.build(spark, emb, initMode = init)
+      built.assigned.count()
+      val dt = (System.nanoTime() - t0) / 1e9
       val r = recall(neighborSets(IvfIndex.search(built, queries, nProbe = nProbe), 10), brute)
-      println(f"IVF k=$k%-3d nProbe=$nProbe%-3d scanFrac=${nProbe.toDouble / k}%.2f recall=$r%.3f")
+      println(f"IVF init=$init%-10s nProbe=$nProbe%-3d buildSec=$dt%.2f recall=$r%.3f")
     }
 
     val exact = NswIndex.buildEdges(emb).collect()
       .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
-    for ((t, b, rounds) <- Seq((8, 3, 2), (8, 3, 3), (10, 3, 2), (8, 4, 2), (12, 3, 2))) {
+    for ((t, b, rounds) <- Seq((10, 3, 2))) {
       val lsh = NswIndex.buildEdgesLsh(emb, nTables = t, nBits = b, refineRounds = rounds)
         .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
       val agree = lsh.intersect(exact).size.toDouble / exact.size

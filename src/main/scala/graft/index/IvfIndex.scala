@@ -63,8 +63,12 @@ object IvfIndex {
     * on unit vectors orders identically to cosine, making cluster
     * membership consistent with the metric the probe ranking and the
     * within-cluster scoring use. The stored `embedding` stays raw. */
+  // init=random, not k-means||: the parallel init costs ~5 extra
+  // passes over the training sample and measured recall is identical
+  // (graft.Tune: 0.94@nProbe=11 both ways) — on a bounded sample the
+  // smarter seeding buys nothing here.
   def build(spark: SparkSession, emb: DataFrame, k: Int = defaultK,
-      seed: Long = 42L): Built = {
+      seed: Long = 42L, initMode: String = "random"): Built = {
     import spark.implicits._
     val feat = new Normalizer().setInputCol("raw_features")
       .setOutputCol("features").setP(2.0)
@@ -76,6 +80,7 @@ object IvfIndex {
       if (n <= fitSampleCap) feat
       else feat.sample(withReplacement = false, fitSampleCap.toDouble / n, seed)
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .setInitMode(initMode)
       .fit(train)
     val assigned = model.transform(feat)
       .select($"vec_id", $"embedding", $"prediction".cast("int").as("cluster_id"))

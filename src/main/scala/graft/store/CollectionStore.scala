@@ -65,6 +65,26 @@ class CollectionStore(spark: SparkSession, path: String, keyCol: String) {
     }
   }
 
+  /** Partial update with column-merge semantics: for keys present in
+    * `batch`, non-null batch columns overwrite and null columns keep
+    * the stored value (the reference's `update` ignores `None` fields
+    * and preserves `id`/`created_at` — collection.py:134-142).
+    * Unknown keys are ignored (update, not upsert); `updated_at_ms`
+    * bumps only for touched rows. */
+  def updateMerge(batch: DataFrame, nowMs: Long): Unit = {
+    if (isEmpty) return
+    val current = load()
+    val payload = batch.columns.filter(_ != keyCol)
+    val renamed = payload.foldLeft(batch)((d, c) => d.withColumnRenamed(c, s"_u_$c"))
+    val touched = current.join(renamed, Seq(keyCol), "inner")
+    val merged = payload.foldLeft(touched)((d, c) =>
+        d.withColumn(c, coalesce(col(s"_u_$c"), col(c))))
+      .withColumn("updated_at_ms", lit(nowMs))
+      .select(current.columns.map(col).toIndexedSeq: _*)
+    val untouched = current.join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
+    swapIn(untouched.unionByName(merged))
+  }
+
   /** Delete every row whose key appears in `keys`. */
   def delete(keys: DataFrame): Unit =
     if (!isEmpty) swapIn(load().join(keys.select(col(keyCol)), Seq(keyCol), "left_anti"))

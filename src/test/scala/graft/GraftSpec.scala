@@ -192,6 +192,28 @@ class CollectionStoreSpec extends AnyFunSuite {
     store.delete(Seq(1L, 3L).toDF("id"))
     assert(store.load().collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
   }
+
+  test("updateMerge overwrites non-null fields, keeps null fields and created_at") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store-merge").toString + "/docs"
+    val store = new CollectionStore(spark, dir, "id")
+    store.upsert(Seq((1L, "a", "en"), (2L, "b", "de")).toDF("id", "payload", "lang"),
+      nowMs = 1000L)
+    // partial update: new payload for id=1, lang not supplied (null);
+    // id=9 unknown → ignored (update, not upsert)
+    store.updateMerge(
+      Seq((1L, Some("a2"), Option.empty[String]), (9L, Some("x"), Some("fr")))
+        .toDF("id", "payload", "lang"),
+      nowMs = 2000L)
+    val rows = store.load().orderBy("id").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    val r1 = rows(0)
+    assert(r1.getAs[String]("payload") == "a2") // non-null overwrites
+    assert(r1.getAs[String]("lang") == "en") // null keeps stored (collection.py:136)
+    assert(r1.getAs[Long]("created_at_ms") == 1000L) // preserved
+    assert(r1.getAs[Long]("updated_at_ms") == 2000L) // bumped
+    val r2 = rows(1)
+    assert(r2.getAs[String]("payload") == "b" && r2.getAs[Long]("updated_at_ms") == 1000L)
+  }
 }
 
 class StreamingSpec extends AnyFunSuite {
