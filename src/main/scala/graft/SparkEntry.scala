@@ -53,7 +53,8 @@ object SparkEntry {
     "query_index_cosine" -> ((s: SparkSession, d: String) => Collections.queryWithIndex(s, d, "cosine")),
     "query_index_ivf" -> ((s: SparkSession, d: String) => Collections.queryWithIndex(s, d, "ivf")),
     "query_index_nsw" -> ((s: SparkSession, d: String) => Collections.queryWithIndex(s, d, "nsw")),
-    "mm_features" -> (Collections.mmFeatures _),
+    "mm_features" -> (Media.mmFeatures _),
+    "mm_frame_sample" -> (Media.mmFrameSample _),
     "embed_text" -> (embedText _),
     // libraries level + write-path invariants
     "crud_library" -> (Libraries.crudLibrary _),

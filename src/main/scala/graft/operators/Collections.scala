@@ -192,39 +192,6 @@ object Collections {
        |ORDER BY t.q_id, t.rank""".stripMargin
   }
 
-  /** Multimodal column plumbing: an opaque binary payload + typed
-    * metadata struct, batched per-partition feature extraction via a
-    * typed Dataset mapPartitions (the seam where a real image/audio
-    * decoder would run; the decode itself is a STUB — a deterministic
-    * byte statistic — because no media libs ship in this
-    * environment). Schema, partitioning, and batch shape are real. */
-  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val withPayload = Tables.documents(spark, dir)
-      .select($"doc_id",
-        encode($"text", "UTF-8").as("payload"),
-        struct(
-          (length($"text") % 640).cast(LongType).as("width"),
-          (length($"text") % 480).cast(LongType).as("height"),
-          $"source".as("codec")).as("meta"))
-    val ds = withPayload.as[MMRecord]
-    ds.mapPartitions { it =>
-      // Batch shape: the iterator is the partition — a real decoder
-      // would hand `it.grouped(batchSize)` to a native/model runtime.
-      it.map { r =>
-        // STUB decode: deterministic byte statistics stand in for
-        // pixel/sample features.
-        var sum = 0L
-        var i = 0
-        while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
-        val mean = if (r.payload.length == 0) 0L else sum / r.payload.length
-        MMFeatures(r.doc_id, r.payload.length.toLong,
-          r.meta.width, r.meta.height, r.meta.codec, mean)
-      }
-    }.toDF()
-      .orderBy($"doc_id")
-  }
-
   /** `pipeline_clean`: the composite training-data cleaning pass —
     * quality gates (token count, distinct-token ratio) ∘ exact dedup
     * (keep first per md5 group) ∘ MinHash near-dedup (drop the higher
@@ -268,8 +235,5 @@ object Collections {
 
 }
 
-/** Typed multimodal record: opaque binary payload + typed metadata. */
+/** Typed multimodal metadata carried beside the binary payload. */
 case class MMMeta(width: Long, height: Long, codec: String)
-case class MMRecord(doc_id: Long, payload: Array[Byte], meta: MMMeta)
-case class MMFeatures(doc_id: Long, n_bytes: Long, width: Long,
-    height: Long, codec: String, byte_mean: Long)

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Multimodal pipeline over opaque `binary` media columns.
+  *
+  * The container ships no image/audio codecs, so the media here is a
+  * deterministic in-repo raster format ("GRFT1": magic, width,
+  * height, frame count, 8-bit pixels) synthesized from each
+  * document's text — but the DECODER IS REAL: it parses and validates
+  * the byte layout, rejects corrupt payloads, and computes features
+  * from the decoded pixel grid. Swapping GRFT1 for JPEG/WAV means
+  * replacing [[MediaCodec.decode]] inside the same `mapPartitions`
+  * batch seam; every Spark-side shape (binary column + typed metadata
+  * struct, per-partition batched decode, explode for frame sampling)
+  * is what a real decoder needs.
+  *
+  * Scale shape: decode is map-side only (no shuffle), one pass per
+  * partition; frame sampling explodes to sampled frames only (never
+  * all frames); feature rows are small fixed-width — the binary
+  * payload is dropped as early as possible so shuffles never carry
+  * pixel data.
+  */
+object MediaCodec {
+  val Magic: Int = 0x47524654 // "GRFT"
+
+  /** Encode a deterministic multi-frame raster from text bytes:
+    * header (magic, w, h, frames) + frames × (w·h) pixels, pixel =
+    * cyclic text byte mixed with frame index. */
+  def encode(text: String, frames: Int): Array[Byte] = {
+    val bytes = text.getBytes("UTF-8")
+    val w = 8 + (bytes.length % 24)
+    val h = 4 + (bytes.length % 12)
+    val out = java.nio.ByteBuffer.allocate(16 + frames * w * h)
+    out.putInt(Magic); out.putInt(w); out.putInt(h); out.putInt(frames)
+    var f = 0
+    while (f < frames) {
+      var i = 0
+      while (i < w * h) {
+        val src = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+        out.put(((src + 31 * f + i) % 256).toByte)
+        i += 1
+      }
+      f += 1
+    }
+    out.array()
+  }
+
+  case class Decoded(width: Int, height: Int, frames: Int, pixels: Array[Byte])
+
+  /** Parse + validate; None for corrupt payloads (bad magic, short
+    * buffer) — the real-codec failure mode, surfaced as a row-level
+    * outcome instead of a task failure. */
+  def decode(payload: Array[Byte]): Option[Decoded] = {
+    if (payload.length < 16) return None
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    if (buf.getInt() != Magic) return None
+    val w = buf.getInt(); val h = buf.getInt(); val f = buf.getInt()
+    if (w <= 0 || h <= 0 || f <= 0 || payload.length != 16 + f * w * h) return None
+    val px = java.util.Arrays.copyOfRange(payload, 16, payload.length)
+    Some(Decoded(w, h, f, px))
+  }
+
+  /** 2× box-filter downsample of one frame — the "resize" feature
+    * step (mean of each 2×2 block, truncating odd edges). */
+  def downsample2x(d: Decoded, frame: Int): Array[Byte] = {
+    val w2 = d.width / 2; val h2 = d.height / 2
+    val base = frame * d.width * d.height
+    val out = new Array[Byte](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val i = base + (2 * y) * d.width + 2 * x
+        val s = (d.pixels(i) & 0xff) + (d.pixels(i + 1) & 0xff) +
+          (d.pixels(i + d.width) & 0xff) + (d.pixels(i + d.width + 1) & 0xff)
+        out(y * w2 + x) = (s / 4).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}
+
+case class MediaRecord(doc_id: Long, payload: Array[Byte], meta: MMMeta)
+case class MediaFeatures(doc_id: Long, ok: Boolean, width: Long, height: Long,
+    n_frames: Long, n_pixels: Long, pixel_mean: Long, pixel_min: Long,
+    pixel_max: Long, thumb_crc: Long)
+case class FrameFeatures(doc_id: Long, frame_idx: Long, frame_mean: Long,
+    frame_crc: Long)
+
+object Media {
+
+  /** `mm_features`: encode (stand-in for reading stored media) →
+    * per-partition batched decode → validated per-document features
+    * including a 2× downsampled first-frame checksum. */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaRecords(spark, dir).mapPartitions { it =>
+      // the iterator is the batch: a real runtime would consume
+      // it.grouped(batchSize) here
+      it.map { r =>
+        MediaCodec.decode(r.payload) match {
+          case None =>
+            MediaFeatures(r.doc_id, ok = false, -1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L)
+          case Some(d) =>
+            var sum = 0L; var mn = 255; var mx = 0
+            var i = 0
+            while (i < d.pixels.length) {
+              val v = d.pixels(i) & 0xff
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            val thumb = MediaCodec.downsample2x(d, 0)
+            val crc = new java.util.zip.CRC32()
+            crc.update(thumb)
+            MediaFeatures(r.doc_id, ok = true, d.width.toLong, d.height.toLong,
+              d.frames.toLong, d.pixels.length.toLong, sum / d.pixels.length,
+              mn.toLong, mx.toLong, crc.getValue)
+        }
+      }
+    }.toDF().orderBy($"doc_id")
+  }
+
+  /** `mm_frame_sample`: sample every 2nd frame of each payload and
+    * emit per-frame features — the video path. The explode happens
+    * AFTER sampling, so unsampled frames never become rows. */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaRecords(spark, dir).flatMap { r =>
+      MediaCodec.decode(r.payload).toSeq.flatMap { d =>
+        (0 until d.frames by 2).map { f =>
+          val base = f * d.width * d.height
+          var sum = 0L
+          var i = 0
+          while (i < d.width * d.height) { sum += d.pixels(base + i) & 0xff; i += 1 }
+          val crc = new java.util.zip.CRC32()
+          crc.update(d.pixels, base, d.width * d.height)
+          FrameFeatures(r.doc_id, f.toLong, sum / (d.width * d.height), crc.getValue)
+        }
+      }
+    }.toDF().orderBy($"doc_id", $"frame_idx")
+  }
+
+  /** The stored-media stand-in: encode text into GRFT1 payloads with
+    * typed metadata; 1 + doc_id%4 frames so frame sampling varies.
+    * One corrupt payload (doc_id 13) exercises the rejection path. */
+  private def mediaRecords(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        val payload =
+          if (id == 13L) Array[Byte](1, 2, 3) // corrupt: no header
+          else MediaCodec.encode(text, frames = 1 + (id % 4).toInt)
+        MediaRecord(id, payload, MMMeta(0L, 0L, source))
+      }
+  }
+}

@@ -245,6 +245,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup collapses a replayed source to exactly-once by event_id") {
+    // stage the SAME events file twice — an at-least-once source
+    val d = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), d.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), d.resolve("b.parquet"))
+    val stream = EventStream.readStream(spark, d.toString)
+    val q = graft.streaming.DedupStream.dedupEvents(stream)
+      .select(col("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").count()
+      val distinctIds = graft.core.Tables.events(spark, sf)
+        .select(col("event_id")).distinct().count()
+      assert(got == distinctIds,
+        s"stream emitted $got rows, expected $distinctIds distinct event_ids")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gaps") {
     val stream = EventStream.readStream(spark, eventsDir)
       .withWatermark("ts", "0 seconds")

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{Media, MediaCodec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MediaSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("codec round-trips: decode(encode(text)) recovers the pixel grid") {
+    val enc = MediaCodec.encode("the quick brown fox", frames = 3)
+    val d = MediaCodec.decode(enc).get
+    assert(d.frames == 3 && d.width > 0 && d.height > 0)
+    assert(d.pixels.length == d.frames * d.width * d.height)
+    // deterministic: same text → same bytes
+    assert(MediaCodec.encode("the quick brown fox", 3).sameElements(enc))
+    // distinct frames differ (frame index is mixed into pixels)
+    val f0 = d.pixels.slice(0, d.width * d.height)
+    val f1 = d.pixels.slice(d.width * d.height, 2 * d.width * d.height)
+    assert(!f0.sameElements(f1))
+  }
+
+  test("decoder rejects corrupt payloads instead of failing the task") {
+    assert(MediaCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaCodec.decode(Array.fill[Byte](32)(0)).isEmpty)
+    val good = MediaCodec.encode("x", 1)
+    assert(MediaCodec.decode(good.dropRight(1)).isEmpty) // truncated
+  }
+
+  test("mm_features decodes every document; the planted corrupt row is flagged") {
+    val out = SparkEntry.queries("mm_features")(spark, sf).cache()
+    val docs = graft.core.Tables.documents(spark, sf).count()
+    assert(out.count() == docs)
+    val bad = out.filter(!$"ok").select($"doc_id").as[Long].collect()
+    assert(bad.toSeq == Seq(13L))
+    // decoded dims are real header values, and pixel stats are sane
+    assert(out.filter($"ok").filter(
+      $"n_pixels" =!= $"width" * $"height" * $"n_frames").count() == 0)
+    assert(out.filter($"ok").filter(
+      $"pixel_min" < 0 || $"pixel_max" > 255 ||
+        $"pixel_mean" < $"pixel_min" || $"pixel_mean" > $"pixel_max").count() == 0)
+  }
+
+  test("mm_frame_sample emits only every 2nd frame, matching the decoded frame count") {
+    val frames = SparkEntry.queries("mm_frame_sample")(spark, sf).cache()
+    assert(frames.filter($"frame_idx" % 2 =!= 0).count() == 0)
+    // per-doc sampled count = ceil(n_frames / 2) from mm_features
+    val feats = SparkEntry.queries("mm_features")(spark, sf)
+      .filter($"ok").select($"doc_id", $"n_frames")
+    val joined = frames.groupBy($"doc_id").count()
+      .join(feats, Seq("doc_id"))
+      .filter($"count" =!= ceil($"n_frames" / lit(2.0)).cast("long"))
+    assert(joined.count() == 0)
+  }
+}
