@@ -86,15 +86,21 @@ object NswIndex {
           Window.partitionBy(col("src")).orderBy(col("score_e6").desc, col("dst").asc)).cast("long"))
         .filter(col("rank") <= degree)
     }
-    val candPerTable = (0 until nTables).map { t =>
-      val ps = LshIndex.planes(64, bits, seed = 1042L + t)
-      val b = base.select(col("vec_id"),
-        LshIndex.bucketOf(col("embedding"), ps).as("bucket"))
-      b.as("x").join(b.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+    // All tables' buckets in ONE pass over the vectors (an array of
+    // per-table bucket ids, posexploded to (table, bucket) rows) and
+    // ONE self-join on the (table, bucket) pair — versus a per-table
+    // self-join, this shuffles the tagged relation once instead of
+    // re-shuffling the vectors table nTables times.
+    val bucketCols = (0 until nTables).map { t =>
+      LshIndex.bucketOf(col("embedding"), LshIndex.planes(64, bits, seed = 1042L + t))
     }
-    var edges = topEdges(candPerTable.reduce(_ unionByName _).distinct())
+    val tagged = base.select(col("vec_id"),
+        posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
+    val cand = tagged.as("x").join(tagged.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+    var edges = topEdges(cand.distinct())
     (0 until refineRounds).foreach { _ =>
       // Materialize the round's edges: the 2-hop self-join references
       // them three times and the LSH plan must not replay per use.
