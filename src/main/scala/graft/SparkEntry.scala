@@ -53,6 +53,8 @@ object SparkEntry {
     "query_index_cosine" -> ((s: SparkSession, d: String) => Collections.queryWithIndex(s, d, "cosine")),
     "query_index_ivf" -> ((s: SparkSession, d: String) => Collections.queryWithIndex(s, d, "ivf")),
     "query_index_nsw" -> ((s: SparkSession, d: String) => Collections.queryWithIndex(s, d, "nsw")),
+    "query_text_ivf" -> ((s: SparkSession, d: String) => Collections.queryText(s, d, "ivf")),
+    "query_text_nsw" -> ((s: SparkSession, d: String) => Collections.queryText(s, d, "nsw")),
     "mm_features" -> (Media.mmFeatures _),
     "mm_frame_sample" -> (Media.mmFrameSample _),
     "embed_text" -> (embedText _),

@@ -49,6 +49,14 @@ object IvfIndex {
       Built(b.assigned.cache(), b.centroids)
     })
 
+  /** Memoized build over an arbitrary corpus (e.g. document-content
+    * embeddings) under an explicit cache key. */
+  def buildCachedFor(key: String, spark: SparkSession, emb: DataFrame): Built =
+    builtCache.computeIfAbsent(key, _ => {
+      val b = build(spark, emb)
+      Built(b.assigned.cache(), b.centroids)
+    })
+
   /** Row budget for the KMeans fit: at 100 TB each MLlib iteration is
     * a full scan of whatever it trains on, so the fit consumes a
     * bounded sample; only the single assignment pass (`transform`)

@@ -124,6 +124,11 @@ object NswIndex {
     edgeCache.computeIfAbsent(dir,
       _ => buildEdges(Tables.embeddings(spark, dir)).cache())
 
+  /** Memoized edge table over an arbitrary corpus (e.g.
+    * document-content embeddings) under an explicit cache key. */
+  def edgesCachedFor(key: String, emb: DataFrame): DataFrame =
+    edgeCache.computeIfAbsent(key, _ => buildEdges(emb).cache())
+
   /** `nsw_build` query (oracle: plain SQL — same top-k-per-node). */
   def nswBuild(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -167,6 +167,60 @@ object Collections {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Session memo for the document-content index: documents embedded
+    * by the deterministic embedder, keyed by source dir — the corpus
+    * the TEXT query path searches (the reference embeds chunk content
+    * at write time and queries against those vectors,
+    * main.py:234-238 + 320-341). */
+  private val docEmbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def docEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    docEmbCache.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id".as("vec_id"), Embedder.embedText($"text").as("embedding"))
+        .localCheckpoint(true)
+    })
+
+  /** The reference /query signature end-to-end: TEXT in, index type
+    * in, `{id, content, confidence}` out (main.py:320-341). The query
+    * text is embedded with the same embedder that produced the
+    * stored document vectors; the index (brute | ivf | nsw) is built
+    * over the document-content embeddings and memoized per dir like
+    * every other index in the library. */
+  def queryText(spark: SparkSession, dir: String, indexType: String,
+      queryText: String = "fast hash join on the sorted key order table",
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    import graft.index.{IvfIndex, NswIndex}
+    val corpus = docEmbeddings(spark, dir)
+    val q = spark.range(1).select(lit(0L).as("q_id"),
+      Embedder.embedText(lit(queryText)).as("q_vec"))
+    val hits = indexType match {
+      case "cosine" =>
+        KnnSearch.topK(
+          corpus.crossJoin(broadcast(q))
+            .select($"q_id", $"vec_id".as("neighbor_id"),
+              Stab.e6(cosineSim($"embedding", $"q_vec")).as("score_e6")),
+          k, asc = false)
+      case "ivf" =>
+        val built = IvfIndex.buildCachedFor(s"docs:$dir", spark, corpus)
+        IvfIndex.search(built, q, k = k)
+      case "nsw" =>
+        val edges = NswIndex.edgesCachedFor(s"docs:$dir", corpus)
+        NswIndex.beamSearch(corpus, edges, q, k = k)
+      case other => throw new IllegalArgumentException(
+        s"unknown index type '$other' (expected cosine|ivf|nsw)")
+    }
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", substring($"text", 1, 40).as("content"))
+    docs.join(broadcast(hits), $"neighbor_id" === $"doc_id")
+      .select($"neighbor_id".as("id"), $"content",
+        $"score_e6".as("confidence_e6"), $"rank")
+      .orderBy($"rank")
+  }
+
   /** DuckDB twin for the `cosine` variant of [[queryWithIndex]] (the
     * ivf/nsw variants are rows-only + the interchangeability spec). */
   val queryIndexCosineSql: String = {

@@ -54,6 +54,22 @@ class LibrariesSpec extends AnyFunSuite {
     assert(viaQuery == brute)
   }
 
+  test("text query surface: cosine variant equals the /query e2e path; ivf/nsw serve k rows") {
+    val e2eIds = Collections.queryE2E(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val cosIds = Collections.queryText(spark, sf, "cosine")
+      .select($"id").as[Long].collect().toSet
+    assert(cosIds == e2eIds)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", substring($"text", 1, 40).as("expected_content"))
+    for (idx <- Seq("ivf", "nsw")) {
+      val out = Collections.queryText(spark, sf, idx).cache()
+      assert(out.count() == 10, s"$idx returned ${out.count()} rows")
+      assert(out.join(docs, out("id") === docs("doc_id"))
+        .filter($"content" =!= $"expected_content").count() == 0, s"$idx content mismatch")
+    }
+  }
+
   test("query surface: ivf and nsw variants serve the same contract") {
     val docs = graft.core.Tables.documents(spark, sf)
       .select($"doc_id", substring($"text", 1, 40).as("expected_content"))
