@@ -40,6 +40,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
+    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     // text analysis family
     "text_tokens" -> (TextOps.textTokens _),
     "text_quality" -> (TextOps.textQuality _),

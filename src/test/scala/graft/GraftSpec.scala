@@ -151,6 +151,23 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(agreement >= 0.9, s"edge agreement $agreement (${lsh.size} lsh vs ${exact.size} exact)")
   }
 
+  test("LSH-bucketed embedding near-dup recalls >= 0.9 of the exact threshold pairs") {
+    import graft.functions.vectors.cosineSim
+    val emb = graft.core.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val exact = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        graft.core.Stab.e6(cosineSim(col("a.embedding"), col("b.embedding"))).as("cos_e6"))
+      .filter(col("cos_e6") >= 400000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.dedup.Dedup.embeddingNearDupLsh(spark, sf)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(exact.nonEmpty)
+    // LSH candidates are a subset; every surviving pair is exact-confirmed
+    assert(lsh.subsetOf(exact), s"${(lsh -- exact).size} non-exact pairs leaked")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"embedding-LSH pair recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("persisted IVF probe scan is partition-pruned on cluster_id") {
     import org.apache.spark.sql.functions.col
     val emb = graft.core.Tables.embeddings(spark, sf)
