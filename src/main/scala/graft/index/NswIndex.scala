@@ -125,9 +125,11 @@ object NswIndex {
       _ => buildEdges(Tables.embeddings(spark, dir)).cache())
 
   /** Memoized edge table over an arbitrary corpus (e.g.
-    * document-content embeddings) under an explicit cache key. */
+    * document-content embeddings) under an explicit cache key — uses
+    * the LSH+NN-descent build (the scale path), not the exact n²
+    * build that only exists for the SQL oracle. */
   def edgesCachedFor(key: String, emb: DataFrame): DataFrame =
-    edgeCache.computeIfAbsent(key, _ => buildEdges(emb).cache())
+    edgeCache.computeIfAbsent(key, _ => buildEdgesLsh(emb).cache())
 
   /** `nsw_build` query (oracle: plain SQL — same top-k-per-node). */
   def nswBuild(spark: SparkSession, dir: String): DataFrame = {
