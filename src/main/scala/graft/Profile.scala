@@ -59,6 +59,16 @@ object Profile {
     time("band_join_pairs") { pairs.count() }
     time("full_minhash") { graft.dedup.Dedup.minhash(spark, sfDir).count() }
     time("full_minhash_again") { graft.dedup.Dedup.minhash(spark, sfDir).count() }
+
+    // ANN family in bench-like session order (the NSW/graph builds
+    // are eager — buildEdgesLsh checkpoints refine rounds at call
+    // time — so per-query timers here capture the true cost)
+    time("nsw_build_q") { SparkEntry.queries("nsw_build")(spark, sfDir).count() }
+    time("nsw_search_q") { SparkEntry.queries("nsw_search")(spark, sfDir).count() }
+    time("nsw_build_lsh_q") { SparkEntry.queries("nsw_build_lsh")(spark, sfDir).count() }
+    time("query_index_nsw_q") { SparkEntry.queries("query_index_nsw")(spark, sfDir).count() }
+    time("query_text_ivf_q") { SparkEntry.queries("query_text_ivf")(spark, sfDir).count() }
+    time("query_text_nsw_q") { SparkEntry.queries("query_text_nsw")(spark, sfDir).count() }
     spark.stop()
   }
 }

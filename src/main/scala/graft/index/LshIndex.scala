@@ -40,10 +40,15 @@ object LshIndex {
     Array.fill(nBits)(Array.fill(dim)(rng.nextFloat() - 0.5f))
   }
 
-  /** Bucket id column: bit p = (dot(v, plane_p) >= 0). */
+  /** Bucket id column: bit p = (dot(v, plane_p) >= 0). Each plane is
+    * ONE array literal (`typedlit`), not 64 scalar literals — the
+    * compact expression tree matters: CacheManager canonicalizes
+    * every query plan against every cached plan, and a
+    * 64-literals-per-plane tree (×bits ×tables) made late-session
+    * planning cost seconds per action. */
   def bucketOf(v: Column, ps: Array[Array[Float]]): Column =
     ps.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(x => lit(x)): _*)
+      val plane = typedlit(p)
       when(dotProduct(v, plane) >= 0d, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -96,8 +96,24 @@ object NswIndex {
     }
     val tagged = base.select(col("vec_id"),
         posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
-    val cand = tagged.as("x").join(tagged.as("y"),
+    // Hot-bucket salting: sign-LSH cannot split near-codirectional
+    // vectors (a clustered corpus piles them into one bucket per
+    // table no matter the bit depth), and within-bucket pairing is
+    // quadratic in bucket size. Buckets over `bucketCap` rows are
+    // split into ceil(size/cap) deterministic sub-buckets; each point
+    // still meets ~cap neighbors per table, the other tables' (and
+    // NN-descent rounds') independent salts recover the rest. Keeps
+    // candidate count <= n·cap·tables — linear in n on ANY data.
+    val bucketCap = 128
+    val salted = tagged
+      .withColumn("bsize", count(lit(1)).over(
+        Window.partitionBy(col("t"), col("bucket"))))
+      .withColumn("salt", pmod(hash(col("vec_id"), col("t")),
+        greatest(lit(1L), ceil(col("bsize") / lit(bucketCap)).cast("long"))))
+      .drop("bsize")
+    val cand = salted.as("x").join(salted.as("y"),
         col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.salt") === col("y.salt") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
     var edges = topEdges(cand.distinct())
