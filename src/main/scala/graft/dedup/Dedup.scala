@@ -272,15 +272,10 @@ object Dedup {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val bits = LshIndex.adaptiveBits(emb.count(), targetBucket = 64)
-    val bucketCols = (0 until nTables).map { t =>
-      LshIndex.bucketOf($"embedding", LshIndex.planes(64, bits, seed = 7042L + t))
-    }
-    val tagged = emb.select($"vec_id",
-      posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
-    val cand = tagged.as("x").join(tagged.as("y"),
-        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    val cand = LshIndex.saltedCandidatePairs(emb, nTables, bits,
+        bucketCap = 128, seedBase = 7042L)
+      .filter($"src" < $"dst")
+      .select($"src".as("vec_a"), $"dst".as("vec_b"))
       .distinct()
     cand
       .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("emb_a")), Seq("vec_a"))

@@ -4,6 +4,7 @@ import graft.core.{Stab, Tables}
 import graft.functions.vectors._
 import graft.operators.KnnSearch
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Random-hyperplane (sign) LSH — the 100 TB similarity-search path.
@@ -21,7 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object LshIndex {
 
-  val defaultBits = 6
   val defaultTables = 4
 
   /** Bit depth must scale with corpus size — a constant bucket count
@@ -51,6 +51,35 @@ object LshIndex {
       val plane = typedlit(p)
       when(dotProduct(v, plane) >= 0d, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Multi-table salted candidate pairs over a (vec_id, embedding)
+    * frame — the shared candidate generator for the NSW graph build
+    * and LSH-bucketed near-dup: all tables' buckets in one pass
+    * (posexplode), ONE self-join on (table, bucket, salt). Hot
+    * buckets (sign-LSH cannot split near-codirectional vectors, so a
+    * clustered corpus piles into one bucket per table) are salted
+    * into ceil(size/cap) deterministic sub-buckets, bounding the
+    * candidate count at n·cap·tables on ANY data. Emits both (a,b)
+    * and (b,a); callers dedup/orient as needed. */
+  def saltedCandidatePairs(emb: DataFrame, nTables: Int, nBits: Int,
+      bucketCap: Int, seedBase: Long): DataFrame = {
+    val bucketCols = (0 until nTables).map { t =>
+      bucketOf(col("embedding"), planes(64, nBits, seed = seedBase + t))
+    }
+    val tagged = emb.select(col("vec_id"),
+      posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
+    val salted = tagged
+      .withColumn("bsize", count(lit(1)).over(
+        Window.partitionBy(col("t"), col("bucket"))))
+      .withColumn("salt", pmod(hash(col("vec_id"), col("t")),
+        greatest(lit(1L), ceil(col("bsize") / lit(bucketCap)).cast("long"))))
+      .drop("bsize")
+    salted.as("x").join(salted.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.salt") === col("y.salt") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+  }
 
   /** `ann_lsh_bucketed`: bucketed ANN for the fixed query set —
     * `defaultTables` independent hash tables (standard LSH recall

@@ -86,36 +86,8 @@ object NswIndex {
           Window.partitionBy(col("src")).orderBy(col("score_e6").desc, col("dst").asc)).cast("long"))
         .filter(col("rank") <= degree)
     }
-    // All tables' buckets in ONE pass over the vectors (an array of
-    // per-table bucket ids, posexploded to (table, bucket) rows) and
-    // ONE self-join on the (table, bucket) pair — versus a per-table
-    // self-join, this shuffles the tagged relation once instead of
-    // re-shuffling the vectors table nTables times.
-    val bucketCols = (0 until nTables).map { t =>
-      LshIndex.bucketOf(col("embedding"), LshIndex.planes(64, bits, seed = 1042L + t))
-    }
-    val tagged = base.select(col("vec_id"),
-        posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
-    // Hot-bucket salting: sign-LSH cannot split near-codirectional
-    // vectors (a clustered corpus piles them into one bucket per
-    // table no matter the bit depth), and within-bucket pairing is
-    // quadratic in bucket size. Buckets over `bucketCap` rows are
-    // split into ceil(size/cap) deterministic sub-buckets; each point
-    // still meets ~cap neighbors per table, the other tables' (and
-    // NN-descent rounds') independent salts recover the rest. Keeps
-    // candidate count <= n·cap·tables — linear in n on ANY data.
-    val bucketCap = 128
-    val salted = tagged
-      .withColumn("bsize", count(lit(1)).over(
-        Window.partitionBy(col("t"), col("bucket"))))
-      .withColumn("salt", pmod(hash(col("vec_id"), col("t")),
-        greatest(lit(1L), ceil(col("bsize") / lit(bucketCap)).cast("long"))))
-      .drop("bsize")
-    val cand = salted.as("x").join(salted.as("y"),
-        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
-          col("x.salt") === col("y.salt") &&
-          col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+    val cand = LshIndex.saltedCandidatePairs(base, nTables, bits,
+      bucketCap = 128, seedBase = 1042L)
     var edges = topEdges(cand.distinct())
     (0 until refineRounds).foreach { _ =>
       // Materialize the round's edges: the 2-hop self-join references
@@ -209,6 +181,10 @@ object NswIndex {
         .filter(col("brank") <= beamWidth)
         .drop("brank")
     }
+    // the final ranking reads only the checkpointed `visited` — the
+    // loop-scratch caches must not pile up across beam invocations
+    embSel.unpersist()
+    edgeSel.unpersist()
     visited.withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)).cast("long"))
       .filter(col("rank") <= k)
