@@ -62,9 +62,13 @@ object LshIndex {
     * candidate count at n·cap·tables on ANY data. Emits both (a,b)
     * and (b,a); callers dedup/orient as needed. */
   def saltedCandidatePairs(emb: DataFrame, nTables: Int, nBits: Int,
-      bucketCap: Int, seedBase: Long): DataFrame = {
+      bucketCap: Int, seedBase: Long,
+      dim: Int = graft.embed.Embedder.DefaultDim): DataFrame = {
+    // `dim` must match the embedding width: DotProduct truncates to
+    // the shorter operand, so an undersized plane would silently hash
+    // on a prefix of the vector.
     val bucketCols = (0 until nTables).map { t =>
-      bucketOf(col("embedding"), planes(64, nBits, seed = seedBase + t))
+      bucketOf(col("embedding"), planes(dim, nBits, seed = seedBase + t))
     }
     val tagged = emb.select(col("vec_id"),
       posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))

@@ -109,9 +109,13 @@ object Collections {
     * embedding, return top-10 with content — the whole reference
     * serving path as one DataFrame plan (rows-only check: DuckDB
     * cannot express the embedder). */
+  /** The fixed demo query text shared by every /query operator — the
+    * parity spec compares their results, so it must be ONE constant. */
+  val DemoQueryText = "fast hash join on the sorted key order table"
+
   def queryE2E(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val queryText = "fast hash join on the sorted key order table"
+    val queryText = DemoQueryText
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"text", Embedder.embedText($"text").as("embedding"))
     val q = spark.range(1).select(
@@ -157,10 +161,18 @@ object Collections {
       case other => throw new IllegalArgumentException(
         s"unknown index type '$other' (expected cosine|ivf|nsw)")
     }
+    contentJoin(spark, dir, hits)
+  }
+
+  /** Join record content back to a (q_id, neighbor_id, score_e6,
+    * rank) hits frame — hits is queries × k rows, so it broadcasts
+    * into the documents scan and the content join never shuffles the
+    * corpus. */
+  private def contentJoin(spark: SparkSession, dir: String,
+      hits: DataFrame): DataFrame = {
+    import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", substring($"text", 1, 40).as("content"))
-    // hits is queries × k rows — broadcast it into the documents scan
-    // so the content join never shuffles the corpus.
     docs.join(broadcast(hits), $"neighbor_id" === $"doc_id")
       .select($"q_id", $"neighbor_id".as("id"), $"content",
         $"score_e6".as("confidence_e6"), $"rank")
@@ -190,8 +202,7 @@ object Collections {
     * over the document-content embeddings and memoized per dir like
     * every other index in the library. */
   def queryText(spark: SparkSession, dir: String, indexType: String,
-      queryText: String = "fast hash join on the sorted key order table",
-      k: Int = 10): DataFrame = {
+      queryText: String = DemoQueryText, k: Int = 10): DataFrame = {
     import spark.implicits._
     import graft.index.{IvfIndex, NswIndex}
     val corpus = docEmbeddings(spark, dir)
@@ -213,12 +224,7 @@ object Collections {
       case other => throw new IllegalArgumentException(
         s"unknown index type '$other' (expected cosine|ivf|nsw)")
     }
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", substring($"text", 1, 40).as("content"))
-    docs.join(broadcast(hits), $"neighbor_id" === $"doc_id")
-      .select($"neighbor_id".as("id"), $"content",
-        $"score_e6".as("confidence_e6"), $"rank")
-      .orderBy($"rank")
+    contentJoin(spark, dir, hits).drop("q_id")
   }
 
   /** DuckDB twin for the `cosine` variant of [[queryWithIndex]] (the

@@ -152,7 +152,8 @@ object Libraries {
       |  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS text_md5,
       |  lang, source,
       |  doc_id AS created_at,
-      |  CASE WHEN doc_id % 5 = 0 THEN CAST(1700000000 AS BIGINT) ELSE doc_id END AS updated_at
+      |  CASE WHEN doc_id % 5 = 0 AND text IS NOT NULL
+      |    THEN CAST(1700000000 AS BIGINT) ELSE doc_id END AS updated_at
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** `crud_upsert_embed`: embedding auto-generation on write. The

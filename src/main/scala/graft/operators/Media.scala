@@ -59,7 +59,12 @@ object MediaCodec {
     val buf = java.nio.ByteBuffer.wrap(payload)
     if (buf.getInt() != Magic) return None
     val w = buf.getInt(); val h = buf.getInt(); val f = buf.getInt()
-    if (w <= 0 || h <= 0 || f <= 0 || payload.length != 16 + f * w * h) return None
+    // Long arithmetic: a hostile header like (w=65536, h=65536, f=1)
+    // overflows Int f*w*h to 0 and would slip past the length check,
+    // crashing the feature loops downstream instead of being rejected
+    // here as a row-level outcome.
+    if (w <= 0 || h <= 0 || f <= 0 ||
+      payload.length.toLong != 16L + f.toLong * w * h) return None
     val px = java.util.Arrays.copyOfRange(payload, 16, payload.length)
     Some(Decoded(w, h, f, px))
   }

@@ -75,7 +75,12 @@ class CollectionStore(spark: SparkSession, path: String, keyCol: String) {
     if (isEmpty) return
     val current = load()
     val payload = batch.columns.filter(_ != keyCol)
-    val renamed = payload.foldLeft(batch)((d, c) => d.withColumnRenamed(c, s"_u_$c"))
+    // one update per key: a duplicate-key batch would multiply rows
+    // through the inner join below, silently breaking the store's
+    // one-row-per-key invariant (winner is arbitrary, as in the
+    // reference's last-file-write-wins)
+    val deduped = batch.dropDuplicates(keyCol)
+    val renamed = payload.foldLeft(deduped)((d, c) => d.withColumnRenamed(c, s"_u_$c"))
     val touched = current.join(renamed, Seq(keyCol), "inner")
     val merged = payload.foldLeft(touched)((d, c) =>
         d.withColumn(c, coalesce(col(s"_u_$c"), col(c))))

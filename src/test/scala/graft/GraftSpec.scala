@@ -230,6 +230,13 @@ class CollectionStoreSpec extends AnyFunSuite {
     assert(r1.getAs[Long]("updated_at_ms") == 2000L) // bumped
     val r2 = rows(1)
     assert(r2.getAs[String]("payload") == "b" && r2.getAs[Long]("updated_at_ms") == 1000L)
+
+    // duplicate keys in one batch must not multiply stored rows
+    store.updateMerge(
+      Seq((2L, Some("x"), Option.empty[String]), (2L, Some("y"), Option.empty[String]))
+        .toDF("id", "payload", "lang"),
+      nowMs = 3000L)
+    assert(store.load().filter(col("id") === 2L).count() == 1)
   }
 }
 
