@@ -66,6 +66,7 @@ object SparkEntry {
     "crud_update_merge" -> (Libraries.crudUpdateMerge _),
     "crud_upsert_embed" -> (Libraries.crudUpsertEmbed _),
     "meta_filter" -> (Libraries.metaFilter _),
+    "sample_stratified" -> ((s: SparkSession, d: String) => Libraries.sampleStratified(s, d)),
     // ANN index family
     "ivf_build" -> (IvfIndex.ivfBuild _),
     "ivf_search" -> (IvfIndex.ivfSearch _),
@@ -121,6 +122,7 @@ object SparkEntry {
     "crud_library_cascade" -> Libraries.crudLibraryCascadeSql,
     "crud_update_merge" -> Libraries.crudUpdateMergeSql,
     "meta_filter" -> Libraries.metaFilterSql,
+    "sample_stratified" -> Libraries.sampleStratifiedSql,
     "nsw_build" -> NswIndex.nswBuildSql,
     "pipeline_clean" -> Collections.pipelineCleanSql(
       TextOps.textQualitySql, Dedup.minhashSql),

@@ -187,6 +187,35 @@ object Libraries {
       .orderBy($"doc_id")
   }
 
+  /** `sample_stratified`: deterministic per-group quota sampling —
+    * the data-mixing primitive of a training pipeline (cap each
+    * domain/source at N documents so no single source dominates the
+    * mix). Rows are ranked within their source by a content hash (a
+    * stable pseudo-random order both engines compute identically) and
+    * the top `perSource` survive. Spark ≥3.5 executes the
+    * row_number ≤ k window as a WindowGroupLimit: a per-partition
+    * k-row heap before the single shuffle on the group key — one
+    * scan, no global sort, at any scale. */
+  def sampleStratified(spark: SparkSession, dir: String,
+      perSource: Int = 10): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy(md5($"text"), $"doc_id")).cast("long"))
+      .filter($"rn" <= perSource)
+      .select($"doc_id", $"source", $"rn")
+      .orderBy($"source", $"rn")
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, source, rn FROM (
+      |  SELECT doc_id, source, CAST(row_number() OVER (
+      |    PARTITION BY source ORDER BY md5(text), doc_id) AS BIGINT) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 10
+      |ORDER BY source, rn""".stripMargin
+
   /** `meta_filter`: the reference's per-record `metadata` map
     * (datarecord.py:17) as a native `map<string,string>` column,
     * filtered and projected via `element_at`. The oracle states the
