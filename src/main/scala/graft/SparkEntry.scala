@@ -67,6 +67,7 @@ object SparkEntry {
     "crud_upsert_embed" -> (Libraries.crudUpsertEmbed _),
     "meta_filter" -> (Libraries.metaFilter _),
     "sample_stratified" -> ((s: SparkSession, d: String) => Libraries.sampleStratified(s, d)),
+    "pack_token_budget" -> ((s: SparkSession, d: String) => Libraries.packTokenBudget(s, d)),
     // ANN index family
     "ivf_build" -> (IvfIndex.ivfBuild _),
     "ivf_search" -> (IvfIndex.ivfSearch _),
@@ -123,6 +124,7 @@ object SparkEntry {
     "crud_update_merge" -> Libraries.crudUpdateMergeSql,
     "meta_filter" -> Libraries.metaFilterSql,
     "sample_stratified" -> Libraries.sampleStratifiedSql,
+    "pack_token_budget" -> Libraries.packTokenBudgetSql,
     "nsw_build" -> NswIndex.nswBuildSql,
     "pipeline_clean" -> Collections.pipelineCleanSql(
       TextOps.textQualitySql, Dedup.minhashSql),

@@ -216,6 +216,41 @@ object Libraries {
       |WHERE rn <= 10
       |ORDER BY source, rn""".stripMargin
 
+  /** `pack_token_budget`: greedy sequence packing — assign each
+    * document (in deterministic order within its source) to the
+    * training bin where its tokens land under a fixed per-bin budget,
+    * approximated as `bin = floor(running_token_count / budget)`.
+    * This is the pretraining data-prep step that turns a document
+    * pile into ~context-length batches; one window cumsum per source,
+    * no shuffle beyond the group-key partitioning. */
+  def packTokenBudget(spark: SparkSession, dir: String,
+      budget: Long = 2000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(graft.text.TextOps.tokens($"text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("bin", (($"cum_tokens" - lit(1)) / lit(budget)).cast("long"))
+      .select($"doc_id", $"source", $"n_tokens", $"cum_tokens", $"bin")
+      .orderBy($"source", $"doc_id")
+  }
+
+  val packTokenBudgetSql: String =
+    s"""SELECT doc_id, source, n_tokens, cum_tokens,
+       |  CAST(floor((cum_tokens - 1) / 2000.0) AS BIGINT) AS bin
+       |FROM (
+       |  SELECT doc_id, source,
+       |    CAST(len(${graft.text.TextOps.tokensSql}) AS BIGINT) AS n_tokens,
+       |    CAST(sum(len(${graft.text.TextOps.tokensSql})) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM documents) t
+       |ORDER BY source, doc_id""".stripMargin
+
   /** `meta_filter`: the reference's per-record `metadata` map
     * (datarecord.py:17) as a native `map<string,string>` column,
     * filtered and projected via `element_at`. The oracle states the
