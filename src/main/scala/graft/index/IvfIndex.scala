@@ -120,6 +120,25 @@ object IvfIndex {
     KnnSearch.topK(scored, k, asc = false)
   }
 
+  /** Single-query probe search: same probe + score plan as [[search]]
+    * but both top-k cuts are orderBy+limit — a window partitioned by a
+    * constant q_id constant-folds to an EMPTY partition spec and pulls
+    * every scored vector in the probed clusters into one task. Here
+    * the centroid ranking is a TakeOrdered over k centroids and the
+    * final cut is [[KnnSearch.topKSingle]]. */
+  def searchSingle(built: Built, query: DataFrame,
+      nProbe: Int = defaultNProbe, k: Int = 10): DataFrame = {
+    val probes = query.crossJoin(broadcast(built.centroids))
+      .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
+      .orderBy(col("csim").desc, col("cluster_id").asc)
+      .limit(nProbe)
+      .select(col("q_id"), col("q_vec"), col("cluster_id"))
+    val scored = built.assigned.join(broadcast(probes), Seq("cluster_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"))
+    KnnSearch.topKSingle(scored, k, asc = false)
+  }
+
   /** Persist the index in its scale layout: the vectors table
     * partitioned by `cluster_id` (a probe then reads n_probe/k of the
     * files) plus the tiny centroids table. */

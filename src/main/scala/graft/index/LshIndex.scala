@@ -96,8 +96,11 @@ object LshIndex {
     // search wants small buckets (≈8) amplified by many probes+tables
     val nBits = adaptiveBits(embRaw.count(), targetBucket = 8)
     val flips = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
+    // planes must span the full embedding width (DotProduct truncates
+    // to the shorter operand — an undersized plane silently hashes a
+    // prefix), so the dim tracks the embedder like saltedCandidatePairs
     val scoredPerTable = (0 until defaultTables).map { t =>
-      val ps = planes(64, nBits, seed = 42L + t)
+      val ps = planes(graft.embed.Embedder.DefaultDim, nBits, seed = 42L + t)
       val emb = embRaw.select($"vec_id", $"embedding",
         bucketOf($"embedding", ps).as("bucket"))
       val probed = emb.filter($"vec_id" < 5)

@@ -151,9 +151,14 @@ object NswIndex {
   }
 
   /** Batch beam search over a prebuilt edge table for a queries
-    * frame (q_id, q_vec). Returns top-`k` of everything visited. */
+    * frame (q_id, q_vec). Returns top-`k` of everything visited.
+    *
+    * `singleQuery = true` switches every per-query window (beam cut,
+    * final rank) to orderBy+limit: with one query the windows'
+    * `partitionBy(q_id)` constant-folds to an empty partition spec and
+    * Spark moves the whole frontier into one task per hop. */
   def beamSearch(emb: DataFrame, edges: DataFrame, queries: DataFrame,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, singleQuery: Boolean = false): DataFrame = {
     // The graph and vectors are the persisted index: materialize once.
     // Without this every superstep re-derives the whole kNN build.
     val embSel = emb.select(col("vec_id").as("node"), col("embedding")).cache()
@@ -176,20 +181,29 @@ object NswIndex {
         .join(visited.select(col("q_id"), col("node")), Seq("q_id", "node"), "left_anti")
       val scored = scoreAgainst(expanded).localCheckpoint(true)
       visited = visited.unionByName(scored).localCheckpoint(true)
-      frontier = scored.withColumn("brank", row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)))
-        .filter(col("brank") <= beamWidth)
-        .drop("brank")
+      frontier =
+        if (singleQuery)
+          scored.orderBy(col("score_e6").desc, col("node").asc).limit(beamWidth)
+        else
+          scored.withColumn("brank", row_number().over(
+              Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)))
+            .filter(col("brank") <= beamWidth)
+            .drop("brank")
     }
     // the final ranking reads only the checkpointed `visited` — the
     // loop-scratch caches must not pile up across beam invocations
     embSel.unpersist()
     edgeSel.unpersist()
-    visited.withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("node").as("neighbor_id"), col("score_e6"), col("rank"))
-      .orderBy(col("q_id"), col("rank"))
+    if (singleQuery)
+      graft.operators.KnnSearch.topKSingle(
+        visited.select(col("q_id"), col("node").as("neighbor_id"), col("score_e6")),
+        k, asc = false)
+    else
+      visited.withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("node").as("neighbor_id"), col("score_e6"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
   }
 
   /** `nsw_search` query: beam search for the fixed query set.

@@ -167,16 +167,28 @@ object Collections {
   /** Join record content back to a (q_id, neighbor_id, score_e6,
     * rank) hits frame — hits is queries × k rows, so it broadcasts
     * into the documents scan and the content join never shuffles the
-    * corpus. */
+    * corpus.
+    *
+    * LEFT-join semantics on the hits side: a hit whose id has no
+    * document row surfaces with null content instead of silently
+    * shrinking the /query result below k. A plain left join would put
+    * the corpus on the unbuildable side, so it is expressed as inner
+    * join ∪ anti-join — both broadcast the tiny hits; the anti probe
+    * reads only the pruned doc_id column. */
   private def contentJoin(spark: SparkSession, dir: String,
       hits: DataFrame): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", substring($"text", 1, 40).as("content"))
-    docs.join(broadcast(hits), $"neighbor_id" === $"doc_id")
+    val matched = docs.join(broadcast(hits), $"neighbor_id" === $"doc_id")
       .select($"q_id", $"neighbor_id".as("id"), $"content",
         $"score_e6".as("confidence_e6"), $"rank")
-      .orderBy($"q_id", $"rank")
+    val orphaned = hits.join(Tables.documents(spark, dir)
+          .select($"doc_id".as("neighbor_id")), Seq("neighbor_id"), "left_anti")
+      .select($"q_id", $"neighbor_id".as("id"),
+        lit(null).cast("string").as("content"),
+        $"score_e6".as("confidence_e6"), $"rank")
+    matched.unionByName(orphaned).orderBy($"q_id", $"rank")
   }
 
   /** Session memo for the document-content index: documents embedded
@@ -208,19 +220,23 @@ object Collections {
     val corpus = docEmbeddings(spark, dir)
     val q = spark.range(1).select(lit(0L).as("q_id"),
       Embedder.embedText(lit(queryText)).as("q_vec"))
+    // all three paths take the SINGLE-query top-k shape
+    // (orderBy+limit / topKSingle): a window partitioned by the
+    // constant q_id would constant-fold to no partition spec and move
+    // every scored row to one task
     val hits = indexType match {
       case "cosine" =>
-        KnnSearch.topK(
+        KnnSearch.topKSingle(
           corpus.crossJoin(broadcast(q))
             .select($"q_id", $"vec_id".as("neighbor_id"),
               Stab.e6(cosineSim($"embedding", $"q_vec")).as("score_e6")),
           k, asc = false)
       case "ivf" =>
         val built = IvfIndex.buildCachedFor(s"docs:$dir", spark, corpus)
-        IvfIndex.search(built, q, k = k)
+        IvfIndex.searchSingle(built, q, k = k)
       case "nsw" =>
         val edges = NswIndex.edgesCachedFor(s"docs:$dir", corpus)
-        NswIndex.beamSearch(corpus, edges, q, k = k)
+        NswIndex.beamSearch(corpus, edges, q, k = k, singleQuery = true)
       case other => throw new IllegalArgumentException(
         s"unknown index type '$other' (expected cosine|ivf|nsw)")
     }
@@ -248,7 +264,7 @@ object Collections {
        |)
        |SELECT t.q_id, t.neighbor_id AS id, substr(d.text, 1, 40) AS content,
        |  t.score_e6 AS confidence_e6, t.rank
-       |FROM topk t JOIN documents d ON t.neighbor_id = d.doc_id
+       |FROM topk t LEFT JOIN documents d ON t.neighbor_id = d.doc_id
        |ORDER BY t.q_id, t.rank""".stripMargin
   }
 

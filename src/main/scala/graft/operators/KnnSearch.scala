@@ -39,6 +39,37 @@ object KnnSearch {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Per-query top-k for a SINGLE-query scored frame. [[topK]] over a
+    * constant q_id is a scale-killer: constant folding empties the
+    * window's partition spec and Spark funnels every scored row into
+    * ONE task ("No Partition Defined for Window operation"). The
+    * single-query cut is orderBy+limit instead — TakeOrderedAndProject
+    * keeps per-partition k-row heaps and merges k·partitions rows, so
+    * the corpus never converges on one task. The rank column is
+    * recovered from the k materialized winners by a k² self-join
+    * (constant work), not a window. */
+  def topKSingle(scored: DataFrame, k: Int, asc: Boolean): DataFrame = {
+    val order: Seq[Column] =
+      if (asc) Seq(col("score_e6").asc, col("neighbor_id").asc)
+      else Seq(col("score_e6").desc, col("neighbor_id").asc)
+    // materialize the winners once: both sides of the rank self-join
+    // read them, and the corpus scan must not run twice
+    val top = scored.orderBy(order: _*).limit(k).localCheckpoint(true)
+    val beatsOnScore =
+      if (asc) col("b.score_e6") < col("a.score_e6")
+      else col("b.score_e6") > col("a.score_e6")
+    // rank(a) = |{b : b sorts at-or-before a}| — ids are distinct per
+    // query so the (score, id) order is total and the count is exact
+    val beatsOrEq = beatsOnScore ||
+      (col("b.score_e6") === col("a.score_e6") &&
+        col("b.neighbor_id") <= col("a.neighbor_id"))
+    top.as("a").join(top.as("b"), beatsOrEq)
+      .groupBy(col("a.q_id").as("q_id"), col("a.neighbor_id").as("neighbor_id"),
+        col("a.score_e6").as("score_e6"))
+      .agg(count(lit(1)).cast("long").as("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   private def scoredAgainstQueries(spark: SparkSession, dir: String,
       queryPred: Column, score: (Column, Column) => Column): DataFrame = {
     val emb = Tables.embeddings(spark, dir)

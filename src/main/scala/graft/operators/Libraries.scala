@@ -232,16 +232,22 @@ object Libraries {
         size(graft.text.TextOps.tokens($"text")).cast("long").as("n_tokens"))
     val w = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // floor + clamp: integer-division truncation rounds toward zero but
+    // floor rounds toward -inf, so a zero-token head document
+    // (cum_tokens = 0) would land in bin 0 here and bin -1 in the
+    // DuckDB twin; clamping at 0 makes both engines agree and keeps
+    // empty head documents in the first bin.
     toks
       .withColumn("cum_tokens", sum($"n_tokens").over(w))
-      .withColumn("bin", (($"cum_tokens" - lit(1)) / lit(budget)).cast("long"))
+      .withColumn("bin", greatest(lit(0L),
+        floor(($"cum_tokens" - lit(1)) / lit(budget.toDouble)).cast("long")))
       .select($"doc_id", $"source", $"n_tokens", $"cum_tokens", $"bin")
       .orderBy($"source", $"doc_id")
   }
 
   val packTokenBudgetSql: String =
     s"""SELECT doc_id, source, n_tokens, cum_tokens,
-       |  CAST(floor((cum_tokens - 1) / 2000.0) AS BIGINT) AS bin
+       |  greatest(CAST(0 AS BIGINT), CAST(floor((cum_tokens - 1) / 2000.0) AS BIGINT)) AS bin
        |FROM (
        |  SELECT doc_id, source,
        |    CAST(len(${graft.text.TextOps.tokensSql}) AS BIGINT) AS n_tokens,

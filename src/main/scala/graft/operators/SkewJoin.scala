@@ -22,9 +22,14 @@ object SkewJoin {
     * deterministic per-row column (e.g. a row id). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       bigSaltSource: Column, buckets: Int): DataFrame = {
-    val salted = big.withColumn("_salt", pmod(hash(bigSaltSource), lit(buckets)))
-    val exploded = small.withColumn("_salt",
+    // a fixed temp name would silently overwrite (and then drop) a
+    // caller's column of the same name — pick one that collides with
+    // neither input
+    val salt = Iterator.from(0).map(i => s"_salt$i")
+      .find(n => !big.columns.contains(n) && !small.columns.contains(n)).get
+    val salted = big.withColumn(salt, pmod(hash(bigSaltSource), lit(buckets)))
+    val exploded = small.withColumn(salt,
       explode(sequence(lit(0), lit(buckets - 1))))
-    salted.join(exploded, Seq(key, "_salt")).drop("_salt")
+    salted.join(exploded, Seq(key, salt)).drop(salt)
   }
 }
