@@ -64,12 +64,12 @@ object Dedup {
     * artifact (like IvfIndex.buildCached) — `dedup_minhash` and
     * `pipeline_clean` share one materialization instead of each
     * re-sketching the corpus. */
-  private val sigCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val sigCache = new graft.store.VersionedMemo[DataFrame]()
 
-  /** (doc_id, sig[numHashes]) MinHash signature table, cached per dir. */
+  /** (doc_id, sig[numHashes]) MinHash signature table, cached per
+    * (session, dir) and invalidated by store writes under the dir. */
   def signatures(spark: SparkSession, dir: String): DataFrame =
-    sigCache.computeIfAbsent(dir, _ => {
+    sigCache.get(spark, dir, dir) {
       import spark.implicits._
       // Single-pass signature expression: the naive explode over 32
       // hash slots shuffles numShingles×32 rows; this shuffles only the
@@ -84,7 +84,7 @@ object Dedup {
         // sf0.1); checkpointed UnsafeRows store and re-read at memory
         // speed. Reused by bands (self-join) + the est-jaccard joins.
         .localCheckpoint(true)
-    })
+    }
 
   /** MinHash signatures → LSH band buckets → candidate pairs.
     * Output: (doc_a, doc_b, n_bands, est_jaccard_e6) where est is the

@@ -39,23 +39,29 @@ object IvfIndex {
   /** Session-scoped index memo: the reference builds each index once
     * and serves all queries from it (main.py:35-40 add_index);
     * rebuilding a KMeans fit per query would be the one thing slower
-    * than the reference. Keyed by source dir. */
+    * than the reference. Keyed by (session, source dir) and
+    * invalidated by store writes under the dir (graft.store
+    * .VersionedMemo), so upsert-then-search sees current data — the
+    * reference gets this for free by rebuilding per search
+    * (collection.py:195-200). */
   private val builtCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Built]()
+    new graft.store.VersionedMemo[Built](_.assigned.unpersist())
 
   def buildCached(spark: SparkSession, dir: String): Built =
-    builtCache.computeIfAbsent(dir, _ => {
+    builtCache.get(spark, dir, dir) {
       val b = build(spark, Tables.embeddings(spark, dir))
       Built(b.assigned.cache(), b.centroids)
-    })
+    }
 
   /** Memoized build over an arbitrary corpus (e.g. document-content
-    * embeddings) under an explicit cache key. */
-  def buildCachedFor(key: String, spark: SparkSession, emb: DataFrame): Built =
-    builtCache.computeIfAbsent(key, _ => {
+    * embeddings) under an explicit cache key; `versionDir` is the
+    * data dir whose writes must invalidate this index. */
+  def buildCachedFor(key: String, spark: SparkSession, emb: DataFrame,
+      versionDir: String): Built =
+    builtCache.get(spark, key, versionDir) {
       val b = build(spark, emb)
       Built(b.assigned.cache(), b.centroids)
-    })
+    }
 
   /** Row budget for the KMeans fit: at 100 TB each MLlib iteration is
     * a full scan of whatever it trains on, so the fit consumes a

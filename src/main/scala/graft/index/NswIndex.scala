@@ -104,20 +104,23 @@ object NswIndex {
 
   /** Session-scoped edge-table memo — same rationale as
     * IvfIndex.buildCached: the reference builds the graph once
-    * (nsw_index.py:36-52) and serves every query from it. */
+    * (nsw_index.py:36-52) and serves every query from it. Keyed by
+    * (session, dir) and invalidated by store writes under the dir. */
   private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new graft.store.VersionedMemo[DataFrame](_.unpersist())
 
   def edgesCached(spark: SparkSession, dir: String): DataFrame =
-    edgeCache.computeIfAbsent(dir,
-      _ => buildEdges(Tables.embeddings(spark, dir)).cache())
+    edgeCache.get(spark, dir, dir)(
+      buildEdges(Tables.embeddings(spark, dir)).cache())
 
   /** Memoized edge table over an arbitrary corpus (e.g.
     * document-content embeddings) under an explicit cache key — uses
     * the LSH+NN-descent build (the scale path), not the exact n²
-    * build that only exists for the SQL oracle. */
-  def edgesCachedFor(key: String, emb: DataFrame): DataFrame =
-    edgeCache.computeIfAbsent(key, _ => buildEdgesLsh(emb).cache())
+    * build that only exists for the SQL oracle. `versionDir` is the
+    * data dir whose writes must invalidate the graph. */
+  def edgesCachedFor(key: String, emb: DataFrame, versionDir: String): DataFrame =
+    edgeCache.get(emb.sparkSession, key, versionDir)(
+      buildEdgesLsh(emb).cache())
 
   /** `nsw_build` query (oracle: plain SQL — same top-k-per-node). */
   def nswBuild(spark: SparkSession, dir: String): DataFrame = {
@@ -162,7 +165,14 @@ object NswIndex {
     // The graph and vectors are the persisted index: materialize once.
     // Without this every superstep re-derives the whole kNN build.
     val embSel = emb.select(col("vec_id").as("node"), col("embedding")).cache()
-    val edgeSel = edges.select(col("src").as("node"), col("dst")).cache()
+    // Traverse the UNDIRECTED graph: the reference inserts
+    // bidirectional links (nsw_index.py:36-52), so a node is reachable
+    // through its own out-edges reversed even when no other node ranks
+    // it in ITS top-k — with directed-only expansion a newly inserted
+    // vector can be unreachable from the entry point.
+    val edgeSel = edges.select(col("src").as("node"), col("dst"))
+      .unionByName(edges.select(col("dst").as("node"), col("src").as("dst")))
+      .cache()
     val scoreAgainst = (nodes: DataFrame) =>
       nodes.join(embSel, Seq("node"))
         .select(col("q_id"), col("node"),

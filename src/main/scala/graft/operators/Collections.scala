@@ -196,16 +196,15 @@ object Collections {
     * the TEXT query path searches (the reference embeds chunk content
     * at write time and queries against those vectors,
     * main.py:234-238 + 320-341). */
-  private val docEmbCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val docEmbCache = new graft.store.VersionedMemo[DataFrame]()
 
   private def docEmbeddings(spark: SparkSession, dir: String): DataFrame =
-    docEmbCache.computeIfAbsent(dir, _ => {
+    docEmbCache.get(spark, dir, dir) {
       import spark.implicits._
       Tables.documents(spark, dir)
         .select($"doc_id".as("vec_id"), Embedder.embedText($"text").as("embedding"))
         .localCheckpoint(true)
-    })
+    }
 
   /** The reference /query signature end-to-end: TEXT in, index type
     * in, `{id, content, confidence}` out (main.py:320-341). The query
@@ -232,10 +231,10 @@ object Collections {
               Stab.e6(cosineSim($"embedding", $"q_vec")).as("score_e6")),
           k, asc = false)
       case "ivf" =>
-        val built = IvfIndex.buildCachedFor(s"docs:$dir", spark, corpus)
+        val built = IvfIndex.buildCachedFor(s"docs:$dir", spark, corpus, dir)
         IvfIndex.searchSingle(built, q, k = k)
       case "nsw" =>
-        val edges = NswIndex.edgesCachedFor(s"docs:$dir", corpus)
+        val edges = NswIndex.edgesCachedFor(s"docs:$dir", corpus, dir)
         NswIndex.beamSearch(corpus, edges, q, k = k, singleQuery = true)
       case other => throw new IllegalArgumentException(
         s"unknown index type '$other' (expected cosine|ivf|nsw)")

@@ -32,7 +32,11 @@ class CollectionStore(spark: SparkSession, path: String, keyCol: String) {
     !fs.exists(new Path(path))
   }
 
-  /** Atomically replace the snapshot with `df`. */
+  /** Atomically replace the snapshot with `df`, and bump the path's
+    * index version so memoized indexes/sketches over this data rebuild
+    * on their next lookup (stale-read prevention — the reference sees
+    * every write because it rebuilds per search,
+    * collection.py:195-200). */
   private def swapIn(df: DataFrame): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(path + ".staging")
@@ -40,6 +44,7 @@ class CollectionStore(spark: SparkSession, path: String, keyCol: String) {
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     if (fs.exists(target)) fs.delete(target, true)
     fs.rename(staging, target)
+    IndexVersions.bump(path)
   }
 
   /** Update-else-insert `batch` (must carry `keyCol` plus payload

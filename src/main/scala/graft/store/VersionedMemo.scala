@@ -1,0 +1,66 @@
+package graft.store
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.SparkSession
+
+/** Write-visibility registry for the session's index/sketch memos.
+  *
+  * The reference reflects every write in the next search because it
+  * rebuilds the index inside `search()`
+  * (/root/reference/src/models/collection.py:195-200). Here index
+  * builds are memoized (a KMeans fit or graph build per query would
+  * be the one thing slower than the reference), so write visibility
+  * must be explicit: every [[CollectionStore]] mutation bumps the
+  * version of its path, and [[VersionedMemo]] rebuilds any memo whose
+  * data lives under a bumped path.
+  */
+object IndexVersions {
+  private val bumps = new ConcurrentHashMap[String, AtomicLong]()
+
+  /** Record a mutation of `path` — called by every store write. */
+  def bump(path: String): Unit =
+    bumps.computeIfAbsent(norm(path), _ => new AtomicLong()).incrementAndGet()
+
+  /** Current version of everything under (or containing) `dir`: the
+    * sum of bump counts whose path prefix-overlaps `dir`, so a write
+    * to `dir/documents.parquet` invalidates memos keyed on `dir` and
+    * a bump of `dir` itself invalidates memos on any table inside. */
+  def version(dir: String): Long = {
+    val d = norm(dir)
+    var v = 0L
+    bumps.forEach((k, n) => if (k.startsWith(d) || d.startsWith(k)) v += n.get())
+    v
+  }
+
+  private def norm(p: String): String = p.stripSuffix("/")
+}
+
+/** Session- and version-aware memo for built indexes/sketches.
+  *
+  *  - Keyed by (SparkSession, key): a DataFrame is bound to the
+  *    session that created it, so a JVM-wide memo must never hand
+  *    session A's plan to session B (a second driver in the same JVM
+  *    would fail at action time against a stopped session).
+  *  - Validated against [[IndexVersions]]: a store write under the
+  *    memo's data dir invalidates the entry and the next lookup
+  *    rebuilds, so upsert-then-query sees current data.
+  *
+  * `onEvict` releases the replaced value's executor memory (e.g.
+  * `unpersist()` for cached plans).
+  */
+final class VersionedMemo[V](onEvict: V => Unit = (_: V) => ()) {
+  private case class Entry(version: Long, value: V)
+  private val m = new ConcurrentHashMap[(SparkSession, String), Entry]()
+
+  /** Memoized `build`, rebuilt whenever `versionDir`'s data changes.
+    * `key` distinguishes different corpora over the same dir. */
+  def get(spark: SparkSession, key: String, versionDir: String)(build: => V): V =
+    m.compute((spark, key), (_, old) =>
+      if (old != null && old.version == IndexVersions.version(versionDir)) old
+      else {
+        if (old != null) onEvict(old.value)
+        Entry(IndexVersions.version(versionDir), build)
+      }).value
+}
