@@ -50,13 +50,22 @@ object SparkEntry {
     "chunk_documents" -> (Collections.chunkDocuments _),
     "crud_upsert" -> (Collections.crudUpsert _),
     "crud_delete_cascade" -> (Collections.crudDeleteCascade _),
+    "crud_read" -> (Collections.crudRead _),
+    "crud_list" -> (Collections.crudList _),
+    "crud_reset" -> (Collections.crudReset _),
     "query_e2e" -> (Collections.queryE2E _),
     "query_index_cosine" -> ((s: SparkSession, d: String) => Collections.queryWithIndex(s, d, "cosine")),
-    "query_index_ivf" -> ((s: SparkSession, d: String) => Collections.queryWithIndex(s, d, "ivf")),
-    "query_index_nsw" -> ((s: SparkSession, d: String) => Collections.queryWithIndex(s, d, "nsw")),
+    // ANN /query variants run through the invariant-checked view: the
+    // hit SET can't hash-match SQL, but the /query contract (k ranked
+    // hits, corpus ids, correct content join, bounded scores) can —
+    // recall quality is the ScalaTest bars' job
+    "query_index_ivf" -> ((s: SparkSession, d: String) => Collections.queryIndexChecked(s, d, "ivf")),
+    "query_index_nsw" -> ((s: SparkSession, d: String) => Collections.queryIndexChecked(s, d, "nsw")),
     "query_text_ivf" -> ((s: SparkSession, d: String) => Collections.queryText(s, d, "ivf")),
     "query_text_nsw" -> ((s: SparkSession, d: String) => Collections.queryText(s, d, "nsw")),
+    "query_text_chunks" -> ((s: SparkSession, d: String) => Collections.queryTextChunks(s, d)),
     "mm_features" -> (Media.mmFeatures _),
+    "mm_features_golden" -> (Media.mmFeaturesGolden _),
     "mm_frame_sample" -> (Media.mmFrameSample _),
     "embed_text" -> (embedText _),
     // libraries level + write-path invariants
@@ -117,7 +126,13 @@ object SparkEntry {
     "chunk_documents" -> Collections.chunkDocumentsSql,
     "crud_upsert" -> Collections.crudUpsertSql,
     "crud_delete_cascade" -> Collections.crudDeleteCascadeSql,
+    "crud_read" -> Collections.crudReadSql,
+    "crud_list" -> Collections.crudListSql,
+    "crud_reset" -> Collections.crudResetSql,
     "query_index_cosine" -> Collections.queryIndexCosineSql,
+    "query_index_ivf" -> Collections.queryIndexCheckedSql,
+    "query_index_nsw" -> Collections.queryIndexCheckedSql,
+    "mm_features_golden" -> Media.mmFeaturesGoldenSql,
     "crud_library" -> Libraries.crudLibrarySql,
     "crud_integrity" -> Libraries.crudIntegritySql,
     "crud_library_cascade" -> Libraries.crudLibraryCascadeSql,

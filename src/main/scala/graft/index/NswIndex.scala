@@ -153,6 +153,32 @@ object NswIndex {
        |ORDER BY src, rank""".stripMargin
   }
 
+  /** Persist the graph index in its scale layout: the edge table plus
+    * the vectors it indexes. At 100 TB the graph build is a batch job
+    * whose output must be a table — serving then reads the layout
+    * instead of paying an inline build per session (the reference
+    * builds once in memory and serves every query from it,
+    * nsw_index.py:36-52; this is the batch analog, matching
+    * [[IvfIndex.persist]]'s contract). At cluster scale both tables
+    * would be bucketed by their join key (`node`/`vec_id`) so each
+    * beam superstep joins without an Exchange; the seam is this one
+    * writer. */
+  def persist(emb: DataFrame, edges: DataFrame, path: String): Unit = {
+    edges.select(col("src"), col("dst")).write.mode("overwrite")
+      .parquet(s"$path/edges")
+    emb.select(col("vec_id"), col("embedding")).write.mode("overwrite")
+      .parquet(s"$path/vectors")
+  }
+
+  /** Beam search against a persisted layout — same traversal as
+    * [[beamSearch]], reading the index tables from disk. */
+  def searchPersisted(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int = 5, singleQuery: Boolean = false): DataFrame =
+    beamSearch(
+      spark.read.parquet(s"$path/vectors"),
+      spark.read.parquet(s"$path/edges"),
+      queries, k, singleQuery)
+
   /** Batch beam search over a prebuilt edge table for a queries
     * frame (q_id, q_vec). Returns top-`k` of everything visited.
     *

@@ -30,6 +30,13 @@ object Collections {
     * engines. */
   def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    chunksRaw(spark, dir).orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** [[chunkDocuments]] without the presentation sort — the form every
+    * internal consumer (embedding corpus, cascade joins) builds on. */
+  private def chunksRaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val nChunks = greatest(lit(1L),
       expr(s"1 + CAST(ceil(CAST(length(text) - $chunkSize AS DOUBLE) / $stride) AS BIGINT)"))
     Tables.documents(spark, dir)
@@ -38,7 +45,6 @@ object Collections {
       .select($"doc_id", $"chunk_idx",
         $"text".substr(($"chunk_idx" * stride + 1).cast("int"), lit(chunkSize)).as("chunk_text"))
       .withColumn("chunk_len", length($"chunk_text").cast(LongType))
-      .orderBy($"doc_id", $"chunk_idx")
   }
 
   val chunkDocumentsSql: String =
@@ -214,16 +220,24 @@ object Collections {
     * every other index in the library. */
   def queryText(spark: SparkSession, dir: String, indexType: String,
       queryText: String = DemoQueryText, k: Int = 10): DataFrame = {
+    val corpus = docEmbeddings(spark, dir)
+    val hits = searchSingleText(spark, dir, "docs", corpus, indexType, queryText, k)
+    contentJoin(spark, dir, hits).drop("q_id")
+  }
+
+  /** Shared single-text-query search over an embedded corpus: embed
+    * the query text, search under the selected index. All three paths
+    * take the SINGLE-query top-k shape (orderBy+limit / topKSingle): a
+    * window partitioned by the constant q_id would constant-fold to no
+    * partition spec and move every scored row to one task. */
+  private def searchSingleText(spark: SparkSession, dir: String,
+      corpusKey: String, corpus: DataFrame, indexType: String,
+      queryText: String, k: Int): DataFrame = {
     import spark.implicits._
     import graft.index.{IvfIndex, NswIndex}
-    val corpus = docEmbeddings(spark, dir)
     val q = spark.range(1).select(lit(0L).as("q_id"),
       Embedder.embedText(lit(queryText)).as("q_vec"))
-    // all three paths take the SINGLE-query top-k shape
-    // (orderBy+limit / topKSingle): a window partitioned by the
-    // constant q_id would constant-fold to no partition spec and move
-    // every scored row to one task
-    val hits = indexType match {
+    indexType match {
       case "cosine" =>
         KnnSearch.topKSingle(
           corpus.crossJoin(broadcast(q))
@@ -231,16 +245,105 @@ object Collections {
               Stab.e6(cosineSim($"embedding", $"q_vec")).as("score_e6")),
           k, asc = false)
       case "ivf" =>
-        val built = IvfIndex.buildCachedFor(s"docs:$dir", spark, corpus, dir)
+        val built = IvfIndex.buildCachedFor(s"$corpusKey:$dir", spark, corpus, dir)
         IvfIndex.searchSingle(built, q, k = k)
       case "nsw" =>
-        val edges = NswIndex.edgesCachedFor(s"docs:$dir", corpus, dir)
+        val edges = NswIndex.edgesCachedFor(s"$corpusKey:$dir", corpus, dir)
         NswIndex.beamSearch(corpus, edges, q, k = k, singleQuery = true)
       case other => throw new IllegalArgumentException(
         s"unknown index type '$other' (expected cosine|ivf|nsw)")
     }
-    contentJoin(spark, dir, hits).drop("q_id")
   }
+
+  /** Multiplier packing (doc_id, chunk_idx) into one chunk vec_id —
+    * chunk counts per document are bounded far below it (chunkSize 200
+    * / stride 150 means ~7 chunks per KB of text). */
+  private val chunkIdBase = 1000L
+
+  private val chunkEmbCache = new graft.store.VersionedMemo[DataFrame]()
+
+  /** Chunk-content embedding corpus: chunk_documents ∘ auto-embed,
+    * memoized + write-invalidated like [[docEmbeddings]]. This is the
+    * reference's actual /query granularity — chunks are embedded at
+    * write time (main.py:228-244) and /query searches the `chunks`
+    * collection (main.py:316-344). */
+  private def chunkEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    chunkEmbCache.get(spark, dir, dir) {
+      import spark.implicits._
+      chunksRaw(spark, dir)
+        .select(($"doc_id" * chunkIdBase + $"chunk_idx").as("vec_id"),
+          Embedder.embedText($"chunk_text").as("embedding"))
+        .localCheckpoint(true)
+    }
+
+  /** Chunk-granular /query: TEXT in, index type in, top-k CHUNKS out
+    * with chunk content — the reference's exact /query composition
+    * (chunk at write → embed chunk content → search chunks → return
+    * chunk text, main.py:228-244 + 316-344). Hits carry (doc_id,
+    * chunk_idx) so callers can navigate back to the parent document,
+    * the batch analog of the chunk→document parent key. */
+  def queryTextChunks(spark: SparkSession, dir: String,
+      indexType: String = "cosine", queryText: String = DemoQueryText,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val corpus = chunkEmbeddings(spark, dir)
+    val hits = searchSingleText(spark, dir, "chunks", corpus, indexType, queryText, k)
+    // content join at chunk granularity: unpack the packed id and join
+    // the chunk text back — hits are k rows, broadcast into the scan
+    val chunks = chunksRaw(spark, dir).select(
+      ($"doc_id" * chunkIdBase + $"chunk_idx").as("neighbor_id"),
+      $"doc_id", $"chunk_idx", substring($"chunk_text", 1, 40).as("content"))
+    chunks.join(broadcast(hits), Seq("neighbor_id"))
+      .select($"doc_id", $"chunk_idx", $"content",
+        $"score_e6".as("confidence_e6"), $"rank")
+      .orderBy($"rank")
+  }
+
+  /** Deterministic invariant view of the ANN /query variants. An ANN
+    * hit set cannot hash-match a SQL oracle (the whole point of the
+    * index is an approximate cut), but the /query CONTRACT can: k hits
+    * per query ranked 1..k, every hit id present in the vector corpus,
+    * content equal to the matching document row, score inside the
+    * cosine bound. Each hit row maps to its invariant flags; the
+    * oracle computes the same grid in SQL, so a contract violation
+    * (short result, foreign id, misjoined content, unbounded score)
+    * breaks the hash compare. Recall quality is covered separately by
+    * the ScalaTest bars (SURVEY §5).
+    *
+    * Shape: the corpus-side probes semi-join against broadcast hits
+    * (never the reverse), so the checks stay scan+broadcast like the
+    * query itself. */
+  def queryIndexChecked(spark: SparkSession, dir: String,
+      indexType: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val hits = queryWithIndex(spark, dir, indexType, k)
+    val base = hits.select($"q_id", $"rank", $"id", $"content", $"confidence_e6")
+    // ids present in the corpus — probe from the big side, keep ≤ |hits|
+    val matchedIds = Tables.embeddings(spark, dir)
+      .join(broadcast(base.select($"id")), $"vec_id" === $"id", "left_semi")
+      .select($"vec_id".as("id"))
+    // expected content for the hit ids — again ≤ |hits| rows
+    val expected = Tables.documents(spark, dir)
+      .join(broadcast(base.select($"id")), $"doc_id" === $"id", "left_semi")
+      .select($"doc_id".as("id"), substring($"text", 1, 40).as("expected_content"))
+    base
+      .join(broadcast(matchedIds.withColumn("id_in_corpus", lit(true))), Seq("id"), "left")
+      .join(broadcast(expected), Seq("id"), "left")
+      .select($"q_id", $"rank",
+        coalesce($"id_in_corpus", lit(false)).as("id_in_corpus"),
+        coalesce($"content" === $"expected_content", lit(false)).as("content_ok"),
+        $"confidence_e6".between(-1000000L, 1000000L).as("score_bounded"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** The all-invariants-hold grid the checked ANN variants must
+    * produce: 5 queries × ranks 1..k, every flag true. */
+  val queryIndexCheckedSql: String =
+    """SELECT q.q_id, CAST(r.rank AS BIGINT) AS rank,
+      |  true AS id_in_corpus, true AS content_ok, true AS score_bounded
+      |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 5) q
+      |CROSS JOIN generate_series(1, 10) r(rank)
+      |ORDER BY q_id, rank""".stripMargin
 
   /** DuckDB twin for the `cosine` variant of [[queryWithIndex]] (the
     * ivf/nsw variants are rows-only + the interchangeability spec). */
@@ -266,6 +369,69 @@ object Collections {
        |FROM topk t LEFT JOIN documents d ON t.neighbor_id = d.doc_id
        |ORDER BY t.q_id, t.rank""".stripMargin
   }
+
+  /** `crud_read`: the GET-by-id surface (reference main.py:178-186 /
+    * 262-270 — one record per request, 404 on miss) as a batch of
+    * point lookups: known and unknown ids in one frame; hits carry the
+    * record, misses surface `found = false` instead of a 404. Shape:
+    * the tiny lookup set broadcasts into the scan twice (inner join
+    * for hits, anti probe on the pruned key column for misses) — the
+    * corpus is never the build side and never shuffles. */
+  def crudRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lookups = spark.range(0, 30).select(($"id" * 25).as("lookup_id"))
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id".as("lookup_id"), md5($"text").as("text_md5"), $"source")
+    val hits = docs.join(broadcast(lookups), Seq("lookup_id"))
+      .select($"lookup_id", lit(true).as("found"), $"text_md5", $"source")
+    val misses = lookups.join(docs.select($"lookup_id"), Seq("lookup_id"), "left_anti")
+      .select($"lookup_id", lit(false).as("found"),
+        lit(null).cast("string").as("text_md5"), lit(null).cast("string").as("source"))
+    hits.unionByName(misses).orderBy($"lookup_id")
+  }
+
+  val crudReadSql: String =
+    """SELECT t.gs * 25 AS lookup_id,
+      |  d.doc_id IS NOT NULL AS found,
+      |  md5(d.text) AS text_md5, d.source AS source
+      |FROM generate_series(0, 29) t(gs)
+      |LEFT JOIN documents d ON d.doc_id = t.gs * 25
+      |ORDER BY lookup_id""".stripMargin
+
+  /** `crud_list`: the list_all surface (main.py:173-175) as a paged,
+    * key-ordered listing — the reference returns the whole collection
+    * per request; at scale a listing is a deterministic page
+    * (ORDER BY key OFFSET/LIMIT). */
+  def crudList(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", md5($"text").as("text_md5"), $"source")
+      .orderBy($"doc_id")
+      .offset(100).limit(50)
+  }
+
+  val crudListSql: String =
+    """SELECT doc_id, md5(text) AS text_md5, source FROM documents
+      |ORDER BY doc_id LIMIT 50 OFFSET 100""".stripMargin
+
+  /** `crud_reset`: /reset (main.py:80-85, 198-202 — clean every
+    * collection, reseed): the post-reset state IS the seed batch; the
+    * store-side mutation is [[graft.store.CollectionStore.reset]].
+    * Output: per-library summary of the reseeded state. */
+  def crudReset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).filter($"doc_id" < 100)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_doc_id"), max($"doc_id").as("max_doc_id"))
+      .orderBy($"source")
+  }
+
+  val crudResetSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM documents WHERE doc_id < 100
+      |GROUP BY source ORDER BY source""".stripMargin
 
   /** `pipeline_clean`: the composite training-data cleaning pass —
     * quality gates (token count, distinct-token ratio) ∘ exact dedup

@@ -151,6 +151,32 @@ object Media {
     }.toDF().orderBy($"doc_id", $"frame_idx")
   }
 
+  /** `mm_features_golden`: three pinned payload fingerprints (one of
+    * them the corrupt row) — the decode path's cross-implementation
+    * oracle. The expected rows in [[mmFeaturesGoldenSql]] were computed
+    * by an INDEPENDENT Python reimplementation of the GRFT1 codec over
+    * the same documents, so silent codec drift (header parse, pixel
+    * mixing, downsample, CRC) fails the hash compare instead of
+    * passing rows-only. Values are pinned to the sf0.01 corpus — the
+    * only SF the driver's oracle evaluates. */
+  def mmFeaturesGolden(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mmFeatures(spark, dir).filter($"doc_id".isin(0L, 13L, 250L))
+  }
+
+  val mmFeaturesGoldenSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, ok,
+      |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+      |  CAST(n_frames AS BIGINT) AS n_frames, CAST(n_pixels AS BIGINT) AS n_pixels,
+      |  CAST(pixel_mean AS BIGINT) AS pixel_mean, CAST(pixel_min AS BIGINT) AS pixel_min,
+      |  CAST(pixel_max AS BIGINT) AS pixel_max, CAST(thumb_crc AS BIGINT) AS thumb_crc
+      |FROM (VALUES
+      |  (0, true, 21, 5, 1, 105, 144, 35, 219, 1739376487),
+      |  (13, false, -1, -1, -1, -1, -1, -1, -1, -1),
+      |  (250, true, 15, 11, 3, 495, 147, 0, 255, 4152150123)
+      |) AS t(doc_id, ok, width, height, n_frames, n_pixels, pixel_mean, pixel_min, pixel_max, thumb_crc)
+      |ORDER BY doc_id""".stripMargin
+
   /** The stored-media stand-in: encode text into GRFT1 payloads with
     * typed metadata; 1 + doc_id%4 frames so frame sampling varies.
     * One corrupt payload (doc_id 13) exercises the rejection path. */

@@ -99,5 +99,13 @@ class CollectionStore(spark: SparkSession, path: String, keyCol: String) {
   def delete(keys: DataFrame): Unit =
     if (!isEmpty) swapIn(load().join(keys.select(col(keyCol)), Seq(keyCol), "left_anti"))
 
+  /** Reset: replace the whole snapshot with `seed` (the reference's
+    * /reset cleans the data dir and reseeds, main.py:80-85 + 198-202
+    * — one overwrite here). */
+  def reset(seed: DataFrame, nowMs: Long): Unit =
+    swapIn(seed
+      .withColumn("created_at_ms", lit(nowMs))
+      .withColumn("updated_at_ms", lit(nowMs)))
+
   def count(): Long = if (isEmpty) 0L else load().count()
 }

@@ -52,6 +52,24 @@ class InvalidationSpec extends AnyFunSuite {
     }
   }
 
+  test("reset invalidates too: a reseeded store no longer serves the upserted doc") {
+    val dir = seedDocsDir()
+    val store = new CollectionStore(spark, s"$dir/documents.parquet", "doc_id")
+    val newDoc = graft.core.Tables.documents(spark, sf).filter($"doc_id" === 0)
+      .withColumn("doc_id", lit(Sentinel))
+      .withColumn("text", lit(Collections.DemoQueryText))
+    store.upsert(newDoc, nowMs = 2000L)
+    val withSentinel = Collections.queryText(spark, dir, "cosine")
+      .select($"id").as[Long].collect()
+    assert(withSentinel.contains(Sentinel))
+    store.reset(graft.core.Tables.documents(spark, sf).filter($"doc_id" < 80),
+      nowMs = 3000L)
+    val afterReset = Collections.queryText(spark, dir, "cosine")
+      .select($"id").as[Long].collect()
+    assert(!afterReset.contains(Sentinel),
+      "reset store still serves the pre-reset document (stale index)")
+  }
+
   test("upsert invalidates the memoized IVF index over an embeddings store") {
     val tmp = Files.createTempDirectory("graft_inval_emb").toFile.getAbsolutePath
     val emb = graft.core.Tables.embeddings(spark, sf)
