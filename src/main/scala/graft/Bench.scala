@@ -2,10 +2,44 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Benchmark main: runs every `SparkEntry.queries` entry against
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+  *
+  * Trustworthiness controls (the r2 driver artifact was inflated 3-16×
+  * by machine contention from a still-running test JVM):
+  *  - the JSON carries a `preflight` block — system load average at
+  *    start/end and the count of other live JVMs — so a contaminated
+  *    run is detectable from the artifact itself instead of needing a
+  *    re-run to adjudicate;
+  *  - `SPARK_GRAFT_BENCH_REPEAT=n` measures each query n times and
+  *    reports the minimum (the standard noise floor estimator); the
+  *    default 1 keeps the driver's cold-build semantics comparable
+  *    with earlier rounds.
+  *  - a `warm` block re-times the index-backed text queries after
+  *    their memoized index builds, separating serve cost from build
+  *    cost (the build is a batch job at scale, not a per-query tax).
+  */
 object Bench {
+
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Other live JVMs (sbt shells, test runners, other drivers) — >1
+    * alongside a bench is the contention signature seen in r2. */
+  private def otherJvms: Long = {
+    val self = ProcessHandle.current().pid()
+    ProcessHandle.allProcesses().filter { p =>
+      p.pid() != self && p.info().command().orElse("").contains("java")
+    }.count()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    val loadStart = loadAvg
+    val jvmsStart = otherJvms
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,7 +51,8 @@ object Bench {
     // not inside the first measured query.
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
       // A failed query must not silently contribute ~0s and make the
       // bench LOOK faster: record the error and report it in the JSON.
@@ -26,14 +61,31 @@ object Bench {
           System.err.println(s"BENCH FAILURE $name: $t")
           Some(t.getClass.getSimpleName)
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, err)
     }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = (1 to math.max(1, repeat)).map(_ => timeOnce(name, fn))
+      (name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
+    }
+    // Warm serve times for the memoized index-backed text queries: the
+    // main loop's first invocation paid the index build; these re-runs
+    // measure the steady-state serving path the index exists for.
+    val warm = Seq("query_text_ivf", "query_text_nsw", "query_text_chunks")
+      .flatMap { name =>
+        SparkEntry.queries.get(name).map(fn => (name, timeOnce(name, fn)._1))
+      }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
+    val warmJson = warm.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val preflight =
+      s"""{"load_avg_start":$loadStart,"load_avg_end":$loadAvg,""" +
+        s""""other_jvms_start":$jvmsStart,"other_jvms_end":$otherJvms,""" +
+        s""""cpus":$cpus,"repeat":$repeat}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warm":$warmJson,"preflight":$preflight,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -67,6 +67,8 @@ object Profile {
     time("nsw_search_q") { SparkEntry.queries("nsw_search")(spark, sfDir).count() }
     time("nsw_build_lsh_q") { SparkEntry.queries("nsw_build_lsh")(spark, sfDir).count() }
     time("query_index_nsw_q") { SparkEntry.queries("query_index_nsw")(spark, sfDir).count() }
+    time("qwi_nsw_raw") { graft.operators.Collections.queryWithIndex(spark, sfDir, "nsw").count() }
+    time("qic_nsw_checked_again") { SparkEntry.queries("query_index_nsw")(spark, sfDir).count() }
     time("query_text_ivf_q") { SparkEntry.queries("query_text_ivf")(spark, sfDir).count() }
     time("query_text_nsw_q") { SparkEntry.queries("query_text_nsw")(spark, sfDir).count() }
     spark.stop()

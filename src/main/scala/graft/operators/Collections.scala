@@ -182,8 +182,13 @@ object Collections {
     * join ∪ anti-join — both broadcast the tiny hits; the anti probe
     * reads only the pruned doc_id column. */
   private def contentJoin(spark: SparkSession, dir: String,
-      hits: DataFrame): DataFrame = {
+      hitsIn: DataFrame): DataFrame = {
     import spark.implicits._
+    // hits is queries × k rows but its PLAN is the whole search
+    // (beam supersteps / probe joins); the matched + orphaned branches
+    // reference it twice, so materialize the k rows once instead of
+    // replaying the search subtree per reference.
+    val hits = hitsIn.localCheckpoint(true)
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", substring($"text", 1, 40).as("content"))
     val matched = docs.join(broadcast(hits), $"neighbor_id" === $"doc_id")
@@ -317,7 +322,10 @@ object Collections {
       indexType: String, k: Int = 10): DataFrame = {
     import spark.implicits._
     val hits = queryWithIndex(spark, dir, indexType, k)
+    // materialize the k·queries rows: the invariant probes below
+    // reference this frame four times and must not replay the search
     val base = hits.select($"q_id", $"rank", $"id", $"content", $"confidence_e6")
+      .localCheckpoint(true)
     // ids present in the corpus — probe from the big side, keep ≤ |hits|
     val matchedIds = Tables.embeddings(spark, dir)
       .join(broadcast(base.select($"id")), $"vec_id" === $"id", "left_semi")
