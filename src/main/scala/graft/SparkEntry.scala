@@ -41,6 +41,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
+    "dedup_components" -> ((s: SparkSession, d: String) => Dedup.components(s, d)),
+    "contamination_check" -> (Dedup.contamination _),
     // text analysis family
     "text_tokens" -> (TextOps.textTokens _),
     "text_quality" -> (TextOps.textQuality _),
@@ -119,6 +121,8 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_embedding" -> Dedup.embeddingNearDupSql,
+    "dedup_components" -> Dedup.componentsSql,
+    "contamination_check" -> Dedup.contaminationSql,
     "text_tokens" -> TextOps.textTokensSql,
     "text_quality" -> TextOps.textQualitySql,
     "text_lang_id" -> TextOps.textLangIdSql,

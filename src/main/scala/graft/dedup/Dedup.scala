@@ -286,6 +286,126 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Connected-components canonicalization over the MinHash near-dup
+    * pairs: every document gets a `component` id (the min doc_id
+    * reachable through pairs with estimated Jaccard ≥ 0.5) and
+    * `keep = 1` iff it is its component's canonical survivor. This is
+    * the step a real pipeline runs AFTER pair generation — near-dup
+    * is transitive in practice (A≈B, B≈C ⇒ keep one of {A,B,C}) and
+    * pairwise "keep the smaller id" would keep B twice.
+    *
+    * Scale shape: iterative min-label propagation — each round is one
+    * equi-join of the edge table against the label table plus a
+    * map-side-combined min aggregate, i.e. a linear shuffle; rounds =
+    * component diameter. Near-dup components are band-collision
+    * cliques (diameter ≤ ~2-3), so the loop converges in a handful of
+    * rounds regardless of corpus size; a hard cap fails loudly rather
+    * than returning a half-propagated labeling. Each round
+    * localCheckpoints (labels are one long pair per doc) so the plan
+    * does not double per iteration. */
+  def components(spark: SparkSession, dir: String,
+      minEstJaccardE6: Long = 500000L): DataFrame = {
+    import spark.implicits._
+    val pairs = minhash(spark, dir)
+      .filter($"est_jaccard_e6" >= minEstJaccardE6)
+      .select($"doc_a", $"doc_b")
+    // undirected propagation: materialize both directions once
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .localCheckpoint(true)
+    var labels = Tables.documents(spark, dir)
+      .select($"doc_id", $"doc_id".as("component"))
+      .localCheckpoint(true)
+    // labels only ever decrease, so sum(component) is a strictly
+    // decreasing convergence measure — one cheap agg per round.
+    var curSum = labels.agg(sum($"component")).first().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 32) {
+      val nbrMin = edges
+        .join(labels.select($"doc_id".as("src"), $"component".as("src_label")), Seq("src"))
+        .groupBy($"dst")
+        .agg(min($"src_label").as("nbr_min"))
+        .select($"dst".as("doc_id"), $"nbr_min")
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select($"doc_id",
+          least($"component", coalesce($"nbr_min", $"component")).as("component"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum($"component")).first().getLong(0)
+      converged = nextSum == curSum
+      curSum = nextSum
+      labels = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedup_components did not converge in $rounds rounds — component diameter > cap")
+    labels.select($"doc_id", $"component",
+        ($"doc_id" === $"component").cast(LongType).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle twin: min reachable doc_id via a recursive CTE (the
+    * UNION-dedup makes the recursion terminate at the fixpoint). */
+  val componentsSql: String =
+    s"""WITH RECURSIVE cand AS (
+       |  SELECT doc_a, doc_b FROM ($minhashSql) t WHERE est_jaccard_e6 >= 500000
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand
+       |), reach AS (
+       |  SELECT doc_id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.dst AS doc_id, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+       |)
+       |SELECT doc_id, min(r) AS component, CAST(doc_id = min(r) AS BIGINT) AS keep
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Train/eval contamination check: which training documents share
+    * verbatim word-7-grams with the held-out eval slice
+    * (doc_id % 10 = 0 stands in for a benchmark suite), and how much
+    * of each training document is covered. The industry-standard
+    * pre-training hygiene step (n-gram overlap against benchmarks).
+    *
+    * Scale shape: a shingle-hash equality join between train postings
+    * and eval postings — linear in postings, never |train|×|eval|; a
+    * genuinely tiny eval side becomes a broadcast under AQE without
+    * the code assuming it. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", explode(graft.functions.hashes.hashedWordShingles($"text", 7)).as("h"))
+      .distinct()
+    val evalSh = sh.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("eval_id"), $"h")
+    val trainSh = sh.filter($"doc_id" % 10 =!= 0)
+    val sizes = trainSh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val overlap = trainSh.join(evalSh, Seq("h"))
+      .groupBy($"doc_id", $"eval_id")
+      .agg(count(lit(1)).as("shared"))
+    overlap.join(sizes, Seq("doc_id"))
+      .select($"doc_id".as("train_id"), $"eval_id", $"shared",
+        Stab.e6($"shared".cast("double") / $"n_sh").as("contamination_e6"))
+      .orderBy($"train_id", $"eval_id")
+  }
+
+  val contaminationSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, ${TextOps.hash60Sql("s")} AS h
+       |  FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("w", 7)}) AS s
+       |        FROM (SELECT doc_id, ${TextOps.tokensSql} AS w FROM documents))
+       |), ev AS (SELECT doc_id AS eval_id, h FROM sh WHERE doc_id % 10 = 0),
+       |tr AS (SELECT doc_id, h FROM sh WHERE doc_id % 10 <> 0),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
+       |ov AS (
+       |  SELECT tr.doc_id, ev.eval_id, count(*) AS shared
+       |  FROM tr JOIN ev USING (h) GROUP BY tr.doc_id, ev.eval_id
+       |)
+       |SELECT ov.doc_id AS train_id, eval_id, shared,
+       |  ${Stab.sqlE6("CAST(shared AS DOUBLE) / n_sh")} AS contamination_e6
+       |FROM ov JOIN sizes ON sizes.doc_id = ov.doc_id
+       |ORDER BY train_id, eval_id""".stripMargin
+
   val embeddingNearDupSql: String = {
     def dot(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"

@@ -1,0 +1,68 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent driver-side references for the pipeline hygiene ops:
+  * `dedup_components` is checked against a union-find over the same
+  * pair set, `contamination_check` against a brute-force shingle
+  * intersection — both tiny at the spec SF but computed by a
+  * different algorithm than the operator under test. */
+class PipelineOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("dedup_components equals union-find over the thresholded minhash pairs") {
+    val pairs = Dedup.minhash(spark, sf)
+      .filter($"est_jaccard_e6" >= 500000L)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect()
+    // union-find with path compression — a different algorithm than
+    // the operator's label propagation
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = docs.map(d => (d, find(d))).toMap
+    val got = Dedup.components(spark, sf)
+      .select($"doc_id", $"component").as[(Long, Long)].collect().toMap
+    assert(got.size == docs.length)
+    assert(got == expected)
+    // keep flags exactly the component minima
+    val keeps = Dedup.components(spark, sf)
+      .filter($"keep" === 1L).select($"doc_id").as[Long].collect().toSet
+    assert(keeps == expected.values.toSet)
+  }
+
+  test("contamination_check equals brute-force 7-gram intersection against the eval slice") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def shingles(text: String): Set[String] = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.length < 7) Set.empty
+      else toks.sliding(7).map(_.mkString(" ")).toSet
+    }
+    val evalS = docs.filter(_._1 % 10 == 0).map { case (id, t) => (id, shingles(t)) }
+    val trainS = docs.filter(_._1 % 10 != 0).map { case (id, t) => (id, shingles(t)) }
+    val expected = (for {
+      (tid, ts) <- trainS; (eid, es) <- evalS
+      shared = ts.intersect(es).size if shared > 0
+    } yield ((tid, eid), (shared.toLong, math.round(shared.toDouble / ts.size * 1e6))))
+      .toMap
+    val got = Dedup.contamination(spark, sf)
+      .select($"train_id", $"eval_id", $"shared", $"contamination_e6")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (t, e, s, c) => ((t, e), (s, c)) }.toMap
+    assert(got == expected)
+  }
+}
