@@ -38,6 +38,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    // comma-separated query-key filter for scale-curve runs (the exact
+    // n² nsw_build oracle mode is deliberately excluded above sf0.1)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val loadStart = loadAvg
     val jvmsStart = otherJvms
     val spark = SparkSession.builder()
@@ -63,7 +67,9 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val runs = (1 to math.max(1, repeat)).map(_ => timeOnce(name, fn))
       (name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
     }
@@ -71,6 +77,7 @@ object Bench {
     // main loop's first invocation paid the index build; these re-runs
     // measure the steady-state serving path the index exists for.
     val warm = Seq("query_text_ivf", "query_text_nsw", "query_text_chunks")
+      .filter(name => only.forall(_.contains(name)))
       .flatMap { name =>
         SparkEntry.queries.get(name).map(fn => (name, timeOnce(name, fn)._1))
       }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-curve instrument: times the same headliner queries against
+  * several SF dirs INSIDE ONE WARMED JVM, interleaving dirs so JIT /
+  * page-cache state is identical for every point — the cross-JVM
+  * bench runs on this host show 3× run-to-run noise from steal time,
+  * which drowns the slope signal this tool exists to measure.
+  *
+  * Method: one full untimed pass over (dirs × queries) warms codegen
+  * and memoized index builds, then `repeat` timed passes record the
+  * min per (dir, query). Warm timings are the right basis for a
+  * slope: index/sketch builds are one-time batch jobs at scale, and
+  * including them in ONE point but not another (memo effects) would
+  * bend the curve. Prints one JSON line per dir.
+  *
+  * Usage: runMain graft.ScaleCurve dir1 dir2 ... (env
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_CURVE_REPEAT, SPARK_GRAFT_BENCH_ONLY
+  * as in Bench).
+  */
+object ScaleCurve {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_CURVE_REPEAT", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scale-curve").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // untimed warmup pass: codegen, shuffle services, memoized builds
+    for (dir <- dirs; (name, fn) <- queries)
+      try fn(spark, dir).count() catch { case t: Throwable =>
+        System.err.println(s"CURVE WARMUP FAILURE $name@$dir: $t") }
+    val times = collection.mutable.Map.empty[(String, String), Double]
+    for (_ <- 1 to repeat; dir <- dirs; (name, fn) <- queries) {
+      val t0 = System.nanoTime()
+      try fn(spark, dir).count() catch { case t: Throwable =>
+        System.err.println(s"CURVE FAILURE $name@$dir: $t") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val k = (dir, name)
+      times(k) = math.min(times.getOrElse(k, Double.MaxValue), dt)
+    }
+    for (dir <- dirs) {
+      val qs = queries.map { case (name, _) =>
+        s"\"" + name + "\":" + times((dir, name)) }.mkString("{", ",", "}")
+      val total = queries.map { case (name, _) => times((dir, name)) }.sum
+      println(s"""{"metric":"curve","dir":"$dir","total":$total,"queries":$qs,"repeat":$repeat}""")
+    }
+    spark.stop()
+  }
+}

@@ -63,9 +63,11 @@ object SparkEntry {
     // recall quality is the ScalaTest bars' job
     "query_index_ivf" -> ((s: SparkSession, d: String) => Collections.queryIndexChecked(s, d, "ivf")),
     "query_index_nsw" -> ((s: SparkSession, d: String) => Collections.queryIndexChecked(s, d, "nsw")),
-    "query_text_ivf" -> ((s: SparkSession, d: String) => Collections.queryText(s, d, "ivf")),
-    "query_text_nsw" -> ((s: SparkSession, d: String) => Collections.queryText(s, d, "nsw")),
-    "query_text_chunks" -> ((s: SparkSession, d: String) => Collections.queryTextChunks(s, d)),
+    // TEXT /query variants also run through invariant-checked views
+    // (contract grid is SQL-exact even though the ANN hit set isn't)
+    "query_text_ivf" -> ((s: SparkSession, d: String) => Collections.queryTextChecked(s, d, "ivf")),
+    "query_text_nsw" -> ((s: SparkSession, d: String) => Collections.queryTextChecked(s, d, "nsw")),
+    "query_text_chunks" -> ((s: SparkSession, d: String) => Collections.queryTextChunksChecked(s, d)),
     "mm_features" -> (Media.mmFeatures _),
     "mm_features_golden" -> (Media.mmFeaturesGolden _),
     "mm_frame_sample" -> (Media.mmFrameSample _),
@@ -136,6 +138,9 @@ object SparkEntry {
     "query_index_cosine" -> Collections.queryIndexCosineSql,
     "query_index_ivf" -> Collections.queryIndexCheckedSql,
     "query_index_nsw" -> Collections.queryIndexCheckedSql,
+    "query_text_ivf" -> Collections.queryTextCheckedSql,
+    "query_text_nsw" -> Collections.queryTextCheckedSql,
+    "query_text_chunks" -> Collections.queryTextCheckedSql,
     "mm_features_golden" -> Media.mmFeaturesGoldenSql,
     "crud_library" -> Libraries.crudLibrarySql,
     "crud_integrity" -> Libraries.crudIntegritySql,

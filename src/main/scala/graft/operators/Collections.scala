@@ -304,6 +304,69 @@ object Collections {
       .orderBy($"rank")
   }
 
+  /** Invariant view of the single-TEXT /query paths, same idea as
+    * [[queryIndexChecked]]: the ANN hit SET is approximate, but the
+    * /query contract is exact — k hits ranked 1..k, every id a real
+    * document, content equal to that document's prefix, confidence
+    * inside the cosine bound and non-increasing down the ranking. The
+    * oracle expects the all-true grid, so any contract break flips
+    * the hash. All probes broadcast the k-row hit set into the
+    * corpus scan — the checks add no new scan shape. */
+  def queryTextChecked(spark: SparkSession, dir: String,
+      indexType: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val base = queryText(spark, dir, indexType, k = k)
+      .select($"rank", $"id", $"content", $"confidence_e6")
+      .localCheckpoint(true)
+    val expected = Tables.documents(spark, dir)
+      .join(broadcast(base.select($"id")), $"doc_id" === $"id", "left_semi")
+      .select($"doc_id".as("id"), substring($"text", 1, 40).as("expected_content"))
+    // rank r+1's confidence, keyed by r — a 2-row-offset self-join on
+    // the k rows, NOT a window (a global window over even k rows would
+    // reintroduce the empty-partition-spec shape this path removed)
+    val next = base.select(($"rank" - 1).as("rank"), $"confidence_e6".as("next_conf"))
+    base.join(broadcast(expected), Seq("id"), "left")
+      .join(broadcast(next), Seq("rank"), "left")
+      .select($"rank",
+        $"expected_content".isNotNull.as("id_in_corpus"),
+        coalesce($"content" === $"expected_content", lit(false)).as("content_ok"),
+        $"confidence_e6".between(-1000000L, 1000000L).as("score_bounded"),
+        coalesce($"next_conf" <= $"confidence_e6", lit(true)).as("next_not_higher"))
+      .orderBy($"rank")
+  }
+
+  /** Chunk-granular twin of [[queryTextChecked]] over
+    * [[queryTextChunks]] — ids are (doc_id, chunk_idx), content must
+    * equal that chunk's prefix. */
+  def queryTextChunksChecked(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val base = queryTextChunks(spark, dir, k = k)
+      .select($"rank", $"doc_id", $"chunk_idx", $"content", $"confidence_e6")
+      .localCheckpoint(true)
+    val expected = chunksRaw(spark, dir)
+      .join(broadcast(base.select($"doc_id", $"chunk_idx")),
+        Seq("doc_id", "chunk_idx"), "left_semi")
+      .select($"doc_id", $"chunk_idx",
+        substring($"chunk_text", 1, 40).as("expected_content"))
+    val next = base.select(($"rank" - 1).as("rank"), $"confidence_e6".as("next_conf"))
+    base.join(broadcast(expected), Seq("doc_id", "chunk_idx"), "left")
+      .join(broadcast(next), Seq("rank"), "left")
+      .select($"rank",
+        $"expected_content".isNotNull.as("id_in_corpus"),
+        coalesce($"content" === $"expected_content", lit(false)).as("content_ok"),
+        $"confidence_e6".between(-1000000L, 1000000L).as("score_bounded"),
+        coalesce($"next_conf" <= $"confidence_e6", lit(true)).as("next_not_higher"))
+      .orderBy($"rank")
+  }
+
+  /** The all-invariants-hold grid the checked TEXT /query variants
+    * must produce: ranks 1..k, every flag true. */
+  val queryTextCheckedSql: String =
+    """SELECT CAST(r.rank AS BIGINT) AS rank, true AS id_in_corpus,
+      |  true AS content_ok, true AS score_bounded, true AS next_not_higher
+      |FROM generate_series(1, 10) r(rank) ORDER BY rank""".stripMargin
+
   /** Deterministic invariant view of the ANN /query variants. An ANN
     * hit set cannot hash-match a SQL oracle (the whole point of the
     * index is an approximate cut), but the /query CONTRACT can: k hits
