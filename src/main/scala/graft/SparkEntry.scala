@@ -55,7 +55,10 @@ object SparkEntry {
     "crud_read" -> (Collections.crudRead _),
     "crud_list" -> (Collections.crudList _),
     "crud_reset" -> (Collections.crudReset _),
-    "query_e2e" -> (Collections.queryE2E _),
+    // /query e2e runs through the checked single-text-query view (the
+    // brute path — same embedder, corpus, top-k, tie-break as
+    // queryE2E, which LibrariesSpec holds to id-level parity)
+    "query_e2e" -> ((s: SparkSession, d: String) => Collections.queryTextChecked(s, d, "cosine")),
     "query_index_cosine" -> ((s: SparkSession, d: String) => Collections.queryWithIndex(s, d, "cosine")),
     // ANN /query variants run through the invariant-checked view: the
     // hit SET can't hash-match SQL, but the /query contract (k ranked
@@ -77,7 +80,7 @@ object SparkEntry {
     "crud_integrity" -> (Libraries.crudIntegrity _),
     "crud_library_cascade" -> (Libraries.crudLibraryCascade _),
     "crud_update_merge" -> (Libraries.crudUpdateMerge _),
-    "crud_upsert_embed" -> (Libraries.crudUpsertEmbed _),
+    "crud_upsert_embed" -> (Libraries.crudUpsertEmbedChecked _),
     "meta_filter" -> (Libraries.metaFilter _),
     "sample_stratified" -> ((s: SparkSession, d: String) => Libraries.sampleStratified(s, d)),
     "pack_token_budget" -> ((s: SparkSession, d: String) => Libraries.packTokenBudget(s, d)),
@@ -92,9 +95,12 @@ object SparkEntry {
     "pipeline_clean" -> (Collections.pipelineClean _),
   )
 
-  /** `embed_text`: deterministic embedder fingerprint per doc —
-    * dimension, unit norm, and the first component (rows-only; the
-    * embedder has no SQL twin by design). */
+  /** `embed_text`: embedder contract per doc — dimension, e6-exact
+    * unit norm, and a bounded first component. DuckDB cannot compute
+    * the embedder, but it CAN assert this whole projection (dim and
+    * norm are constants of the contract, the component bound is a
+    * flag), so the entry is fully SQL-oracled; value-level embedder
+    * determinism is PropertySpec's job. */
   private def embedText(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.core.Tables.documents(spark, dir)
@@ -102,9 +108,15 @@ object SparkEntry {
       .select($"doc_id",
         size($"emb").cast("long").as("dim"),
         Stab.e6(sqrt(vectors.dotProduct($"emb", $"emb"))).as("norm_e6"),
-        Stab.e6(element_at($"emb", 1).cast("double")).as("c0_e6"))
+        Stab.e6(element_at($"emb", 1).cast("double"))
+          .between(-1000000L, 1000000L).as("c0_bounded"))
       .orderBy($"doc_id")
   }
+
+  private val embedTextSql: String =
+    """SELECT doc_id, CAST(64 AS BIGINT) AS dim,
+      |  CAST(1000000 AS BIGINT) AS norm_e6, true AS c0_bounded
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** DuckDB-runnable ANSI SQL twin for each oracle-checkable query. */
   def oracleSql: Map[String, String] = Map(
@@ -141,6 +153,9 @@ object SparkEntry {
     "query_text_ivf" -> Collections.queryTextCheckedSql,
     "query_text_nsw" -> Collections.queryTextCheckedSql,
     "query_text_chunks" -> Collections.queryTextCheckedSql,
+    "query_e2e" -> Collections.queryTextCheckedSql,
+    "embed_text" -> embedTextSql,
+    "crud_upsert_embed" -> Libraries.crudUpsertEmbedCheckedSql,
     "mm_features_golden" -> Media.mmFeaturesGoldenSql,
     "crud_library" -> Libraries.crudLibrarySql,
     "crud_integrity" -> Libraries.crudIntegritySql,

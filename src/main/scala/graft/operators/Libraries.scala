@@ -187,6 +187,26 @@ object Libraries {
       .orderBy($"doc_id")
   }
 
+  /** SQL-exact projection of [[crudUpsertEmbed]] for the driver
+    * oracle: which rows re-embedded (`op` is derivable from the
+    * update-batch predicate), the e6-exact unit norm every embedder
+    * output must carry, and a bounded first component. The
+    * value-level vector check (updated rows embed upper(text), kept
+    * rows keep the stored vector) stays in LibrariesSpec. */
+  def crudUpsertEmbedChecked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    crudUpsertEmbed(spark, dir)
+      .select($"doc_id", $"op", $"norm_e6",
+        $"c0_e6".between(-1000000L, 1000000L).as("c0_bounded"))
+      .orderBy($"doc_id")
+  }
+
+  val crudUpsertEmbedCheckedSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 10 = 0 THEN 'updated' ELSE 'kept' END AS op,
+      |  CAST(1000000 AS BIGINT) AS norm_e6, true AS c0_bounded
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** `sample_stratified`: deterministic per-group quota sampling —
     * the data-mixing primitive of a training pipeline (cap each
     * domain/source at N documents so no single source dominates the
