@@ -73,11 +73,15 @@ object TextOps {
 
   private val enStopwords = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Per-row quality columns over any frame with (doc_id, text) —
+    * pure column algebra with no aggregation or ordering, so it
+    * applies unchanged to a STREAMING documents frame
+    * ([[graft.streaming.QualityStream]]). */
+  def qualityColumns(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val stoplist = array(enStopwords.map(lit): _*)
     val t = tokens($"text")
-    Tables.documents(spark, dir)
+    docs
       .select($"doc_id", length($"text").cast(LongType).as("n_chars_len"), t.as("w"))
       .select($"doc_id", $"n_chars_len",
         size($"w").cast(LongType).as("n_tokens"),
@@ -88,7 +92,11 @@ object TextOps {
         Stab.e6(when($"n_tokens" > 0, $"n_stop".cast("double") / $"n_tokens").otherwise(0.0)).as("stop_ratio_e6"),
         Stab.e6(when($"n_tokens" > 0, $"n_distinct".cast("double") / $"n_tokens").otherwise(0.0)).as("distinct_ratio_e6"),
         Stab.e6(when($"n_tokens" > 0, $"sum_token_len".cast("double") / $"n_tokens").otherwise(0.0)).as("avg_token_len_e6"))
-      .orderBy($"doc_id")
+  }
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    qualityColumns(Tables.documents(spark, dir)).orderBy($"doc_id")
   }
 
   val textQualitySql: String = {
