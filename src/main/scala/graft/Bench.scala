@@ -76,10 +76,15 @@ object Bench {
     // Warm serve times for the memoized index-backed text queries: the
     // main loop's first invocation paid the index build; these re-runs
     // measure the steady-state serving path the index exists for.
+    // a warm re-run that FAILS must not report its time-to-exception
+    // as a serve time — mark it in the JSON instead
     val warm = Seq("query_text_ivf", "query_text_nsw", "query_text_chunks")
       .filter(name => only.forall(_.contains(name)))
       .flatMap { name =>
-        SparkEntry.queries.get(name).map(fn => (name, timeOnce(name, fn)._1))
+        SparkEntry.queries.get(name).map { fn =>
+          val (t, err) = timeOnce(name, fn)
+          (name, err.fold(t.toString)(e => "\"failed:" + e + "\""))
+        }
       }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

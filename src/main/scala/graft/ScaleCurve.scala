@@ -24,7 +24,7 @@ object ScaleCurve {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_CURVE_REPEAT", "3").toInt
+    val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_CURVE_REPEAT", "3").toInt)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
@@ -39,20 +39,33 @@ object ScaleCurve {
     for (dir <- dirs; (name, fn) <- queries)
       try fn(spark, dir).count() catch { case t: Throwable =>
         System.err.println(s"CURVE WARMUP FAILURE $name@$dir: $t") }
+    // A failed run must NOT enter the min as its time-to-exception —
+    // that is the "failure looks fast" artifact corruption Bench fixed;
+    // a (dir, query) that ever fails is reported in `errors`, not
+    // `queries`.
     val times = collection.mutable.Map.empty[(String, String), Double]
+    val errors = collection.mutable.Map.empty[(String, String), String]
     for (_ <- 1 to repeat; dir <- dirs; (name, fn) <- queries) {
       val t0 = System.nanoTime()
-      try fn(spark, dir).count() catch { case t: Throwable =>
-        System.err.println(s"CURVE FAILURE $name@$dir: $t") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      val k = (dir, name)
-      times(k) = math.min(times.getOrElse(k, Double.MaxValue), dt)
+      try {
+        fn(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val k = (dir, name)
+        times(k) = math.min(times.getOrElse(k, Double.MaxValue), dt)
+      } catch { case t: Throwable =>
+        System.err.println(s"CURVE FAILURE $name@$dir: $t")
+        errors((dir, name)) = t.getClass.getSimpleName
+      }
     }
     for (dir <- dirs) {
-      val qs = queries.map { case (name, _) =>
+      val ok = queries.filter { case (name, _) =>
+        times.contains((dir, name)) && !errors.contains((dir, name)) }
+      val qs = ok.map { case (name, _) =>
         s"\"" + name + "\":" + times((dir, name)) }.mkString("{", ",", "}")
-      val total = queries.map { case (name, _) => times((dir, name)) }.sum
-      println(s"""{"metric":"curve","dir":"$dir","total":$total,"queries":$qs,"repeat":$repeat}""")
+      val errs = queries.collect { case (name, _) if errors.contains((dir, name)) =>
+        s"\"" + name + "\":\"" + errors((dir, name)) + "\"" }.mkString("{", ",", "}")
+      val total = ok.map { case (name, _) => times((dir, name)) }.sum
+      println(s"""{"metric":"curve","dir":"$dir","total":$total,"queries":$qs,"errors":$errs,"repeat":$repeat}""")
     }
     spark.stop()
   }

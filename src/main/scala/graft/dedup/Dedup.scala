@@ -64,7 +64,8 @@ object Dedup {
     * artifact (like IvfIndex.buildCached) — `dedup_minhash` and
     * `pipeline_clean` share one materialization instead of each
     * re-sketching the corpus. */
-  private val sigCache = new graft.store.VersionedMemo[DataFrame]()
+  private val sigCache =
+    new graft.store.VersionedMemo[DataFrame](graft.core.Checkpoints.free)
 
   /** (doc_id, sig[numHashes]) MinHash signature table, cached per
     * (session, dir) and invalidated by store writes under the dir. */

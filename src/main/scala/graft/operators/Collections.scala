@@ -207,7 +207,8 @@ object Collections {
     * the TEXT query path searches (the reference embeds chunk content
     * at write time and queries against those vectors,
     * main.py:234-238 + 320-341). */
-  private val docEmbCache = new graft.store.VersionedMemo[DataFrame]()
+  private val docEmbCache =
+    new graft.store.VersionedMemo[DataFrame](graft.core.Checkpoints.free)
 
   private def docEmbeddings(spark: SparkSession, dir: String): DataFrame =
     docEmbCache.get(spark, dir, dir) {
@@ -260,12 +261,24 @@ object Collections {
     }
   }
 
-  /** Multiplier packing (doc_id, chunk_idx) into one chunk vec_id —
-    * chunk counts per document are bounded far below it (chunkSize 200
-    * / stride 150 means ~7 chunks per KB of text). */
-  private val chunkIdBase = 1000L
+  /** Multiplier packing (doc_id, chunk_idx) into one chunk vec_id.
+    * The base bounds chunks per document at 1M (chunkSize 200 /
+    * stride 150 → ~150 MB of text — far beyond any real document);
+    * doc_id stays exact up to ~9.2e12. A document that DOES overflow
+    * must fail loudly, not silently collide with the next document's
+    * chunk ids: [[packedChunkId]] folds the bound check into the id
+    * expression itself, so column pruning cannot drop it. */
+  private val chunkIdBase = 1000000L
 
-  private val chunkEmbCache = new graft.store.VersionedMemo[DataFrame]()
+  private def packedChunkId(docId: org.apache.spark.sql.Column,
+      chunkIdx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    docId * chunkIdBase + chunkIdx +
+      coalesce(assert_true(chunkIdx < lit(chunkIdBase),
+        concat(lit(s"chunk_idx overflows packing base $chunkIdBase for doc_id "), docId))
+        .cast("long"), lit(0L))
+
+  private val chunkEmbCache =
+    new graft.store.VersionedMemo[DataFrame](graft.core.Checkpoints.free)
 
   /** Chunk-content embedding corpus: chunk_documents ∘ auto-embed,
     * memoized + write-invalidated like [[docEmbeddings]]. This is the
@@ -276,7 +289,7 @@ object Collections {
     chunkEmbCache.get(spark, dir, dir) {
       import spark.implicits._
       chunksRaw(spark, dir)
-        .select(($"doc_id" * chunkIdBase + $"chunk_idx").as("vec_id"),
+        .select(packedChunkId($"doc_id", $"chunk_idx").as("vec_id"),
           Embedder.embedText($"chunk_text").as("embedding"))
         .localCheckpoint(true)
     }
@@ -296,7 +309,7 @@ object Collections {
     // content join at chunk granularity: unpack the packed id and join
     // the chunk text back — hits are k rows, broadcast into the scan
     val chunks = chunksRaw(spark, dir).select(
-      ($"doc_id" * chunkIdBase + $"chunk_idx").as("neighbor_id"),
+      packedChunkId($"doc_id", $"chunk_idx").as("neighbor_id"),
       $"doc_id", $"chunk_idx", substring($"chunk_text", 1, 40).as("content"))
     chunks.join(broadcast(hits), Seq("neighbor_id"))
       .select($"doc_id", $"chunk_idx", $"content",
@@ -510,6 +523,13 @@ object Collections {
     * doc_id of each candidate pair). Shows the operators composing
     * into one declarative plan; every stage is individually oracled,
     * and so is the composite. */
+  /** The quality gate shared by the batch pipeline and its streaming
+    * twin ([[graft.streaming.QualityStream]]) — ONE definition so the
+    * advertised stream/batch parity cannot drift when tuned. The SQL
+    * oracle twin inlines the same values (pipelineCleanSql). */
+  val QualityMinTokens = 20L
+  val QualityMinDistinctRatioE6 = 300000L
+
   def pipelineClean(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -521,7 +541,8 @@ object Collections {
     val nearDrop = graft.dedup.Dedup.minhash(spark, dir)
       .select($"doc_b".as("doc_id")).distinct()
     quality
-      .filter($"n_tokens" >= 20 && $"distinct_ratio_e6" >= 300000)
+      .filter($"n_tokens" >= QualityMinTokens &&
+        $"distinct_ratio_e6" >= QualityMinDistinctRatioE6)
       .join(exactDrop, Seq("doc_id"), "left_anti")
       .join(nearDrop, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"n_tokens", $"distinct_ratio_e6")
@@ -540,7 +561,7 @@ object Collections {
        |near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM ($minhashSql) m)
        |SELECT doc_id, n_tokens, distinct_ratio_e6
        |FROM quality
-       |WHERE n_tokens >= 20 AND distinct_ratio_e6 >= 300000
+       |WHERE n_tokens >= $QualityMinTokens AND distinct_ratio_e6 >= $QualityMinDistinctRatioE6
        |  AND doc_id NOT IN (SELECT doc_id FROM exact_drop)
        |  AND doc_id NOT IN (SELECT doc_id FROM near_drop)
        |ORDER BY doc_id""".stripMargin

@@ -30,9 +30,15 @@ object IndexVersions {
   def version(dir: String): Long = {
     val d = norm(dir)
     var v = 0L
-    bumps.forEach((k, n) => if (k.startsWith(d) || d.startsWith(k)) v += n.get())
+    bumps.forEach((k, n) => if (contains(k, d) || contains(d, k)) v += n.get())
     v
   }
+
+  /** Path containment with a separator boundary: `/a/b` contains
+    * `/a/b/c` but NOT `/a/bc` — raw startsWith would cross-invalidate
+    * sibling dirs sharing a string prefix (sf1 vs sf10). */
+  private def contains(parent: String, child: String): Boolean =
+    child == parent || child.startsWith(parent + "/")
 
   private def norm(p: String): String = p.stripSuffix("/")
 }
@@ -56,11 +62,27 @@ final class VersionedMemo[V](onEvict: V => Unit = (_: V) => ()) {
 
   /** Memoized `build`, rebuilt whenever `versionDir`'s data changes.
     * `key` distinguishes different corpora over the same dir. */
-  def get(spark: SparkSession, key: String, versionDir: String)(build: => V): V =
+  def get(spark: SparkSession, key: String, versionDir: String)(build: => V): V = {
+    // drop entries of stopped sessions first: they hold strong refs to
+    // the dead session and its values, and their eviction hook frees
+    // whatever executor/driver memory the value still pins — without
+    // this a JVM cycling SparkSessions accumulates dead memos forever
+    m.keySet.forEach { k =>
+      if (k._1.sparkContext.isStopped) {
+        val removed = m.remove(k)
+        if (removed != null) evictQuietly(removed.value)
+      }
+    }
     m.compute((spark, key), (_, old) =>
       if (old != null && old.version == IndexVersions.version(versionDir)) old
       else {
-        if (old != null) onEvict(old.value)
+        if (old != null) evictQuietly(old.value)
         Entry(IndexVersions.version(versionDir), build)
       }).value
+  }
+
+  /** Eviction frees memory best-effort — it must never fail a lookup
+    * (e.g. unpersist against an already-stopped session). */
+  private def evictQuietly(v: V): Unit =
+    try onEvict(v) catch { case _: Throwable => () }
 }

@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object QualityStream {
 
-  /** Same thresholds as `pipeline_clean`'s quality stage
-    * (Collections.pipelineClean): enough tokens to be trainable,
-    * enough distinct tokens to reject degenerate repetition. */
-  def qualityGate(docs: DataFrame, minTokens: Long = 20,
-      minDistinctRatioE6: Long = 300000L): DataFrame =
+  /** Thresholds ARE `pipeline_clean`'s quality-stage constants —
+    * shared so batch/stream parity survives tuning: enough tokens to
+    * be trainable, enough distinct tokens to reject degenerate
+    * repetition. */
+  def qualityGate(docs: DataFrame,
+      minTokens: Long = graft.operators.Collections.QualityMinTokens,
+      minDistinctRatioE6: Long = graft.operators.Collections.QualityMinDistinctRatioE6): DataFrame =
     graft.text.TextOps.qualityColumns(docs)
       .filter(col("n_tokens") >= minTokens &&
         col("distinct_ratio_e6") >= minDistinctRatioE6)

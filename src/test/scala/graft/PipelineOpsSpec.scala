@@ -44,6 +44,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(keeps == expected.values.toSet)
   }
 
+  test("Checkpoints.free releases a localCheckpoint's storage blocks") {
+    val df = spark.range(1000).toDF("x").localCheckpoint(true)
+    assert(df.count() == 1000)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    graft.core.Checkpoints.free(df)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before - 1,
+      s"expected the checkpointed RDD to be unpersisted (before=$before after=$after)" +
+        " — the reflective LogicalRDD accessor no longer matches this Spark version")
+  }
+
   test("contamination_check equals brute-force 7-gram intersection against the eval slice") {
     val docs = graft.core.Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect()
