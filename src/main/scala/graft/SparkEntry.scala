@@ -42,6 +42,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     "dedup_components" -> ((s: SparkSession, d: String) => Dedup.components(s, d)),
+    "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
     "contamination_check" -> (Dedup.contamination _),
     // text analysis family
     "text_tokens" -> (TextOps.textTokens _),
@@ -136,6 +137,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_embedding" -> Dedup.embeddingNearDupSql,
     "dedup_components" -> Dedup.componentsSql,
+    "dedup_substring" -> Dedup.substringSpansSql,
     "contamination_check" -> Dedup.contaminationSql,
     "text_tokens" -> TextOps.textTokensSql,
     "text_quality" -> TextOps.textQualitySql,

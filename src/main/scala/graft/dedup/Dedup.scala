@@ -287,6 +287,48 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Exact-substring dedup: pairs of documents sharing at least one
+    * verbatim `spanLen`-token run — the signal n-gram/minhash dedup
+    * misses when two long documents share only a copied paragraph
+    * (quote chains, syndicated passages, templated sections).
+    *
+    * Scale shape: a span-hash postings equality join, linear in
+    * postings. The document-frequency cap is what keeps it linear on
+    * REAL corpora: boilerplate spans (license headers, navigation
+    * text) occur in millions of documents and would pair
+    * quadratically within their posting; spans with df > `maxDf` are
+    * boilerplate by definition, not duplication evidence, and are
+    * excluded — bounding any span's pair contribution at maxDf². */
+  def substringSpans(spark: SparkSession, dir: String, spanLen: Int = 20,
+      maxDf: Int = 100): DataFrame = {
+    import spark.implicits._
+    val sp = Tables.documents(spark, dir)
+      .select($"doc_id",
+        explode(graft.functions.hashes.hashedWordShingles($"text", spanLen)).as("h"))
+      .distinct()
+      .localCheckpoint(true) // reused: df counts + both sides of the pair join
+    val keep = sp.groupBy($"h").agg(count(lit(1)).as("ndocs"))
+      .filter($"ndocs" <= maxDf).select($"h")
+    val sk = sp.join(keep, Seq("h"))
+    sk.as("a").join(sk.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_spans"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val substringSpansSql: String =
+    s"""WITH sp AS (
+       |  SELECT DISTINCT doc_id, ${TextOps.hash60Sql("s")} AS h
+       |  FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("w", 20)}) AS s
+       |        FROM (SELECT doc_id, ${TextOps.tokensSql} AS w FROM documents))
+       |), df AS (SELECT h, count(*) AS ndocs FROM sp GROUP BY h),
+       |keep AS (SELECT h FROM df WHERE ndocs <= 100),
+       |sk AS (SELECT sp.doc_id, sp.h FROM sp JOIN keep USING (h))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_spans
+       |FROM sk a JOIN sk b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b""".stripMargin
+
   /** Connected-components canonicalization over the MinHash near-dup
     * pairs: every document gets a `component` id (the min doc_id
     * reachable through pairs with estimated Jaccard ≥ 0.5) and

@@ -44,6 +44,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(keeps == expected.values.toSet)
   }
 
+  test("dedup_substring equals brute-force shared-20-token-span pairs with the df cap") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def spans(text: String): Set[String] = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.length < 20) Set.empty
+      else toks.sliding(20).map(_.mkString(" ")).toSet
+    }
+    val perDoc = docs.map { case (id, t) => (id, spans(t)) }
+    val df = perDoc.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val keep = df.filter(_._2 <= 100).keySet
+    val expected = (for {
+      (a, sa) <- perDoc; (b, sb) <- perDoc if a < b
+      shared = sa.intersect(sb).count(keep.contains) if shared > 0
+    } yield ((a, b), shared.toLong)).toMap
+    val got = Dedup.substringSpans(spark, sf)
+      .select($"doc_a", $"doc_b", $"n_spans").as[(Long, Long, Long)]
+      .collect().map { case (a, b, n) => ((a, b), n) }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("Checkpoints.free releases a localCheckpoint's storage blocks") {
     val df = spark.range(1000).toDF("x").localCheckpoint(true)
     assert(df.count() == 1000)
