@@ -86,13 +86,15 @@ object Bench {
           (name, err.fold(t.toString)(e => "\"failed:" + e + "\""))
         }
       }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // a failed query's time-to-exception is not a measurement: it goes
+    // to `errors` only, and does not contribute to `queries`/`total`
+    val qs = results.collect { case (k, v, None) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val warmJson = warm.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.collect { case (_, v, None) => v }.sum
     val preflight =
       s"""{"load_avg_start":$loadStart,"load_avg_end":$loadAvg,""" +
         s""""other_jvms_start":$jvmsStart,"other_jvms_end":$otherJvms,""" +

@@ -57,6 +57,12 @@ object ScaleCurve {
         errors((dir, name)) = t.getClass.getSimpleName
       }
     }
+    // `total` must compare the SAME query set across dirs or the
+    // headline slope bends silently: a query that failed anywhere is
+    // excluded from every dir's total (still reported per-dir in
+    // `queries`/`errors`).
+    val comparable = queries.map(_._1).filter(name =>
+      dirs.forall(dir => times.contains((dir, name)) && !errors.contains((dir, name))))
     for (dir <- dirs) {
       val ok = queries.filter { case (name, _) =>
         times.contains((dir, name)) && !errors.contains((dir, name)) }
@@ -64,8 +70,8 @@ object ScaleCurve {
         s"\"" + name + "\":" + times((dir, name)) }.mkString("{", ",", "}")
       val errs = queries.collect { case (name, _) if errors.contains((dir, name)) =>
         s"\"" + name + "\":\"" + errors((dir, name)) + "\"" }.mkString("{", ",", "}")
-      val total = ok.map { case (name, _) => times((dir, name)) }.sum
-      println(s"""{"metric":"curve","dir":"$dir","total":$total,"queries":$qs,"errors":$errs,"repeat":$repeat}""")
+      val total = comparable.map(name => times((dir, name))).sum
+      println(s"""{"metric":"curve","dir":"$dir","total":$total,"total_queries":${comparable.size},"queries":$qs,"errors":$errs,"repeat":$repeat}""")
     }
     spark.stop()
   }

@@ -13,6 +13,14 @@ import org.apache.spark.sql.DataFrame
   * (`private[sql]`, hence the reflective accessor); releasing is
   * best-effort — on any mismatch the blocks are simply left to the
   * ContextCleaner as before.
+  *
+  * CONTRACT for memo users: checkpoint lineage is truncated, so a
+  * freed frame cannot recompute — a plan derived from a memoized
+  * corpus is valid until the next store write under that dir, and an
+  * action on a stale plan after a write fails LOUDLY ("checkpoint
+  * block not found") rather than silently serving pre-write data.
+  * That matches the reference's semantics (every search reads current
+  * data, collection.py:195-200): rebuild from the memo after writing.
   */
 object Checkpoints {
   def free(df: DataFrame): Unit =

@@ -302,11 +302,17 @@ object Dedup {
   def substringSpans(spark: SparkSession, dir: String, spanLen: Int = 20,
       maxDf: Int = 100): DataFrame = {
     import spark.implicits._
+    // cache(), NOT localCheckpoint: the span table is the largest
+    // intermediate (O(corpus tokens)) and is rebuilt per invocation —
+    // cached blocks stay evictable/recomputable under memory pressure,
+    // while stranded checkpoint blocks would pin storage until GC.
+    // Plain (long, long) rows, so the columnar-cache conversion cost
+    // that pushed the ARRAY-column memos to checkpoints doesn't apply.
     val sp = Tables.documents(spark, dir)
       .select($"doc_id",
         explode(graft.functions.hashes.hashedWordShingles($"text", spanLen)).as("h"))
       .distinct()
-      .localCheckpoint(true) // reused: df counts + both sides of the pair join
+      .cache() // reused: df counts + both sides of the pair join
     val keep = sp.groupBy($"h").agg(count(lit(1)).as("ndocs"))
       .filter($"ndocs" <= maxDf).select($"h")
     val sk = sp.join(keep, Seq("h"))
