@@ -53,7 +53,7 @@ object Tune {
 
     val exact = NswIndex.buildEdges(emb).collect()
       .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
-    for ((t, b, rounds) <- Seq((10, 3, 2))) {
+    for ((t, b, rounds) <- Seq((6, 3, 2), (8, 3, 2), (10, 3, 2))) {
       val lsh = NswIndex.buildEdgesLsh(emb, nTables = t, nBits = b, refineRounds = rounds)
         .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
       val agree = lsh.intersect(exact).size.toDouble / exact.size

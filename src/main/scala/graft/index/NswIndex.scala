@@ -33,9 +33,11 @@ object NswIndex {
   // bucket bit depth adapts to n (LshIndex.adaptiveBits, target ~64
   // rows/bucket) so within-bucket pair counts stay linear; multiple
   // independent tables + NN-descent refinement recover neighbors a
-  // single bucketing splits apart. Measured at n=500 (graft.Tune):
-  // 10 tables × 2 refine rounds → 0.94 edge agreement with the exact
-  // build.
+  // single bucketing splits apart. Measured (graft.Tune, sf0.001 and
+  // sf0.01): 10 tables × 2 refine rounds → 0.94 edge agreement with
+  // the exact build; 8 tables → 0.91 (clears the ≥0.9 bar with <1%
+  // margin — the ~20% build saving is not worth the thin margin);
+  // 6 tables → 0.84 (fails). 10 is the measured choice.
   val buildTables = 10
   val buildTargetBucket = 64
   val buildRefineRounds = 2
