@@ -4,7 +4,6 @@ import graft.core.{Stab, Tables}
 import graft.functions.vectors._
 import graft.operators.KnnSearch
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Random-hyperplane (sign) LSH — the 100 TB similarity-search path.
@@ -72,9 +71,16 @@ object LshIndex {
     }
     val tagged = emb.select(col("vec_id"),
       posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
-    val salted = tagged
-      .withColumn("bsize", count(lit(1)).over(
-        Window.partitionBy(col("t"), col("bucket"))))
+    // Bucket sizes via groupBy + equi-join, NOT a window: salting
+    // exists precisely for corpora where one bucket holds a large
+    // fraction of the table, and `count().over(partitionBy(t,
+    // bucket))` would shuffle that entire hot bucket into ONE task
+    // before the salt can split it. The aggregate is one row per
+    // (table, bucket) — tiny — so AQE broadcasts it and the join adds
+    // no shuffle of the tagged rows.
+    val sizes = tagged.groupBy(col("t"), col("bucket"))
+      .agg(count(lit(1)).as("bsize"))
+    val salted = tagged.join(sizes, Seq("t", "bucket"))
       .withColumn("salt", pmod(hash(col("vec_id"), col("t")),
         greatest(lit(1L), ceil(col("bsize") / lit(bucketCap)).cast("long"))))
       .drop("bsize")

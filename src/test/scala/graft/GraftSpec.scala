@@ -187,6 +187,41 @@ class AnnRecallSpec extends AnyFunSuite {
   }
 }
 
+class LshSaltSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("saltedCandidatePairs has no Window and bounds candidates on a one-bucket corpus") {
+    // Degenerate corpus: every vector near-codirectional, so sign-LSH
+    // piles ALL rows into one bucket per table — exactly the case the
+    // salting guards. The old bucket-size window would shuffle that
+    // whole bucket into a single task before splitting it.
+    val n = 400
+    val cap = 16
+    val dim = graft.embed.Embedder.DefaultDim
+    val rng = new scala.util.Random(7)
+    val emb = (0 until n).map { i =>
+      val v = Array.tabulate(dim)(d => 1f + (rng.nextFloat() - 0.5f) * 0.001f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val pairs = graft.index.LshIndex.saltedCandidatePairs(
+      emb, nTables = 2, nBits = 4, bucketCap = cap, seedBase = 99L)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"bucket sizing must not use a window (hot bucket → one task):\n${plan.take(3000)}")
+    val rows = pairs.collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, b) => a != b })
+    // per-bucket salting bounds total candidates at ~n·cap·tables even
+    // though every row landed in one bucket per table
+    assert(rows.length <= n * cap * 2,
+      s"candidate count ${rows.length} exceeds n*cap*tables bound ${n * cap * 2}")
+    // symmetric emission: (a,b) present iff (b,a) present
+    val set = rows.toSet
+    assert(set.forall { case (a, b) => set.contains((b, a)) })
+  }
+}
+
 class CollectionStoreSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
