@@ -88,6 +88,10 @@ object SparkEntry {
     // ANN index family
     "ivf_build" -> (IvfIndex.ivfBuild _),
     "ivf_search" -> (IvfIndex.ivfSearch _),
+    // incremental maintenance: delta add/remove against a built index
+    // without a KMeans refit / graph rebuild (invariant-checked grids)
+    "ivf_add_delta" -> (IvfIndex.ivfAddDelta _),
+    "nsw_add_delta" -> (NswIndex.nswAddDelta _),
     "ann_lsh_bucketed" -> (LshIndex.annLshBucketed _),
     "nsw_build" -> (NswIndex.nswBuild _),
     "nsw_build_lsh" -> (NswIndex.nswBuildLsh _),
@@ -167,6 +171,8 @@ object SparkEntry {
     "sample_stratified" -> Libraries.sampleStratifiedSql,
     "pack_token_budget" -> Libraries.packTokenBudgetSql,
     "nsw_build" -> NswIndex.nswBuildSql,
+    "ivf_add_delta" -> IvfIndex.ivfAddDeltaSql,
+    "nsw_add_delta" -> NswIndex.nswAddDeltaSql,
     "pipeline_clean" -> Collections.pipelineCleanSql(
       TextOps.textQualitySql, Dedup.minhashSql),
   )

@@ -172,6 +172,125 @@ object NswIndex {
       .parquet(s"$path/vectors")
   }
 
+  /** Incremental add: beam-search each NEW vector for its `degree`
+    * nearest nodes in the EXISTING graph and append the forward edges
+    * — one batch BSP search over the delta, not a full LSH + NN-descent
+    * rebuild. The reference greedy-links one record the same way and
+    * then inserts the reverse links (nsw_index.py:54-71); here reverse
+    * reachability is already guaranteed because [[beamSearch]] always
+    * traverses the edge table UNDIRECTED, so appending the forward
+    * edges makes a new node reachable through its own links. Delta
+    * nodes link to pre-existing nodes only (the batch analog of the
+    * reference inserting records one at a time against the
+    * already-built graph). Returns (vectors, edges) with the delta
+    * applied; existing edges are untouched. */
+  def addDelta(emb: DataFrame, edges: DataFrame, newVecs: DataFrame,
+      degree: Int = graphDegree): (DataFrame, DataFrame) = {
+    val queries = newVecs
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val linked = beamSearch(emb, edges, queries, k = degree)
+      .select(col("q_id").as("src"), col("neighbor_id").as("dst"),
+        col("score_e6"), col("rank"))
+    (emb.select(col("vec_id"), col("embedding"))
+        .unionByName(newVecs.select(col("vec_id"), col("embedding"))),
+      edges.select(col("src"), col("dst"), col("score_e6"), col("rank"))
+        .unionByName(linked))
+  }
+
+  /** Incremental remove: drop the node's vector and every edge
+    * touching it in either direction — the batch analog of deleting
+    * the node's adjacency set and discarding it from its neighbors'
+    * sets (nsw_index.py:73-85). Two anti-joins, linear. */
+  def removeDelta(emb: DataFrame, edges: DataFrame,
+      removeIds: DataFrame): (DataFrame, DataFrame) = {
+    val ids = removeIds.select(col("vec_id"))
+    (emb.join(ids, Seq("vec_id"), "left_anti"),
+      edges.join(ids.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+        .join(ids.select(col("vec_id").as("dst")), Seq("dst"), "left_anti"))
+  }
+
+  /** Incremental add against a persisted layout ([[persist]]'s
+    * contract): beam-link the delta through the on-disk graph, APPEND
+    * the new edges and vectors. No rebuild, no rewrite of existing
+    * files. The linked edges are materialized before the append —
+    * a path cannot be appended to while the write plan reads it. */
+  def addDeltaPersisted(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
+    val emb = spark.read.parquet(s"$path/vectors")
+    val edges = spark.read.parquet(s"$path/edges")
+    val queries = newVecs
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val linked = beamSearch(emb, edges, queries, k = graphDegree)
+      .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint(true)
+    linked.write.mode("append").parquet(s"$path/edges")
+    newVecs.select(col("vec_id"), col("embedding"))
+      .write.mode("append").parquet(s"$path/vectors")
+  }
+
+  /** `nsw_add_delta`: the incremental-maintenance contract as an
+    * invariant grid (all-true grid = SQL-exact oracle, like
+    * `ivf_add_delta`). Base graph = LSH+NN-descent build over
+    * `vec_id >= 50` (memoized); delta = the 10% rest, linked via
+    * [[addDelta]]; half the delta is then removed. Checks:
+    *  - `self_reachable` / `top1_exact` per probe: a beam search over
+    *    the delta'd graph finds a delta vector from its own embedding
+    *    — the appended links genuinely make new nodes servable;
+    *  - `degree_ok`: every delta node carries exactly `graphDegree`
+    *    forward edges ranked 1..degree;
+    *  - `links_to_base`: delta edges point only at pre-existing nodes;
+    *  - `base_unchanged`: the existing edge set is not modified;
+    *  - `remove_ok`: no edge touches a removed id afterwards. */
+  def nswAddDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val base = all.filter($"vec_id" >= 50)
+    val delta = all.filter($"vec_id" < 50)
+    val baseEdges = edgesCachedFor(s"nsw_delta_base:$dir", base, dir)
+    val (emb2, edges2raw) = addDelta(base, baseEdges, delta)
+    // the delta links and the probe beam search below both traverse
+    // edges2 — materialize so the linking beam search runs once
+    val edges2 = edges2raw.localCheckpoint(true)
+    val probes = delta.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val perProbe = beamSearch(emb2, edges2, probes, k = 3)
+      .groupBy($"q_id").agg(
+        (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_reachable"),
+        (max($"score_e6") === 1000000L).as("top1_exact"))
+    val deltaEdges = edges2.filter($"src" < 50)
+    val degreeOk = deltaEdges.groupBy($"src").agg(
+        count(lit(1)).as("n"), min($"rank").as("minr"), max($"rank").as("maxr"))
+      .agg(
+        count(lit(1)).as("n_delta_srcs"),
+        count(when($"n" === graphDegree.toLong && $"minr" === 1L &&
+          $"maxr" === graphDegree.toLong, 1)).as("n_wellformed"))
+    val linksToBase = deltaEdges.agg(
+      count(when($"dst" < 50, 1)).as("n_delta_dst"))
+    val baseUnchanged = edges2.filter($"src" >= 50).agg(count(lit(1)).as("n_base_after"))
+      .crossJoin(baseEdges.agg(count(lit(1)).as("n_base_before")))
+    val (embR, edgesR) = removeDelta(emb2, edges2,
+      delta.filter($"vec_id" >= 25).select($"vec_id"))
+    val removeOk = edgesR.agg(
+        count(when($"src" >= 25 && $"src" < 50, 1)).as("n_src_left"),
+        count(when($"dst" >= 25 && $"dst" < 50, 1)).as("n_dst_left"))
+      .crossJoin(embR.agg(count(when($"vec_id" >= 25 && $"vec_id" < 50, 1)).as("n_vec_left")))
+    val globals = degreeOk.crossJoin(linksToBase).crossJoin(baseUnchanged).crossJoin(removeOk)
+      .select(
+        ($"n_delta_srcs" === 50L && $"n_wellformed" === 50L).as("degree_ok"),
+        ($"n_delta_dst" === 0L).as("links_to_base"),
+        ($"n_base_after" === $"n_base_before").as("base_unchanged"),
+        ($"n_src_left" === 0L && $"n_dst_left" === 0L && $"n_vec_left" === 0L).as("remove_ok"))
+    perProbe.crossJoin(broadcast(globals))
+      .select($"q_id", $"self_reachable", $"top1_exact",
+        $"degree_ok", $"links_to_base", $"base_unchanged", $"remove_ok")
+      .orderBy($"q_id")
+  }
+
+  val nswAddDeltaSql: String =
+    """SELECT vec_id AS q_id, true AS self_reachable, true AS top1_exact,
+      |  true AS degree_ok, true AS links_to_base, true AS base_unchanged,
+      |  true AS remove_ok
+      |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin
+
   /** Beam search against a persisted layout — same traversal as
     * [[beamSearch]], reading the index tables from disk. */
   def searchPersisted(spark: SparkSession, path: String, queries: DataFrame,
