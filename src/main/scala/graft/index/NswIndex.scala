@@ -300,26 +300,71 @@ object NswIndex {
       spark.read.parquet(s"$path/edges"),
       queries, k, singleQuery)
 
+  /** Persist the graph in the CO-LOCATED scale layout — the seam
+    * [[persist]]'s comment names: vectors bucketed by `vec_id`, and
+    * the UNDIRECTED edge expansion (pre-computed once, at write time)
+    * bucketed by `node`. Each beam superstep joins the frontier
+    * against these tables on their bucket key, so with a frontier too
+    * large to broadcast (millions of in-flight queries × beam) only
+    * the frontier shuffles — the graph side reads bucket-aligned
+    * splits with NO Exchange, every hop, every query batch. Tables
+    * register in the session catalog as `<name>_vectors` /
+    * `<name>_edges`. */
+  def persistBucketed(spark: SparkSession, emb: DataFrame, edges: DataFrame,
+      path: String, name: String, nBuckets: Int = 32): Unit = {
+    graft.sources.Bucketed.write(
+      emb.select(col("vec_id"), col("embedding")),
+      s"${name}_vectors", s"$path/vectors", "vec_id", nBuckets)
+    val und = edges.select(col("src").as("node"), col("dst"))
+      .unionByName(edges.select(col("dst").as("node"), col("src").as("dst")))
+    graft.sources.Bucketed.write(und,
+      s"${name}_edges", s"$path/edges", "node", nBuckets)
+  }
+
+  /** Beam search served from the bucketed layout written by
+    * [[persistBucketed]]: the edge table is already undirected, so the
+    * per-invocation union + cache are skipped — supersteps scan the
+    * bucketed files directly. */
+  def searchPersistedBucketed(spark: SparkSession, name: String,
+      queries: DataFrame, k: Int = 5, singleQuery: Boolean = false): DataFrame =
+    beamSearch(
+      spark.table(s"${name}_vectors"),
+      spark.table(s"${name}_edges"),
+      queries, k, singleQuery, preExpandedEdges = true)
+
   /** Batch beam search over a prebuilt edge table for a queries
     * frame (q_id, q_vec). Returns top-`k` of everything visited.
     *
     * `singleQuery = true` switches every per-query window (beam cut,
     * final rank) to orderBy+limit: with one query the windows'
     * `partitionBy(q_id)` constant-folds to an empty partition spec and
-    * Spark moves the whole frontier into one task per hop. */
+    * Spark moves the whole frontier into one task per hop.
+    *
+    * `preExpandedEdges = true` means `edges` is ALREADY the undirected
+    * (node, dst) expansion served from a materialized layout
+    * ([[persistBucketed]]): the union and the per-invocation caches
+    * are skipped — supersteps scan the bucketed files in place, and
+    * the frontier ⋈ edges join needs no Exchange on the edge side. */
   def beamSearch(emb: DataFrame, edges: DataFrame, queries: DataFrame,
-      k: Int = 5, singleQuery: Boolean = false): DataFrame = {
+      k: Int = 5, singleQuery: Boolean = false,
+      preExpandedEdges: Boolean = false): DataFrame = {
     // The graph and vectors are the persisted index: materialize once.
     // Without this every superstep re-derives the whole kNN build.
-    val embSel = emb.select(col("vec_id").as("node"), col("embedding")).cache()
+    // (In the bucketed-layout mode the tables ARE materialized files —
+    // caching them here would just trade bucket-aligned scans for an
+    // InMemoryRelation that loses the co-location.)
+    val embSel0 = emb.select(col("vec_id").as("node"), col("embedding"))
+    val embSel = if (preExpandedEdges) embSel0 else embSel0.cache()
     // Traverse the UNDIRECTED graph: the reference inserts
     // bidirectional links (nsw_index.py:36-52), so a node is reachable
     // through its own out-edges reversed even when no other node ranks
     // it in ITS top-k — with directed-only expansion a newly inserted
     // vector can be unreachable from the entry point.
-    val edgeSel = edges.select(col("src").as("node"), col("dst"))
-      .unionByName(edges.select(col("dst").as("node"), col("src").as("dst")))
-      .cache()
+    val edgeSel =
+      if (preExpandedEdges) edges.select(col("node"), col("dst"))
+      else edges.select(col("src").as("node"), col("dst"))
+        .unionByName(edges.select(col("dst").as("node"), col("src").as("dst")))
+        .cache()
     val scoreAgainst = (nodes: DataFrame) =>
       nodes.join(embSel, Seq("node"))
         .select(col("q_id"), col("node"),
@@ -349,8 +394,10 @@ object NswIndex {
     }
     // the final ranking reads only the checkpointed `visited` — the
     // loop-scratch caches must not pile up across beam invocations
-    embSel.unpersist()
-    edgeSel.unpersist()
+    if (!preExpandedEdges) {
+      embSel.unpersist()
+      edgeSel.unpersist()
+    }
     if (singleQuery)
       graft.operators.KnnSearch.topKSingle(
         visited.select(col("q_id"), col("node").as("neighbor_id"), col("score_e6")),

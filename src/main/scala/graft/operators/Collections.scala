@@ -317,6 +317,60 @@ object Collections {
       .orderBy($"rank")
   }
 
+  /** Persist the chunk collection in its scale layout (the memoized
+    * [[chunkEmbeddings]] corpus made durable, plus the co-located
+    * parent join): documents and chunks are written BUCKETED by
+    * `doc_id` — the key their joins always use — so chunk ⋈ document
+    * joins read bucket-aligned splits with zero Exchange; the
+    * chunk-embedding corpus is written as a plain parquet table so
+    * serving never re-chunks or re-embeds (at 100 TB the embed pass is
+    * a one-time batch job, not a per-session memo). Tables register as
+    * `<name>_docs` / `<name>_chunks` in the session catalog. */
+  def persistChunks(spark: SparkSession, dir: String, base: String,
+      name: String = "graft_chunks", nBuckets: Int = 32): Unit = {
+    import spark.implicits._
+    graft.sources.Bucketed.write(
+      Tables.documents(spark, dir).select($"doc_id", $"source", $"text"),
+      s"${name}_docs", s"$base/documents", "doc_id", nBuckets)
+    graft.sources.Bucketed.write(chunksRaw(spark, dir),
+      s"${name}_chunks", s"$base/chunks", "doc_id", nBuckets)
+    chunkEmbeddings(spark, dir)
+      .write.mode("overwrite").parquet(s"$base/chunk_embeddings")
+  }
+
+  /** Chunk-granular /query served ENTIRELY from the [[persistChunks]]
+    * layout: the corpus is a parquet read (no re-chunk / re-embed),
+    * the content join reads the bucketed chunk table, and the parent
+    * document's `source` comes through the co-located chunk ⋈ document
+    * join the bucketed layout exists for. Same contract as
+    * [[queryTextChunks]] plus the parent column (parity spec:
+    * PersistedChunksSpec). */
+  def queryTextChunksPersisted(spark: SparkSession, base: String,
+      name: String = "graft_chunks", queryText: String = DemoQueryText,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$base/chunk_embeddings")
+    val q = spark.range(1).select(lit(0L).as("q_id"),
+      Embedder.embedText(lit(queryText)).as("q_vec"))
+    val hits = KnnSearch.topKSingle(
+      corpus.crossJoin(broadcast(q))
+        .select($"q_id", $"vec_id".as("neighbor_id"),
+          Stab.e6(cosineSim($"embedding", $"q_vec")).as("score_e6")),
+      k, asc = false)
+    // chunk ⋈ document on the shared bucket key, then the broadcast
+    // k-row hit join — the corpus-sized side never shuffles
+    val withParent = spark.table(s"${name}_chunks")
+      .join(spark.table(s"${name}_docs").select($"doc_id", $"source"), Seq("doc_id"))
+    withParent
+      .select(packedChunkId($"doc_id", $"chunk_idx").as("neighbor_id"),
+        $"doc_id", $"chunk_idx", substring($"chunk_text", 1, 40).as("content"),
+        $"source")
+      .join(broadcast(hits), Seq("neighbor_id"))
+      .select($"doc_id", $"chunk_idx", $"content", $"source",
+        $"score_e6".as("confidence_e6"), $"rank")
+      .orderBy($"rank")
+  }
+
   /** Invariant view of the single-TEXT /query paths, same idea as
     * [[queryIndexChecked]]: the ANN hit SET is approximate, but the
     * /query contract is exact — k hits ranked 1..k, every id a real

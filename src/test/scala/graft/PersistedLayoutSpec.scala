@@ -1,0 +1,105 @@
+package graft
+
+import graft.index.NswIndex
+import graft.operators.Collections
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bucketed layouts wired into the REAL repeated joins (VERDICT
+  * r3 #3/#6): chunk ⋈ document and frontier ⋈ edges served from
+  * co-located tables, with plan proofs that the corpus side never
+  * shuffles, and result parity with the memoized/in-memory paths.
+  */
+class PersistedLayoutSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def withoutBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      body
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("persisted chunk layout serves query_text_chunks with memoized-path parity") {
+    val base = java.nio.file.Files.createTempDirectory("graft-chunks-layout").toString
+    Collections.persistChunks(spark, sf, base, name = "plspec")
+    try {
+      val persisted = Collections.queryTextChunksPersisted(spark, base, name = "plspec")
+        .select($"doc_id", $"chunk_idx", $"content", $"confidence_e6", $"rank")
+        .collect().map(_.toString).toSeq
+      val memoized = Collections.queryTextChunks(spark, sf, "cosine")
+        .collect().map(_.toString).toSeq
+      assert(persisted.nonEmpty && persisted == memoized)
+      // the parent column is real: every hit carries its document's source
+      val sources = Collections.queryTextChunksPersisted(spark, base, name = "plspec")
+        .select($"source").collect().map(_.getString(0))
+      assert(sources.forall(_ != null))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS plspec_docs")
+      spark.sql("DROP TABLE IF EXISTS plspec_chunks")
+    }
+  }
+
+  test("the real chunk ⋈ document join is Exchange-free on the bucketed layout") {
+    val base = java.nio.file.Files.createTempDirectory("graft-chunks-plan").toString
+    Collections.persistChunks(spark, sf, base, name = "plplan")
+    try {
+      withoutBroadcast {
+        val joined = spark.table("plplan_chunks")
+          .join(spark.table("plplan_docs").select($"doc_id", $"source"), Seq("doc_id"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(2000)}")
+        assert(!plan.contains("Exchange"), s"corpus join shuffled:\n${plan.take(2000)}")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS plplan_docs")
+      spark.sql("DROP TABLE IF EXISTS plplan_chunks")
+    }
+  }
+
+  test("bucketed NSW layout serves beam search with in-memory parity") {
+    val emb = graft.core.Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val edges = NswIndex.buildEdges(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nsw-bucketed").toString
+    NswIndex.persistBucketed(spark, emb, edges, dir, name = "plnsw")
+    try {
+      val queries = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val inMem = NswIndex.beamSearch(emb, edges, queries)
+        .collect().map(_.toString).sorted
+      val bucketed = NswIndex.searchPersistedBucketed(spark, "plnsw", queries)
+        .collect().map(_.toString).sorted
+      assert(inMem.nonEmpty && inMem.sameElements(bucketed))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS plnsw_vectors")
+      spark.sql("DROP TABLE IF EXISTS plnsw_edges")
+    }
+  }
+
+  test("frontier ⋈ bucketed edges shuffles ONLY the frontier") {
+    val emb = graft.core.Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val edges = NswIndex.buildEdges(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nsw-frontier").toString
+    NswIndex.persistBucketed(spark, emb, edges, dir, name = "plfront")
+    try {
+      withoutBroadcast {
+        // the superstep join shape: a derived frontier (not bucketed,
+        // must shuffle) against the bucketed undirected edge table
+        // (must NOT shuffle — reads bucket-aligned splits in place)
+        val frontier = emb.filter($"vec_id" < 32)
+          .select($"vec_id".as("node")).localCheckpoint(true)
+        val step = frontier.join(spark.table("plfront_edges"), Seq("node"))
+        val plan = step.queryExecution.executedPlan.toString
+        val exchanges = "Exchange".r.findAllIn(plan).length
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(2000)}")
+        assert(exchanges == 1,
+          s"expected exactly one Exchange (frontier side), got $exchanges:\n${plan.take(3000)}")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS plfront_vectors")
+      spark.sql("DROP TABLE IF EXISTS plfront_edges")
+    }
+  }
+}
