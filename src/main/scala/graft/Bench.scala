@@ -34,10 +34,21 @@ object Bench {
     }.count()
   }
 
+  /** Queries whose first run IS the index build. With repeat >= 2 the
+    * second run serves the `VersionedMemo` (a map lookup, ~0.1 s), so
+    * take-min would report serve cost under a build label — these
+    * report their FIRST (cold) run instead. */
+  private val buildQueries = Set("ivf_build", "nsw_build", "nsw_build_lsh")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    // Idle gate: a preflight load above this marks the whole artifact
+    // `contaminated` — every cross-round bench anomaly so far traced
+    // to machine contention, so the artifact must carry its own
+    // admissibility verdict instead of needing a re-run to adjudicate.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5").toDouble
     // comma-separated query-key filter for scale-curve runs (the exact
     // n² nsw_build oracle mode is deliberately excluded above sf0.1)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -71,7 +82,8 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val runs = (1 to math.max(1, repeat)).map(_ => timeOnce(name, fn))
-      (name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
+      val t = if (buildQueries(name)) runs.head._1 else runs.map(_._1).min
+      (name, t, runs.flatMap(_._2).headOption)
     }
     // Warm serve times for the memoized index-backed text queries: the
     // main loop's first invocation paid the index build; these re-runs
@@ -95,11 +107,16 @@ object Bench {
     val warmJson = warm.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
+    // gate on START load only: the bench's own 32 threads legitimately
+    // raise the end load — pre-existing load is the contamination signal
+    val loadEnd = loadAvg
+    val contaminated = loadStart > maxLoad
     val preflight =
-      s"""{"load_avg_start":$loadStart,"load_avg_end":$loadAvg,""" +
+      s"""{"load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
         s""""other_jvms_start":$jvmsStart,"other_jvms_end":$otherJvms,""" +
-        s""""cpus":$cpus,"repeat":$repeat}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warm":$warmJson,"preflight":$preflight,"sf":"$sfDir"}""")
+        s""""cpus":$cpus,"repeat":$repeat,"max_load_gate":$maxLoad,""" +
+        s""""build_queries_first_run":true}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,"queries":$qs,"errors":$errs,"warm":$warmJson,"preflight":$preflight,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
