@@ -76,6 +76,7 @@ object SparkEntry {
     "mm_features_golden" -> (Media.mmFeaturesGolden _),
     "mm_frame_sample" -> (Media.mmFrameSample _),
     "embed_text" -> (embedText _),
+    "embed_text_golden" -> (embedTextGolden _),
     // libraries level + write-path invariants
     "crud_library" -> (Libraries.crudLibrary _),
     "crud_integrity" -> (Libraries.crudIntegrity _),
@@ -123,6 +124,225 @@ object SparkEntry {
       |  CAST(1000000 AS BIGINT) AS norm_e6, true AS c0_bounded
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** `embed_text_golden`: the embedder's cross-implementation VALUE
+    * oracle (the mm_features_golden pattern applied to the last
+    * meaningful no-oracle gap): every e6-stabilized component of three
+    * documents' embeddings, hash-compared against values computed by
+    * an INDEPENDENT Python reimplementation of the hashing-trick
+    * algorithm (tools/golden_embed.py). Silent drift anywhere in the
+    * path -- tokenization, polynomial hash, splitmix64, sign bit,
+    * bucket mod, normalization, float32 cast -- flips the hash.
+    * Values are pinned to the sf0.01 corpus (the SF the driver's
+    * oracle evaluates), like mm_features_golden. */
+  private def embedTextGolden(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .filter($"doc_id".isin(0L, 7L, 123L))
+      .select($"doc_id", posexplode(Embedder.embedText($"text")).as(Seq("i0", "c")))
+      .select($"doc_id", ($"i0" + 1).cast("long").as("idx"),
+        Stab.e6($"c".cast("double")).as("comp_e6"))
+      .orderBy($"doc_id", $"idx")
+  }
+
+  private val embedTextGoldenSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(idx AS BIGINT) AS idx,
+      |  CAST(comp_e6 AS BIGINT) AS comp_e6
+      |FROM (VALUES
+      |(0, 1, 344124),
+      |(0, 2, 0),
+      |(0, 3, 0),
+      |(0, 4, 0),
+      |(0, 5, 0),
+      |(0, 6, 0),
+      |(0, 7, 114708),
+      |(0, 8, 229416),
+      |(0, 9, 0),
+      |(0, 10, -114708),
+      |(0, 11, 0),
+      |(0, 12, 0),
+      |(0, 13, -114708),
+      |(0, 14, 0),
+      |(0, 15, 0),
+      |(0, 16, 229416),
+      |(0, 17, 0),
+      |(0, 18, -229416),
+      |(0, 19, 0),
+      |(0, 20, 0),
+      |(0, 21, -229416),
+      |(0, 22, 0),
+      |(0, 23, -114708),
+      |(0, 24, 0),
+      |(0, 25, 0),
+      |(0, 26, 0),
+      |(0, 27, 0),
+      |(0, 28, 0),
+      |(0, 29, 0),
+      |(0, 30, 0),
+      |(0, 31, -114708),
+      |(0, 32, 0),
+      |(0, 33, 114708),
+      |(0, 34, 0),
+      |(0, 35, 0),
+      |(0, 36, 0),
+      |(0, 37, 0),
+      |(0, 38, 0),
+      |(0, 39, 0),
+      |(0, 40, 0),
+      |(0, 41, 0),
+      |(0, 42, 0),
+      |(0, 43, -573539),
+      |(0, 44, 0),
+      |(0, 45, -114708),
+      |(0, 46, 0),
+      |(0, 47, -114708),
+      |(0, 48, 0),
+      |(0, 49, 0),
+      |(0, 50, -344124),
+      |(0, 51, 0),
+      |(0, 52, 0),
+      |(0, 53, 0),
+      |(0, 54, 0),
+      |(0, 55, 0),
+      |(0, 56, 0),
+      |(0, 57, 0),
+      |(0, 58, 0),
+      |(0, 59, 0),
+      |(0, 60, 0),
+      |(0, 61, 0),
+      |(0, 62, 0),
+      |(0, 63, -344124),
+      |(0, 64, 0),
+      |(7, 1, 111803),
+      |(7, 2, 0),
+      |(7, 3, 0),
+      |(7, 4, 0),
+      |(7, 5, 0),
+      |(7, 6, 0),
+      |(7, 7, 55902),
+      |(7, 8, -55902),
+      |(7, 9, 0),
+      |(7, 10, -111803),
+      |(7, 11, 55902),
+      |(7, 12, 0),
+      |(7, 13, -670820),
+      |(7, 14, 0),
+      |(7, 15, 0),
+      |(7, 16, 167705),
+      |(7, 17, 0),
+      |(7, 18, -167705),
+      |(7, 19, 0),
+      |(7, 20, 0),
+      |(7, 21, -55902),
+      |(7, 22, 0),
+      |(7, 23, -167705),
+      |(7, 24, -111803),
+      |(7, 25, -111803),
+      |(7, 26, 0),
+      |(7, 27, 0),
+      |(7, 28, 0),
+      |(7, 29, 0),
+      |(7, 30, 0),
+      |(7, 31, -447214),
+      |(7, 32, 0),
+      |(7, 33, 55902),
+      |(7, 34, -279509),
+      |(7, 35, 0),
+      |(7, 36, 0),
+      |(7, 37, 0),
+      |(7, 38, -167705),
+      |(7, 39, 0),
+      |(7, 40, 0),
+      |(7, 41, 0),
+      |(7, 42, 0),
+      |(7, 43, 0),
+      |(7, 44, 0),
+      |(7, 45, -111803),
+      |(7, 46, 0),
+      |(7, 47, -111803),
+      |(7, 48, 0),
+      |(7, 49, 0),
+      |(7, 50, 0),
+      |(7, 51, 0),
+      |(7, 52, 0),
+      |(7, 53, 0),
+      |(7, 54, 0),
+      |(7, 55, 0),
+      |(7, 56, 0),
+      |(7, 57, 0),
+      |(7, 58, 55902),
+      |(7, 59, -223607),
+      |(7, 60, 0),
+      |(7, 61, 55902),
+      |(7, 62, 0),
+      |(7, 63, -111803),
+      |(7, 64, 0),
+      |(123, 1, 363803),
+      |(123, 2, 0),
+      |(123, 3, 0),
+      |(123, 4, 0),
+      |(123, 5, 0),
+      |(123, 6, 0),
+      |(123, 7, 242536),
+      |(123, 8, -121268),
+      |(123, 9, 0),
+      |(123, 10, -121268),
+      |(123, 11, 121268),
+      |(123, 12, 0),
+      |(123, 13, -606339),
+      |(123, 14, 0),
+      |(123, 15, 0),
+      |(123, 16, 0),
+      |(123, 17, 0),
+      |(123, 18, 0),
+      |(123, 19, 0),
+      |(123, 20, 0),
+      |(123, 21, -242536),
+      |(123, 22, 0),
+      |(123, 23, 0),
+      |(123, 24, -121268),
+      |(123, 25, 0),
+      |(123, 26, 0),
+      |(123, 27, 0),
+      |(123, 28, 0),
+      |(123, 29, 242536),
+      |(123, 30, 0),
+      |(123, 31, 0),
+      |(123, 32, 0),
+      |(123, 33, -121268),
+      |(123, 34, -121268),
+      |(123, 35, 0),
+      |(123, 36, 0),
+      |(123, 37, 0),
+      |(123, 38, -121268),
+      |(123, 39, 0),
+      |(123, 40, 0),
+      |(123, 41, 0),
+      |(123, 42, 0),
+      |(123, 43, 0),
+      |(123, 44, 0),
+      |(123, 45, 0),
+      |(123, 46, 0),
+      |(123, 47, -121268),
+      |(123, 48, 0),
+      |(123, 49, 0),
+      |(123, 50, 0),
+      |(123, 51, 0),
+      |(123, 52, 0),
+      |(123, 53, 0),
+      |(123, 54, 0),
+      |(123, 55, 0),
+      |(123, 56, 0),
+      |(123, 57, 0),
+      |(123, 58, 121268),
+      |(123, 59, -242536),
+      |(123, 60, 0),
+      |(123, 61, 363803),
+      |(123, 62, 0),
+      |(123, 63, 0),
+      |(123, 64, 0)
+      |) AS t(doc_id, idx, comp_e6)
+      |ORDER BY doc_id, idx""".stripMargin
+
   /** DuckDB-runnable ANSI SQL twin for each oracle-checkable query. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Relational.q1AggSql,
@@ -161,6 +381,7 @@ object SparkEntry {
     "query_text_chunks" -> Collections.queryTextCheckedSql,
     "query_e2e" -> Collections.queryTextCheckedSql,
     "embed_text" -> embedTextSql,
+    "embed_text_golden" -> embedTextGoldenSql,
     "crud_upsert_embed" -> Libraries.crudUpsertEmbedCheckedSql,
     "mm_features_golden" -> Media.mmFeaturesGoldenSql,
     "crud_library" -> Libraries.crudLibrarySql,
