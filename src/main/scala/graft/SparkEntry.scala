@@ -52,6 +52,9 @@ object SparkEntry {
     // collections / data model (reference CRUD surface)
     "chunk_documents" -> (Collections.chunkDocuments _),
     "crud_upsert" -> (Collections.crudUpsert _),
+    // the same contract driven through a REAL CollectionStore mutation
+    // round-trip (temp dir), sharing crud_upsert's oracle verbatim
+    "crud_upsert_store" -> (Collections.crudUpsertStore _),
     "crud_delete_cascade" -> (Collections.crudDeleteCascade _),
     "crud_read" -> (Collections.crudRead _),
     "crud_list" -> (Collections.crudList _),
@@ -369,6 +372,7 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.textFingerprintSql,
     "chunk_documents" -> Collections.chunkDocumentsSql,
     "crud_upsert" -> Collections.crudUpsertSql,
+    "crud_upsert_store" -> Collections.crudUpsertSql,
     "crud_delete_cascade" -> Collections.crudDeleteCascadeSql,
     "crud_read" -> Collections.crudReadSql,
     "crud_list" -> Collections.crudListSql,

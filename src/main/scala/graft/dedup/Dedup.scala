@@ -366,7 +366,10 @@ object Dedup {
       .select($"doc_id", $"doc_id".as("component"))
       .localCheckpoint(true)
     // labels only ever decrease, so sum(component) is a strictly
-    // decreasing convergence measure — one cheap agg per round.
+    // decreasing convergence measure. The sum rides the SAME action
+    // that materializes the round (an Observation collected during the
+    // eager localCheckpoint), so each round is ONE driver-blocking job
+    // instead of checkpoint + separate convergence agg.
     var curSum = labels.agg(sum($"component")).first().getLong(0)
     var converged = false
     var rounds = 0
@@ -376,11 +379,13 @@ object Dedup {
         .groupBy($"dst")
         .agg(min($"src_label").as("nbr_min"))
         .select($"dst".as("doc_id"), $"nbr_min")
+      val obs = org.apache.spark.sql.Observation(s"graft_components_r$rounds-${System.nanoTime()}")
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select($"doc_id",
           least($"component", coalesce($"nbr_min", $"component")).as("component"))
+        .observe(obs, sum($"component").as("label_sum"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum($"component")).first().getLong(0)
+      val nextSum = obs.get("label_sum").asInstanceOf[Long]
       converged = nextSum == curSum
       curSum = nextSum
       labels = next

@@ -88,6 +88,35 @@ object Collections {
       |  SELECT doc_id + 1000000 AS doc_id, text, 'inserted' AS op FROM documents WHERE doc_id < 50
       |) ORDER BY doc_id""".stripMargin
 
+  /** `crud_upsert_store`: the SAME upsert contract as [[crudUpsert]]
+    * round-tripped through a REAL [[graft.store.CollectionStore]]
+    * mutation instead of an in-plan simulation — seed the store with
+    * the corpus at t=1000, apply the update+insert batch at t=2000,
+    * then derive each row's op from the STORED timestamp semantics
+    * (created 2000 → inserted; updated 2000 → updated; else kept).
+    * Shares [[crudUpsertSql]] verbatim, so the oracle now checks what
+    * the store's anti-join + union + created_at preservation actually
+    * produced, not a plan that mimics it. */
+  def crudUpsertStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-crud-store").toString + "/docs"
+    val store = new graft.store.CollectionStore(spark, storeDir, "doc_id")
+    store.upsert(docs, nowMs = 1000L)
+    val updates = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id", upper($"text").as("text"))
+    val inserts = docs.filter($"doc_id" < 50)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    store.upsert(updates.unionByName(inserts), nowMs = 2000L)
+    store.load()
+      .select($"doc_id", md5($"text").as("text_md5"),
+        when($"created_at_ms" === 2000L, "inserted")
+          .when($"updated_at_ms" === 2000L, "updated")
+          .otherwise("kept").as("op"))
+      .orderBy($"doc_id")
+  }
+
   /** Cascade delete: removing every `source = 'src0'` document also
     * removes its chunks — one left-anti join against the deleted key
     * set (the reference loops chunk files, main.py:203-210). Output:

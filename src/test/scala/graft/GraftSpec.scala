@@ -245,6 +245,14 @@ class CollectionStoreSpec extends AnyFunSuite {
     assert(store.load().collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
   }
 
+  test("store-backed crud_upsert_store matches the in-plan crud_upsert simulation") {
+    val inPlan = SparkEntry.queries("crud_upsert")(spark, sf)
+      .collect().map(_.toString)
+    val stored = SparkEntry.queries("crud_upsert_store")(spark, sf)
+      .collect().map(_.toString)
+    assert(stored.nonEmpty && stored.sameElements(inPlan))
+  }
+
   test("updateMerge overwrites non-null fields, keeps null fields and created_at") {
     val dir = java.nio.file.Files.createTempDirectory("graft-store-merge").toString + "/docs"
     val store = new CollectionStore(spark, dir, "id")
