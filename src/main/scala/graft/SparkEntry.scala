@@ -43,6 +43,8 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     "dedup_components" -> ((s: SparkSession, d: String) => Dedup.components(s, d)),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
+    // the spans dedup_substring excludes, reported as a stopspan list
+    "dedup_boilerplate" -> ((s: SparkSession, d: String) => Dedup.boilerplateSpans(s, d)),
     "contamination_check" -> (Dedup.contamination _),
     // text analysis family
     "text_tokens" -> (TextOps.textTokens _),
@@ -88,6 +90,8 @@ object SparkEntry {
     "crud_upsert_embed" -> (Libraries.crudUpsertEmbedChecked _),
     "meta_filter" -> (Libraries.metaFilter _),
     "sample_stratified" -> ((s: SparkSession, d: String) => Libraries.sampleStratified(s, d)),
+    // proportional mixing weights (the data-mixing knob, not a flat cap)
+    "sample_weighted" -> ((s: SparkSession, d: String) => Libraries.sampleWeighted(s, d)),
     "pack_token_budget" -> ((s: SparkSession, d: String) => Libraries.packTokenBudget(s, d)),
     // ANN index family
     "ivf_build" -> (IvfIndex.ivfBuild _),
@@ -365,6 +369,7 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.embeddingNearDupSql,
     "dedup_components" -> Dedup.componentsSql,
     "dedup_substring" -> Dedup.substringSpansSql,
+    "dedup_boilerplate" -> Dedup.boilerplateSpansSql,
     "contamination_check" -> Dedup.contaminationSql,
     "text_tokens" -> TextOps.textTokensSql,
     "text_quality" -> TextOps.textQualitySql,
@@ -394,6 +399,7 @@ object SparkEntry {
     "crud_update_merge" -> Libraries.crudUpdateMergeSql,
     "meta_filter" -> Libraries.metaFilterSql,
     "sample_stratified" -> Libraries.sampleStratifiedSql,
+    "sample_weighted" -> Libraries.sampleWeightedSql,
     "pack_token_budget" -> Libraries.packTokenBudgetSql,
     "nsw_build" -> NswIndex.nswBuildSql,
     "ivf_add_delta" -> IvfIndex.ivfAddDeltaSql,

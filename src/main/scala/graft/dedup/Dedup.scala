@@ -335,6 +335,42 @@ object Dedup {
        |FROM sk a JOIN sk b ON a.h = b.h AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b""".stripMargin
 
+  /** `dedup_boilerplate`: the span population [[substringSpans]]
+    * EXCLUDES, reported as a first-class output — high-df verbatim
+    * spans (license headers, navigation text, templated sections) are
+    * what a real pipeline strips BEFORE dedup and trains a stopspan
+    * list from. One groupBy over the span postings (linear,
+    * map-side-combined); shares the span derivation with
+    * [[substringSpans]] so the two views partition the span space
+    * exactly. `minDf` = 3 matches this corpus's df range (max df is
+    * 3-4 in the synthetic data); a web corpus would set it to
+    * [[substringSpans]]'s maxDf so "boilerplate" = "what substring
+    * dedup refused to pair on". */
+  def boilerplateSpans(spark: SparkSession, dir: String, spanLen: Int = 20,
+      minDf: Int = 3): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        explode(graft.functions.hashes.hashedWordShingles($"text", spanLen)).as("span_h"))
+      .distinct()
+      .groupBy($"span_h")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .filter($"n_docs" >= minDf)
+      .orderBy($"n_docs".desc, $"span_h".asc)
+  }
+
+  val boilerplateSpansSql: String =
+    s"""WITH sp AS (
+       |  SELECT DISTINCT doc_id, ${TextOps.hash60Sql("s")} AS span_h
+       |  FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("w", 20)}) AS s
+       |        FROM (SELECT doc_id, ${TextOps.tokensSql} AS w FROM documents))
+       |)
+       |SELECT span_h, count(*) AS n_docs,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM sp GROUP BY span_h HAVING count(*) >= 3
+       |ORDER BY n_docs DESC, span_h ASC""".stripMargin
+
   /** Connected-components canonicalization over the MinHash near-dup
     * pairs: every document gets a `component` id (the min doc_id
     * reachable through pairs with estimated Jaccard ≥ 0.5) and

@@ -236,6 +236,43 @@ object Libraries {
       |WHERE rn <= 10
       |ORDER BY source, rn""".stripMargin
 
+  /** `sample_weighted`: weighted data-mixing sampler — the
+    * [[sampleStratified]] quota made per-source PROPORTIONAL (mixing
+    * weights: upsample src0 4×, src1 2×, rest 1×), the knob a real
+    * pretraining mix turns (domain weights, not flat caps). Rows rank
+    * within their source by content hash (stable pseudo-random, both
+    * engines identical); the CONSTANT cut `rn <= baseQuota·maxWeight`
+    * runs first so Spark still pushes a WindowGroupLimit (a bounded
+    * per-partition heap, no full sort at any scale), then the
+    * per-source quota trims inside that bound. */
+  def sampleWeighted(spark: SparkSession, dir: String,
+      baseQuota: Int = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val weight = when($"source" === "src0", 4L)
+      .when($"source" === "src1", 2L).otherwise(1L)
+    val maxWeight = 4
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy(md5($"text"), $"doc_id")).cast("long"))
+      .filter($"rn" <= baseQuota * maxWeight) // constant → WindowGroupLimit
+      .withColumn("quota", lit(baseQuota.toLong) * weight)
+      .filter($"rn" <= $"quota")
+      .select($"doc_id", $"source", $"rn", $"quota")
+      .orderBy($"source", $"rn")
+  }
+
+  val sampleWeightedSql: String =
+    """SELECT doc_id, source, rn, quota FROM (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(text), doc_id) AS BIGINT) AS rn,
+      |    CAST(5 * (CASE WHEN source = 'src0' THEN 4
+      |              WHEN source = 'src1' THEN 2 ELSE 1 END) AS BIGINT) AS quota
+      |  FROM documents) t
+      |WHERE rn <= quota
+      |ORDER BY source, rn""".stripMargin
+
   /** `pack_token_budget`: greedy sequence packing — assign each
     * document (in deterministic order within its source) to the
     * training bin where its tokens land under a fixed per-bin budget,

@@ -1,5 +1,42 @@
 package graft
 
+class MixingOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+
+  test("sample_weighted respects per-source quotas and keeps the WindowGroupLimit pushdown") {
+    val df = SparkEntry.queries("sample_weighted")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rs) =>
+      val quota = rs.head.getAs[Long]("quota")
+      val expectedQuota = src match {
+        case "src0" => 20L
+        case "src1" => 10L
+        case _ => 5L
+      }
+      assert(quota == expectedQuota, s"$src quota $quota")
+      assert(rs.length <= quota, s"$src exceeded quota: ${rs.length}")
+      assert(rs.map(_.getAs[Long]("rn")).sorted.sameElements(1L to rs.length.toLong))
+    }
+    // the constant pre-cut keeps the bounded-heap plan (no full sort)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pushdown:\n${plan.take(2000)}")
+  }
+
+  test("dedup_boilerplate reports exactly the df >= 3 span population") {
+    val rows = SparkEntry.queries("dedup_boilerplate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_docs") >= 3L))
+    assert(rows.forall(r => r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc")))
+    // n_docs is non-increasing down the report
+    val ns = rows.map(_.getAs[Long]("n_docs"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+}
+
 import graft.dedup.Dedup
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
