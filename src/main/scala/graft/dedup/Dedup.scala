@@ -341,11 +341,11 @@ object Dedup {
     * what a real pipeline strips BEFORE dedup and trains a stopspan
     * list from. One groupBy over the span postings (linear,
     * map-side-combined); shares the span derivation with
-    * [[substringSpans]] so the two views partition the span space
-    * exactly. `minDf` = 3 matches this corpus's df range (max df is
-    * 3-4 in the synthetic data); a web corpus would set it to
-    * [[substringSpans]]'s maxDf so "boilerplate" = "what substring
-    * dedup refused to pair on". */
+    * [[substringSpans]]. `minDf` = 3 matches this corpus's df range
+    * (max df is 3-4 in the synthetic data), so here the report
+    * OVERLAPS the pairing view; set `minDf` = substringSpans's
+    * maxDf + 1 and the two views partition the span space exactly —
+    * "boilerplate" = "what substring dedup refused to pair on". */
   def boilerplateSpans(spark: SparkSession, dir: String, spanLen: Int = 20,
       minDf: Int = 3): DataFrame = {
     import spark.implicits._

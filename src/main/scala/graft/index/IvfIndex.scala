@@ -191,9 +191,14 @@ object IvfIndex {
 
   /** Incremental add against a persisted layout: assign the delta to
     * the persisted centroids and APPEND into the `cluster_id=`
-    * directories. At 100 TB this touches only the delta — no KMeans
-    * re-fit, no rewrite of existing files. */
+    * directories. Upsert semantics on vec_id, matching [[addDelta]]:
+    * rows for already-stored ids are removed first (a no-op scan when
+    * the delta is all-new), so a retried or update batch never leaves
+    * two embeddings servable under one id. At 100 TB this touches the
+    * delta and its affected partitions — no KMeans re-fit, no rewrite
+    * of unaffected files. */
   def addDeltaPersisted(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
+    removeDeltaPersisted(spark, path, newVecs.select(col("vec_id")))
     val centroids = spark.read.parquet(s"$path/centroids")
     assignToCentroids(newVecs, centroids)
       .write.mode("append").partitionBy("cluster_id").parquet(s"$path/vectors")
@@ -205,18 +210,34 @@ object IvfIndex {
     * surviving rows of affected partitions are materialized first
     * (localCheckpoint) because a path cannot be overwritten while the
     * write plan still reads it; the materialized set is bounded by the
-    * affected partitions, not the index. */
+    * affected partitions, not the index. A removal that EMPTIES a
+    * partition must delete its directory explicitly: dynamic overwrite
+    * only replaces partitions present in the written data, so an
+    * all-rows-removed cluster would otherwise keep serving its old
+    * files forever. */
   def removeDeltaPersisted(spark: SparkSession, path: String, removeIds: DataFrame): Unit = {
     val vecs = spark.read.parquet(s"$path/vectors")
     val ids = removeIds.select(col("vec_id"))
     val affected = vecs.join(ids, Seq("vec_id"), "left_semi")
       .select(col("cluster_id")).distinct()
-    val rewritten = vecs.join(broadcast(affected), Seq("cluster_id"), "left_semi")
-      .join(ids, Seq("vec_id"), "left_anti")
-      .localCheckpoint(true)
-    rewritten.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cluster_id").parquet(s"$path/vectors")
+      .collect().map(_.getAs[Int]("cluster_id"))
+    if (affected.nonEmpty) {
+      val affectedDf = broadcast(
+        spark.createDataFrame(affected.toSeq.map(Tuple1(_))).toDF("cluster_id"))
+      val rewritten = vecs.join(affectedDf, Seq("cluster_id"), "left_semi")
+        .join(ids, Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+      rewritten.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster_id").parquet(s"$path/vectors")
+      val survivors = rewritten.select(col("cluster_id")).distinct()
+        .collect().map(_.getAs[Int]("cluster_id")).toSet
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.filterNot(survivors).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors/cluster_id=$c"), true)
+      }
+    }
   }
 
   /** Persist the index in its scale layout: the vectors table
@@ -254,9 +275,9 @@ object IvfIndex {
   /** `ivf_add_delta`: the incremental-maintenance contract as an
     * invariant grid (same oracle pattern as the checked /query views —
     * the all-true grid IS SQL-exact, so any contract break flips the
-    * hash). Base index = vectors with `vec_id >= 100` (memoized);
-    * delta = the rest, added via [[addDelta]]; half the delta is then
-    * removed via [[removeDelta]]. Checks, per probe id 0..4:
+    * hash). Base index = vectors with `vec_id >= 50` (memoized);
+    * delta = the 10% rest, added via [[addDelta]]; half the delta is
+    * then removed via [[removeDelta]]. Checks, per probe id 0..4:
     *  - `self_found` / `top1_exact`: searching the delta-built index
     *    for a delta vector's own embedding returns it (score 1.0) —
     *    the adds are genuinely servable, not just present;

@@ -69,8 +69,15 @@ object LshIndex {
     val bucketCols = (0 until nTables).map { t =>
       bucketOf(col("embedding"), planes(dim, nBits, seed = seedBase + t))
     }
+    // cache() the tagged rows: the sizes aggregate, the join probe,
+    // and both self-join sides reference them, and each reference
+    // would otherwise recompute the nTables × nBits hyperplane dot
+    // products per row. Evictable cache, not a checkpoint — same
+    // rationale as the substringSpans span table: plain (long, int,
+    // long) rows, recomputable under memory pressure.
     val tagged = emb.select(col("vec_id"),
       posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
+      .cache()
     // Bucket sizes via groupBy + equi-join, NOT a window: salting
     // exists precisely for corpora where one bucket holds a large
     // fraction of the table, and `count().over(partitionBy(t,

@@ -211,10 +211,16 @@ object NswIndex {
 
   /** Incremental add against a persisted layout ([[persist]]'s
     * contract): beam-link the delta through the on-disk graph, APPEND
-    * the new edges and vectors. No rebuild, no rewrite of existing
-    * files. The linked edges are materialized before the append —
-    * a path cannot be appended to while the write plan reads it. */
+    * the new edges and vectors. Upsert semantics on vec_id, matching
+    * the reference's re-add of an existing record (nsw_index.py:54-71
+    * overwrites the embedding and relinks): stale rows and edges for
+    * re-added ids are dropped first — otherwise a retried batch would
+    * duplicate vector rows and beam-link a node to ITSELF (the
+    * already-present id is its own exact nearest neighbor). The linked
+    * edges are materialized before the append — a path cannot be
+    * appended to while the write plan reads it. */
   def addDeltaPersisted(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
+    removeDeltaPersisted(spark, path, newVecs.select(col("vec_id")))
     val emb = spark.read.parquet(s"$path/vectors")
     val edges = spark.read.parquet(s"$path/edges")
     val queries = newVecs
@@ -225,6 +231,26 @@ object NswIndex {
     linked.write.mode("append").parquet(s"$path/edges")
     newVecs.select(col("vec_id"), col("embedding"))
       .write.mode("append").parquet(s"$path/vectors")
+  }
+
+  /** Incremental remove against a persisted layout: drop the ids'
+    * vector rows and every edge touching them ([[removeDelta]]'s
+    * contract on disk). A no-op (no write at all) when none of the ids
+    * are present. The unpartitioned tables are rewritten through a
+    * localCheckpoint (can't overwrite a path the plan reads); at
+    * cluster scale the edge table would be bucketed by node
+    * ([[persistBucketed]]) and removes would tombstone + compact
+    * instead of rewriting — the algebra is identical. */
+  def removeDeltaPersisted(spark: SparkSession, path: String, removeIds: DataFrame): Unit = {
+    val ids = removeIds.select(col("vec_id")).localCheckpoint(true)
+    val emb = spark.read.parquet(s"$path/vectors")
+    if (emb.join(ids, Seq("vec_id"), "left_semi").isEmpty) return
+    val edges = spark.read.parquet(s"$path/edges")
+    val (embR, edgesR) = removeDelta(emb, edges, ids)
+    val embOut = embR.localCheckpoint(true)
+    val edgesOut = edgesR.select(col("src"), col("dst")).localCheckpoint(true)
+    embOut.write.mode("overwrite").parquet(s"$path/vectors")
+    edgesOut.write.mode("overwrite").parquet(s"$path/edges")
   }
 
   /** `nsw_add_delta`: the incremental-maintenance contract as an

@@ -100,10 +100,16 @@ object Collections {
   def crudUpsertStore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
-    val storeDir = java.nio.file.Files
-      .createTempDirectory("graft-crud-store").toString + "/docs"
+    // ONE store dir per (session, source dir), reset on every
+    // invocation: a fresh createTempDirectory per call would leave an
+    // unbounded trail of corpus snapshots in /tmp across Verify/Bench
+    // repetitions. reset (full replace) rather than upsert for the
+    // seed, so a previous invocation's t=2000 rows can't leak their
+    // timestamps into this run's op derivation.
+    val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft-crud-store-" +
+      s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/docs"
     val store = new graft.store.CollectionStore(spark, storeDir, "doc_id")
-    store.upsert(docs, nowMs = 1000L)
+    store.reset(docs, nowMs = 1000L)
     val updates = docs.filter($"doc_id" % 10 === 0)
       .select($"doc_id", upper($"text").as("text"))
     val inserts = docs.filter($"doc_id" < 50)

@@ -111,6 +111,55 @@ class IncrementalSpec extends AnyFunSuite {
     assert(hit.length == 5 && hit.forall(_.getAs[Long]("score_e6") == 1000000L))
   }
 
+  test("persisted IVF remove deletes an emptied partition's files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-empty").toString
+    IvfIndex.persist(IvfIndex.build(spark, emb), dir)
+    // remove EVERY vector of one cluster: dynamic overwrite alone
+    // writes nothing for that partition, so the dir must be deleted
+    // explicitly or the "removed" vectors stay servable
+    val victims = spark.read.parquet(s"$dir/vectors")
+      .filter(col("cluster_id") === 0).select(col("vec_id"))
+    val nVictims = victims.count()
+    assert(nVictims > 0)
+    IvfIndex.removeDeltaPersisted(spark, dir, victims)
+    val after = spark.read.parquet(s"$dir/vectors")
+    assert(after.filter(col("cluster_id") === 0).count() == 0,
+      "emptied cluster partition still serves removed vectors")
+    assert(after.count() == emb.count() - nVictims)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/vectors/cluster_id=0")))
+  }
+
+  test("persisted delta re-add is an upsert, not a duplicate append") {
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft-ivf-readd").toString
+    IvfIndex.persist(IvfIndex.build(spark, base), ivfDir)
+    IvfIndex.addDeltaPersisted(spark, ivfDir, delta)
+    IvfIndex.addDeltaPersisted(spark, ivfDir, delta) // retried batch
+    val vecs = spark.read.parquet(s"$ivfDir/vectors")
+    assert(vecs.count() == emb.count(), "re-added delta duplicated rows")
+    assert(vecs.groupBy(col("vec_id")).count().filter(col("count") > 1).count() == 0)
+
+    val nswDir = java.nio.file.Files.createTempDirectory("graft-nsw-readd").toString
+    NswIndex.persist(base, NswIndex.buildEdges(base), nswDir)
+    NswIndex.addDeltaPersisted(spark, nswDir, delta)
+    NswIndex.addDeltaPersisted(spark, nswDir, delta) // retried batch
+    val vecs2 = spark.read.parquet(s"$nswDir/vectors")
+    assert(vecs2.count() == emb.count(), "re-added NSW delta duplicated rows")
+    val edges2 = spark.read.parquet(s"$nswDir/edges")
+    assert(edges2.filter(col("src") === col("dst")).count() == 0,
+      "re-add beam-linked nodes to themselves")
+    assert(edges2.filter(col("src") < 50).count() ==
+      delta.count() * NswIndex.graphDegree)
+
+    // NSW persisted remove: no vector row, no touching edge survives
+    NswIndex.removeDeltaPersisted(spark, nswDir,
+      delta.filter(col("vec_id") >= 25).select(col("vec_id")))
+    assert(spark.read.parquet(s"$nswDir/vectors").count() == emb.count() - 25)
+    assert(spark.read.parquet(s"$nswDir/edges").filter(
+      (col("src") >= 25 && col("src") < 50) ||
+        (col("dst") >= 25 && col("dst") < 50)).count() == 0)
+  }
+
   test("ivf_add_delta / nsw_add_delta invariant grids are all-true") {
     Seq("ivf_add_delta", "nsw_add_delta").foreach { q =>
       val rows = SparkEntry.queries(q)(spark, sf).collect()
