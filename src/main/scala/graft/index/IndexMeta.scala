@@ -1,0 +1,70 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Sidecar metadata for persisted index layouts: the row count the
+  * index STRUCTURE (KMeans centroids / NSW graph topology) was fit
+  * on, and how many delta rows have been applied since that fit.
+  *
+  * This is what turns the incremental add/remove paths into a
+  * complete maintenance story: delta maintenance is measured to hold
+  * full-rebuild recall up to ~10% drift and fall off beyond it
+  * (IncrementalSpec; 10% delta → 0.96 recall@10 vs 0.94 full rebuild,
+  * 20% → 0.86), so [[IvfIndex.maintain]] / [[NswIndex.maintain]]
+  * consult this sidecar and flip from append-delta to full rebuild
+  * when the accumulated drift passes the envelope — the batch analog
+  * of the reference's per-record `add` vs explicit `rebuild` split
+  * (/root/reference/src/models/ivf_index.py:56-88 vs 90-117).
+  *
+  * Stored as one tiny JSON object via the Hadoop FS API so the same
+  * code path works on local disk, HDFS, or an object store; reading
+  * two longs must not cost a Spark job.
+  */
+object IndexMeta {
+
+  case class Meta(fittedN: Long, deltaSinceFit: Long) {
+    /** Fraction of the fitted corpus the accumulated delta represents
+      * (1.0 when the layout predates the sidecar — unknown drift must
+      * trigger a rebuild, not hide one). */
+    def drift(extraDelta: Long): Double =
+      if (fittedN <= 0L) 1.0
+      else (deltaSinceFit + extraDelta).toDouble / fittedN
+  }
+
+  private def metaPath(path: String) = new Path(s"$path/_graft_meta.json")
+
+  def write(spark: SparkSession, path: String, meta: Meta): Unit = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"fitted_n":${meta.fittedN},"delta_since_fit":${meta.deltaSinceFit}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private val Pattern =
+    """\{"fitted_n":(\d+),"delta_since_fit":(\d+)\}""".r
+
+  /** None for layouts persisted before the sidecar existed — callers
+    * treat that as unknown drift (rebuild on first maintenance). */
+  def read(spark: SparkSession, path: String): Option[Meta] = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      body.trim match {
+        case Pattern(n, d) => Some(Meta(n.toLong, d.toLong))
+        case _ => None
+      }
+    }
+  }
+}

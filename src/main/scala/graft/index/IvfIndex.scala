@@ -242,11 +242,85 @@ object IvfIndex {
 
   /** Persist the index in its scale layout: the vectors table
     * partitioned by `cluster_id` (a probe then reads n_probe/k of the
-    * files) plus the tiny centroids table. */
+    * files) plus the tiny centroids table, plus the [[IndexMeta]]
+    * sidecar recording what the centroids were fit on (the row count
+    * is read back from the written parquet footers — metadata-only,
+    * no second pass over the data). */
   def persist(built: Built, path: String): Unit = {
     built.assigned.write.mode("overwrite")
       .partitionBy("cluster_id").parquet(s"$path/vectors")
     built.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val spark = built.assigned.sparkSession
+    IndexMeta.write(spark, path,
+      IndexMeta.Meta(spark.read.parquet(s"$path/vectors").count(), 0L))
+  }
+
+  /** Drift envelope for [[maintain]]: measured on this corpus
+    * (IncrementalSpec's split), a 10% delta against a 90% fit serves
+    * at 0.96 recall@10 — above the 0.94 full rebuild — while a 20%
+    * delta drops to 0.86. Past ~10% accumulated drift the centroids
+    * no longer describe the data and the cheap path stops being a
+    * bargain. */
+  val rebuildThreshold = 0.10
+
+  /** Policy-driven maintenance of a persisted layout: apply the
+    * upsert batch as an incremental delta ([[addDeltaPersisted]])
+    * while accumulated drift since the last fit stays inside
+    * [[rebuildThreshold]]; once the batch would push past it, re-fit
+    * on the CURRENT corpus (stored ∪ delta) and rewrite the layout —
+    * the explicit `rebuild` the reference exposes next to per-record
+    * `add` (ivf_index.py:56-88), made automatic. A layout without a
+    * sidecar counts as unknown drift and rebuilds. Returns true iff
+    * this call rebuilt. */
+  def maintain(spark: SparkSession, path: String, newVecs: DataFrame,
+      threshold: Double = rebuildThreshold): Boolean = {
+    val nDelta = newVecs.count()
+    val meta = IndexMeta.read(spark, path)
+      .getOrElse(IndexMeta.Meta(0L, 0L)) // unknown drift → rebuild
+    if (meta.drift(nDelta) > threshold) {
+      // Upsert-merge the delta into the stored corpus, then cut the
+      // lineage: build()'s assignment pass must read materialized rows,
+      // not the parquet files persist() is about to overwrite.
+      val all = spark.read.parquet(s"$path/vectors")
+        .select(col("vec_id"), col("embedding"))
+        .join(newVecs.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .unionByName(newVecs.select(col("vec_id"), col("embedding")))
+        .localCheckpoint(true)
+      persist(build(spark, all), path)
+      true
+    } else {
+      addDeltaPersisted(spark, path, newVecs)
+      IndexMeta.write(spark, path,
+        IndexMeta.Meta(meta.fittedN, meta.deltaSinceFit + nDelta))
+      false
+    }
+  }
+
+  /** Remove-side of [[maintain]]: departures are drift too (centroids
+    * fit on rows that no longer exist describe the survivors worse
+    * with every batch), so removed-row counts accumulate against the
+    * same envelope. Below it: partition-pruned removal; past it:
+    * re-fit on the survivors. Returns true iff this call rebuilt. */
+  def maintainRemove(spark: SparkSession, path: String, removeIds: DataFrame,
+      threshold: Double = rebuildThreshold): Boolean = {
+    val vecs = spark.read.parquet(s"$path/vectors")
+    // only ids actually present drift the fit — a retried remove batch
+    // must not double-count toward the threshold
+    val nRemoved = vecs.join(removeIds.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    val meta = IndexMeta.read(spark, path)
+      .getOrElse(IndexMeta.Meta(0L, 0L))
+    if (meta.drift(nRemoved) > threshold) {
+      val survivors = vecs.select(col("vec_id"), col("embedding"))
+        .join(removeIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+      persist(build(spark, survivors), path)
+      true
+    } else {
+      removeDeltaPersisted(spark, path, removeIds)
+      IndexMeta.write(spark, path,
+        IndexMeta.Meta(meta.fittedN, meta.deltaSinceFit + nRemoved))
+      false
+    }
   }
 
   /** Probe search against a persisted layout. The probe pairs are

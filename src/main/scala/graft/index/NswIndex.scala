@@ -170,6 +170,72 @@ object NswIndex {
       .parquet(s"$path/edges")
     emb.select(col("vec_id"), col("embedding")).write.mode("overwrite")
       .parquet(s"$path/vectors")
+    val spark = emb.sparkSession
+    IndexMeta.write(spark, path,
+      IndexMeta.Meta(spark.read.parquet(s"$path/vectors").count(), 0L))
+  }
+
+  /** Drift envelope for [[maintain]], same contract as
+    * [[IvfIndex.rebuildThreshold]]: delta nodes beam-link into the
+    * EXISTING graph only (never to each other), so as the delta share
+    * grows the graph's navigability degrades — measured at the
+    * IncrementalSpec split, a 10% delta still clears the ≥0.9
+    * recall@5 bar. Past it the small-world property needs a real
+    * rebuild (LSH candidates + NN-descent over everything). */
+  val rebuildThreshold = 0.10
+
+  /** Policy-driven maintenance of a persisted graph layout:
+    * beam-link the upsert batch ([[addDeltaPersisted]]) while
+    * accumulated drift stays inside [[rebuildThreshold]]; past it,
+    * rebuild the graph over the CURRENT corpus with the scale build
+    * ([[buildEdgesLsh]]) and rewrite the layout. A layout without a
+    * sidecar counts as unknown drift and rebuilds. Returns true iff
+    * this call rebuilt. */
+  def maintain(spark: SparkSession, path: String, newVecs: DataFrame,
+      threshold: Double = rebuildThreshold): Boolean = {
+    val nDelta = newVecs.count()
+    val meta = IndexMeta.read(spark, path)
+      .getOrElse(IndexMeta.Meta(0L, 0L))
+    if (meta.drift(nDelta) > threshold) {
+      // lineage cut before the overwrite, as in IvfIndex.maintain
+      val all = spark.read.parquet(s"$path/vectors")
+        .select(col("vec_id"), col("embedding"))
+        .join(newVecs.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .unionByName(newVecs.select(col("vec_id"), col("embedding")))
+        .localCheckpoint(true)
+      persist(all, buildEdgesLsh(all), path)
+      true
+    } else {
+      addDeltaPersisted(spark, path, newVecs)
+      IndexMeta.write(spark, path,
+        IndexMeta.Meta(meta.fittedN, meta.deltaSinceFit + nDelta))
+      false
+    }
+  }
+
+  /** Remove-side of [[maintain]]: removals tear edges out of
+    * SURVIVORS' adjacency lists too (every edge touching a removed
+    * node goes), so they erode navigability at least as fast as adds
+    * and count against the same envelope. Returns true iff this call
+    * rebuilt. */
+  def maintainRemove(spark: SparkSession, path: String, removeIds: DataFrame,
+      threshold: Double = rebuildThreshold): Boolean = {
+    val vecs = spark.read.parquet(s"$path/vectors")
+    val nRemoved = vecs.join(removeIds.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    val meta = IndexMeta.read(spark, path)
+      .getOrElse(IndexMeta.Meta(0L, 0L))
+    if (meta.drift(nRemoved) > threshold) {
+      val survivors = vecs.select(col("vec_id"), col("embedding"))
+        .join(removeIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+      persist(survivors, buildEdgesLsh(survivors), path)
+      true
+    } else {
+      removeDeltaPersisted(spark, path, removeIds)
+      IndexMeta.write(spark, path,
+        IndexMeta.Meta(meta.fittedN, meta.deltaSinceFit + nRemoved))
+      false
+    }
   }
 
   /** Incremental add: beam-search each NEW vector for its `degree`
