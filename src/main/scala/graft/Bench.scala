@@ -37,8 +37,12 @@ object Bench {
   /** Queries whose first run IS the index build. With repeat >= 2 the
     * second run serves the `VersionedMemo` (a map lookup, ~0.1 s), so
     * take-min would report serve cost under a build label — these
-    * report their FIRST (cold) run instead. */
-  private val buildQueries = Set("ivf_build", "nsw_build", "nsw_build_lsh")
+    * report their FIRST (cold) run instead. The delta queries belong
+    * here too: they memoize their BASE index (`buildCachedFor`), so a
+    * repeat run would report delta cost minus the base build under a
+    * label that includes it. */
+  private val buildQueries =
+    Set("ivf_build", "nsw_build", "nsw_build_lsh", "ivf_add_delta", "nsw_add_delta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

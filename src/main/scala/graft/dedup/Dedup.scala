@@ -273,18 +273,23 @@ object Dedup {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val bits = LshIndex.adaptiveBits(emb.count(), targetBucket = 64)
-    val cand = LshIndex.saltedCandidatePairs(emb, nTables, bits,
-        bucketCap = 128, seedBase = 7042L)
+    val cp = LshIndex.saltedCandidatePairs(emb, nTables, bits,
+      bucketCap = 128, seedBase = 7042L)
+    val cand = cp.pairs
       .filter($"src" < $"dst")
       .select($"src".as("vec_a"), $"dst".as("vec_b"))
       .distinct()
-    cand
+    // materialize the (small) confirmed-pair set so the LSH scratch
+    // cache can be released before the frame leaves this scope
+    val confirmed = cand
       .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("emb_a")), Seq("vec_a"))
       .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("emb_b")), Seq("vec_b"))
       .select($"vec_a", $"vec_b",
         Stab.e6(cosineSim($"emb_a", $"emb_b")).as("cos_e6"))
       .filter($"cos_e6" >= 400000)
-      .orderBy($"vec_a", $"vec_b")
+      .localCheckpoint(true)
+    cp.release()
+    confirmed.orderBy($"vec_a", $"vec_b")
   }
 
   /** Exact-substring dedup: pairs of documents sharing at least one

@@ -46,6 +46,16 @@ object IndexMeta {
     finally out.close()
   }
 
+  /** Add `n` applied delta rows to an existing sidecar. A layout
+    * without a sidecar stays sidecar-less (unknown drift — the next
+    * [[IvfIndex.maintain]]/[[NswIndex.maintain]] rebuilds); inventing
+    * a `fittedN = 0` meta here would encode the same "always rebuild"
+    * answer less honestly. */
+  private[index] def bumpDelta(spark: SparkSession, path: String, n: Long): Unit =
+    if (n > 0) read(spark, path).foreach { m =>
+      write(spark, path, Meta(m.fittedN, m.deltaSinceFit + n))
+    }
+
   private val Pattern =
     """\{"fitted_n":(\d+),"delta_since_fit":(\d+)\}""".r
 

@@ -196,12 +196,35 @@ object IvfIndex {
     * the delta is all-new), so a retried or update batch never leaves
     * two embeddings servable under one id. At 100 TB this touches the
     * delta and its affected partitions — no KMeans re-fit, no rewrite
-    * of unaffected files. */
+    * of unaffected files. The [[IndexMeta]] sidecar is bumped by the
+    * batch's [[driftRows]], so deltas applied directly (not through
+    * [[maintain]]) stay visible to the drift envelope. */
   def addDeltaPersisted(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
-    removeDeltaPersisted(spark, path, newVecs.select(col("vec_id")))
+    val nDrift = driftRows(spark, path, newVecs)
+    addDeltaRows(spark, path, newVecs)
+    IndexMeta.bumpDelta(spark, path, nDrift)
+  }
+
+  private def addDeltaRows(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
+    removeRows(spark, path, newVecs.select(col("vec_id")))
     val centroids = spark.read.parquet(s"$path/centroids")
     assignToCentroids(newVecs, centroids)
       .write.mode("append").partitionBy("cluster_id").parquet(s"$path/vectors")
+  }
+
+  /** Drift contribution of an upsert batch: delta rows NOT already in
+    * the stored layout byte-for-byte. A retried batch re-adding
+    * identical rows counts 0 (the drift counter is replay-idempotent,
+    * matching [[maintainRemove]]'s present-ids filter on the remove
+    * side), while a genuine update — an id the fit saw but whose
+    * embedding moved — still counts: the centroids describe the OLD
+    * position, not the new one. The probe is a broadcast anti-join of
+    * the (tiny) delta against a column-pruned scan. */
+  private def driftRows(spark: SparkSession, path: String, newVecs: DataFrame): Long = {
+    val stored = spark.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("embedding"))
+    newVecs.select(col("vec_id"), col("embedding")).distinct()
+      .join(stored, Seq("vec_id", "embedding"), "left_anti").count()
   }
 
   /** Incremental remove against a persisted layout: rewrite ONLY the
@@ -214,8 +237,19 @@ object IvfIndex {
     * partition must delete its directory explicitly: dynamic overwrite
     * only replaces partitions present in the written data, so an
     * all-rows-removed cluster would otherwise keep serving its old
-    * files forever. */
+    * files forever. The [[IndexMeta]] sidecar is bumped by the count
+    * of ids actually present, keeping direct removals visible to the
+    * drift envelope and retried batches idempotent. */
   def removeDeltaPersisted(spark: SparkSession, path: String, removeIds: DataFrame): Unit = {
+    // only ids actually present drift the fit — a retried remove batch
+    // must not double-count toward the rebuild threshold
+    val nRemoved = spark.read.parquet(s"$path/vectors")
+      .join(removeIds.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    removeRows(spark, path, removeIds)
+    IndexMeta.bumpDelta(spark, path, nRemoved)
+  }
+
+  private def removeRows(spark: SparkSession, path: String, removeIds: DataFrame): Unit = {
     val vecs = spark.read.parquet(s"$path/vectors")
     val ids = removeIds.select(col("vec_id"))
     val affected = vecs.join(ids, Seq("vec_id"), "left_semi")
@@ -274,7 +308,10 @@ object IvfIndex {
     * this call rebuilt. */
   def maintain(spark: SparkSession, path: String, newVecs: DataFrame,
       threshold: Double = rebuildThreshold): Boolean = {
-    val nDelta = newVecs.count()
+    // drift = rows the fit has never seen at their current position
+    // ([[driftRows]]): a retried or identical-re-add batch counts 0,
+    // so replays never inflate the counter into a premature rebuild
+    val nDelta = driftRows(spark, path, newVecs)
     val meta = IndexMeta.read(spark, path)
       .getOrElse(IndexMeta.Meta(0L, 0L)) // unknown drift → rebuild
     if (meta.drift(nDelta) > threshold) {
@@ -289,7 +326,7 @@ object IvfIndex {
       persist(build(spark, all), path)
       true
     } else {
-      addDeltaPersisted(spark, path, newVecs)
+      addDeltaRows(spark, path, newVecs)
       IndexMeta.write(spark, path,
         IndexMeta.Meta(meta.fittedN, meta.deltaSinceFit + nDelta))
       false
@@ -316,7 +353,7 @@ object IvfIndex {
       persist(build(spark, survivors), path)
       true
     } else {
-      removeDeltaPersisted(spark, path, removeIds)
+      removeRows(spark, path, removeIds)
       IndexMeta.write(spark, path,
         IndexMeta.Meta(meta.fittedN, meta.deltaSinceFit + nRemoved))
       false

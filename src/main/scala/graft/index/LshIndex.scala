@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * AQE's skew split.
   *
   * Hyperplanes are seed-fixed (deterministic across runs/engines) and
-  * broadcast as literals into the plan.
+  * ride a broadcast consumed by the [[graft.functions.HyperplaneBuckets]]
+  * expression — never plan literals (the literal encoding serialized
+  * multi-MiB task binaries and scales with dim × bits × tables).
   */
 object LshIndex {
 
@@ -39,17 +41,23 @@ object LshIndex {
     Array.fill(nBits)(Array.fill(dim)(rng.nextFloat() - 0.5f))
   }
 
-  /** Bucket id column: bit p = (dot(v, plane_p) >= 0). Each plane is
-    * ONE array literal (`typedlit`), not 64 scalar literals — the
-    * compact expression tree matters: CacheManager canonicalizes
-    * every query plan against every cached plan, and a
-    * 64-literals-per-plane tree (×bits ×tables) made late-session
-    * planning cost seconds per action. */
-  def bucketOf(v: Column, ps: Array[Array[Float]]): Column =
-    ps.zipWithIndex.map { case (p, i) =>
-      val plane = typedlit(p)
-      when(dotProduct(v, plane) >= 0d, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** All tables' planes as one broadcast, shaped [table][bit][dim] —
+    * the single payload [[graft.functions.HyperplaneBuckets]] consumes.
+    * Table `t` keeps its historical seed `seedBase + t`, so bucket ids
+    * are bit-identical to the former per-table literal encoding. */
+  private def planesBroadcast(spark: org.apache.spark.sql.SparkSession,
+      nTables: Int, nBits: Int, seedBase: Long, dim: Int)
+      : org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]] =
+    spark.sparkContext.broadcast(
+      Array.tabulate(nTables)(t => planes(dim, nBits, seed = seedBase + t)))
+
+  /** A candidate-pair frame plus the handle that releases its cached
+    * bucket-tagging scratch. The tagged rows are referenced by several
+    * parts of the pair plan (sizes aggregate, salt join, both self-join
+    * sides), so they are cached — callers MUST call `release()` once
+    * the pairs (or anything derived from them) are materialized, or
+    * the InMemoryRelation stays pinned for the session. */
+  final case class CandidatePairs(pairs: DataFrame, release: () => Unit)
 
   /** Multi-table salted candidate pairs over a (vec_id, embedding)
     * frame — the shared candidate generator for the NSW graph build
@@ -62,21 +70,21 @@ object LshIndex {
     * and (b,a); callers dedup/orient as needed. */
   def saltedCandidatePairs(emb: DataFrame, nTables: Int, nBits: Int,
       bucketCap: Int, seedBase: Long,
-      dim: Int = graft.embed.Embedder.DefaultDim): DataFrame = {
-    // `dim` must match the embedding width: DotProduct truncates to
-    // the shorter operand, so an undersized plane would silently hash
-    // on a prefix of the vector.
-    val bucketCols = (0 until nTables).map { t =>
-      bucketOf(col("embedding"), planes(dim, nBits, seed = seedBase + t))
-    }
+      dim: Int = graft.embed.Embedder.DefaultDim): CandidatePairs = {
+    // `dim` must match the embedding width: the bucket expression's
+    // dot product truncates to the shorter operand, so an undersized
+    // plane would silently hash on a prefix of the vector.
+    val bc = planesBroadcast(emb.sparkSession, nTables, nBits, seedBase, dim)
     // cache() the tagged rows: the sizes aggregate, the join probe,
     // and both self-join sides reference them, and each reference
     // would otherwise recompute the nTables × nBits hyperplane dot
     // products per row. Evictable cache, not a checkpoint — same
     // rationale as the substringSpans span table: plain (long, int,
-    // long) rows, recomputable under memory pressure.
+    // long) rows, recomputable under memory pressure — and released
+    // through the returned handle once the caller has materialized.
     val tagged = emb.select(col("vec_id"),
-      posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
+      posexplode(graft.functions.lsh.hyperplaneBuckets(col("embedding"), bc))
+        .as(Seq("t", "bucket")))
       .cache()
     // Bucket sizes via groupBy + equi-join, NOT a window: salting
     // exists precisely for corpora where one bucket holds a large
@@ -91,11 +99,12 @@ object LshIndex {
       .withColumn("salt", pmod(hash(col("vec_id"), col("t")),
         greatest(lit(1L), ceil(col("bsize") / lit(bucketCap)).cast("long"))))
       .drop("bsize")
-    salted.as("x").join(salted.as("y"),
+    val pairs = salted.as("x").join(salted.as("y"),
         col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
           col("x.salt") === col("y.salt") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+    CandidatePairs(pairs, () => { tagged.unpersist(); bc.unpersist() })
   }
 
   /** `ann_lsh_bucketed`: bucketed ANN for the fixed query set —
@@ -108,25 +117,28 @@ object LshIndex {
     val embRaw = Tables.embeddings(spark, dir)
     // search wants small buckets (≈8) amplified by many probes+tables
     val nBits = adaptiveBits(embRaw.count(), targetBucket = 8)
+    // planes must span the full embedding width (the bucket dot
+    // product truncates to the shorter operand — an undersized plane
+    // silently hashes a prefix), so the dim tracks the embedder
+    val bc = planesBroadcast(spark, defaultTables,
+      nBits, seedBase = 42L, dim = graft.embed.Embedder.DefaultDim)
+    // ONE corpus pass tags all tables' buckets (the expression emits
+    // the whole array per row); the per-table candidate joins collapse
+    // into a single equality join keyed by (table, bucket)
+    val tagged = embRaw.select($"vec_id", $"embedding",
+      posexplode(graft.functions.lsh.hyperplaneBuckets($"embedding", bc))
+        .as(Seq("t", "bucket")))
     val flips = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
-    // planes must span the full embedding width (DotProduct truncates
-    // to the shorter operand — an undersized plane silently hashes a
-    // prefix), so the dim tracks the embedder like saltedCandidatePairs
-    val scoredPerTable = (0 until defaultTables).map { t =>
-      val ps = planes(graft.embed.Embedder.DefaultDim, nBits, seed = 42L + t)
-      val emb = embRaw.select($"vec_id", $"embedding",
-        bucketOf($"embedding", ps).as("bucket"))
-      val probed = emb.filter($"vec_id" < 5)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"bucket".as("q_bucket"),
-          explode(flips).as("flip"))
-        .select($"q_id", $"q_vec", $"q_bucket".bitwiseXOR($"flip").as("bucket"))
-      emb.join(broadcast(probed), Seq("bucket"))
-        .select($"q_id", $"vec_id".as("neighbor_id"),
-          Stab.e6(cosineSim($"embedding", $"q_vec")).as("score_e6"))
-    }
+    val probed = tagged.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"t",
+        $"bucket".as("q_bucket"), explode(flips).as("flip"))
+      .select($"q_id", $"q_vec", $"t", $"q_bucket".bitwiseXOR($"flip").as("bucket"))
     // same (q_id, neighbor) from different tables scores identically →
     // distinct is an exact dedup
-    val scored = scoredPerTable.reduce(_ unionByName _).distinct()
+    val scored = tagged.join(broadcast(probed), Seq("t", "bucket"))
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        Stab.e6(cosineSim($"embedding", $"q_vec")).as("score_e6"))
+      .distinct()
     KnnSearch.topK(scored, 10, asc = false)
   }
 }

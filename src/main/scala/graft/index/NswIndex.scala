@@ -90,11 +90,22 @@ object NswIndex {
     }
     val cand = LshIndex.saltedCandidatePairs(base, nTables, bits,
       bucketCap = 128, seedBase = 1042L)
-    var edges = topEdges(cand.distinct())
-    (0 until refineRounds).foreach { _ =>
+    var edges = topEdges(cand.pairs.distinct())
+    if (refineRounds == 0) {
+      // no refine checkpoint will cut the lineage — materialize here
+      // so the LSH scratch cache can be released before returning
+      edges = edges.localCheckpoint(true)
+      cand.release()
+    }
+    (0 until refineRounds).foreach { r =>
       // Materialize the round's edges: the 2-hop self-join references
       // them three times and the LSH plan must not replay per use.
       val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+      // round-0 edges are on disk now — nothing live reads the tagged
+      // bucket cache anymore, so release it instead of pinning it for
+      // the session (each build broadcasts fresh planes and caches a
+      // fresh corpus tagging; unreleased, they accumulate)
+      if (r == 0) cand.release()
       val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       val hop2 = und.as("a").join(und.as("b"),
           col("a.dst") === col("b.src") && col("a.src") =!= col("b.dst"))
@@ -193,7 +204,9 @@ object NswIndex {
     * this call rebuilt. */
   def maintain(spark: SparkSession, path: String, newVecs: DataFrame,
       threshold: Double = rebuildThreshold): Boolean = {
-    val nDelta = newVecs.count()
+    // drift = rows the graph has never linked at their current
+    // position ([[driftRows]]): replays and identical re-adds count 0
+    val nDelta = driftRows(spark, path, newVecs)
     val meta = IndexMeta.read(spark, path)
       .getOrElse(IndexMeta.Meta(0L, 0L))
     if (meta.drift(nDelta) > threshold) {
@@ -206,7 +219,7 @@ object NswIndex {
       persist(all, buildEdgesLsh(all), path)
       true
     } else {
-      addDeltaPersisted(spark, path, newVecs)
+      addDeltaRows(spark, path, newVecs)
       IndexMeta.write(spark, path,
         IndexMeta.Meta(meta.fittedN, meta.deltaSinceFit + nDelta))
       false
@@ -231,11 +244,22 @@ object NswIndex {
       persist(survivors, buildEdgesLsh(survivors), path)
       true
     } else {
-      removeDeltaPersisted(spark, path, removeIds)
+      removeRows(spark, path, removeIds)
       IndexMeta.write(spark, path,
         IndexMeta.Meta(meta.fittedN, meta.deltaSinceFit + nRemoved))
       false
     }
+  }
+
+  /** Drift contribution of an upsert batch — same contract as
+    * `IvfIndex.driftRows`: delta rows NOT byte-identical to a stored
+    * row. Retried batches count 0; an id whose embedding moved counts
+    * (its graph links describe the old position). */
+  private def driftRows(spark: SparkSession, path: String, newVecs: DataFrame): Long = {
+    val stored = spark.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("embedding"))
+    newVecs.select(col("vec_id"), col("embedding")).distinct()
+      .join(stored, Seq("vec_id", "embedding"), "left_anti").count()
   }
 
   /** Incremental add: beam-search each NEW vector for its `degree`
@@ -284,9 +308,17 @@ object NswIndex {
     * duplicate vector rows and beam-link a node to ITSELF (the
     * already-present id is its own exact nearest neighbor). The linked
     * edges are materialized before the append — a path cannot be
-    * appended to while the write plan reads it. */
+    * appended to while the write plan reads it. The [[IndexMeta]]
+    * sidecar is bumped by the batch's [[driftRows]], so direct deltas
+    * stay visible to the drift envelope. */
   def addDeltaPersisted(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
-    removeDeltaPersisted(spark, path, newVecs.select(col("vec_id")))
+    val nDrift = driftRows(spark, path, newVecs)
+    addDeltaRows(spark, path, newVecs)
+    IndexMeta.bumpDelta(spark, path, nDrift)
+  }
+
+  private def addDeltaRows(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
+    removeRows(spark, path, newVecs.select(col("vec_id")))
     val emb = spark.read.parquet(s"$path/vectors")
     val edges = spark.read.parquet(s"$path/edges")
     val queries = newVecs
@@ -306,8 +338,17 @@ object NswIndex {
     * localCheckpoint (can't overwrite a path the plan reads); at
     * cluster scale the edge table would be bucketed by node
     * ([[persistBucketed]]) and removes would tombstone + compact
-    * instead of rewriting — the algebra is identical. */
+    * instead of rewriting — the algebra is identical. The sidecar is
+    * bumped by the count of ids actually present (retried batches
+    * idempotent, direct removals visible to the drift envelope). */
   def removeDeltaPersisted(spark: SparkSession, path: String, removeIds: DataFrame): Unit = {
+    val nRemoved = spark.read.parquet(s"$path/vectors")
+      .join(removeIds.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    removeRows(spark, path, removeIds)
+    IndexMeta.bumpDelta(spark, path, nRemoved)
+  }
+
+  private def removeRows(spark: SparkSession, path: String, removeIds: DataFrame): Unit = {
     val ids = removeIds.select(col("vec_id")).localCheckpoint(true)
     val emb = spark.read.parquet(s"$path/vectors")
     if (emb.join(ids, Seq("vec_id"), "left_semi").isEmpty) return

@@ -22,10 +22,11 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * Exactly-once: `foreachBatch` is at-least-once, and the layout
   * mutations converge under replay — add is an id-upsert (stale rows
   * dropped first) and remove is idempotent, so a retried micro-batch
-  * rewrites the same state. The drift COUNTER is the one non-idempotent
-  * piece: a replayed batch double-counts toward the threshold, which
-  * can only make a rebuild happen earlier — never a wrong answer,
-  * never a missed rebuild.
+  * rewrites the same state. The drift COUNTER is replay-idempotent
+  * too: upsert drift counts only rows not already stored
+  * byte-identically and remove drift counts only ids actually
+  * present, so a replayed batch contributes 0 — state AND policy
+  * converge (IndexStreamSpec).
   *
   * Deletes apply before upserts within a batch, so a batch carrying
   * both ops for one id converges to "present" — the order a client

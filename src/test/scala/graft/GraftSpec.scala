@@ -204,8 +204,9 @@ class LshSaltSpec extends AnyFunSuite {
       val v = Array.tabulate(dim)(d => 1f + (rng.nextFloat() - 0.5f) * 0.001f)
       (i.toLong, v)
     }.toDF("vec_id", "embedding")
-    val pairs = graft.index.LshIndex.saltedCandidatePairs(
+    val cp = graft.index.LshIndex.saltedCandidatePairs(
       emb, nTables = 2, nBits = 4, bucketCap = cap, seedBase = 99L)
+    val pairs = cp.pairs
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       s"bucket sizing must not use a window (hot bucket → one task):\n${plan.take(3000)}")
@@ -219,6 +220,11 @@ class LshSaltSpec extends AnyFunSuite {
     // symmetric emission: (a,b) present iff (b,a) present
     val set = rows.toSet
     assert(set.forall { case (a, b) => set.contains((b, a)) })
+    // the scratch cache dies with the handle, not the session
+    val cached = spark.sparkContext.getPersistentRDDs.size
+    cp.release()
+    assert(spark.sparkContext.getPersistentRDDs.size < cached ||
+      cached == 0, "release() did not unpersist the tagged bucket cache")
   }
 }
 
