@@ -26,9 +26,31 @@ import org.apache.spark.sql.types._
 case class HyperplaneBuckets(child: Expression,
     planesBc: Broadcast[Array[Array[Array[Float]]]])
     extends UnaryExpression {
+  // malformed planes must fail at construction, not as a garbage
+  // bucket id three stages later: every table needs ≥1 plane and every
+  // plane one consistent width (the dim the caller promised matches
+  // the embedder is checked by the callers; rectangularity is ours)
+  require(planesBc.value.nonEmpty, "hyperplane_buckets: no tables")
+  require(planesBc.value.forall(t =>
+      t.nonEmpty && t.forall(_.length == t.head.length)),
+    "hyperplane_buckets: empty or ragged plane table")
+
   override def prettyName: String = "hyperplane_buckets"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+
+  /** Non-float arrays must be an ANALYSIS error: `ArrayData.getFloat`
+    * on an array<double> reads reinterpreted garbage (not a cast), so
+    * without this check a mistyped embedding column would silently
+    * hash noise instead of failing the query. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> input, got ${other.simpleString}")
+    }
 
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]

@@ -218,13 +218,23 @@ object IvfIndex {
     * matching [[maintainRemove]]'s present-ids filter on the remove
     * side), while a genuine update — an id the fit saw but whose
     * embedding moved — still counts: the centroids describe the OLD
-    * position, not the new one. The probe is a broadcast anti-join of
-    * the (tiny) delta against a column-pruned scan. */
-  private def driftRows(spark: SparkSession, path: String, newVecs: DataFrame): Long = {
-    val stored = spark.read.parquet(s"$path/vectors")
-      .select(col("vec_id"), col("embedding"))
-    newVecs.select(col("vec_id"), col("embedding")).distinct()
-      .join(stored, Seq("vec_id", "embedding"), "left_anti").count()
+    * position, not the new one. */
+  private def driftRows(spark: SparkSession, path: String, newVecs: DataFrame): Long =
+    driftFrame(spark.read.parquet(s"$path/vectors"), newVecs).count()
+
+  /** The drift probe plan, shared with `NswIndex`: Spark can only
+    * broadcast the RIGHT side of a semi/anti join, so the naive
+    * `delta.antiJoin(stored)` hash-shuffles the ENTIRE index on
+    * (vec_id, embedding) — per maintenance batch. Instead the stored
+    * side is shrunk first: a left-semi against the broadcast delta-id
+    * set reduces it to ≤ |delta| rows in one column-pruned scan, and
+    * the byte-identity anti-join then runs against that broadcast
+    * slice. One pass over the index, zero shuffles of it. */
+  private[graft] def driftFrame(stored: DataFrame, newVecs: DataFrame): DataFrame = {
+    val delta = newVecs.select(col("vec_id"), col("embedding")).distinct()
+    val slice = stored.select(col("vec_id"), col("embedding"))
+      .join(broadcast(delta.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+    delta.join(broadcast(slice), Seq("vec_id", "embedding"), "left_anti")
   }
 
   /** Incremental remove against a persisted layout: rewrite ONLY the

@@ -125,9 +125,13 @@ object LshIndex {
     // ONE corpus pass tags all tables' buckets (the expression emits
     // the whole array per row); the per-table candidate joins collapse
     // into a single equality join keyed by (table, bucket)
+    // cache(): the probe derivation AND the corpus side of the
+    // candidate join both read this frame — uncached, the corpus is
+    // hyperplane-hashed twice per query
     val tagged = embRaw.select($"vec_id", $"embedding",
       posexplode(graft.functions.lsh.hyperplaneBuckets($"embedding", bc))
         .as(Seq("t", "bucket")))
+      .cache()
     val flips = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
     val probed = tagged.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"t",
@@ -139,6 +143,13 @@ object LshIndex {
       .select($"q_id", $"vec_id".as("neighbor_id"),
         Stab.e6(cosineSim($"embedding", $"q_vec")).as("score_e6"))
       .distinct()
-    KnnSearch.topK(scored, 10, asc = false)
+    // materialize the (tiny) top-k, then release the scratch — the
+    // same discipline as saltedCandidatePairs' release handle:
+    // unreleased, each invocation pins one plane broadcast and one
+    // corpus-tagging InMemoryRelation for the session
+    val out = KnnSearch.topK(scored, 10, asc = false).localCheckpoint(true)
+    tagged.unpersist()
+    bc.unpersist()
+    out
   }
 }

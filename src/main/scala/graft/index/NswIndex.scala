@@ -254,13 +254,12 @@ object NswIndex {
   /** Drift contribution of an upsert batch — same contract as
     * `IvfIndex.driftRows`: delta rows NOT byte-identical to a stored
     * row. Retried batches count 0; an id whose embedding moved counts
-    * (its graph links describe the old position). */
-  private def driftRows(spark: SparkSession, path: String, newVecs: DataFrame): Long = {
-    val stored = spark.read.parquet(s"$path/vectors")
-      .select(col("vec_id"), col("embedding"))
-    newVecs.select(col("vec_id"), col("embedding")).distinct()
-      .join(stored, Seq("vec_id", "embedding"), "left_anti").count()
-  }
+    * (its graph links describe the old position). The plan is
+    * [[IvfIndex.driftFrame]]'s shared shuffle-free probe — the stored
+    * side is semi-join-shrunk against the broadcast delta ids first,
+    * never hash-shuffled on (vec_id, embedding). */
+  private def driftRows(spark: SparkSession, path: String, newVecs: DataFrame): Long =
+    IvfIndex.driftFrame(spark.read.parquet(s"$path/vectors"), newVecs).count()
 
   /** Incremental add: beam-search each NEW vector for its `degree`
     * nearest nodes in the EXISTING graph and append the forward edges

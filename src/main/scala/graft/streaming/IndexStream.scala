@@ -23,10 +23,16 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * mutations converge under replay — add is an id-upsert (stale rows
   * dropped first) and remove is idempotent, so a retried micro-batch
   * rewrites the same state. The drift COUNTER is replay-idempotent
-  * too: upsert drift counts only rows not already stored
-  * byte-identically and remove drift counts only ids actually
-  * present, so a replayed batch contributes 0 — state AND policy
-  * converge (IndexStreamSpec).
+  * for pure-upsert and pure-delete replays: upsert drift counts only
+  * rows not already stored byte-identically and remove drift counts
+  * only ids actually present, so those replays contribute 0
+  * (IndexStreamSpec). A replayed batch carrying BOTH ops for one
+  * already-applied id is the exception: the delete sees the id
+  * present (+1) and the re-applied upsert then sees it absent (+1),
+  * so each replay adds 2 to the counter even though the LAYOUT
+  * converges. The failure mode is one-sided — an inflated counter can
+  * only fire a rebuild early, never miss one — and the spec's
+  * mixed-replay case pins the exact movement.
   *
   * Deletes apply before upserts within a batch, so a batch carrying
   * both ops for one id converges to "present" — the order a client

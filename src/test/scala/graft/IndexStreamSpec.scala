@@ -105,6 +105,33 @@ class IndexStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mixed delete+upsert replay: layout converges, counter inflates +2 per replay (the documented exception)") {
+    // The one replay shape the drift counter does NOT absorb
+    // (IndexStream scaladoc): a batch carrying BOTH ops for an id that
+    // is already applied. MemoryStream never redelivers, so the replay
+    // is driven through the same call order applyBatch uses — deletes
+    // first, then upserts.
+    val dir = tmp("graft-ivf-mixed-replay")
+    IvfIndex.persist(IvfIndex.build(spark, base), dir)
+    val one = emb.filter($"vec_id" === 1L)
+    val oneId = one.select($"vec_id")
+    def applyMixedBatch(): Unit = {
+      IvfIndex.maintainRemove(spark, dir, oneId)
+      IvfIndex.maintain(spark, dir, one)
+    }
+    applyMixedBatch() // first delivery: id absent → delete 0, upsert +1
+    assert(meta(dir) == IndexMeta.Meta(450L, 1L))
+    val ids = storedIds(dir)
+    assert(ids.get(1L).contains(1L))
+    applyMixedBatch() // replay: delete sees it present (+1), re-upsert sees it absent (+1)
+    assert(storedIds(dir) == ids, "replayed mixed batch changed the layout")
+    assert(meta(dir) == IndexMeta.Meta(450L, 3L),
+      "mixed replay should move the counter by exactly +2 (delete-present + re-upsert)")
+    applyMixedBatch() // and again — strictly one-sided: early rebuild at worst
+    assert(storedIds(dir) == ids)
+    assert(meta(dir) == IndexMeta.Meta(450L, 5L))
+  }
+
   test("NSW stream: upserts beam-link and serve; deletes drop vectors and edges") {
     val dir = tmp("graft-nsw-stream")
     NswIndex.persist(base, NswIndex.buildEdges(base), dir)

@@ -209,6 +209,30 @@ class MaintenanceSpec extends AnyFunSuite {
       .filter($"src" < 51 || $"dst" < 51).count() == 0)
   }
 
+  test("drift probe never shuffles the stored index — both joins ride explicit broadcasts") {
+    val dir = tmp("graft-drift-plan")
+    IvfIndex.persist(IvfIndex.build(spark, base), dir)
+    val stored = spark.read.parquet(s"$dir/vectors")
+    val delta = emb.filter($"vec_id" < 20)
+    // with auto-broadcast off, any join NOT riding an explicit
+    // broadcast hint falls back to SMJ — i.e. a full hash-shuffle of
+    // the stored side, the exact plan the drift probe must never take
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val frame = IvfIndex.driftFrame(stored, delta)
+      val plan = frame.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"drift probe shuffled the stored index:\n${plan.take(2000)}")
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+      assert(bhj == 2, s"expected 2 broadcast joins (id semi + byte anti), got $bhj:\n${plan.take(2000)}")
+      // and the probe still counts correctly through the new plan:
+      // 20 fresh rows drift, a replay of stored rows drifts 0
+      assert(frame.count() == 20L)
+      assert(IvfIndex.driftFrame(stored, base.filter($"vec_id" < 100)).count() == 0L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("NSW sidecar-less layout rebuilds on first maintenance") {
     val dir = tmp("graft-nsw-nosidecar")
     NswIndex.persist(base, NswIndex.buildEdges(base), dir)
