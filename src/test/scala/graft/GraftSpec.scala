@@ -17,6 +17,7 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.core.EngineConf.recommended)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

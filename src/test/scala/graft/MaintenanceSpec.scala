@@ -138,7 +138,12 @@ class MaintenanceSpec extends AnyFunSuite {
       emb.filter($"vec_id" >= 20 && $"vec_id" < 51).select($"vec_id")))
     assert(meta(dir) == IndexMeta.Meta(449L, 0L))
     assert(vectorCount(dir) == 449L)
-    val qs = queriesFrom(emb.filter($"vec_id" >= 51 && $"vec_id" < 56))
+    // 25 probe queries, not 5: the refit KMeans recall per query sits
+    // around 0.9-0.98 and a 5-query mean occasionally dips under the
+    // bar on unlucky cells (observed 0.88 once when an unrelated conf
+    // change perturbed the fit's row order) — the wider set estimates
+    // the same quantity with tolerable variance
+    val qs = queriesFrom(emb.filter($"vec_id" >= 51 && $"vec_id" < 76))
     val survivors = emb.filter($"vec_id" >= 51)
     val r = recall(
       topIds(IvfIndex.searchPersisted(spark, dir, qs, k = 10), 10),
