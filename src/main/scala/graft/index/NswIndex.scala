@@ -480,13 +480,14 @@ object NswIndex {
   def beamSearch(emb: DataFrame, edges: DataFrame, queries: DataFrame,
       k: Int = 5, singleQuery: Boolean = false,
       preExpandedEdges: Boolean = false): DataFrame = {
+    if (singleQuery)
+      return beamSearchSingle(emb, edges, queries, k, preExpandedEdges)
     // The graph and vectors are the persisted index: materialize once.
     // Without this every superstep re-derives the whole kNN build.
     // (In the bucketed-layout mode the tables ARE materialized files —
     // caching them here would just trade bucket-aligned scans for an
     // InMemoryRelation that loses the co-location.)
-    val embSel0 = emb.select(col("vec_id").as("node"), col("embedding"))
-    val embSel = if (preExpandedEdges) embSel0 else embSel0.cache()
+    val embSel = emb.select(col("vec_id").as("node"), col("embedding")).cache()
     // Traverse the UNDIRECTED graph: the reference inserts
     // bidirectional links (nsw_index.py:36-52), so a node is reachable
     // through its own out-edges reversed even when no other node ranks
@@ -507,39 +508,107 @@ object NswIndex {
     // — materializing it stops the plan DAG doubling per hop.
     var visited = scoreAgainst(queries.crossJoin(broadcast(entry))).localCheckpoint(true)
     var frontier = visited
-    for (_ <- 1 to hops) {
+    var hop = 1
+    var exhausted = false
+    while (hop <= hops && !exhausted) {
       val expanded = frontier
         .join(edgeSel, Seq("node"))
         .select(col("q_id"), col("dst").as("node"), col("q_vec"))
         .distinct()
         .join(visited.select(col("q_id"), col("node")), Seq("q_id", "node"), "left_anti")
-      val scored = scoreAgainst(expanded).localCheckpoint(true)
-      visited = visited.unionByName(scored).localCheckpoint(true)
-      frontier =
-        if (singleQuery)
-          scored.orderBy(col("score_e6").desc, col("node").asc).limit(beamWidth)
-        else
-          scored.withColumn("brank", row_number().over(
-              Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)))
-            .filter(col("brank") <= beamWidth)
-            .drop("brank")
+      // the exhaustion probe rides the checkpoint action (one job, as
+      // everywhere Observation is used) — a superstep that scores
+      // NOTHING new means every later superstep is a no-op too, so the
+      // fixed hop count becomes an upper bound, not a constant cost
+      val obs = org.apache.spark.sql.Observation()
+      val scored = scoreAgainst(expanded)
+        .observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+      if (obs.get("n").asInstanceOf[Long] == 0L) exhausted = true
+      else {
+        visited = visited.unionByName(scored).localCheckpoint(true)
+        frontier = scored.withColumn("brank", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)))
+          .filter(col("brank") <= beamWidth)
+          .drop("brank")
+      }
+      hop += 1
     }
     // the final ranking reads only the checkpointed `visited` — the
     // loop-scratch caches must not pile up across beam invocations
-    if (!preExpandedEdges) {
-      embSel.unpersist()
-      edgeSel.unpersist()
+    embSel.unpersist()
+    if (!preExpandedEdges) edgeSel.unpersist()
+    visited.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("node").as("neighbor_id"), col("score_e6"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Driver-resident greedy beam for ONE query — the interactive
+    * serve path (VERDICT r4 #7). The BSP loop above pays ~3 scheduled
+    * jobs per superstep to keep an unbounded query batch distributed;
+    * a single query's whole beam state is ≤ beamWidth ids, so the walk
+    * runs on the driver exactly like the reference's greedy search
+    * (nsw_index.py:117-165): per hop ONE job joins the broadcast
+    * frontier through the edge table and scores the expansion against
+    * the query-vector literal; dedup, beam cut, and termination happen
+    * in memory. Terminates once no newly scored node beats the current
+    * k-th best (the classic best-first stop), making the fixed hop
+    * count an upper bound instead of a constant cost. Scoring uses the
+    * identical stabilized expression and (score desc, node asc) ties,
+    * so a run that does reach hop h holds the same beam the BSP loop
+    * would. In the bucketed layout the frontier side broadcasts, so a
+    * superstep is Exchange-FREE (the BSP loop's one frontier
+    * Exchange disappears too). */
+  private def beamSearchSingle(emb: DataFrame, edges: DataFrame,
+      queries: DataFrame, k: Int, preExpandedEdges: Boolean): DataFrame = {
+    val spark = emb.sparkSession
+    val q = queries.select(col("q_id"), col("q_vec")).collect()
+    require(q.length == 1, s"single-query beam got ${q.length} query rows")
+    val qId = q(0).getLong(0)
+    val qLit = typedlit(q(0).getSeq[Float](1).toArray)
+    val embSel = emb.select(col("vec_id").as("node"), col("embedding"))
+    val edgeSel =
+      if (preExpandedEdges) edges.select(col("node"), col("dst"))
+      else edges.select(col("src").as("node"), col("dst"))
+        .unionByName(edges.select(col("dst").as("node"), col("src").as("dst")))
+    val entryRow = emb.agg(min(col("vec_id")).as("node")).collect()(0)
+    val visited = scala.collection.mutable.LongMap.empty[Long] // node -> score_e6
+    if (!entryRow.isNullAt(0)) {
+      var frontier = Array(entryRow.getLong(0))
+      var hop = 0
+      var converged = false
+      while (hop < hops && !converged && frontier.nonEmpty) {
+        val fDf = spark.createDataFrame(frontier.toSeq.map(Tuple1(_))).toDF("node")
+        // frontier ∪ its one-hop expansion scored in a single job; the
+        // frontier rows score too, which is how hop 1 scores the entry
+        val candidates = fDf.unionByName(
+            edgeSel.join(broadcast(fDf), Seq("node")).select(col("dst").as("node")))
+          .distinct()
+        val scoredRows = embSel.join(broadcast(candidates), Seq("node"))
+          .select(col("node"), Stab.e6(cosineSim(col("embedding"), qLit)).as("score_e6"))
+          .collect()
+        val fresh = scoredRows
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .filter { case (n, _) => !visited.contains(n) }
+        // the bar is the k-th best BEFORE this hop's nodes land: "this
+        // superstep added nothing that improves the answer" → stop
+        val bar = {
+          val top = visited.values.toArray.sorted(Ordering.Long.reverse)
+          if (top.length < k) Long.MinValue else top(k - 1)
+        }
+        fresh.foreach { case (n, s) => visited.update(n, s) }
+        if (fresh.isEmpty || !fresh.exists(_._2 > bar)) converged = true
+        else frontier = fresh.sortBy { case (n, s) => (-s, n) }
+          .take(beamWidth).map(_._1)
+        hop += 1
+      }
     }
-    if (singleQuery)
-      graft.operators.KnnSearch.topKSingle(
-        visited.select(col("q_id"), col("node").as("neighbor_id"), col("score_e6")),
-        k, asc = false)
-    else
-      visited.withColumn("rank", row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)).cast("long"))
-        .filter(col("rank") <= k)
-        .select(col("q_id"), col("node").as("neighbor_id"), col("score_e6"), col("rank"))
-        .orderBy(col("q_id"), col("rank"))
+    val top = visited.toArray.sortBy { case (n, s) => (-s, n) }.take(k)
+    spark.createDataFrame(
+        top.zipWithIndex.toSeq.map { case ((n, s), i) => (qId, n, s, (i + 1).toLong) })
+      .toDF("q_id", "neighbor_id", "score_e6", "rank")
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** `nsw_search` query: beam search for the fixed query set.
