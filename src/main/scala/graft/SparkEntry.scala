@@ -77,6 +77,10 @@ object SparkEntry {
     "query_text_ivf" -> ((s: SparkSession, d: String) => Collections.queryTextChecked(s, d, "ivf")),
     "query_text_nsw" -> ((s: SparkSession, d: String) => Collections.queryTextChecked(s, d, "nsw")),
     "query_text_chunks" -> ((s: SparkSession, d: String) => Collections.queryTextChunksChecked(s, d)),
+    "query_chunks_persisted_ivf" -> ((s: SparkSession, d: String) =>
+      Collections.queryTextChunksPersistedChecked(s, d, "ivf")),
+    "query_chunks_persisted_nsw" -> ((s: SparkSession, d: String) =>
+      Collections.queryTextChunksPersistedChecked(s, d, "nsw")),
     "mm_features" -> (Media.mmFeatures _),
     "mm_features_golden" -> (Media.mmFeaturesGolden _),
     "mm_frame_sample" -> (Media.mmFrameSample _),
@@ -388,6 +392,8 @@ object SparkEntry {
     "query_text_ivf" -> Collections.queryTextCheckedSql,
     "query_text_nsw" -> Collections.queryTextCheckedSql,
     "query_text_chunks" -> Collections.queryTextCheckedSql,
+    "query_chunks_persisted_ivf" -> Collections.queryTextCheckedSql,
+    "query_chunks_persisted_nsw" -> Collections.queryTextCheckedSql,
     "query_e2e" -> Collections.queryTextCheckedSql,
     "embed_text" -> embedTextSql,
     "embed_text_golden" -> embedTextGoldenSql,

@@ -382,6 +382,15 @@ object IvfIndex {
     search(built, queries, nProbe, k)
   }
 
+  /** Single-query probe search against a persisted layout — the
+    * [[searchSingle]] plan (orderBy+limit cuts, no constant-q_id
+    * window) over the same partition-pruned files. */
+  def searchPersistedSingle(spark: SparkSession, path: String, query: DataFrame,
+      nProbe: Int = defaultNProbe, k: Int = 10): DataFrame =
+    searchSingle(Built(
+      assigned = spark.read.parquet(s"$path/vectors"),
+      centroids = spark.read.parquet(s"$path/centroids")), query, nProbe, k)
+
   /** `ivf_build` query: cluster histogram (k rows). Rows-only check —
     * DuckDB has no KMeans; the ScalaTest spec asserts recall against
     * brute force instead. */

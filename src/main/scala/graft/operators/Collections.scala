@@ -364,6 +364,7 @@ object Collections {
   def persistChunks(spark: SparkSession, dir: String, base: String,
       name: String = "graft_chunks", nBuckets: Int = 32): Unit = {
     import spark.implicits._
+    import graft.index.{IvfIndex, NswIndex}
     graft.sources.Bucketed.write(
       Tables.documents(spark, dir).select($"doc_id", $"source", $"text"),
       s"${name}_docs", s"$base/documents", "doc_id", nBuckets)
@@ -371,27 +372,52 @@ object Collections {
       s"${name}_chunks", s"$base/chunks", "doc_id", nBuckets)
     chunkEmbeddings(spark, dir)
       .write.mode("overwrite").parquet(s"$base/chunk_embeddings")
+    // the /query indexes, persisted over the SAME durable corpus the
+    // cosine path scans (VERDICT r4 #6): IVF in its partition-pruned
+    // cluster layout, NSW in the co-bucketed graph layout — serving
+    // dispatches on index_type with no per-session rebuild, matching
+    // the reference's /query over the chunks collection with an
+    // index_type parameter (main.py:320-341). Built from the parquet
+    // corpus, not the memo, so the layout is self-contained.
+    val corpus = spark.read.parquet(s"$base/chunk_embeddings")
+    IvfIndex.persist(IvfIndex.build(spark, corpus), s"$base/ivf")
+    NswIndex.persistBucketed(spark, corpus, NswIndex.buildEdgesLsh(corpus),
+      s"$base/nsw", s"${name}_nsw", nBuckets)
   }
 
   /** Chunk-granular /query served ENTIRELY from the [[persistChunks]]
     * layout: the corpus is a parquet read (no re-chunk / re-embed),
     * the content join reads the bucketed chunk table, and the parent
     * document's `source` comes through the co-located chunk ⋈ document
-    * join the bucketed layout exists for. Same contract as
-    * [[queryTextChunks]] plus the parent column (parity spec:
-    * PersistedChunksSpec). */
+    * join the bucketed layout exists for. `indexType` dispatches over
+    * the persisted index layouts exactly like the memoized /query
+    * (reference main.py:320-341): brute cosine scans the corpus, `ivf`
+    * probes the partition-pruned cluster layout, `nsw` beam-searches
+    * the co-bucketed graph. Same contract as [[queryTextChunks]] plus
+    * the parent column (parity spec: PersistedLayoutSpec). */
   def queryTextChunksPersisted(spark: SparkSession, base: String,
       name: String = "graft_chunks", queryText: String = DemoQueryText,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, indexType: String = "cosine"): DataFrame = {
     import spark.implicits._
-    val corpus = spark.read.parquet(s"$base/chunk_embeddings")
+    import graft.index.{IvfIndex, NswIndex}
     val q = spark.range(1).select(lit(0L).as("q_id"),
       Embedder.embedText(lit(queryText)).as("q_vec"))
-    val hits = KnnSearch.topKSingle(
-      corpus.crossJoin(broadcast(q))
-        .select($"q_id", $"vec_id".as("neighbor_id"),
-          Stab.e6(cosineSim($"embedding", $"q_vec")).as("score_e6")),
-      k, asc = false)
+    val hits = indexType match {
+      case "cosine" =>
+        val corpus = spark.read.parquet(s"$base/chunk_embeddings")
+        KnnSearch.topKSingle(
+          corpus.crossJoin(broadcast(q))
+            .select($"q_id", $"vec_id".as("neighbor_id"),
+              Stab.e6(cosineSim($"embedding", $"q_vec")).as("score_e6")),
+          k, asc = false)
+      case "ivf" =>
+        IvfIndex.searchPersistedSingle(spark, s"$base/ivf", q, k = k)
+      case "nsw" =>
+        NswIndex.searchPersistedBucketed(spark, s"${name}_nsw", q,
+          k = k, singleQuery = true)
+      case other => throw new IllegalArgumentException(
+        s"unknown index type '$other' (expected cosine|ivf|nsw)")
+    }
     // chunk ⋈ document on the shared bucket key, then the broadcast
     // k-row hit join — the corpus-sized side never shuffles
     val withParent = spark.table(s"${name}_chunks")
@@ -441,9 +467,16 @@ object Collections {
     * [[queryTextChunks]] — ids are (doc_id, chunk_idx), content must
     * equal that chunk's prefix. */
   def queryTextChunksChecked(spark: SparkSession, dir: String,
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
+    chunkHitsGrid(spark, dir, queryTextChunks(spark, dir, k = k))
+
+  /** The invariant grid shared by every chunk-granular /query view: a
+    * (rank, doc_id, chunk_idx, content, confidence_e6) hit frame maps
+    * to per-rank flags the all-true SQL oracle pins. */
+  private def chunkHitsGrid(spark: SparkSession, dir: String,
+      hits: DataFrame): DataFrame = {
     import spark.implicits._
-    val base = queryTextChunks(spark, dir, k = k)
+    val base = hits
       .select($"rank", $"doc_id", $"chunk_idx", $"content", $"confidence_e6")
       .localCheckpoint(true)
     val expected = chunksRaw(spark, dir)
@@ -460,6 +493,37 @@ object Collections {
         $"confidence_e6".between(-1000000L, 1000000L).as("score_bounded"),
         coalesce($"next_conf" <= $"confidence_e6", lit(true)).as("next_not_higher"))
       .orderBy($"rank")
+  }
+
+  /** Session memo of a [[persistChunks]] layout for `dir`: the durable
+    * serving layout is built ONCE per session (the batch job it would
+    * be at scale) and every persisted /query serves from it.
+    * Invalidated by store writes under the dir like every other memo.
+    * The catalog table name is dir-keyed so two dirs never collide. */
+  private val persistedChunksCache =
+    new graft.store.VersionedMemo[(String, String)](_ => ())
+
+  private def persistedChunksFor(spark: SparkSession, dir: String): (String, String) =
+    persistedChunksCache.get(spark, s"chunks_layout:$dir", dir) {
+      val base = java.nio.file.Files.createTempDirectory("graft-chunk-layout").toString
+      val name = s"graft_chunks_${java.lang.Integer.toHexString(dir.hashCode)}"
+      persistChunks(spark, dir, base, name)
+      (base, name)
+    }
+
+  /** `query_chunks_persisted_ivf` / `_nsw`: the persisted-layout chunk
+    * /query served through the persisted INDEX layouts (IVF partition
+    * pruning / bucketed NSW graph), pushed through the same invariant
+    * grid as [[queryTextChunksChecked]] — k hits ranked 1..k, real
+    * chunk ids, content = that chunk's prefix, bounded non-increasing
+    * confidence. The oracle is the all-true grid, so a broken layout
+    * dispatch (wrong ids, misjoined content, short result) flips the
+    * hash. */
+  def queryTextChunksPersistedChecked(spark: SparkSession, dir: String,
+      indexType: String, k: Int = 10): DataFrame = {
+    val (base, name) = persistedChunksFor(spark, dir)
+    chunkHitsGrid(spark, dir,
+      queryTextChunksPersisted(spark, base, name, k = k, indexType = indexType))
   }
 
   /** The all-invariants-hold grid the checked TEXT /query variants

@@ -37,8 +37,40 @@ class PersistedLayoutSpec extends AnyFunSuite {
         .select($"source").collect().map(_.getString(0))
       assert(sources.forall(_ != null))
     } finally {
-      spark.sql("DROP TABLE IF EXISTS plspec_docs")
-      spark.sql("DROP TABLE IF EXISTS plspec_chunks")
+      Seq("docs", "chunks", "nsw_vectors", "nsw_edges")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS plspec_$t"))
+    }
+  }
+
+  test("persisted chunk /query dispatches over the persisted IVF and NSW index layouts") {
+    val base = java.nio.file.Files.createTempDirectory("graft-chunks-idx").toString
+    Collections.persistChunks(spark, sf, base, name = "plidx")
+    try {
+      val shared = Seq("doc_id", "chunk_idx", "content", "confidence_e6", "rank")
+      // NSW: the persisted bucketed graph is built by the same
+      // deterministic LSH+NN-descent as the memoized path (stabilized
+      // scores, seeded planes), so the served hits match EXACTLY
+      val nsw = Collections.queryTextChunksPersisted(spark, base, name = "plidx",
+          indexType = "nsw")
+        .select(shared.map(col): _*).collect().map(_.toString).toSeq
+      val nswMemo = Collections.queryTextChunks(spark, sf, "nsw")
+        .select(shared.map(col): _*).collect().map(_.toString).toSeq
+      assert(nsw.nonEmpty && nsw == nswMemo)
+      // IVF: KMeans centroids may differ in low float bits across
+      // layouts (different partitioning of the same rows), so the bar
+      // is the /query contract + hit overlap with the exact scan
+      val brute = Collections.queryTextChunksPersisted(spark, base, name = "plidx")
+        .select($"doc_id", $"chunk_idx").collect().map(_.toString).toSet
+      val ivfHits = Collections.queryTextChunksPersisted(spark, base, name = "plidx",
+        indexType = "ivf")
+      assert(ivfHits.select($"rank").collect().map(_.getLong(0)).toSeq == (1L to 10L))
+      val ivfSet = ivfHits.select($"doc_id", $"chunk_idx")
+        .collect().map(_.toString).toSet
+      assert(ivfSet.intersect(brute).size >= 8,
+        s"persisted IVF found ${ivfSet.intersect(brute).size}/10 of the exact hits")
+    } finally {
+      Seq("docs", "chunks", "nsw_vectors", "nsw_edges")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS plidx_$t"))
     }
   }
 
