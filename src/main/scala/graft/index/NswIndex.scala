@@ -486,8 +486,10 @@ object NswIndex {
     // Without this every superstep re-derives the whole kNN build.
     // (In the bucketed-layout mode the tables ARE materialized files —
     // caching them here would just trade bucket-aligned scans for an
-    // InMemoryRelation that loses the co-location.)
-    val embSel = emb.select(col("vec_id").as("node"), col("embedding")).cache()
+    // InMemoryRelation that loses the co-location, so the bucketed
+    // path scans the files in place.)
+    val embSel0 = emb.select(col("vec_id").as("node"), col("embedding"))
+    val embSel = if (preExpandedEdges) embSel0 else embSel0.cache()
     // Traverse the UNDIRECTED graph: the reference inserts
     // bidirectional links (nsw_index.py:36-52), so a node is reachable
     // through its own out-edges reversed even when no other node ranks
@@ -535,8 +537,7 @@ object NswIndex {
     }
     // the final ranking reads only the checkpointed `visited` — the
     // loop-scratch caches must not pile up across beam invocations
-    embSel.unpersist()
-    if (!preExpandedEdges) edgeSel.unpersist()
+    if (!preExpandedEdges) { embSel.unpersist(); edgeSel.unpersist() }
     visited.withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)).cast("long"))
       .filter(col("rank") <= k)

@@ -499,17 +499,33 @@ object Collections {
     * serving layout is built ONCE per session (the batch job it would
     * be at scale) and every persisted /query serves from it.
     * Invalidated by store writes under the dir like every other memo.
-    * The catalog table name is dir-keyed so two dirs never collide. */
+    * Each build draws its catalog-table name from a process-wide
+    * counter, so two dirs (or two rebuilds of one dir) can never
+    * collide — a 32-bit `dir.hashCode` could — and eviction drops the
+    * replaced layout's tables and deletes its temp dir, so memo
+    * invalidation no longer leaks one abandoned layout per rebuild. */
+  private case class ChunkLayout(spark: SparkSession, base: String, name: String)
+
+  private val layoutSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private val persistedChunksCache =
-    new graft.store.VersionedMemo[(String, String)](_ => ())
+    new graft.store.VersionedMemo[ChunkLayout](dropChunkLayout)
+
+  private def dropChunkLayout(l: ChunkLayout): Unit = {
+    if (!l.spark.sparkContext.isStopped)
+      Seq("_docs", "_chunks", "_nsw_vectors", "_nsw_edges").foreach { t =>
+        l.spark.sql(s"DROP TABLE IF EXISTS ${l.name}$t")
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(l.base))
+  }
 
   private def persistedChunksFor(spark: SparkSession, dir: String): (String, String) =
     persistedChunksCache.get(spark, s"chunks_layout:$dir", dir) {
       val base = java.nio.file.Files.createTempDirectory("graft-chunk-layout").toString
-      val name = s"graft_chunks_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val name = s"graft_chunks_${layoutSeq.incrementAndGet()}"
       persistChunks(spark, dir, base, name)
-      (base, name)
-    }
+      ChunkLayout(spark, base, name)
+    } match { case ChunkLayout(_, base, name) => (base, name) }
 
   /** `query_chunks_persisted_ivf` / `_nsw`: the persisted-layout chunk
     * /query served through the persisted INDEX layouts (IVF partition

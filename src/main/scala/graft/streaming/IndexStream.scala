@@ -19,20 +19,20 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * cost one delta append; the occasional batch that pushes
   * accumulated drift past the threshold pays the full re-fit.
   *
-  * Exactly-once: `foreachBatch` is at-least-once, and the layout
-  * mutations converge under replay — add is an id-upsert (stale rows
-  * dropped first) and remove is idempotent, so a retried micro-batch
-  * rewrites the same state. The drift COUNTER is replay-idempotent
-  * for pure-upsert and pure-delete replays: upsert drift counts only
-  * rows not already stored byte-identically and remove drift counts
-  * only ids actually present, so those replays contribute 0
-  * (IndexStreamSpec). A replayed batch carrying BOTH ops for one
-  * already-applied id is the exception: the delete sees the id
-  * present (+1) and the re-applied upsert then sees it absent (+1),
-  * so each replay adds 2 to the counter even though the LAYOUT
-  * converges. The failure mode is one-sided — an inflated counter can
-  * only fire a rebuild early, never miss one — and the spec's
-  * mixed-replay case pins the exact movement.
+  * Exactly-once: `foreachBatch` is at-least-once, so each sink keys
+  * application on the batch id — a sidecar (`_graft_stream_batch_
+  * <streamId>.json` under the layout path) records the highest
+  * FULLY-applied batch id, written only after the maintenance completes,
+  * and a replayed id is skipped outright. A replayed batch therefore
+  * moves neither the layout nor the drift counter (IndexStreamSpec
+  * pins both, including the mixed delete+upsert case whose
+  * re-execution used to inflate the counter +2 per replay). The
+  * remaining at-least-once window is a crash BETWEEN finishing the
+  * maintenance and writing the sidecar: that batch re-executes, the
+  * layout converges anyway (add is an id-upsert with stale rows
+  * dropped first; remove is idempotent), and the counter's only
+  * exposure is the mixed-ops case — one-sided, an early rebuild at
+  * worst, and only for the single batch in flight at the crash.
   *
   * Deletes apply before upserts within a batch, so a batch carrying
   * both ops for one id converges to "present" — the order a client
@@ -44,37 +44,97 @@ object IndexStream {
     * contract at `path`). Start with e.g.
     * `.trigger(...).start()` on the returned writer. */
   def maintainIvf(mutations: DataFrame, path: String,
-      threshold: Double = IvfIndex.rebuildThreshold): DataStreamWriter[Row] =
-    mutations.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      applyBatch(batch,
-        del => IvfIndex.maintainRemove(batch.sparkSession, path, del, threshold),
-        ups => IvfIndex.maintain(batch.sparkSession, path, ups, threshold))
-    }
+      threshold: Double = IvfIndex.rebuildThreshold,
+      streamId: String = "default"): DataStreamWriter[Row] =
+    mutations.writeStream.foreachBatch(applyIvfBatch(_, _, path, threshold, streamId))
 
   /** Mutation stream → persisted NSW graph layout
     * ([[NswIndex.persist]]'s contract at `path`). */
   def maintainNsw(mutations: DataFrame, path: String,
-      threshold: Double = NswIndex.rebuildThreshold): DataStreamWriter[Row] =
-    mutations.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      applyBatch(batch,
-        del => NswIndex.maintainRemove(batch.sparkSession, path, del, threshold),
-        ups => NswIndex.maintain(batch.sparkSession, path, ups, threshold))
-    }
+      threshold: Double = NswIndex.rebuildThreshold,
+      streamId: String = "default"): DataStreamWriter[Row] =
+    mutations.writeStream.foreachBatch(applyNswBatch(_, _, path, threshold, streamId))
+
+  /** One IVF micro-batch, exactly as [[maintainIvf]]'s sink applies
+    * it — `private[graft]` so the spec can drive a true same-batch-id
+    * replay (MemoryStream never redelivers an id). */
+  private[graft] def applyIvfBatch(batch: DataFrame, batchId: Long, path: String,
+      threshold: Double = IvfIndex.rebuildThreshold,
+      streamId: String = "default"): Unit =
+    applyBatch(batch, batchId, path, streamId,
+      del => IvfIndex.maintainRemove(batch.sparkSession, path, del, threshold),
+      ups => IvfIndex.maintain(batch.sparkSession, path, ups, threshold))
+
+  private[graft] def applyNswBatch(batch: DataFrame, batchId: Long, path: String,
+      threshold: Double = NswIndex.rebuildThreshold,
+      streamId: String = "default"): Unit =
+    applyBatch(batch, batchId, path, streamId,
+      del => NswIndex.maintainRemove(batch.sparkSession, path, del, threshold),
+      ups => NswIndex.maintain(batch.sparkSession, path, ups, threshold))
 
   /** Split one micro-batch into its delete and upsert sides and apply
-    * each through the index's policy entry point. The batch is tiny
-    * relative to the index (it's a trigger interval of mutations) but
-    * is read twice (split + the maintenance joins), so it rides a
-    * localCheckpoint rather than re-running the source. */
-  private def applyBatch(batch: DataFrame,
+    * each through the index's policy entry point — unless the batch
+    * id is already recorded as fully applied, in which case the whole
+    * batch is a no-op (replay skip; the sidecar write is the LAST
+    * step, so a partially-applied crash re-executes). The batch is
+    * tiny relative to the index (it's a trigger interval of
+    * mutations) but is read twice (split + the maintenance joins), so
+    * it rides a localCheckpoint rather than re-running the source. */
+  private def applyBatch(batch: DataFrame, batchId: Long, path: String,
+      streamId: String,
       applyDeletes: DataFrame => Unit,
       applyUpserts: DataFrame => Unit): Unit = {
     if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    if (lastAppliedBatch(spark, path, streamId).exists(_ >= batchId)) return
     val b = batch.localCheckpoint(true)
     val deletes = b.filter(col("op") === "delete").select(col("vec_id"))
     val upserts = b.filter(col("op") === "upsert")
       .select(col("vec_id"), col("embedding"))
     if (!deletes.isEmpty) applyDeletes(deletes)
     if (!upserts.isEmpty) applyUpserts(upserts)
+    writeAppliedBatch(spark, path, streamId, batchId)
+  }
+
+  /** The applied-batch sidecar: one tiny JSON object via the Hadoop
+    * FS API (the [[graft.index.IndexMeta]] discipline — local disk,
+    * HDFS, or object store; reading a long must not cost a job).
+    * Batch ids are monotonic PER CHECKPOINT, so the sidecar is keyed
+    * by `streamId`: a query restarted from its checkpoint resumes the
+    * same id sequence and dedups correctly, while a NEW query over an
+    * already-maintained layout (fresh checkpoint → ids restart at 0)
+    * must pass a fresh `streamId`, or its first batches would be
+    * mistaken for replays. */
+  private def batchPath(path: String, streamId: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_graft_stream_batch_$streamId.json")
+
+  private val BatchPattern = """\{"last_batch_id":(-?\d+)\}""".r
+
+  private[graft] def lastAppliedBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, streamId: String = "default"): Option[Long] = {
+    val p = batchPath(path, streamId)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      body.trim match {
+        case BatchPattern(n) => Some(n.toLong)
+        case _ => None
+      }
+    }
+  }
+
+  private def writeAppliedBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, streamId: String, batchId: Long): Unit = {
+    val p = batchPath(path, streamId)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"last_batch_id":$batchId}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 }

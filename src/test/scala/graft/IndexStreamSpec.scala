@@ -105,31 +105,34 @@ class IndexStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("mixed delete+upsert replay: layout converges, counter inflates +2 per replay (the documented exception)") {
-    // The one replay shape the drift counter does NOT absorb
-    // (IndexStream scaladoc): a batch carrying BOTH ops for an id that
-    // is already applied. MemoryStream never redelivers, so the replay
-    // is driven through the same call order applyBatch uses — deletes
-    // first, then upserts.
+  test("mixed delete+upsert replay of one batch id: layout AND drift counter move by exactly 0") {
+    // The replay shape the byte-identity drift logic alone could not
+    // absorb (a delete+upsert pair for an applied id re-executes as
+    // delete-present +1, re-upsert +1). The batch-id sidecar makes it
+    // exactly-once: a redelivered id is skipped outright. MemoryStream
+    // never redelivers, so the replay drives the sink's own batch
+    // entry point with the SAME batch id.
     val dir = tmp("graft-ivf-mixed-replay")
     IvfIndex.persist(IvfIndex.build(spark, base), dir)
-    val one = emb.filter($"vec_id" === 1L)
-    val oneId = one.select($"vec_id")
-    def applyMixedBatch(): Unit = {
-      IvfIndex.maintainRemove(spark, dir, oneId)
-      IvfIndex.maintain(spark, dir, one)
-    }
-    applyMixedBatch() // first delivery: id absent → delete 0, upsert +1
+    val mixed = Seq(del(1L), up(1L)).toDF("vec_id", "embedding", "op")
+    IndexStream.applyIvfBatch(mixed, batchId = 0L, dir)
+    // first delivery: the delete sees id 1 absent (0), the upsert adds it (+1)
     assert(meta(dir) == IndexMeta.Meta(450L, 1L))
     val ids = storedIds(dir)
     assert(ids.get(1L).contains(1L))
-    applyMixedBatch() // replay: delete sees it present (+1), re-upsert sees it absent (+1)
+    assert(IndexStream.lastAppliedBatch(spark, dir).contains(0L))
+    IndexStream.applyIvfBatch(mixed, batchId = 0L, dir) // replay: skipped whole
     assert(storedIds(dir) == ids, "replayed mixed batch changed the layout")
-    assert(meta(dir) == IndexMeta.Meta(450L, 3L),
-      "mixed replay should move the counter by exactly +2 (delete-present + re-upsert)")
-    applyMixedBatch() // and again — strictly one-sided: early rebuild at worst
+    assert(meta(dir) == IndexMeta.Meta(450L, 1L),
+      "replayed batch id moved the drift counter")
+    IndexStream.applyIvfBatch(mixed, batchId = 0L, dir) // and again
     assert(storedIds(dir) == ids)
-    assert(meta(dir) == IndexMeta.Meta(450L, 5L))
+    assert(meta(dir) == IndexMeta.Meta(450L, 1L))
+    // a NEW batch id still applies: the skip keys on the id, not the data
+    IndexStream.applyIvfBatch(
+      Seq(del(1L)).toDF("vec_id", "embedding", "op"), batchId = 1L, dir)
+    assert(!storedIds(dir).contains(1L))
+    assert(meta(dir) == IndexMeta.Meta(450L, 2L))
   }
 
   test("NSW stream: upserts beam-link and serve; deletes drop vectors and edges") {
