@@ -108,6 +108,10 @@ object SparkEntry {
     "nsw_build" -> (NswIndex.nswBuild _),
     "nsw_build_lsh" -> (NswIndex.nswBuildLsh _),
     "nsw_search" -> (NswIndex.nswSearch _),
+    // IVF-PQ: product-quantized posting lists (8-byte codes, ADC probe
+    // + exact rerank) over the persisted cluster layout
+    "pq_build" -> (IvfIndex.pqBuild _),
+    "ivf_search_pq" -> (IvfIndex.ivfSearchPq _),
     // composite cleaning pipeline
     "pipeline_clean" -> (Collections.pipelineClean _),
   )
@@ -409,6 +413,8 @@ object SparkEntry {
     "pack_token_budget" -> Libraries.packTokenBudgetSql,
     "nsw_build" -> NswIndex.nswBuildSql,
     "ivf_add_delta" -> IvfIndex.ivfAddDeltaSql,
+    "pq_build" -> IvfIndex.pqBuildSql,
+    "ivf_search_pq" -> IvfIndex.ivfSearchPqSql,
     "nsw_add_delta" -> NswIndex.nswAddDeltaSql,
     "pipeline_clean" -> Collections.pipelineCleanSql(
       TextOps.textQualitySql, Dedup.minhashSql),

@@ -153,7 +153,12 @@ case class PqAdc(left: Expression, right: Expression,
 
   override def nullSafeEval(codes: Any, qIdx: Any): Any = {
     val x = codes.asInstanceOf[ArrayData]
-    val lut = lutBc.value(qIdx.asInstanceOf[Int])
+    val qi = qIdx.asInstanceOf[Int]
+    val luts = lutBc.value
+    if (qi < 0 || qi >= luts.length)
+      throw new IllegalArgumentException(
+        s"pq_adc: query index $qi outside the broadcast LUT [0, ${luts.length})")
+    val lut = luts(qi)
     var d = 0.0
     var s = 0
     val m = math.min(x.numElements(), lut.length)
@@ -170,6 +175,10 @@ case class PqAdc(left: Expression, right: Expression,
       val lut = ctx.freshName("lut"); val d = ctx.freshName("d")
       val s = ctx.freshName("s"); val m = ctx.freshName("m")
       s"""
+        if ($qIdx < 0 || $qIdx >= $luts.length) {
+          throw new IllegalArgumentException(
+            "pq_adc: query index " + $qIdx + " outside the broadcast LUT [0, " + $luts.length + ")");
+        }
         double[][] $lut = $luts[$qIdx];
         double $d = 0.0;
         int $m = java.lang.Math.min($codes.numElements(), $lut.length);

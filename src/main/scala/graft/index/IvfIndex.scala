@@ -474,4 +474,186 @@ object IvfIndex {
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
     search(built, queries)
   }
+
+  // ---- IVF-PQ: product-quantized posting lists --------------------------
+
+  /** Add a PQ sidecar to a persisted IVF layout: per-subspace
+    * codebooks trained on a bounded deterministic sample
+    * ([[PqCodebooks.train]]) and every posting row's embedding encoded
+    * to `m` bytes in ONE codegen'd pass ([[graft.functions.PqEncode]]),
+    * written in the same `cluster_id=` partition scheme — a probe
+    * reads n_probe/k of the CODES (d×4/m× less bytes than the raw
+    * probe), ADC-scores them against a broadcast LUT, and only the
+    * top-rerank candidates' raw vectors are ever fetched. This is the
+    * memory/scan win for corpora whose raw vectors don't fit cluster
+    * RAM; the reference's probe scans raw vectors only
+    * (ivf_index.py:139-185). */
+  def persistPq(spark: SparkSession, path: String,
+      m: Int = PqCodebooks.defaultM, codes: Int = PqCodebooks.defaultCodes,
+      seed: Long = 42L): Unit = {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$path/vectors")
+    val books = PqCodebooks.train(vecs, m, codes, seed)
+    val bookRows = for {
+      s <- books.indices; c <- books(s).indices
+    } yield (s, c, books(s)(c))
+    bookRows.toDF("sub", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$path/pq/codebooks")
+    val bc = spark.sparkContext.broadcast(books)
+    try vecs.select(col("vec_id"), col("cluster_id"),
+        graft.functions.pq.pqEncode(col("embedding"), bc).as("code"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/pq/codes")
+    finally bc.unpersist()
+  }
+
+  private def readCodebooks(spark: SparkSession, path: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(s"$path/pq/codebooks").collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
+        r.getSeq[Float](r.fieldIndex("centroid")).toArray))
+      .sortBy(t => (t._1, t._2))
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+  }
+
+  /** ADC probe search against a persisted IVF-PQ layout: rank
+    * centroids per query (broadcast, same as [[search]]), scan ONLY
+    * the probed partitions of the codes table, score each 8-byte code
+    * with [[graft.functions.PqAdc]] against the per-query LUT riding
+    * a broadcast, keep the `rerank` best candidates per query, and
+    * rerank those — and only those — with exact cosine on their raw
+    * vectors (again a partition-pruned, broadcast-driven fetch). The
+    * corpus-sized sides never shuffle; the only windows run over
+    * probe-bounded candidate sets. */
+  def searchPersistedPq(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int = defaultNProbe, k: Int = 10, rerank: Int = 200): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val books = readCodebooks(spark, path)
+    // queries are the bounded side (an interactive batch, not a
+    // table): collect once for the LUTs the ADC expression needs
+    val qRows = queries.select(col("q_id"), col("q_vec")).collect()
+      .sortBy(_.getLong(0))
+    val luts = qRows.map(r => PqCodebooks.lut(r.getSeq[Float](1).toArray, books))
+    val lutBc = spark.sparkContext.broadcast(luts)
+    val qIdx = qRows.zipWithIndex
+      .map { case (r, i) => (r.getLong(0), i) }.toSeq.toDF("q_id", "q_idx")
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster_id").asc)))
+      .filter(col("crank") <= nProbe)
+      .select(col("q_id"), col("cluster_id"))
+      .join(broadcast(qIdx), Seq("q_id"))
+    val codes = spark.read.parquet(s"$path/pq/codes")
+    // ADC pass over the probed partitions: m byte-indexed adds per row
+    val adc = codes.join(broadcast(probes), Seq("cluster_id"))
+      .select(col("q_id"), col("cluster_id"), col("vec_id"),
+        graft.functions.pq.pqAdc(col("code"), col("q_idx"), lutBc).as("adc"))
+    // keep the rerank-best by approximate distance (asc); the window
+    // runs over ≤ probed-rows per query and WindowGroupLimit keeps
+    // per-partition heaps of `rerank` rows before the q_id shuffle
+    val cand = adc.withColumn("arank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id").asc)))
+      .filter(col("arank") <= rerank)
+      .select(col("q_id"), col("cluster_id"), col("vec_id"))
+    // exact rerank of rerank×queries rows: broadcast the candidate ids
+    // into the raw layout (cluster_id keeps the scan partition-pruned)
+    val raw = spark.read.parquet(s"$path/vectors")
+    val scored = raw.join(broadcast(cand), Seq("cluster_id", "vec_id"))
+      .join(broadcast(queries.select(col("q_id"), col("q_vec"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"))
+    KnnSearch.topK(scored, k, asc = false)
+  }
+
+  /** Session memo of the persisted IVF(+PQ) layout for a dir's
+    * embeddings table — the one-time batch build both `pq_build` and
+    * `ivf_search_pq` serve from. Eviction deletes the abandoned temp
+    * layout (same discipline as the chunk-layout memo). */
+  private val pqLayoutCache = new graft.store.VersionedMemo[String](p =>
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+
+  private[graft] def pqLayoutFor(spark: SparkSession, dir: String): String =
+    pqLayoutCache.get(spark, s"pq_layout:$dir", dir) {
+      val base = java.nio.file.Files.createTempDirectory("graft-ivf-pq").toString
+      persist(build(spark, Tables.embeddings(spark, dir)), base)
+      persistPq(spark, base)
+      base
+    }
+
+  /** `pq_build`: the PQ sidecar's structural contract as a per-sub
+    * grid the SQL oracle pins all-true — every corpus row has exactly
+    * one m-byte code, every byte indexes inside the codebook, the
+    * codebook is fully materialized, and each subspace actually uses
+    * more than one code (a constant code column would mean the fit
+    * collapsed). Codebook VALUES are deterministic but not
+    * SQL-expressible; PqSpec pins them (parity + recall). */
+  def pqBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = pqLayoutFor(spark, dir)
+    val n = Tables.embeddings(spark, dir).count()
+    val books = spark.read.parquet(s"$base/pq/codebooks")
+      .groupBy($"sub").agg(count(lit(1)).as("n_entries"))
+    spark.read.parquet(s"$base/pq/codes")
+      .select($"vec_id", posexplode($"code").as(Seq("sub", "b")))
+      .groupBy($"sub")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"vec_id").as("n_ids"),
+        min($"b").as("min_b"), max($"b").as("max_b"),
+        countDistinct($"b").as("n_codes_used"))
+      .join(books, Seq("sub"))
+      .select($"sub".cast("long").as("sub"),
+        ($"n_rows" === n && $"n_ids" === n).as("covers_corpus"),
+        ($"min_b" >= 0 && $"max_b" < PqCodebooks.defaultCodes &&
+          $"n_entries" === PqCodebooks.defaultCodes).as("codes_in_range"),
+        ($"n_codes_used" > 1).as("diverse"))
+      .orderBy($"sub")
+  }
+
+  val pqBuildSql: String =
+    s"""SELECT CAST(r.s AS BIGINT) AS sub, true AS covers_corpus,
+       |  true AS codes_in_range, true AS diverse
+       |FROM generate_series(0, ${PqCodebooks.defaultM - 1}) r(s) ORDER BY sub""".stripMargin
+
+  /** `ivf_search_pq`: the ADC-probe + exact-rerank serve as an
+    * invariant grid (the [[ivfAddDelta]] oracle pattern). Per fixed
+    * query 0..4: `self_found`/`top1_exact` — the query's own vector
+    * survives the ADC cut and reranks to the top with score 1.0 (the
+    * quantized pipeline is genuinely servable, not just well-formed);
+    * `k_hits` — a full top-10; `ids_in_corpus` — every hit a real
+    * vector; `scores_bounded` + `monotone` — e6 scores inside the
+    * cosine bound, non-increasing down the ranking. The all-true grid
+    * is SQL-exact; recall quality is PqSpec's measured bar. */
+  def ivfSearchPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = pqLayoutFor(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val hits = searchPersistedPq(spark, base, queries)
+      .localCheckpoint(true)
+    val inCorpus = emb
+      .join(broadcast(hits.select($"neighbor_id")), $"vec_id" === $"neighbor_id", "left_semi")
+      .select($"vec_id".as("neighbor_id"), lit(true).as("in_corpus"))
+    val next = hits.select($"q_id", ($"rank" - 1).as("rank"),
+      $"score_e6".as("next_score"))
+    hits
+      .join(broadcast(inCorpus), Seq("neighbor_id"), "left")
+      .join(broadcast(next), Seq("q_id", "rank"), "left")
+      .groupBy($"q_id").agg(
+        (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
+        (max(when($"rank" === 1 && $"neighbor_id" === $"q_id" &&
+          $"score_e6" === 1000000L, 1)).isNotNull).as("top1_exact"),
+        (count(lit(1)) === 10L).as("k_hits"),
+        (count(when($"in_corpus", 1)) === count(lit(1))).as("ids_in_corpus"),
+        (min($"score_e6".between(-1000000L, 1000000L).cast("int")) === 1).as("scores_bounded"),
+        (min(coalesce($"next_score" <= $"score_e6", lit(true)).cast("int")) === 1).as("monotone"))
+      .orderBy($"q_id")
+  }
+
+  val ivfSearchPqSql: String =
+    """SELECT vec_id AS q_id, true AS self_found, true AS top1_exact,
+      |  true AS k_hits, true AS ids_in_corpus, true AS scores_bounded,
+      |  true AS monotone
+      |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin
 }

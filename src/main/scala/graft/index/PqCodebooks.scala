@@ -1,0 +1,191 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product-quantization codebook training and query LUT construction
+  * — the driver-side half of the IVF-PQ layout ([[IvfIndex.persistPq]]
+  * writes codes, [[IvfIndex.searchPersistedPq]] serves them).
+  *
+  * Scale shape (100 TB): the fit consumes a BOUNDED deterministic
+  * sample (like [[IvfIndex.fitSampleCap]] — each Lloyd's iteration
+  * would otherwise scan the corpus), runs on the driver over at most
+  * `trainSampleCap × d` floats (2 MiB at d=64), and only the single
+  * codegen'd [[graft.functions.PqEncode]] pass touches every row. A
+  * PQ code is `m` bytes instead of `d×4` — the ADC scan of a probed
+  * partition reads 32× less at d=64/m=8, which is the whole point for
+  * corpora whose raw vectors don't fit cluster RAM (the reference
+  * searches raw vectors only, ivf_index.py:139-185).
+  *
+  * Determinism: MLlib KMeans is not partition-stable (same rows,
+  * different layout → different low bits), so the PQ fit does NOT use
+  * it — the sample is taken by a total (xxhash64(vec_id), vec_id)
+  * order and Lloyd's runs on the driver with seeded k-means++ init,
+  * making codebooks (and therefore every code and every ADC score)
+  * byte-identical across partition layouts.
+  */
+object PqCodebooks {
+
+  /** 64-dim corpus → 8 subspaces of 8 dims, 16 codes each: an 8-byte
+    * code (32× smaller than the raw vector) that still leaves the
+    * exact rerank enough signal — measured recall@10 bar in PqSpec. */
+  val defaultM = 8
+  val defaultCodes = 16
+
+  /** Driver-side fit budget: 8192 rows × 64 floats = 2 MiB. The
+    * subspace estimation problem is m independent small-dim
+    * clusterings — a bounded sample saturates it long before the
+    * corpus does. */
+  val trainSampleCap = 8192
+
+  /** Train per-subspace codebooks on an L2-NORMALIZED bounded sample
+    * of `emb` (vec_id, embedding). Codes quantize the normalized
+    * vector because the search metric is cosine: on unit vectors
+    * ‖q̂−v̂‖² = 2−2·cos orders identically (same rule as
+    * [[graft.functions.PqEncode]]'s eval). Returns [sub][code][subDim]
+    * with subDim = ⌈d/m⌉; short tails zero-pad, matching the encode
+    * expression. */
+  def train(emb: DataFrame, m: Int = defaultM, codes: Int = defaultCodes,
+      seed: Long = 42L, cap: Int = trainSampleCap): Array[Array[Array[Float]]] = {
+    // deterministic pseudo-random sample: TakeOrdered over a total
+    // order — per-partition heaps, no full sort, no layout dependence
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(cap)
+      .collect()
+      .sortBy(_.getLong(0))
+    require(rows.nonEmpty, "pq train: empty corpus")
+    val d = rows.head.getSeq[Float](1).length
+    val subDim = (d + m - 1) / m
+    // normalize + zero-pad once
+    val data: Array[Array[Double]] = rows.map { r =>
+      val v = r.getSeq[Float](1)
+      var norm = 0.0
+      v.foreach(x => norm += x.toDouble * x.toDouble)
+      val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+      val out = new Array[Double](m * subDim)
+      var i = 0
+      while (i < v.length) { out(i) = v(i) * inv; i += 1 }
+      out
+    }
+    Array.tabulate(m) { s =>
+      val pts = data.map(_.slice(s * subDim, (s + 1) * subDim))
+      lloyd(pts, codes, new scala.util.Random(seed + s))
+    }
+  }
+
+  /** Plain Lloyd's with k-means++ seeding over a driver-resident point
+    * set — deterministic given the point order and the seeded RNG.
+    * Ties in assignment break toward the lowest centroid index (the
+    * encode expression's rule); a centroid that loses all its points
+    * keeps its previous position. */
+  private def lloyd(pts: Array[Array[Double]], k: Int,
+      rng: scala.util.Random, iters: Int = 25): Array[Array[Float]] = {
+    val n = pts.length
+    val dim = pts.head.length
+    val kk = math.min(k, n)
+    // k-means++ init
+    val centers = Array.ofDim[Double](kk, dim)
+    centers(0) = pts(rng.nextInt(n)).clone()
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < kk) {
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        val dd = sqDist(pts(i), centers(c - 1))
+        if (dd < d2(i)) d2(i) = dd
+        sum += d2(i)
+        i += 1
+      }
+      val target = rng.nextDouble() * sum
+      var acc = 0.0
+      var pick = n - 1
+      i = 0
+      var found = false
+      while (i < n && !found) {
+        acc += d2(i)
+        if (acc >= target) { pick = i; found = true }
+        i += 1
+      }
+      centers(c) = pts(pick).clone()
+      c += 1
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    var moved = true
+    while (it < iters && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < kk) {
+          val dd = sqDist(pts(i), centers(j))
+          if (dd < bestD) { bestD = dd; best = j }
+          j += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      if (moved) {
+        val sums = Array.ofDim[Double](kk, dim)
+        val counts = new Array[Int](kk)
+        i = 0
+        while (i < n) {
+          val a = assign(i)
+          counts(a) += 1
+          var j = 0
+          while (j < dim) { sums(a)(j) += pts(i)(j); j += 1 }
+          i += 1
+        }
+        var j = 0
+        while (j < kk) {
+          if (counts(j) > 0) {
+            var t = 0
+            while (t < dim) { centers(j)(t) = sums(j)(t) / counts(j); t += 1 }
+          } // empty cluster keeps its previous centroid
+          j += 1
+        }
+      }
+      it += 1
+    }
+    centers.map(_.map(_.toFloat))
+  }
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Per-query ADC lookup table against trained codebooks:
+    * `lut(s)(c)` = squared L2 distance between the NORMALIZED query's
+    * s-th subvector (zero-padded, the encode rule) and codebook entry
+    * c — so `Σ_s lut(s)(code(s))` ≈ ‖q̂ − v̂‖², ascending = most
+    * similar first. */
+  def lut(qVec: Array[Float],
+      books: Array[Array[Array[Float]]]): Array[Array[Double]] = {
+    var norm = 0.0
+    qVec.foreach(x => norm += x.toDouble * x.toDouble)
+    val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+    val m = books.length
+    val subDim = books(0)(0).length
+    Array.tabulate(m) { s =>
+      val off = s * subDim
+      books(s).map { cent =>
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val qi = if (off + i < qVec.length) qVec(off + i).toDouble * inv else 0.0
+          val t = qi - cent(i)
+          d += t * t
+          i += 1
+        }
+        d
+      }
+    }
+  }
+}

@@ -1,0 +1,184 @@
+package graft
+
+import graft.functions.{pq, PqAdc, PqEncode}
+import graft.index.{IvfIndex, PqCodebooks}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF-PQ (VERDICT r6 #1 + ADVICE): the PqEncode/PqAdc expressions'
+  * interpreted and codegen paths must agree with an independent plain
+  * -Scala reimplementation — including short/empty vectors and tied
+  * centroids — PqAdc must reject an out-of-range query index in both
+  * modes, codebook training must be partition-stable, and the
+  * end-to-end ADC-probe + exact-rerank serve must clear a measured
+  * recall@10 bar vs brute force.
+  */
+class PqSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  // ---- independent reference implementation (no shared code) ----------
+
+  private def refEncode(v: Array[Float],
+      books: Array[Array[Array[Float]]]): Array[Byte] = {
+    var norm = 0.0
+    v.foreach(x => norm += x.toDouble * x.toDouble)
+    val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+    books.zipWithIndex.map { case (cb, s) =>
+      val subDim = cb(0).length
+      val off = s * subDim
+      val dists = cb.map { cent =>
+        cent.indices.map { i =>
+          val xi = if (off + i < v.length) v(off + i).toDouble * inv else 0.0
+          val t = xi - cent(i); t * t
+        }.sum
+      }
+      // argmin, LOWEST index on ties
+      dists.indices.minBy(i => (dists(i), i)).toByte
+    }
+  }
+
+  private def refAdc(code: Array[Byte], lut: Array[Array[Double]]): Double =
+    code.indices.take(lut.length).map(s => lut(s)(code(s).toInt & 0xff)).sum
+
+  private val rng = new scala.util.Random(7L)
+
+  private def randBooks(m: Int, codes: Int, subDim: Int): Array[Array[Array[Float]]] =
+    Array.fill(m, codes, subDim)(rng.nextFloat() * 2f - 1f)
+
+  private def randVec(d: Int): Array[Float] = Array.fill(d)(rng.nextFloat() * 2f - 1f)
+
+  test("PqEncode: interpreted eval, codegen'd projection, and the reference impl agree") {
+    val books = randBooks(m = 4, codes = 8, subDim = 3)
+    val bc = spark.sparkContext.broadcast(books)
+    val vecs: Seq[Array[Float]] = Seq(
+      randVec(12), randVec(12), randVec(12),
+      randVec(7),            // short: zero-padded tail
+      randVec(1),            // very short
+      Array[Float](),        // empty: norm 0 → all-zero subvectors
+      Array.fill(12)(0f))    // zero vector
+    val expected = vecs.map(refEncode(_, books))
+    // codegen'd path: a projection over a DataFrame
+    val got = vecs.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("i", "v").select($"i", pq.pqEncode($"v", bc).as("code"))
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Byte](1).toArray)
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g.sameElements(e), s"codegen row $i: ${g.toSeq} != ${e.toSeq}")
+    }
+    // interpreted path: direct expression eval, no codegen anywhere
+    vecs.zip(expected).foreach { case (v, e) =>
+      val out = PqEncode(Literal.create(v, ArrayType(FloatType)), bc)
+        .eval(null).asInstanceOf[ArrayData].toByteArray()
+      assert(out.sameElements(e), s"interpreted: ${out.toSeq} != ${e.toSeq}")
+    }
+    bc.unpersist()
+  }
+
+  test("PqEncode ties break to the lowest code index, deterministically") {
+    val cent = Array(0.5f, -0.25f)
+    // codebook entries 1 and 3 are byte-identical: argmin must pick 1
+    val books: Array[Array[Array[Float]]] =
+      Array(Array(Array(9f, 9f), cent.clone(), Array(-9f, 9f), cent.clone()))
+    val bc = spark.sparkContext.broadcast(books)
+    val v = Array(0.5f, -0.25f)
+    assert(refEncode(v, books).sameElements(Array[Byte](1)))
+    val got = Seq(Tuple1(v)).toDF("v").select(pq.pqEncode($"v", bc))
+      .collect()(0).getSeq[Byte](0)
+    assert(got == Seq[Byte](1))
+    val interp = PqEncode(Literal.create(v, ArrayType(FloatType)), bc)
+      .eval(null).asInstanceOf[ArrayData].toByteArray()
+    assert(interp.sameElements(Array[Byte](1)))
+    bc.unpersist()
+  }
+
+  test("PqAdc: interpreted and codegen agree with the reference; bad q_idx throws in both modes") {
+    val books = randBooks(m = 4, codes = 8, subDim = 3)
+    val qs = Seq(randVec(12), randVec(12))
+    val luts = qs.map(PqCodebooks.lut(_, books)).toArray
+    val lutBc = spark.sparkContext.broadcast(luts)
+    val codes: Seq[Array[Byte]] =
+      Seq(Array[Byte](0, 7, 3, 1), Array[Byte](2, 2, 2, 2), Array[Byte](5, 0, 6, 4))
+    val expected = for (c <- codes; qi <- luts.indices) yield refAdc(c, luts(qi))
+    // Seq[Byte], not Array[Byte]: the encoder maps a byte ARRAY to
+    // BinaryType, but PqAdc consumes array<byte> (what PqEncode emits)
+    val got = (for (ci <- codes.indices; qi <- luts.indices)
+        yield (ci * luts.length + qi, codes(ci).toSeq, qi))
+      .toDF("row", "code", "qi")
+      .select($"row", pq.pqAdc($"code", $"qi", lutBc).as("d"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+    codes.foreach { c =>
+      luts.indices.foreach { qi =>
+        val interp = PqAdc(Literal.create(c.toSeq, ArrayType(org.apache.spark.sql.types.ByteType)),
+          Literal.create(qi, IntegerType), lutBc).eval(null).asInstanceOf[Double]
+        assert(interp == refAdc(c, luts(qi)))
+      }
+    }
+    // out-of-range query index: IllegalArgumentException, not AIOOBE,
+    // in BOTH the interpreted eval and the codegen'd projection
+    val boom = intercept[IllegalArgumentException] {
+      PqAdc(Literal.create(codes.head.toSeq, ArrayType(org.apache.spark.sql.types.ByteType)),
+        Literal.create(luts.length, IntegerType), lutBc).eval(null)
+    }
+    assert(boom.getMessage.contains("outside the broadcast LUT"))
+    val boomGen = intercept[Exception] {
+      Seq((codes.head.toSeq, -1)).toDF("code", "qi")
+        .select(pq.pqAdc($"code", $"qi", lutBc)).collect()
+    }
+    assert(boomGen.getMessage.contains("outside the broadcast LUT"),
+      s"codegen path threw the wrong error: ${boomGen.getMessage}")
+    lutBc.unpersist()
+  }
+
+  test("codebook training is partition-stable and deterministic") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val a = PqCodebooks.train(emb)
+    val b = PqCodebooks.train(emb.repartition(13, $"vec_id"))
+    assert(a.length == b.length)
+    a.indices.foreach { s =>
+      a(s).indices.foreach { c =>
+        assert(a(s)(c).sameElements(b(s)(c)),
+          s"codebook[$s][$c] differs across partition layouts")
+      }
+    }
+  }
+
+  test("IVF-PQ serve clears recall@10 >= 0.85 vs brute force; self is top-1 exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-recall").toString
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    IvfIndex.persist(IvfIndex.build(spark, emb), dir)
+    IvfIndex.persistPq(spark, dir)
+    // 25 probes: a 5-probe recall estimate sits on the bar (memory of
+    // MaintenanceSpec's borderline flake) — widen the sample
+    val queries = emb.filter($"vec_id" < 25)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val got = IvfIndex.searchPersistedPq(spark, dir, queries)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val brute = emb.crossJoin(broadcast(queries))
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        graft.core.Stab.e6(graft.functions.vectors.cosineSim($"embedding", $"q_vec")).as("score_e6"))
+    val want = graft.operators.KnnSearch.topK(brute, 10, asc = false)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recall = want.map { case (q, w) =>
+      got.get(q).map(g => g.intersect(w).size.toDouble / w.size).getOrElse(0.0)
+    }.sum / want.size
+    assert(recall >= 0.85, s"IVF-PQ recall@10 $recall < 0.85")
+    // every query vector is its own top-1 with exact score through the
+    // quantized pipeline (ADC kept it, the exact rerank ranked it)
+    val top1 = IvfIndex.searchPersistedPq(spark, dir, queries, k = 1)
+      .collect()
+    assert(top1.length == 25)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("q_id") &&
+        r.getAs[Long]("score_e6") == 1000000L,
+        s"q=${r.getAs[Long]("q_id")} top1 not exact self")
+    }
+  }
+}
