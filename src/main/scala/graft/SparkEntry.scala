@@ -81,6 +81,9 @@ object SparkEntry {
       Collections.queryTextChunksPersistedChecked(s, d, "ivf")),
     "query_chunks_persisted_nsw" -> ((s: SparkSession, d: String) =>
       Collections.queryTextChunksPersistedChecked(s, d, "nsw")),
+    // the persisted layout's one-time batch build, as its own labeled
+    // entry (so serve entries above never carry hidden build cost)
+    "persist_chunks_build" -> (Collections.persistChunksBuild _),
     "mm_features" -> (Media.mmFeatures _),
     "mm_features_golden" -> (Media.mmFeaturesGolden _),
     "mm_frame_sample" -> (Media.mmFrameSample _),
@@ -398,6 +401,7 @@ object SparkEntry {
     "query_text_chunks" -> Collections.queryTextCheckedSql,
     "query_chunks_persisted_ivf" -> Collections.queryTextCheckedSql,
     "query_chunks_persisted_nsw" -> Collections.queryTextCheckedSql,
+    "persist_chunks_build" -> Collections.persistChunksBuildSql,
     "query_e2e" -> Collections.queryTextCheckedSql,
     "embed_text" -> embedTextSql,
     "embed_text_golden" -> embedTextGoldenSql,

