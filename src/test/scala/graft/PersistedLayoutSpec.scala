@@ -91,6 +91,72 @@ class PersistedLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF single-query probe partition-prunes the vectors scan (DPP)") {
+    // VERDICT r6 #6: the probe must read only n_probe of the
+    // cluster_id= directories — plan-asserted like the drift probe,
+    // not just claimed. The serve path checkpoints its top-k cut, so
+    // the scan's query execution is captured via the listener the
+    // checkpoint action reports to.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-dpp").toString
+    val emb = graft.core.Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    graft.index.IvfIndex.persist(graft.index.IvfIndex.build(spark, emb), dir)
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        captured.add(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val hits = graft.index.IvfIndex.searchPersistedSingle(spark, dir, q).collect()
+      assert(hits.length == 10 && hits.head.getAs[Long]("neighbor_id") == 0L)
+      // the listener fires asynchronously after the action returns;
+      // AQE hides query stages from TreeNode.collect, so the walk
+      // descends AdaptiveSparkPlanExec/QueryStageExec explicitly
+      def deepScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+        val here = p match {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.metadata.get("Location").exists(_.contains("vectors")) => Seq(s)
+          case _ => Nil
+        }
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here ++ kids.flatMap(deepScans)
+      }
+      def vectorScans() = captured
+        .toArray(Array.empty[org.apache.spark.sql.execution.QueryExecution])
+        .flatMap(qe => deepScans(qe.executedPlan))
+      org.scalatest.concurrent.Eventually.eventually(
+        org.scalatest.concurrent.Eventually.timeout(
+          org.scalatest.time.Span(10, org.scalatest.time.Seconds))) {
+        assert(vectorScans().nonEmpty,
+          "no captured execution scanned the persisted vectors table")
+      }
+      val scans = vectorScans()
+      val pruned = scans.filter(_.partitionFilters.exists(
+        _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])))
+      assert(pruned.nonEmpty,
+        s"no dynamic pruning on the vectors scan:\n${scans.map(_.toString).mkString("\n").take(2000)}")
+      // the metric proves files were actually skipped: ≤ n_probe of the
+      // defaultK partitions read
+      val nParts = pruned.flatMap(_.metrics.get("numPartitions").map(_.value))
+      assert(nParts.nonEmpty,
+        s"numPartitions metric missing; available: ${pruned.head.metrics.keys.mkString(",")}")
+      assert(nParts.exists(n => n > 0 && n <= graft.index.IvfIndex.defaultNProbe),
+        s"partitions read $nParts not within n_probe=${graft.index.IvfIndex.defaultNProbe}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("bucketed NSW layout serves beam search with in-memory parity") {
     val emb = graft.core.Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
     val edges = NswIndex.buildEdges(emb)
