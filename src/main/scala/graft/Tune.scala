@@ -60,6 +60,24 @@ object Tune {
       val agree = lsh.intersect(exact).size.toDouble / exact.size
       println(f"NSWLSH tables=$t%-2d bits=$b rounds=$rounds agree=$agree%.3f")
     }
+
+    // Hops-cap sweep (VERDICT r6 #7): with the convergence cuts, a
+    // higher cap should cost nothing once the beam converges — measure
+    // whether recall moves and what the warm batch serve pays.
+    val brute5 = neighborSets(
+      SparkEntry.queries("knn_brute_cosine")(spark, sfDir), 5)
+    val edgesLsh = NswIndex.buildEdgesLsh(emb).localCheckpoint(true)
+    for (h <- Seq(4, 6, 8, 10, 12)) {
+      def run(): (Double, Double) = {
+        val t0 = System.nanoTime()
+        val got = neighborSets(
+          NswIndex.beamSearch(emb, edgesLsh, queries, maxHops = h), 5)
+        ((System.nanoTime() - t0) / 1e9, recall(got, brute5))
+      }
+      run() // warm the plan/caches once
+      val (dt, r) = run()
+      println(f"NSWHOPS maxHops=$h%-3d warmSec=$dt%.2f recall@5=$r%.3f")
+    }
     spark.stop()
   }
 }

@@ -28,7 +28,16 @@ object NswIndex {
 
   val graphDegree = 5 // matches reference NSWIndex(n_neighbors=5)
   val beamWidth = 16
-  val hops = 6
+  // Hop CAP, not a constant cost: both beam loops stop early — the
+  // batch BSP via the zero-new-scores Observation, the single-query
+  // walk via the kth-best cut — so the cap only binds while the walk
+  // is still improving. Measured (graft.Tune NSWHOPS, sf0.1 n=2000,
+  // degree 5): recall@5 0.36 @ 6 hops → 0.64 @ 8 → 0.80 @ 10, flat at
+  // 12 (the cut fires) — the old cap of 6 was tuned on the 500-row
+  // spec corpus, where convergence arrives before 6 and a larger cap
+  // costs nothing. Graph diameter grows with log n, so a fixed small
+  // cap silently starves recall exactly when the corpus grows.
+  val hops = 10
   // LSH candidate generation for the graph build (the 100 TB path):
   // bucket bit depth adapts to n (LshIndex.adaptiveBits, target ~64
   // rows/bucket) so within-bucket pair counts stay linear; multiple
@@ -479,9 +488,9 @@ object NswIndex {
     * the frontier ⋈ edges join needs no Exchange on the edge side. */
   def beamSearch(emb: DataFrame, edges: DataFrame, queries: DataFrame,
       k: Int = 5, singleQuery: Boolean = false,
-      preExpandedEdges: Boolean = false): DataFrame = {
+      preExpandedEdges: Boolean = false, maxHops: Int = hops): DataFrame = {
     if (singleQuery)
-      return beamSearchSingle(emb, edges, queries, k, preExpandedEdges)
+      return beamSearchSingle(emb, edges, queries, k, preExpandedEdges, maxHops)
     // The graph and vectors are the persisted index: materialize once.
     // Without this every superstep re-derives the whole kNN build.
     // (In the bucketed-layout mode the tables ARE materialized files —
@@ -512,7 +521,7 @@ object NswIndex {
     var frontier = visited
     var hop = 1
     var exhausted = false
-    while (hop <= hops && !exhausted) {
+    while (hop <= maxHops && !exhausted) {
       val expanded = frontier
         .join(edgeSel, Seq("node"))
         .select(col("q_id"), col("dst").as("node"), col("q_vec"))
@@ -562,7 +571,8 @@ object NswIndex {
     * superstep is Exchange-FREE (the BSP loop's one frontier
     * Exchange disappears too). */
   private def beamSearchSingle(emb: DataFrame, edges: DataFrame,
-      queries: DataFrame, k: Int, preExpandedEdges: Boolean): DataFrame = {
+      queries: DataFrame, k: Int, preExpandedEdges: Boolean,
+      maxHops: Int = hops): DataFrame = {
     val spark = emb.sparkSession
     val q = queries.select(col("q_id"), col("q_vec")).collect()
     require(q.length == 1, s"single-query beam got ${q.length} query rows")
@@ -579,7 +589,7 @@ object NswIndex {
       var frontier = Array(entryRow.getLong(0))
       var hop = 0
       var converged = false
-      while (hop < hops && !converged && frontier.nonEmpty) {
+      while (hop < maxHops && !converged && frontier.nonEmpty) {
         val fDf = spark.createDataFrame(frontier.toSeq.map(Tuple1(_))).toDF("node")
         // frontier ∪ its one-hop expansion scored in a single job; the
         // frontier rows score too, which is how hop 1 scores the entry
