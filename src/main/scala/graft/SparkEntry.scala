@@ -34,6 +34,12 @@ object SparkEntry {
     "knn_brute_dot" -> (KnnSearch.bruteDot _),
     "knn_brute_l2" -> (KnnSearch.bruteL2 _),
     "knn_join_exact" -> (KnnSearch.knnJoinExact _),
+    // radius (range) search, BM25 lexical leg, hybrid fusion, and the
+    // MMR diversity rerank — the retrieval surface around the ANN core
+    "range_search" -> ((s: SparkSession, d: String) => KnnSearch.rangeSearch(s, d)),
+    "text_bm25" -> (graft.text.Bm25.textBm25 _),
+    "hybrid_rrf" -> (Hybrid.hybridRrfChecked _),
+    "mmr_rerank" -> (Rerank.mmrRerankEntry _),
     // dedup family
     "dedup_exact" -> (Dedup.exact _),
     "dedup_minhash" -> (Dedup.minhash _),
@@ -373,6 +379,10 @@ object SparkEntry {
     "knn_brute_dot" -> KnnSearch.bruteDotSql,
     "knn_brute_l2" -> KnnSearch.bruteL2Sql,
     "knn_join_exact" -> KnnSearch.knnJoinExactSql,
+    "range_search" -> KnnSearch.rangeSearchSql,
+    "text_bm25" -> graft.text.Bm25.textBm25Sql,
+    "hybrid_rrf" -> Hybrid.hybridRrfCheckedSql,
+    "mmr_rerank" -> Rerank.mmrRerankSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_minhash" -> Dedup.minhashSql,
     "dedup_simhash" -> Dedup.simhashSql,

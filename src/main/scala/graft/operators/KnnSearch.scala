@@ -98,19 +98,42 @@ object KnnSearch {
         .filter(col("q_id") =!= col("neighbor_id")),
       5, asc = false)
 
+  /** `range_search`: radius query — EVERY neighbor whose cosine clears
+    * the threshold, not a fixed k. The reference serves only top-k
+    * (nsw_index.py:117-165, ivf_index.py:139-185); a radius cut is the
+    * retrieval shape dedup and recall evaluation actually need, so it
+    * is exposed as a first-class search.
+    *
+    * Scale shape: identical single-scan broadcast cross join as the
+    * kNN family, but the threshold is applied MAP-SIDE on the scored
+    * stream — the shuffle into the per-query rank window carries only
+    * matches (output-bounded, ~1% of rows at 0.25 on this corpus),
+    * never the corpus. Self-match included by design (rank 1,
+    * score 1.0): a radius set without the query itself is a dedup
+    * convention, not a search one. */
+  def rangeSearch(spark: SparkSession, dir: String,
+      thresholdE6: Long = 250000L): DataFrame = {
+    val scored = scoredAgainstQueries(spark, dir, col("vec_id") < 5, cosineSim)
+      .filter(col("score_e6") >= thresholdE6)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_e6").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ---- DuckDB oracle SQL -------------------------------------------------
   // Same double left-to-right accumulation as the codegen'd expressions:
   // list_sum over a generate_series-driven transform sums DOUBLEs
   // sequentially, so both engines produce bit-identical doubles before
   // the e6 stabilization.
 
-  private def sqlDot(a: String, b: String): String =
+  private[graft] def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
-  private def sqlNormSq(a: String): String =
+  private[graft] def sqlNormSq(a: String): String =
     s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))"
 
-  private def sqlCosine(a: String, b: String): String =
+  private[graft] def sqlCosine(a: String, b: String): String =
     s"(CASE WHEN ${sqlNormSq(a)} = 0 OR ${sqlNormSq(b)} = 0 THEN 0.0 " +
       s"ELSE ${sqlDot(a, b)} / (sqrt(${sqlNormSq(a)}) * sqrt(${sqlNormSq(b)})) END)"
 
@@ -143,4 +166,17 @@ object KnnSearch {
     knnSql(sqlL2("e.embedding", "q.q_vec"), "vec_id < 5", 10, asc = true, excludeSelf = false)
   val knnJoinExactSql: String =
     knnSql(sqlCosine("e.embedding", "q.q_vec"), "vec_id % 50 = 0", 5, asc = false, excludeSelf = true)
+
+  val rangeSearchSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id AS neighbor_id,
+       |    ${Stab.sqlE6(sqlCosine("e.embedding", "q.q_vec"))} AS score_e6
+       |  FROM embeddings e CROSS JOIN q
+       |)
+       |SELECT q_id, neighbor_id, score_e6,
+       |  row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score_e6 DESC, neighbor_id ASC) AS rank
+       |FROM scored WHERE score_e6 >= 250000
+       |ORDER BY q_id, rank""".stripMargin
 }

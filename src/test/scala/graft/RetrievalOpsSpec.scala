@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.{Hybrid, KnnSearch, Rerank}
+import graft.text.Bm25
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 retrieval surface: radius search, BM25, hybrid RRF fusion,
+  * MMR diversity rerank. Value-level truth is the DuckDB oracle
+  * (SparkEntry.oracleSql); these specs pin the semantic contracts the
+  * oracle's hash can't articulate. */
+class RetrievalOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("range_search returns exactly the neighbors above the radius, ranked") {
+    val out = KnnSearch.rangeSearch(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every row clears the threshold; each query's self-match leads at 1.0
+    assert(out.forall(_.getAs[Long]("score_e6") >= 250000L))
+    (0L until 5L).foreach { q =>
+      val mine = out.filter(_.getAs[Long]("q_id") == q)
+        .sortBy(_.getAs[Long]("rank"))
+      assert(mine.head.getAs[Long]("neighbor_id") == q)
+      assert(mine.head.getAs[Long]("score_e6") == 1000000L)
+      // ranks contiguous from 1, scores non-increasing
+      assert(mine.map(_.getAs[Long]("rank")).toSeq == (1L to mine.length).toSeq)
+      val scores = mine.map(_.getAs[Long]("score_e6")).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+    // completeness: count matches an independent brute-force filter
+    val brute = KnnSearch.topK(
+      graft.core.Tables.embeddings(spark, sf).crossJoin(
+        broadcast(graft.core.Tables.embeddings(spark, sf)
+          .filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))))
+        .select($"q_id", $"vec_id".as("neighbor_id"),
+          graft.core.Stab.e6(graft.functions.vectors.cosineSim($"embedding", $"q_vec")).as("score_e6")),
+      Int.MaxValue, asc = false)
+      .filter($"score_e6" >= 250000L).count()
+    assert(out.length.toLong == brute)
+  }
+
+  test("text_bm25 ranks only docs containing a query term, scores positive") {
+    val out = Bm25.ranked(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("score_e6") > 0L))
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val qterms = Bm25.queries.toMap.view.mapValues(
+      _.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet).toMap
+    out.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id"))
+        .toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+      assert(qterms(r.getAs[Long]("q_id")).exists(toks.contains),
+        s"doc ${r.getAs[Long]("doc_id")} has no term of query ${r.getAs[Long]("q_id")}")
+    }
+    // per-query: 10 contiguous ranks, non-increasing scores
+    Bm25.queries.map(_._1).foreach { q =>
+      val mine = out.filter(_.getAs[Long]("q_id") == q).sortBy(_.getAs[Long]("rank"))
+      assert(mine.map(_.getAs[Long]("rank")).toSeq == (1L to mine.length).toSeq)
+      val s = mine.map(_.getAs[Long]("score_e6")).toSeq
+      assert(s == s.sorted.reverse)
+    }
+  }
+
+  test("bm25: a doc repeating a query term outranks one mentioning it once") {
+    // tiny corpus in the documents.parquet layout where the fixed
+    // workload term 'data' (query 3) appears with tf 3 / 1 / 0
+    val tmp = java.nio.file.Files.createTempDirectory("bm25spec").toString
+    Seq(
+      (0L, "data data data filler words here", "en", "t", 30L),
+      (1L, "data filler words here more words", "en", "t", 30L),
+      (2L, "filler words only nothing else at", "en", "t", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = Bm25.ranked(spark, tmp, k = 10)
+      .filter($"q_id" === 3L) // "customer data query slow" — only 'data' matches
+      .orderBy($"rank").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L, 1L),
+      "tf=3 doc must outrank tf=1 doc; tf=0 doc must be absent")
+    assert(out(0).getAs[Long]("score_e6") > out(1).getAs[Long]("score_e6"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  test("hybrid_rrf grid is all-true and fusion actually mixes both legs") {
+    val grid = Hybrid.hybridRrfChecked(spark, sf).collect()
+    assert(grid.length == Bm25.queries.length * 10)
+    Seq("doc_in_corpus", "bm25_leg_ok", "vec_leg_ok", "rrf_consistent",
+      "monotone_ok").foreach { c =>
+      assert(grid.forall(_.getAs[Boolean](c)), s"grid column $c not all-true")
+    }
+    val fused = Hybrid.hybridRrf(spark, sf).collect()
+    // a doc present in BOTH legs must outscore the same ranks' singles:
+    // at minimum, both legs contribute somewhere in the fused top-10
+    assert(fused.exists(_.getAs[Long]("bm25_rank") != -1L))
+    assert(fused.exists(_.getAs[Long]("vec_rank") != -1L))
+    // two-leg rows exist and carry the sum of both contributions
+    val both = fused.filter(r =>
+      r.getAs[Long]("bm25_rank") != -1L && r.getAs[Long]("vec_rank") != -1L)
+    both.foreach { r =>
+      val e6 = (x: Long) => math.floor(1.0 / (60.0 + x) * 1000000.0 + 0.5).toLong
+      assert(r.getAs[Long]("rrf_e6") ==
+        e6(r.getAs[Long]("bm25_rank")) + e6(r.getAs[Long]("vec_rank")))
+    }
+  }
+
+  test("mmr_rerank picks the top-relevance candidate first, then diversifies") {
+    val out = Rerank.mmrRerank(spark, sf).orderBy($"rank").collect()
+    assert(out.length == 10)
+    val ids = out.map(_.getAs[Long]("neighbor_id"))
+    assert(ids.distinct.length == 10)
+    assert(!ids.contains(0L)) // query itself excluded
+    // rank 1 = argmax relevance with mmr = 7·rel
+    val first = out.head
+    assert(first.getAs[Long]("mmr_x10_e6") == 7L * first.getAs[Long]("relevance_e6"))
+    assert(out.forall(r => r.getAs[Long]("relevance_e6") <= first.getAs[Long]("relevance_e6")))
+    // diversity does work on this corpus: the MMR order is NOT the pure
+    // relevance order (deterministic data, pinned by the oracle too)
+    val byRel = out.sortBy(r => (-r.getAs[Long]("relevance_e6"), r.getAs[Long]("neighbor_id")))
+      .map(_.getAs[Long]("neighbor_id"))
+    assert(!ids.sameElements(byRel))
+  }
+}
