@@ -59,12 +59,18 @@ object Bm25 {
       count(lit(1)).cast("double").as("n_docs"),
       sum(size($"w")).cast("double").as("sum_dl"))
     val qt = queryTerms.toDF("q_id", "term")
-    // dl rides the explode so postings need no second join on doc_id
+    // dl rides the explode so postings need no second join on doc_id.
+    // Materialized once: both df and the scoring join consume it, and
+    // Spark's exchange reuse does not dedupe the two subplans (the
+    // AQE final plan re-scanned the corpus per consumer without this)
+    // — postings is the term-filtered aggregate, bounded by the
+    // workload's matching docs, not the corpus.
     val postings = toks
       .select($"doc_id", size($"w").as("dl"), explode($"w").as("term"))
       .join(broadcast(qt.select($"term").distinct()), Seq("term"))
       .groupBy($"doc_id", $"dl", $"term")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfr = postings.groupBy($"term")
       .agg(count(lit(1)).cast("double").as("df"))
     val perTerm = postings
