@@ -37,6 +37,8 @@ object SparkEntry {
     // radius (range) search, BM25 lexical leg, hybrid fusion, and the
     // MMR diversity rerank — the retrieval surface around the ANN core
     "range_search" -> ((s: SparkSession, d: String) => KnnSearch.rangeSearch(s, d)),
+    "knn_filtered" -> ((s: SparkSession, d: String) => KnnSearch.knnFiltered(s, d)),
+    "ivf_search_filtered" -> (IvfIndex.ivfSearchFiltered _),
     "text_bm25" -> (graft.text.Bm25.textBm25 _),
     "hybrid_rrf" -> (Hybrid.hybridRrfChecked _),
     "mmr_rerank" -> (Rerank.mmrRerankEntry _),
@@ -380,6 +382,8 @@ object SparkEntry {
     "knn_brute_l2" -> KnnSearch.bruteL2Sql,
     "knn_join_exact" -> KnnSearch.knnJoinExactSql,
     "range_search" -> KnnSearch.rangeSearchSql,
+    "knn_filtered" -> KnnSearch.knnFilteredSql,
+    "ivf_search_filtered" -> IvfIndex.ivfSearchFilteredSql,
     "text_bm25" -> graft.text.Bm25.textBm25Sql,
     "hybrid_rrf" -> Hybrid.hybridRrfCheckedSql,
     "mmr_rerank" -> Rerank.mmrRerankSql,

@@ -98,6 +98,25 @@ object KnnSearch {
         .filter(col("q_id") =!= col("neighbor_id")),
       5, asc = false)
 
+  /** `knn_filtered`: metadata-constrained exact kNN — each query
+    * returns the top-k among vectors sharing its `label` (the
+    * multi-tenant / attribute-predicate serving shape). The predicate
+    * is part of the broadcast-join condition, so it evaluates map-side
+    * during the single corpus scan; the rank shuffle carries only
+    * matching rows. This is the exact oracle the IVF filtered probe
+    * (`ivf_search_filtered`) is measured against. */
+  def knnFiltered(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("label") === col("q_label"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"))
+    topK(scored, k, asc = false)
+  }
+
   /** `range_search`: radius query — EVERY neighbor whose cosine clears
     * the threshold, not a fixed k. The reference serves only top-k
     * (nsw_index.py:117-165, ivf_index.py:139-185); a radius cut is the
@@ -166,6 +185,21 @@ object KnnSearch {
     knnSql(sqlL2("e.embedding", "q.q_vec"), "vec_id < 5", 10, asc = true, excludeSelf = false)
   val knnJoinExactSql: String =
     knnSql(sqlCosine("e.embedding", "q.q_vec"), "vec_id % 50 = 0", 5, asc = false, excludeSelf = true)
+
+  val knnFilteredSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+       |           FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id AS neighbor_id,
+       |    ${Stab.sqlE6(sqlCosine("e.embedding", "q.q_vec"))} AS score_e6
+       |  FROM embeddings e CROSS JOIN q WHERE e.label = q.q_label
+       |)
+       |SELECT q_id, neighbor_id, score_e6, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score_e6 DESC, neighbor_id ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
 
   val rangeSearchSql: String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),

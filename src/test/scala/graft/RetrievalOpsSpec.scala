@@ -105,6 +105,53 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knn_filtered returns only same-label neighbors and the filter is load-bearing") {
+    val out = KnnSearch.knnFiltered(spark, sf).collect()
+    val labels = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    out.foreach { r =>
+      assert(labels(r.getAs[Long]("neighbor_id")) == labels(r.getAs[Long]("q_id")))
+    }
+    // the unfiltered top-10 must contain other-label rows — otherwise
+    // this spec would pass with the filter silently dropped
+    val unfiltered = KnnSearch.bruteCosine(spark, sf).collect()
+    assert(unfiltered.exists(r =>
+      labels(r.getAs[Long]("neighbor_id")) != labels(r.getAs[Long]("q_id"))))
+    // and consequently the filtered result sets differ
+    def sets(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("q_id")).view
+        .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(sets(out) != sets(unfiltered))
+  }
+
+  test("ivf_search_filtered: grid all-true and recall@10 >= 0.9 vs brute filtered") {
+    val grid = graft.index.IvfIndex.ivfSearchFiltered(spark, sf).collect()
+    assert(grid.length == 5)
+    Seq("k_results", "all_match_label", "self_found", "top1_exact", "monotone")
+      .foreach { c =>
+        assert(grid.forall(_.getAs[Boolean](c)), s"grid column $c not all-true")
+      }
+    val brute = KnnSearch.knnFiltered(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val built = graft.index.IvfIndex.buildCachedFor(s"ivf_meta:$sf", spark,
+      emb.select($"vec_id", $"embedding", $"label"), sf, metaCols = Seq("label"))
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"label".as("q_label"))
+    val ivf = graft.index.IvfIndex.searchFiltered(built, queries,
+      col("label") === col("q_label"), nProbe = 13).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls = brute.keys.toSeq.sorted.map { q =>
+      ivf(q).intersect(brute(q)).size.toDouble / brute(q).size
+    }
+    info(f"filtered IVF recall@10 per query: ${recalls.map(r => f"$r%.2f").mkString(", ")}")
+    val mean = recalls.sum / recalls.size
+    info(f"mean filtered recall@10 = $mean%.3f")
+    assert(mean >= 0.9, f"mean filtered recall $mean%.3f below bar")
+  }
+
   test("mmr_rerank picks the top-relevance candidate first, then diversifies") {
     val out = Rerank.mmrRerank(spark, sf).orderBy($"rank").collect()
     assert(out.length == 10)
