@@ -40,6 +40,7 @@ object SparkEntry {
     "knn_filtered" -> ((s: SparkSession, d: String) => KnnSearch.knnFiltered(s, d)),
     "ivf_search_filtered" -> (IvfIndex.ivfSearchFiltered _),
     "text_bm25" -> (graft.text.Bm25.textBm25 _),
+    "text_unigram_ll" -> (TextOps.textUnigramLl _),
     "hybrid_rrf" -> (Hybrid.hybridRrfChecked _),
     "mmr_rerank" -> (Rerank.mmrRerankEntry _),
     // dedup family
@@ -385,6 +386,7 @@ object SparkEntry {
     "knn_filtered" -> KnnSearch.knnFilteredSql,
     "ivf_search_filtered" -> IvfIndex.ivfSearchFilteredSql,
     "text_bm25" -> graft.text.Bm25.textBm25Sql,
+    "text_unigram_ll" -> TextOps.textUnigramLlSql,
     "hybrid_rrf" -> Hybrid.hybridRrfCheckedSql,
     "mmr_rerank" -> Rerank.mmrRerankSql,
     "dedup_exact" -> Dedup.exactSql,

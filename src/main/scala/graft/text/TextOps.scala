@@ -174,6 +174,66 @@ object TextOps {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // ---- text_unigram_ll ---------------------------------------------------
+
+  /** Unigram-LM log-likelihood quality score — the perplexity-style
+    * filter every pre-training pipeline runs (docs whose tokens are
+    * improbable under the corpus distribution are noise candidates):
+    * per doc, Σ tf(term)·ln(p(term)) with p = corpus unigram MLE, and
+    * a keep flag at mean-logprob ≥ −3.45 (sf-corpus calibrated;
+    * compared as exact longs: sum_lp_e6 ≥ −3450000·n_tokens, no
+    * division).
+    *
+    * Scale shape: one corpus scan → explode → (doc,term) aggregation
+    * [the only corpus-sized shuffle], materialized once (Spark does
+    * not reuse the exchange across the freq and scoring consumers —
+    * at warehouse scale this is the persisted postings intermediate
+    * every token-stats pipeline keeps anyway). The term-frequency
+    * table is vocab-sized; the scoring join lets AQE choose its
+    * strategy rather than hard-coding a broadcast of a possibly
+    * heavy-tailed vocabulary.
+    *
+    * Cross-engine determinism: ln(cnt/T) is e6-stabilized per TERM,
+    * then multiplied by integer tf and long-summed per doc — no
+    * float aggregation anywhere. */
+  def textUnigramLl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("w"))
+    val postings = toks.select($"doc_id", explode($"w").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val freq = postings.groupBy($"term").agg(sum($"tf").as("cnt"))
+    val tot = freq.agg(sum($"cnt").cast("double").as("t"))
+    postings.join(freq, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .select($"doc_id", $"tf",
+        ($"tf" * Stab.e6(log($"cnt".cast("double") / $"t"))).as("lp_e6"))
+      .groupBy($"doc_id").agg(
+        sum($"tf").as("n_tokens"),
+        sum($"lp_e6").as("sum_lp_e6"))
+      .select($"doc_id", $"n_tokens", $"sum_lp_e6",
+        ($"sum_lp_e6" >= lit(-3450000L) * $"n_tokens").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val textUnigramLlSql: String =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS w FROM documents),
+       |posting AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+       |  GROUP BY doc_id, term),
+       |freq AS (SELECT term, sum(tf) AS cnt FROM posting GROUP BY term),
+       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM freq),
+       |perdoc AS (
+       |  SELECT p.doc_id, sum(p.tf) AS n_tokens,
+       |    sum(p.tf * ${Stab.sqlE6("ln(CAST(f.cnt AS DOUBLE) / t.t)")}) AS sum_lp_e6
+       |  FROM posting p JOIN freq f USING (term) CROSS JOIN tot t
+       |  GROUP BY p.doc_id)
+       |SELECT doc_id, n_tokens, sum_lp_e6,
+       |  sum_lp_e6 >= -3450000 * n_tokens AS keep
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+
   // ---- text_fingerprint (winnowing) --------------------------------------
 
   /** Winnowing fingerprints: char 8-grams → 60-bit rolling hash set →

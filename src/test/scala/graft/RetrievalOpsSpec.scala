@@ -5,10 +5,10 @@ import graft.text.Bm25
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-7 retrieval surface: radius search, BM25, hybrid RRF fusion,
-  * MMR diversity rerank. Value-level truth is the DuckDB oracle
-  * (SparkEntry.oracleSql); these specs pin the semantic contracts the
-  * oracle's hash can't articulate. */
+/** Round-7 operator surface: radius search, BM25, hybrid RRF fusion,
+  * MMR diversity rerank, filtered ANN, unigram-LM scoring. Value-level
+  * truth is the DuckDB oracle (SparkEntry.oracleSql); these specs pin
+  * the semantic contracts the oracle's hash can't articulate. */
 class RetrievalOpsSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
@@ -150,6 +150,26 @@ class RetrievalOpsSpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     info(f"mean filtered recall@10 = $mean%.3f")
     assert(mean >= 0.9, f"mean filtered recall $mean%.3f below bar")
+  }
+
+  test("text_unigram_ll: keep flag exact, discriminative, consistent with token counts") {
+    val out = graft.text.TextOps.textUnigramLl(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      // keep is pure long arithmetic over the returned columns
+      assert(r.getAs[Boolean]("keep") ==
+        (r.getAs[Long]("sum_lp_e6") >= -3450000L * r.getAs[Long]("n_tokens")))
+      assert(r.getAs[Long]("sum_lp_e6") < 0L) // log-probs are negative
+    }
+    // the threshold actually splits this corpus
+    assert(out.exists(_.getAs[Boolean]("keep")))
+    assert(out.exists(!_.getAs[Boolean]("keep")))
+    // n_tokens agrees with the tokenizer's whitespace count
+    val wsCounts = graft.text.TextOps.textTokens(spark, sf)
+      .select($"doc_id", $"n_tokens_ws").as[(Long, Long)].collect().toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == wsCounts(r.getAs[Long]("doc_id")))
+    }
   }
 
   test("mmr_rerank picks the top-relevance candidate first, then diversifies") {
