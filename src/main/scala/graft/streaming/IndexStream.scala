@@ -128,7 +128,7 @@ object IndexStream {
     }
   }
 
-  private def writeAppliedBatch(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def writeAppliedBatch(spark: org.apache.spark.sql.SparkSession,
       path: String, streamId: String, batchId: Long): Unit = {
     val p = batchPath(path, streamId)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -66,11 +66,27 @@ object Bm25 {
     // — postings is the term-filtered aggregate, bounded by the
     // workload's matching docs, not the corpus.
     val postings = toks
-      .select($"doc_id", size($"w").as("dl"), explode($"w").as("term"))
+      .select($"doc_id", size($"w").cast(LongType).as("dl"), explode($"w").as("term"))
       .join(broadcast(qt.select($"term").distinct()), Seq("term"))
       .groupBy($"doc_id", $"dl", $"term")
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
+    rankedOver(postings, stats, k)
+  }
+
+  /** Core scorer over an arbitrary postings frame
+    * `(doc_id, dl, term, tf)` plus a 1-row stats frame
+    * `(n_docs, sum_dl)` (doubles) — shared by the batch path above
+    * and the streamed postings store
+    * ([[graft.streaming.PostingsStream]]); a full (unfiltered)
+    * postings table is cut to the workload's terms here first. */
+  private[graft] def rankedOver(postingsAll: DataFrame, stats: DataFrame,
+      k: Int = 10): DataFrame = {
+    val spark = postingsAll.sparkSession
+    import spark.implicits._
+    val qt = queryTerms.toDF("q_id", "term")
+    val postings = postingsAll
+      .join(broadcast(qt.select($"term").distinct()), Seq("term"))
     val dfr = postings.groupBy($"term")
       .agg(count(lit(1)).cast("double").as("df"))
     val perTerm = postings
@@ -90,6 +106,17 @@ object Bm25 {
     total.withColumn("rank", row_number().over(w).cast(LongType))
       .filter($"rank" <= k)
       .orderBy($"q_id", $"rank")
+  }
+
+  /** Tokenize a (doc_id, text) frame into postings rows
+    * `(doc_id, dl, term, tf)` — the exact derivation [[ranked]] uses,
+    * exposed for the streamed store's per-batch ingestion. */
+  private[graft] def toPostings(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", TextOps.tokens($"text").as("w"))
+      .select($"doc_id", size($"w").cast(LongType).as("dl"), explode($"w").as("term"))
+      .groupBy($"doc_id", $"dl", $"term")
+      .agg(count(lit(1)).as("tf"))
   }
 
   def textBm25(spark: SparkSession, dir: String): DataFrame =
