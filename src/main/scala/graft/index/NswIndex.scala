@@ -516,9 +516,16 @@ object NswIndex {
           col("q_vec"))
     val entry = emb.agg(min(col("vec_id")).as("node"))
     // localCheckpoint: each superstep's result is tiny (queries × beam)
-    // — materializing it stops the plan DAG doubling per hop.
-    var visited = scoreAgainst(queries.crossJoin(broadcast(entry))).localCheckpoint(true)
-    var frontier = visited
+    // — materializing it stops the plan DAG doubling per hop. Visited
+    // is kept as the lazy UNION of the per-hop checkpointed parts
+    // (each scan reads its materialized blocks), not re-checkpointed
+    // per superstep: the old shape paid a second job per hop that
+    // rewrote the whole ever-growing visited set — at the raised hop
+    // cap that was ~half the loop's wall clock for zero information.
+    var visitedParts = List(
+      scoreAgainst(queries.crossJoin(broadcast(entry))).localCheckpoint(true))
+    def visited: DataFrame = visitedParts.reduceLeft(_ unionByName _)
+    var frontier = visitedParts.head
     var hop = 1
     var exhausted = false
     while (hop <= maxHops && !exhausted) {
@@ -536,7 +543,7 @@ object NswIndex {
         .observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
       if (obs.get("n").asInstanceOf[Long] == 0L) exhausted = true
       else {
-        visited = visited.unionByName(scored).localCheckpoint(true)
+        visitedParts ::= scored
         frontier = scored.withColumn("brank", row_number().over(
             Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)))
           .filter(col("brank") <= beamWidth)
@@ -544,10 +551,11 @@ object NswIndex {
       }
       hop += 1
     }
-    // the final ranking reads only the checkpointed `visited` — the
-    // loop-scratch caches must not pile up across beam invocations
+    val visitedAll = visited
+    // the final ranking reads only the checkpointed visited parts —
+    // the loop-scratch caches must not pile up across beam invocations
     if (!preExpandedEdges) { embSel.unpersist(); edgeSel.unpersist() }
-    visited.withColumn("rank", row_number().over(
+    visitedAll.withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("node").as("neighbor_id"), col("score_e6"), col("rank"))
