@@ -25,6 +25,23 @@ object Bench {
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** (steal, total) jiffies from /proc/stat. Hypervisor steal is the
+    * contention channel the load-average gate CANNOT see: r7 observed
+    * clean-gate runs where individual queries inflated 4-9× while
+    * load_avg_start was 0.05 — time this guest's runnable vCPUs spent
+    * waiting for the host. Sampling steal across the run makes the
+    * artifact carry that verdict itself. */
+  private def cpuTicks: (Long, Long, Long) = {
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val parts =
+        try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        finally src.close()
+      (if (parts.length > 7) parts(7) else 0L,
+        if (parts.length > 4) parts(4) else 0L, parts.sum)
+    } catch { case _: Throwable => (0L, 0L, 0L) }
+  }
+
   /** Other live JVMs (sbt shells, test runners, other drivers) — >1
     * alongside a bench is the contention signature seen in r2. */
   private def otherJvms: Long = {
@@ -70,8 +87,10 @@ object Bench {
     // n² nsw_build oracle mode is deliberately excluded above sf0.1)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val maxSteal = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_STEAL", "3.0").toDouble
     val loadStart = loadAvg
     val jvmsStart = otherJvms
+    val (stealStart, iowaitStart, ticksStart) = cpuTicks
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -135,12 +154,30 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     // gate on START load only: the bench's own 32 threads legitimately
-    // raise the end load — pre-existing load is the contamination signal
+    // raise the end load — pre-existing load is the contamination
+    // signal. Steal is gated over the WHOLE run: it measures the
+    // host's interference with this guest, which the bench's own load
+    // cannot inflate.
     val loadEnd = loadAvg
-    val contaminated = loadStart > maxLoad
+    val (stealEnd, iowaitEnd, ticksEnd) = cpuTicks
+    val stealPct =
+      if (ticksEnd > ticksStart)
+        (stealEnd - stealStart).toDouble / (ticksEnd - ticksStart) * 100.0
+      else 0.0
+    // iowait is reported, not gated: the bench's own parquet writes
+    // legitimately produce some, but a shared-disk contention burst
+    // (the r7 run-to-run variance channel that neither load_avg_start
+    // nor steal caught) shows up here
+    val iowaitPct =
+      if (ticksEnd > ticksStart)
+        (iowaitEnd - iowaitStart).toDouble / (ticksEnd - ticksStart) * 100.0
+      else 0.0
+    val contaminated = loadStart > maxLoad || stealPct > maxSteal
     val preflight =
       s"""{"load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
         s""""other_jvms_start":$jvmsStart,"other_jvms_end":$otherJvms,""" +
+        f""""steal_pct_run":$stealPct%.2f,"max_steal_gate":$maxSteal,""" +
+        f""""iowait_pct_run":$iowaitPct%.2f,""" +
         s""""cpus":$cpus,"repeat":$repeat,"max_load_gate":$maxLoad,""" +
         s""""build_queries_first_run":true,"build_first_order":true}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,"queries":$qs,"errors":$errs,"warm":$warmJson,"preflight":$preflight,"sf":"$sfDir"}""")
