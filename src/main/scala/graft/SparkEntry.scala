@@ -34,6 +34,9 @@ object SparkEntry {
     "knn_brute_dot" -> (KnnSearch.bruteDot _),
     "knn_brute_l2" -> (KnnSearch.bruteL2 _),
     "knn_join_exact" -> (KnnSearch.knnJoinExact _),
+    // the scale path for the same question: IVF-probed approximate
+    // all-pairs top-k (invariant grid; recall bar in RetrievalOpsSpec)
+    "knn_join_ivf" -> (IvfIndex.knnJoinIvfChecked _),
     // radius (range) search, BM25 lexical leg, hybrid fusion, and the
     // MMR diversity rerank — the retrieval surface around the ANN core
     "range_search" -> ((s: SparkSession, d: String) => KnnSearch.rangeSearch(s, d)),
@@ -382,6 +385,7 @@ object SparkEntry {
     "knn_brute_dot" -> KnnSearch.bruteDotSql,
     "knn_brute_l2" -> KnnSearch.bruteL2Sql,
     "knn_join_exact" -> KnnSearch.knnJoinExactSql,
+    "knn_join_ivf" -> IvfIndex.knnJoinIvfSql,
     "range_search" -> KnnSearch.rangeSearchSql,
     "knn_filtered" -> KnnSearch.knnFilteredSql,
     "ivf_search_filtered" -> IvfIndex.ivfSearchFilteredSql,

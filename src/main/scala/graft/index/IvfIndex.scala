@@ -178,6 +178,53 @@ object IvfIndex {
     KnnSearch.topKSingle(scored, k, asc = false)
   }
 
+  /** Approximate all-pairs kNN JOIN: every vector in the index gets
+    * its top-k cosine neighbors (self excluded) via IVF probing — the
+    * scale path for what [[graft.operators.KnnSearch.knnJoinExact]]
+    * does exactly at O(n²). The reference can only serve this one
+    * query at a time (ivf_index.py:139-185); as a join it is the
+    * workhorse of graph construction (NSW candidate edges), corpus
+    * dedup, and retrieval-augmentation at 100 TB.
+    *
+    * Scale shape, and why it is NOT [[search]] with queries=corpus:
+    * [[search]] ranks centroids per query with a window partitioned by
+    * q_id — fine for a bounded workload, but with the corpus as the
+    * query set that window would shuffle n×kClusters rows before any
+    * real work. Here the centroid set collapses to ONE broadcast row
+    * holding `array<struct<neg_sim, cluster_id>>`, and each vector's
+    * nProbe probe list is `slice(array_sort(transform(...)), 1, n)` —
+    * computed inside the same codegen stage as the scan, zero
+    * shuffle. The only corpus-sized movement is the single
+    * co-location shuffle on `cluster_id` (probe side replicated
+    * ×nProbe), and the per-query top-k cut runs as a WindowGroupLimit
+    * (per-partition k-row heaps before the rank shuffle). Total work:
+    * nProbe·n²/kClusters candidate pairs vs the exact join's n² — at
+    * scale kClusters grows ~√n (here the shared [[defaultK]] keeps the
+    * serve and join paths on one memoized build), so the join is
+    * O(nProbe·n^1.5) with every cluster-pair block an independent
+    * task. */
+  def knnJoinIvf(built: Built, nProbe: Int = defaultNProbe,
+      k: Int = 5): DataFrame = {
+    val centArr = built.centroids
+      .agg(collect_list(struct(col("cluster_id"), col("centroid"))).as("cents"))
+    val probes = built.assigned
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .crossJoin(broadcast(centArr))
+      // struct sort order = (neg_sim asc, cluster_id asc) — identical
+      // ranking (cosine desc, cluster_id asc tie-break) to search()'s
+      // window, so the two paths probe the same cells for a vector
+      .select(col("q_id"), col("q_vec"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct((-cosineSim(col("q_vec"), c.getField("centroid"))).as("neg_sim"),
+            c.getField("cluster_id").as("cluster_id")))), 1, nProbe)).as("p"))
+      .select(col("q_id"), col("q_vec"), col("p.cluster_id").as("cluster_id"))
+    val scored = built.assigned.join(probes, Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"))
+    KnnSearch.topK(scored, k, asc = false)
+  }
+
   /** argmin-L2 assignment of vectors to EXISTING centroids — the same
     * metric `KMeans.transform` applies to the L2-normalized features
     * (for unit v̂: ‖v̂−c‖² = 1 − 2·(v·c)/‖v‖ + ‖c‖², all from
@@ -554,6 +601,43 @@ object IvfIndex {
     """SELECT vec_id AS q_id, true AS k_results, true AS all_match_label,
       |  true AS self_found, true AS top1_exact, true AS monotone
       |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin
+
+  /** `knn_join_ivf`: [[knnJoinIvf]] over the whole corpus, pushed
+    * through the invariant-grid oracle pattern: the approximate
+    * neighbor SET can't hash-match SQL, but the join contract can —
+    * every corpus vector gets EXACTLY k hits ranked 1..k, each a real
+    * non-self corpus id, each score equal to the exact e6-stabilized
+    * cosine of the two REAL stored embeddings (recomputed here from
+    * the table, so a fabricated or misjoined score flips the hash),
+    * ranks monotone. Recall vs the exact O(n²) join is RetrievalOps
+    * Spec's measured bar. The recompute joins are plain shuffle joins
+    * over the n×k hit rows — this is the check harness, not the serve
+    * path ([[knnJoinIvf]] itself is the scale shape). */
+  def knnJoinIvfChecked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val hits = knnJoinIvf(buildCached(spark, dir)).localCheckpoint(true)
+    val qv = emb.select($"vec_id".as("q_id"), $"embedding".as("q_vec0"))
+    val nv = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("n_vec0"))
+    val next = hits.select($"q_id", ($"rank" - 1).as("rank"),
+      $"score_e6".as("next_score"))
+    hits.join(qv, Seq("q_id")).join(nv, Seq("neighbor_id"), "left")
+      .join(next, Seq("q_id", "rank"), "left")
+      .select($"q_id", $"rank",
+        $"n_vec0".isNotNull.as("neighbor_in_corpus"),
+        ($"q_id" =!= $"neighbor_id").as("not_self"),
+        coalesce(Stab.e6(cosineSim($"n_vec0", $"q_vec0")) === $"score_e6",
+          lit(false)).as("score_exact"),
+        coalesce($"next_score" <= $"score_e6", lit(true)).as("monotone"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val knnJoinIvfSql: String =
+    """SELECT e.vec_id AS q_id, CAST(r.rank AS BIGINT) AS rank,
+      |  true AS neighbor_in_corpus, true AS not_self,
+      |  true AS score_exact, true AS monotone
+      |FROM embeddings e CROSS JOIN generate_series(1, 5) r(rank)
+      |ORDER BY q_id, rank""".stripMargin
 
   // ---- IVF-PQ: product-quantized posting lists --------------------------
 

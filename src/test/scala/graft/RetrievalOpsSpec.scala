@@ -172,6 +172,42 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knn_join_ivf: grid all-true, recall@5 >= 0.85 vs exact join, probe ranking map-side") {
+    val grid = graft.index.IvfIndex.knnJoinIvfChecked(spark, sf).collect()
+    val n = graft.core.Tables.embeddings(spark, sf).count()
+    assert(grid.length.toLong == n * 5, "every corpus vector must get exactly 5 ranked hits")
+    Seq("neighbor_in_corpus", "not_self", "score_exact", "monotone").foreach { c =>
+      assert(grid.forall(_.getAs[Boolean](c)), s"grid column $c not all-true")
+    }
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val exact = KnnSearch.topK(
+      emb.crossJoin(broadcast(emb.select($"vec_id".as("q_id"), $"embedding".as("q_vec"))))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("neighbor_id"),
+          graft.core.Stab.e6(graft.functions.vectors.cosineSim($"embedding", $"q_vec")).as("score_e6")),
+      5, asc = false).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val joined = graft.index.IvfIndex.knnJoinIvf(
+      graft.index.IvfIndex.buildCached(spark, sf))
+    // the reason this is not search(queries=corpus): centroid ranking
+    // must NOT spend a window (shuffle of n×kClusters rows) — the only
+    // Window in the plan is the final per-query top-k rank
+    val plan = joined.queryExecution.executedPlan.toString
+    val windows = "Window \\[".r.findAllIn(plan).length
+    assert(windows == 1,
+      s"expected exactly one Window (top-k rank), got $windows:\n${plan.take(3000)}")
+    val approx = joined.collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls = exact.keys.toSeq.sorted.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"knn_join_ivf mean recall@5 vs exact = $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.85, f"mean recall $mean%.3f below bar")
+  }
+
   test("mmr_rerank picks the top-relevance candidate first, then diversifies") {
     val out = Rerank.mmrRerank(spark, sf).orderBy($"rank").collect()
     assert(out.length == 10)
