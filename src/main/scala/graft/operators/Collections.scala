@@ -365,13 +365,29 @@ object Collections {
       name: String = "graft_chunks", nBuckets: Int = 32): Unit = {
     import spark.implicits._
     import graft.index.{IvfIndex, NswIndex}
-    graft.sources.Bucketed.write(
-      Tables.documents(spark, dir).select($"doc_id", $"source", $"text"),
-      s"${name}_docs", s"$base/documents", "doc_id", nBuckets)
-    graft.sources.Bucketed.write(chunksRaw(spark, dir),
-      s"${name}_chunks", s"$base/chunks", "doc_id", nBuckets)
-    chunkEmbeddings(spark, dir)
-      .write.mode("overwrite").parquet(s"$base/chunk_embeddings")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // The build is five independent Spark jobs in two dependency
+    // phases; submitting each phase's jobs CONCURRENTLY (separate
+    // driver threads — the standard multi-job Spark pattern) lets the
+    // scheduler interleave their stages. On saturated local[32] the
+    // measured gain is small (36 s → 34 s at sf0.1: both layout
+    // builds are CPU-bound, so overlap mostly time-shares) — the
+    // structure pays off on a cluster with scheduling headroom, where
+    // the IVF fit's driver-side KMeans steps and the writes' commit
+    // latencies leave executors idle for the other job to fill.
+    // Force the chunk-embed memo BEFORE forking so the writer threads
+    // never race its construction.
+    val emb = chunkEmbeddings(spark, dir)
+    val writes = Seq(
+      Future(graft.sources.Bucketed.write(
+        Tables.documents(spark, dir).select($"doc_id", $"source", $"text"),
+        s"${name}_docs", s"$base/documents", "doc_id", nBuckets)),
+      Future(graft.sources.Bucketed.write(chunksRaw(spark, dir),
+        s"${name}_chunks", s"$base/chunks", "doc_id", nBuckets)),
+      Future(emb.write.mode("overwrite").parquet(s"$base/chunk_embeddings")))
+    Await.result(Future.sequence(writes), Duration.Inf)
     // the /query indexes, persisted over the SAME durable corpus the
     // cosine path scans (VERDICT r4 #6): IVF in its partition-pruned
     // cluster layout, NSW in the co-bucketed graph layout — serving
@@ -380,9 +396,11 @@ object Collections {
     // index_type parameter (main.py:320-341). Built from the parquet
     // corpus, not the memo, so the layout is self-contained.
     val corpus = spark.read.parquet(s"$base/chunk_embeddings")
-    IvfIndex.persist(IvfIndex.build(spark, corpus), s"$base/ivf")
-    NswIndex.persistBucketed(spark, corpus, NswIndex.buildEdgesLsh(corpus),
-      s"$base/nsw", s"${name}_nsw", nBuckets)
+    val layouts = Seq(
+      Future(IvfIndex.persist(IvfIndex.build(spark, corpus), s"$base/ivf")),
+      Future(NswIndex.persistBucketed(spark, corpus,
+        NswIndex.buildEdgesLsh(corpus), s"$base/nsw", s"${name}_nsw", nBuckets)))
+    Await.result(Future.sequence(layouts), Duration.Inf)
   }
 
   /** Chunk-granular /query served ENTIRELY from the [[persistChunks]]
