@@ -112,6 +112,9 @@ object SparkEntry {
     // proportional mixing weights (the data-mixing knob, not a flat cap)
     "sample_weighted" -> ((s: SparkSession, d: String) => Libraries.sampleWeighted(s, d)),
     "pack_token_budget" -> ((s: SparkSession, d: String) => Libraries.packTokenBudget(s, d)),
+    // GLOBAL sequence packing via two-pass distributed prefix sum —
+    // no single-task window anywhere in the plan
+    "pack_shards" -> ((s: SparkSession, d: String) => Libraries.packShards(s, d)),
     // ANN index family
     "ivf_build" -> (IvfIndex.ivfBuild _),
     "ivf_search" -> (IvfIndex.ivfSearch _),
@@ -435,6 +438,7 @@ object SparkEntry {
     "sample_stratified" -> Libraries.sampleStratifiedSql,
     "sample_weighted" -> Libraries.sampleWeightedSql,
     "pack_token_budget" -> Libraries.packTokenBudgetSql,
+    "pack_shards" -> Libraries.packShardsSql,
     "nsw_build" -> NswIndex.nswBuildSql,
     "ivf_add_delta" -> IvfIndex.ivfAddDeltaSql,
     "pq_build" -> IvfIndex.pqBuildSql,

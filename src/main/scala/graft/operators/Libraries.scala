@@ -314,6 +314,73 @@ object Libraries {
        |  FROM documents) t
        |ORDER BY source, doc_id""".stripMargin
 
+  /** `pack_shards`: GLOBAL greedy sequence packing — one shard
+    * sequence over the whole corpus in doc_id order, not per-source
+    * ([[packTokenBudget]]'s per-source window is the right tool for
+    * source-stratified batches, but its window puts each source's
+    * entire run in ONE task; a global cumsum through a plain window
+    * would be worse still — an empty partition spec funnels the whole
+    * corpus through one task).
+    *
+    * Scale shape — the textbook two-pass distributed prefix sum:
+    *  1. range-partition by doc_id, sort within partitions, pin the
+    *     partition ids (localCheckpoint — both passes must see the
+    *     same boundaries);
+    *  2. per-partition token subtotals: ONE row per partition,
+    *     collected to the driver (bounded by partition count, the
+    *     same ≤k-rows gather the IVF centroid collect does) and
+    *     turned into running offsets;
+    *  3. partition-LOCAL cumsum (window partitioned by pid — as many
+    *     window groups as partitions, full parallelism) plus the
+    *     broadcast offset.
+    * The result is identical to a single global window cumsum —
+    * prefix sums over a total order don't depend on where partition
+    * boundaries fall — so the DuckDB oracle is the plain global
+    * window, while the Spark plan never concentrates the corpus in
+    * one task. */
+  def packShards(spark: SparkSession, dir: String,
+      budget: Long = 2000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(graft.text.TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      .repartitionByRange(parts, $"doc_id")
+      .sortWithinPartitions($"doc_id")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val psums = ranged.groupBy($"pid").agg(sum($"n_tokens").as("psum"))
+      .orderBy($"pid").collect()
+    var acc = 0L
+    val offsets = psums.toSeq.map { r =>
+      val o = (r.getAs[Int]("pid"), acc); acc += r.getAs[Long]("psum"); o
+    }
+    val offDf = offsets.toDF("pid", "offset")
+    val w = Window.partitionBy($"pid").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), Seq("pid"))
+      .withColumn("cum_tokens", $"offset" + sum($"n_tokens").over(w))
+      // same floor+clamp convention as packTokenBudget (zero-token
+      // head documents land in shard 0 in both engines)
+      .withColumn("shard", greatest(lit(0L),
+        floor(($"cum_tokens" - lit(1)) / lit(budget.toDouble)).cast("long")))
+      .select($"doc_id", $"n_tokens", $"cum_tokens", $"shard")
+      .orderBy($"doc_id")
+  }
+
+  val packShardsSql: String =
+    s"""SELECT doc_id, n_tokens, cum_tokens,
+       |  greatest(CAST(0 AS BIGINT), CAST(floor((cum_tokens - 1) / 2000.0) AS BIGINT)) AS shard
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(${graft.text.TextOps.tokensSql}) AS BIGINT) AS n_tokens,
+       |    CAST(sum(len(${graft.text.TextOps.tokensSql})) OVER (
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
   /** `meta_filter`: the reference's per-record `metadata` map
     * (datarecord.py:17) as a native `map<string,string>` column,
     * filtered and projected via `element_at`. The oracle states the

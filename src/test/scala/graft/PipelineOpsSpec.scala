@@ -4,6 +4,39 @@ class MixingOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
   import SparkTestSession._
   import org.apache.spark.sql.functions._
 
+  test("pack_shards two-pass prefix sum equals a global window cumsum; no global window in the plan") {
+    import spark.implicits._
+    val df = graft.operators.Libraries.packShards(spark, sf)
+    // every Window in the executed plan must carry a non-empty
+    // partition spec — the whole point is that the global cumsum
+    // never funnels the corpus through one task. WindowExec prints
+    // "windowspecdefinition(<partition cols..., > <order col> ASC"
+    // — an empty partition spec starts directly with the order col.
+    val plan = df.queryExecution.executedPlan.toString
+    "windowspecdefinition\\(([^)]*)".r.findAllMatchIn(plan).foreach { m =>
+      assert(m.group(1).contains(","),
+        s"global (unpartitioned) window found in plan:\n${plan.take(3000)}")
+    }
+    val got = df.collect()
+    // naive single-window global cumsum on the same inputs
+    val naive = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id",
+        size(graft.text.TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("shard", greatest(lit(0L),
+        floor(($"cum_tokens" - lit(1)) / lit(2000.0)).cast("long")))
+      .select($"doc_id", $"n_tokens", $"cum_tokens", $"shard")
+      .orderBy($"doc_id").collect()
+    assert(got.length == naive.length && got.length > 0)
+    got.zip(naive).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    // shards are actually packed: more than one shard, budget respected
+    val byShard = got.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.size > 1)
+  }
+
   test("sample_weighted respects per-source quotas and keeps the WindowGroupLimit pushdown") {
     val df = SparkEntry.queries("sample_weighted")(spark, sf)
     val rows = df.collect()
