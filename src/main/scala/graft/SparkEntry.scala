@@ -63,6 +63,9 @@ object SparkEntry {
     "text_quality" -> (TextOps.textQuality _),
     "text_lang_id" -> (TextOps.textLangId _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
+    // corpus n-gram stats: the high-df report boilerplate stop-lists
+    // and contamination screens derive from
+    "text_ngram_stats" -> ((s: SparkSession, d: String) => TextOps.textNgramStats(s, d)),
     // collections / data model (reference CRUD surface)
     "chunk_documents" -> (Collections.chunkDocuments _),
     "crud_upsert" -> (Collections.crudUpsert _),
@@ -409,6 +412,7 @@ object SparkEntry {
     "text_quality" -> TextOps.textQualitySql,
     "text_lang_id" -> TextOps.textLangIdSql,
     "text_fingerprint" -> TextOps.textFingerprintSql,
+    "text_ngram_stats" -> TextOps.textNgramStatsSql,
     "chunk_documents" -> Collections.chunkDocumentsSql,
     "crud_upsert" -> Collections.crudUpsertSql,
     "crud_upsert_store" -> Collections.crudUpsertSql,

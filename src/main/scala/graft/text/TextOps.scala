@@ -266,4 +266,42 @@ object TextOps {
        |FROM (SELECT doc_id, unnest(wins) AS fp FROM w)
        |ORDER BY doc_id, fp""".stripMargin
   }
+
+  // ---- text_ngram_stats --------------------------------------------------
+
+  /** `text_ngram_stats`: corpus-level n-gram statistics — the top-50
+    * word 3-grams by document frequency (plus total occurrences).
+    * This is the table contamination screens and boilerplate
+    * stop-lists are DERIVED from: the spans `dedup_substring` mutes
+    * via `dedup_boilerplate` start life as exactly this kind of
+    * high-df report, at n-gram granularity.
+    *
+    * Scale shape: the explode is map-side inside the scan's codegen
+    * stage; the aggregate is ONE shuffle keyed by ngram with
+    * map-side partial counts (df via the standard two-phase distinct
+    * expansion); the top-k cut is orderBy+limit —
+    * TakeOrderedAndProject's per-partition 50-row heaps, never a
+    * global window. Output order (df desc, tf desc, ngram asc) is
+    * total, so the 50-row cut is deterministic and fully
+    * SQL-oracled. */
+  def textNgramStats(spark: SparkSession, dir: String,
+      n: Int = 3, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(shingles(tokens($"text"), n)).as("ngram"))
+      .groupBy($"ngram")
+      .agg(countDistinct($"doc_id").cast(LongType).as("df"),
+        count(lit(1)).cast(LongType).as("tf"))
+      .orderBy($"df".desc, $"tf".desc, $"ngram".asc)
+      .limit(topK)
+  }
+
+  val textNgramStatsSql: String =
+    s"""SELECT ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       |  CAST(count(*) AS BIGINT) AS tf
+       |FROM (SELECT doc_id, unnest(${shinglesSql("w", 3)}) AS ngram
+       |      FROM (SELECT doc_id, $tokensSql AS w FROM documents))
+       |GROUP BY ngram
+       |ORDER BY df DESC, tf DESC, ngram ASC
+       |LIMIT 50""".stripMargin
 }
