@@ -29,6 +29,9 @@ object SparkEntry {
     "window_topk" -> (Relational.windowTopK _),
     "events_window_agg" -> (Relational.eventsWindowAgg _),
     "events_sessionize" -> (Relational.eventsSessionize _),
+    // ordered-sequence funnel + HLL sketch with in-plan error attestation
+    "events_funnel" -> (Relational.eventsFunnel _),
+    "events_approx_users" -> (Relational.eventsApproxUsers _),
     // brute-force kNN family
     "knn_brute_cosine" -> (KnnSearch.bruteCosine _),
     "knn_brute_dot" -> (KnnSearch.bruteDot _),
@@ -387,6 +390,8 @@ object SparkEntry {
     "window_topk" -> Relational.windowTopKSql,
     "events_window_agg" -> Relational.eventsWindowAggSql,
     "events_sessionize" -> Relational.eventsSessionizeSql,
+    "events_funnel" -> Relational.eventsFunnelSql,
+    "events_approx_users" -> Relational.eventsApproxUsersSql,
     "knn_brute_cosine" -> KnnSearch.bruteCosineSql,
     "knn_brute_dot" -> KnnSearch.bruteDotSql,
     "knn_brute_l2" -> KnnSearch.bruteL2Sql,

@@ -195,6 +195,87 @@ object Relational {
       .orderBy($"user_id", $"session_seq")
   }
 
+  /** `events_funnel`: ordered-sequence funnel — per user, the
+    * earliest time each stage of signup → view → click → purchase was
+    * reached IN ORDER (stage k counts only events strictly after that
+    * user's stage-k−1 time). One output row per (user, reached
+    * stage).
+    *
+    * Scale shape: stage-by-stage, NOT a per-user event-sequence
+    * window — each stage is one filtered scan of the stream
+    * aggregated by user, semi-joined against the previous stage's
+    * (user, t) frame (≤ one row per user, shrinking monotonically
+    * down the funnel, checkpointed so stage k never re-runs stages
+    * 0..k−1). No collect_list of per-user histories, no window over
+    * the whole stream — the event scan stays map-side filtered and
+    * the only shuffles are the per-stage user aggregations. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val stages = Seq("signup", "view", "click", "purchase")
+    var prev: DataFrame = null
+    val perStage = stages.zipWithIndex.map { case (st, i) =>
+      val reached =
+        (if (i == 0)
+          ev.filter($"event_type" === st).groupBy($"user_id").agg(min($"ts").as("t"))
+        else
+          ev.filter($"event_type" === st)
+            .join(prev.select($"user_id", $"t".as("t_prev")), Seq("user_id"))
+            .filter($"ts" > $"t_prev")
+            .groupBy($"user_id").agg(min($"ts").as("t"))
+        ).localCheckpoint(true)
+      prev = reached
+      reached.select($"user_id", lit(i.toLong).as("stage_idx"),
+        lit(st).as("stage"), unix_timestamp($"t").as("t_epoch"))
+    }
+    perStage.reduce(_ unionByName _).orderBy($"stage_idx", $"user_id")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+      |            WHERE event_type = 'signup' GROUP BY user_id),
+      |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |       JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+      |       WHERE e.event_type = 'view' GROUP BY e.user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT user_id, CAST(0 AS BIGINT) AS stage_idx, 'signup' AS stage,
+      |  CAST(FLOOR(epoch(t)) AS BIGINT) AS t_epoch FROM s0
+      |UNION ALL SELECT user_id, 1, 'view', CAST(FLOOR(epoch(t)) AS BIGINT) FROM s1
+      |UNION ALL SELECT user_id, 2, 'click', CAST(FLOOR(epoch(t)) AS BIGINT) FROM s2
+      |UNION ALL SELECT user_id, 3, 'purchase', CAST(FLOOR(epoch(t)) AS BIGINT) FROM s3
+      |ORDER BY stage_idx, user_id""".stripMargin
+
+  /** `events_approx_users`: distinct-user counts per event type via
+    * the HLL++ sketch (`approx_count_distinct`, rsd 2%) with an
+    * IN-PLAN error attestation against the exact count — the sketch
+    * is the 100 TB tool (mergeable, fixed memory, one pass, no
+    * distinct shuffle); the exact count here exists to hold the
+    * sketch accountable, and the oracle pins the exact value plus the
+    * attestation flag, so a sketch drifting past ±5% flips the hash.
+    * At scale the exact leg is dropped and the sketch stands alone —
+    * this entry is the measured evidence it can. */
+  def eventsApproxUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"),
+        approx_count_distinct($"user_id", 0.02).as("approx_users"))
+      .select($"event_type", $"exact_users",
+        (abs($"approx_users" - $"exact_users") <=
+          $"exact_users" * 0.05).as("sketch_within_5pct"))
+      .orderBy($"event_type")
+  }
+
+  val eventsApproxUsersSql: String =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  true AS sketch_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val eventsSessionizeSql: String =
     s"""WITH flagged AS (
        |  SELECT user_id, ts, event_id, value,
