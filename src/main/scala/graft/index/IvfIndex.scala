@@ -364,6 +364,49 @@ object IvfIndex {
     }
   }
 
+  /** Compact a persisted layout's accumulated small files — the
+    * operational counterpart of the streamed delta path: every
+    * [[addDeltaPersisted]] micro-batch APPENDS one file per touched
+    * `cluster_id=` directory (that is what makes the delta cheap), so
+    * a long-running [[graft.streaming.IndexStream]] slowly turns each
+    * partition into hundreds of tiny parquet files — the classic
+    * small-file problem: probe scans pay per-file open/footer cost
+    * and the scheduler pays per-split overhead. Compaction rewrites
+    * ONLY the directories whose file count exceeds
+    * `maxFilesPerPartition`, coalescing each to one file via a single
+    * hash shuffle on cluster_id (one task per cluster → one output
+    * file per rewritten directory, dynamic partition overwrite —
+    * untouched directories keep their files, the [[IndexMeta]]
+    * sidecar is NOT bumped because compaction moves no rows). At
+    * 100 TB this is the periodic maintenance job run off-peak, sized
+    * by the crowded-partition list it returns, never a full rewrite.
+    * Row-identity (and therefore serve-identity) is pinned by
+    * IncrementalSpec: search results hash-equal before/after. */
+  def compactPersisted(spark: SparkSession, path: String,
+      maxFilesPerPartition: Int = 4): Seq[Int] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vecDir = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val crowded = fs.listStatus(vecDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster_id="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerPartition)
+      .map(_.getPath.getName.stripPrefix("cluster_id=").toInt)
+      .toSeq.sorted
+    if (crowded.nonEmpty) {
+      val affectedDf = broadcast(
+        spark.createDataFrame(crowded.map(Tuple1(_))).toDF("cluster_id"))
+      val rewritten = spark.read.parquet(s"$path/vectors")
+        .join(affectedDf, Seq("cluster_id"), "left_semi")
+        .repartition(col("cluster_id"))
+        .localCheckpoint(true)
+      rewritten.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster_id").parquet(s"$path/vectors")
+    }
+    crowded
+  }
+
   /** Persist the index in its scale layout: the vectors table
     * partitioned by `cluster_id` (a probe then reads n_probe/k of the
     * files) plus the tiny centroids table, plus the [[IndexMeta]]

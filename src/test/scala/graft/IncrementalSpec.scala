@@ -98,6 +98,45 @@ class IncrementalSpec extends AnyFunSuite {
     assert(centroidsAfter == centroidsBefore, "delta maintenance refit the centroids")
   }
 
+  test("compaction coalesces crowded partitions; serve results hash-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    IvfIndex.persist(IvfIndex.build(spark, base), dir)
+    // 10 streamed micro-batches of 5 ids each: every touched partition
+    // gains one small file per batch
+    (0 until 10).foreach { b =>
+      IvfIndex.addDeltaPersisted(spark, dir,
+        delta.filter(col("vec_id") >= b * 5 && col("vec_id") < (b + 1) * 5))
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesPer: Map[String, Int] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/vectors"))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster_id="))
+        .map(d => d.getPath.getName -> fs.listStatus(d.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))).toMap
+    val before = filesPer
+    assert(before.values.exists(_ > 4), s"deltas produced no crowded partition: $before")
+    val serveBefore = IvfIndex.searchPersisted(spark, dir, queries)
+      .collect().map(_.toString).sorted.toSeq
+    val metaBefore = graft.index.IndexMeta.read(spark, dir)
+
+    val compacted = IvfIndex.compactPersisted(spark, dir)
+    assert(compacted.nonEmpty)
+    assert(compacted.map(c => s"cluster_id=$c").forall(before(_) > 4),
+      "compacted a partition that was not crowded")
+    val after = filesPer
+    compacted.foreach(c => assert(after(s"cluster_id=$c") == 1,
+      s"partition $c not coalesced: ${after(s"cluster_id=$c")} files"))
+    before.keys.filterNot(k => compacted.map(c => s"cluster_id=$c").toSet(k))
+      .foreach(k => assert(after(k) == before(k), s"untouched partition $k rewritten"))
+    // row identity → serve identity, and no phantom drift
+    val serveAfter = IvfIndex.searchPersisted(spark, dir, queries)
+      .collect().map(_.toString).sorted.toSeq
+    assert(serveAfter == serveBefore, "compaction changed serve results")
+    assert(graft.index.IndexMeta.read(spark, dir) == metaBefore,
+      "compaction moved the drift counter")
+  }
+
   test("persisted NSW delta: appended links serve the new vectors") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nsw-delta").toString
     NswIndex.persist(base, NswIndex.buildEdges(base), dir)
