@@ -32,6 +32,9 @@ object SparkEntry {
     // ordered-sequence funnel + HLL sketch with in-plan error attestation
     "events_funnel" -> (Relational.eventsFunnel _),
     "events_approx_users" -> (Relational.eventsApproxUsers _),
+    "events_retention" -> (Relational.eventsRetention _),
+    // per-language token-length distribution, exact + sketch-attested
+    "quality_quantiles" -> (TextOps.qualityQuantiles _),
     // brute-force kNN family
     "knn_brute_cosine" -> (KnnSearch.bruteCosine _),
     "knn_brute_dot" -> (KnnSearch.bruteDot _),
@@ -392,6 +395,8 @@ object SparkEntry {
     "events_sessionize" -> Relational.eventsSessionizeSql,
     "events_funnel" -> Relational.eventsFunnelSql,
     "events_approx_users" -> Relational.eventsApproxUsersSql,
+    "events_retention" -> Relational.eventsRetentionSql,
+    "quality_quantiles" -> TextOps.qualityQuantilesSql,
     "knn_brute_cosine" -> KnnSearch.bruteCosineSql,
     "knn_brute_dot" -> KnnSearch.bruteDotSql,
     "knn_brute_l2" -> KnnSearch.bruteL2Sql,

@@ -250,6 +250,46 @@ object Relational {
       |UNION ALL SELECT user_id, 3, 'purchase', CAST(FLOOR(epoch(t)) AS BIGINT) FROM s3
       |ORDER BY stage_idx, user_id""".stripMargin
 
+  /** `events_retention`: cohort retention matrix — users grouped by
+    * their signup day, counted as active for each later day they
+    * produced ANY event (pre-signup activity excluded). Dates cross
+    * the oracle boundary as `yyyy-MM-dd` strings so no timezone
+    * convention can skew the hash.
+    *
+    * Scale shape: two user-keyed aggregations (first-signup, distinct
+    * active days — both map-side partial) and one join on user_id;
+    * the matrix aggregation keys on (cohort_day, offset) — tiny. No
+    * window, no per-user history materialization. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val cohort = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min(to_date($"ts")).as("cohort_day"))
+    val active = ev.select($"user_id", to_date($"ts").as("day")).distinct()
+    active.join(cohort, Seq("user_id"))
+      .filter($"day" >= $"cohort_day")
+      .groupBy($"cohort_day", datediff($"day", $"cohort_day").cast("long").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+      .select(date_format($"cohort_day", "yyyy-MM-dd").as("cohort_day"),
+        $"day_offset", $"n_active")
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+      |), active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |)
+      |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+      |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      |FROM active a JOIN cohort c ON a.user_id = c.user_id
+      |WHERE a.day >= c.cohort_day
+      |GROUP BY c.cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   /** `events_approx_users`: distinct-user counts per event type via
     * the HLL++ sketch (`approx_count_distinct`, rsd 2%) with an
     * IN-PLAN error attestation against the exact count — the sketch

@@ -304,4 +304,42 @@ object TextOps {
        |GROUP BY ngram
        |ORDER BY df DESC, tf DESC, ngram ASC
        |LIMIT 50""".stripMargin
+
+  // ---- quality_quantiles -------------------------------------------------
+
+  /** `quality_quantiles`: per-language token-length distribution —
+    * exact interpolated quartiles + p90 (the corpus-profiling table a
+    * length-filter threshold is read off), with the
+    * `events_approx_users` attestation pattern applied to
+    * `approx_percentile`: the exact percentile shuffles each group's
+    * values (fine here, the oracle needs it; a single giant group at
+    * 100 TB would not fit), the KLL-style sketch is the scale tool,
+    * and the in-plan flag holds the sketch's p50 within max(2, 10%)
+    * of the exact one — pinned true by the oracle, so sketch drift
+    * flips the hash. */
+  def qualityQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"lang", size(tokens($"text")).cast("double").as("n"))
+    toks.groupBy($"lang").agg(
+        Stab.e6(percentile($"n", lit(0.25))).as("p25_e6"),
+        Stab.e6(percentile($"n", lit(0.5))).as("p50_e6"),
+        Stab.e6(percentile($"n", lit(0.75))).as("p75_e6"),
+        Stab.e6(percentile($"n", lit(0.9))).as("p90_e6"),
+        percentile($"n", lit(0.5)).as("exact_p50"),
+        approx_percentile($"n", lit(0.5), lit(10000)).as("approx_p50"))
+      .select($"lang", $"p25_e6", $"p50_e6", $"p75_e6", $"p90_e6",
+        (abs($"approx_p50" - $"exact_p50") <=
+          greatest(lit(2.0), $"exact_p50" * 0.1)).as("sketch_p50_ok"))
+      .orderBy($"lang")
+  }
+
+  val qualityQuantilesSql: String = {
+    def q(p: String) = Stab.sqlE6(s"quantile_cont(n, $p)")
+    s"""SELECT lang, ${q("0.25")} AS p25_e6, ${q("0.5")} AS p50_e6,
+       |  ${q("0.75")} AS p75_e6, ${q("0.9")} AS p90_e6,
+       |  true AS sketch_p50_ok
+       |FROM (SELECT lang, CAST(len($tokensSql) AS DOUBLE) AS n FROM documents)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
 }
