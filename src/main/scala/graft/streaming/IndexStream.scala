@@ -46,7 +46,8 @@ object IndexStream {
   def maintainIvf(mutations: DataFrame, path: String,
       threshold: Double = IvfIndex.rebuildThreshold,
       streamId: String = "default"): DataStreamWriter[Row] =
-    mutations.writeStream.foreachBatch(applyIvfBatch(_, _, path, threshold, streamId))
+    mutations.writeStream.foreachBatch(
+      (b: DataFrame, id: Long) => applyIvfBatch(b, id, path, threshold, streamId))
 
   /** Mutation stream → persisted NSW graph layout
     * ([[NswIndex.persist]]'s contract at `path`). */
@@ -58,12 +59,25 @@ object IndexStream {
   /** One IVF micro-batch, exactly as [[maintainIvf]]'s sink applies
     * it — `private[graft]` so the spec can drive a true same-batch-id
     * replay (MemoryStream never redelivers an id). */
+  /** File-count bound under continuous ingestion: every delta batch
+    * appends one file per touched `cluster_id=` directory, so a
+    * long-running stream would otherwise accumulate unbounded small
+    * files. After each applied batch the sink compacts any directory
+    * past this bound ([[IvfIndex.compactPersisted]]) — compaction
+    * moves no rows and never touches the drift sidecar, so the
+    * exactly-once batch accounting is unaffected, and the check is a
+    * directory listing (no job) on the batches that compact nothing. */
+  val streamCompactFileBound = 16
+
   private[graft] def applyIvfBatch(batch: DataFrame, batchId: Long, path: String,
       threshold: Double = IvfIndex.rebuildThreshold,
-      streamId: String = "default"): Unit =
+      streamId: String = "default",
+      compactFileBound: Int = streamCompactFileBound): Unit = {
     applyBatch(batch, batchId, path, streamId,
       del => IvfIndex.maintainRemove(batch.sparkSession, path, del, threshold),
       ups => IvfIndex.maintain(batch.sparkSession, path, ups, threshold))
+    IvfIndex.compactPersisted(batch.sparkSession, path, compactFileBound)
+  }
 
   private[graft] def applyNswBatch(batch: DataFrame, batchId: Long, path: String,
       threshold: Double = NswIndex.rebuildThreshold,

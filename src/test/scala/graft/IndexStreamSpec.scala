@@ -135,6 +135,31 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(meta(dir) == IndexMeta.Meta(450L, 2L))
   }
 
+  test("IVF stream sink bounds partition file counts via auto-compaction") {
+    val dir = tmp("graft-ivf-stream-compact")
+    IvfIndex.persist(IvfIndex.build(spark, base), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def maxFiles: Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/vectors"))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster_id="))
+        .map(d => fs.listStatus(d.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))).max
+    val bound = 2
+    (0 until 20).foreach { b =>
+      val ids = Seq(b * 2L, b * 2L + 1L).filter(_ < 40L)
+      IndexStream.applyIvfBatch(
+        ids.map(up).toDF("vec_id", "embedding", "op"),
+        batchId = b.toLong, dir, compactFileBound = bound)
+      assert(maxFiles <= bound,
+        s"after batch $b a partition holds $maxFiles files (> $bound)")
+    }
+    // everything streamed in is still served exactly once
+    val stored = storedIds(dir)
+    assert((0L until 40L).forall(stored.get(_).contains(1L)))
+    assert(stored.size == 490)
+  }
+
   test("NSW stream: upserts beam-link and serve; deletes drop vectors and edges") {
     val dir = tmp("graft-nsw-stream")
     NswIndex.persist(base, NswIndex.buildEdges(base), dir)
