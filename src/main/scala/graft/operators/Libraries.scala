@@ -337,7 +337,11 @@ object Libraries {
     * prefix sums over a total order don't depend on where partition
     * boundaries fall — so the DuckDB oracle is the plain global
     * window, while the Spark plan never concentrates the corpus in
-    * one task. */
+    * one task. (The plan carries one hash Exchange on pid before the
+    * window: Spark cannot see the pinned range partitioning through
+    * the checkpoint boundary, so rows re-co-locate once — a fully
+    * parallel shuffle, as many window groups as partitions, which is
+    * the point.) */
   def packShards(spark: SparkSession, dir: String,
       budget: Long = 2000L): DataFrame = {
     import spark.implicits._
