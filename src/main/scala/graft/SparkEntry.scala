@@ -72,6 +72,8 @@ object SparkEntry {
     // corpus n-gram stats: the high-df report boilerplate stop-lists
     // and contamination screens derive from
     "text_ngram_stats" -> ((s: SparkSession, d: String) => TextOps.textNgramStats(s, d)),
+    // per-doc duplicated/top n-gram char coverage + keep verdict
+    "text_repetition" -> (TextOps.textRepetition _),
     // collections / data model (reference CRUD surface)
     "chunk_documents" -> (Collections.chunkDocuments _),
     "crud_upsert" -> (Collections.crudUpsert _),
@@ -139,6 +141,10 @@ object SparkEntry {
     // + exact rerank) over the persisted cluster layout
     "pq_build" -> (IvfIndex.pqBuild _),
     "ivf_search_pq" -> (IvfIndex.ivfSearchPq _),
+    // SQ8: zero-training int8 scalar quantization — per-dim bounds +
+    // the compressed brute scan (integer-exact, fully SQL-oracled)
+    "sq_build" -> (SqIndex.sqBuild _),
+    "knn_brute_sq" -> ((s: SparkSession, d: String) => SqIndex.knnBruteSq(s, d)),
     // composite cleaning pipeline
     "pipeline_clean" -> (Collections.pipelineClean _),
   )
@@ -423,6 +429,7 @@ object SparkEntry {
     "text_lang_id" -> TextOps.textLangIdSql,
     "text_fingerprint" -> TextOps.textFingerprintSql,
     "text_ngram_stats" -> TextOps.textNgramStatsSql,
+    "text_repetition" -> TextOps.textRepetitionSql,
     "chunk_documents" -> Collections.chunkDocumentsSql,
     "crud_upsert" -> Collections.crudUpsertSql,
     "crud_upsert_store" -> Collections.crudUpsertSql,

@@ -305,6 +305,101 @@ object TextOps {
        |ORDER BY df DESC, tf DESC, ngram ASC
        |LIMIT 50""".stripMargin
 
+  // ---- text_repetition ---------------------------------------------------
+
+  /** `text_repetition`: per-document repetition signals — the
+    * duplicated/top n-gram character-coverage family every
+    * pre-training quality pipeline screens on (excessively repetitive
+    * documents are boilerplate or generation loops, not prose). Per
+    * doc: the fraction of token characters covered by words and
+    * 2/3-grams that occur MORE THAN ONCE in the document, the
+    * fraction covered by the single heaviest 2-gram, and a keep
+    * verdict (drop when top-2-gram > 0.20 or duplicated 2-grams >
+    * 0.25 of token chars — calibrated so both arms fire on this
+    * corpus; compared as exact integer cross-multiplications, no
+    * division).
+    *
+    * Scale shape: pure per-row column algebra — one scan, no shuffle
+    * except the deterministic output `orderBy`. The within-document
+    * counting is O(distinct·len) array algebra inside codegen, bounded
+    * by document length, never a corpus-wide aggregation: at 100 TB
+    * this is exactly as parallel as the scan itself.
+    *
+    * Cross-engine determinism: character counts are exact longs;
+    * fractions are e6-stabilized quotients of exact longs; the keep
+    * verdict never divides. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // per distinct gram of `arr`: (occurrences, char length)
+    def gramCounts(arr: Column): Column =
+      transform(array_distinct(arr), g => struct(
+        size(filter(arr, x => x === g)).cast(LongType).as("tf"),
+        length(g).cast(LongType).as("len")))
+    // chars covered by grams occurring >1 time (all occurrences)
+    def dupChars(cnts: Column): Column =
+      aggregate(cnts, lit(0L),
+        (a, c) => a + when(c("tf") > 1, c("tf") * c("len")).otherwise(0L))
+    def topChars(cnts: Column): Column =
+      coalesce(array_max(transform(cnts, c => c("tf") * c("len"))), lit(0L))
+    val t = tokens($"text")
+    Tables.documents(spark, dir)
+      .select($"doc_id", t.as("w"))
+      .select($"doc_id", $"w", shingles($"w", 2).as("s2"), shingles($"w", 3).as("s3"),
+        aggregate($"w", lit(0L), (acc, x) => acc + length(x)).as("sum_token_len"))
+      .select($"doc_id",
+        size($"w").cast(LongType).as("n_tokens"), $"sum_token_len",
+        dupChars(gramCounts($"w")).as("dup_word_chars"),
+        dupChars(gramCounts($"s2")).as("dup2_chars"),
+        dupChars(gramCounts($"s3")).as("dup3_chars"),
+        topChars(gramCounts($"s2")).as("top2_chars"))
+      .select($"doc_id", $"n_tokens", $"sum_token_len",
+        $"dup_word_chars", $"dup2_chars", $"dup3_chars", $"top2_chars",
+        Stab.e6(when($"sum_token_len" > 0,
+          $"dup_word_chars".cast("double") / $"sum_token_len").otherwise(0.0)).as("dup_word_frac_e6"),
+        Stab.e6(when($"sum_token_len" > 0,
+          $"dup2_chars".cast("double") / $"sum_token_len").otherwise(0.0)).as("dup2_frac_e6"),
+        Stab.e6(when($"sum_token_len" > 0,
+          $"dup3_chars".cast("double") / $"sum_token_len").otherwise(0.0)).as("dup3_frac_e6"),
+        Stab.e6(when($"sum_token_len" > 0,
+          $"top2_chars".cast("double") / $"sum_token_len").otherwise(0.0)).as("top2_frac_e6"),
+        ($"sum_token_len" > 0 &&
+          !($"top2_chars" * 5 > $"sum_token_len" || $"dup2_chars" * 4 > $"sum_token_len")).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val textRepetitionSql: String = {
+    def cnts(arr: String) =
+      s"list_transform(list_distinct($arr), g -> {'tf': CAST(len(list_filter($arr, x -> x = g)) AS BIGINT), 'len': CAST(length(g) AS BIGINT)})"
+    def dup(c: String) =
+      s"CAST(list_sum(list_prepend(0, list_transform($c, c -> CASE WHEN c.tf > 1 THEN c.tf * c.len ELSE 0 END))) AS BIGINT)"
+    def top(c: String) =
+      s"CAST(coalesce(list_max(list_transform($c, c -> c.tf * c.len)), 0) AS BIGINT)"
+    def frac(num: String) =
+      Stab.sqlE6(s"CASE WHEN sum_token_len > 0 THEN CAST($num AS DOUBLE) / sum_token_len ELSE 0.0 END")
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, w, ${shinglesSql("w", 2)} AS s2, ${shinglesSql("w", 3)} AS s3,
+       |    CAST(list_sum(list_prepend(0, list_transform(w, x -> length(x)))) AS BIGINT) AS sum_token_len
+       |  FROM t
+       |), c AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, sum_token_len,
+       |    ${dup(cnts("w"))} AS dup_word_chars,
+       |    ${dup(cnts("s2"))} AS dup2_chars,
+       |    ${dup(cnts("s3"))} AS dup3_chars,
+       |    ${top(cnts("s2"))} AS top2_chars
+       |  FROM sh
+       |)
+       |SELECT doc_id, n_tokens, sum_token_len,
+       |  dup_word_chars, dup2_chars, dup3_chars, top2_chars,
+       |  ${frac("dup_word_chars")} AS dup_word_frac_e6,
+       |  ${frac("dup2_chars")} AS dup2_frac_e6,
+       |  ${frac("dup3_chars")} AS dup3_frac_e6,
+       |  ${frac("top2_chars")} AS top2_frac_e6,
+       |  (sum_token_len > 0 AND
+       |    NOT (top2_chars * 5 > sum_token_len OR dup2_chars * 4 > sum_token_len)) AS keep
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   // ---- quality_quantiles -------------------------------------------------
 
   /** `quality_quantiles`: per-language token-length distribution —

@@ -171,4 +171,41 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map { case (t, e, s, c) => ((t, e), (s, c)) }.toMap
     assert(got == expected)
   }
+
+  test("text_repetition equals brute-force gram coverage; both drop arms fire") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def grams(toks: Array[String], n: Int): Seq[String] =
+      if (toks.length < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+    def dupChars(gs: Seq[String]): Long =
+      gs.groupBy(identity).valuesIterator
+        .collect { case occ if occ.size > 1 => occ.size.toLong * occ.head.length }.sum
+    def topChars(gs: Seq[String]): Long =
+      if (gs.isEmpty) 0L
+      else gs.groupBy(identity).valuesIterator
+        .map(occ => occ.size.toLong * occ.head.length).max
+    val expected = docs.map { case (id, text) =>
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val tot = toks.map(_.length.toLong).sum
+      val (d1, d2, d3) = (dupChars(toks.toSeq), dupChars(grams(toks, 2)), dupChars(grams(toks, 3)))
+      val t2 = topChars(grams(toks, 2))
+      val keep = tot > 0 && !(t2 * 5 > tot || d2 * 4 > tot)
+      id -> ((toks.length.toLong, tot, d1, d2, d3, t2, keep))
+    }.toMap
+    val got = graft.text.TextOps.textRepetition(spark, sf)
+      .select($"doc_id", $"n_tokens", $"sum_token_len", $"dup_word_chars",
+        $"dup2_chars", $"dup3_chars", $"top2_chars", $"keep")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map { case (id, n, tot, d1, d2, d3, t2, k) => id -> ((n, tot, d1, d2, d3, t2, k)) }.toMap
+    assert(got == expected)
+    // the verdict must be load-bearing on this corpus: docs dropped by
+    // the top-2-gram arm AND docs dropped by the duplicated-2-gram arm
+    val byTop = expected.valuesIterator.count { case (_, tot, _, d2, _, t2, _) =>
+      tot > 0 && t2 * 5 > tot }
+    val byDup = expected.valuesIterator.count { case (_, tot, _, d2, _, _, _) =>
+      tot > 0 && d2 * 4 > tot }
+    val kept = expected.valuesIterator.count(_._7)
+    assert(byTop > 0 && byDup > 0 && kept > 0,
+      s"degenerate verdict split: byTop=$byTop byDup=$byDup kept=$kept")
+  }
 }
