@@ -4,7 +4,7 @@ import graft.core.Stab
 import graft.dedup.Dedup
 import graft.embed.Embedder
 import graft.functions.vectors
-import graft.index.{IvfIndex, LshIndex, NswIndex}
+import graft.index.{IvfIndex, LshIndex, NswIndex, SqIndex}
 import graft.operators._
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -464,6 +464,8 @@ object SparkEntry {
     "ivf_add_delta" -> IvfIndex.ivfAddDeltaSql,
     "pq_build" -> IvfIndex.pqBuildSql,
     "ivf_search_pq" -> IvfIndex.ivfSearchPqSql,
+    "sq_build" -> SqIndex.sqBuildSql,
+    "knn_brute_sq" -> SqIndex.knnBruteSqSql,
     "nsw_add_delta" -> NswIndex.nswAddDeltaSql,
     "pipeline_clean" -> Collections.pipelineCleanSql(
       TextOps.textQualitySql, Dedup.minhashSql),

@@ -224,4 +224,61 @@ class RetrievalOpsSpec extends AnyFunSuite {
       .map(_.getAs[Long]("neighbor_id"))
     assert(!ids.sameElements(byRel))
   }
+
+  test("knn_brute_sq: codes match an independent quantizer; recall@10 >= 0.9 vs exact dot") {
+    import graft.index.SqIndex
+    // independent reference quantizer + scorer in plain Scala
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+    val d = vecs.head._2.length
+    val mns = Array.tabulate(d)(i => vecs.map(_._2(i)).min)
+    val mxs = Array.tabulate(d)(i => vecs.map(_._2(i)).max)
+    def codeOf(v: Array[Float]): Array[Long] = Array.tabulate(d) { i =>
+      val (mn, mx) = (mns(i).toDouble, mxs(i).toDouble)
+      if (mx == mn) 0L
+      else math.min(255L, math.max(0L,
+        math.floor((v(i).toDouble - mn) * 255.0 / (mx - mn) + 0.5).toLong))
+    }
+    def sqScore(q: Array[Float], code: Array[Long]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        val (mn, mx) = (mns(i).toDouble, mxs(i).toDouble)
+        val step = if (mx == mn) 0.0 else (mx - mn) / 255.0
+        s += q(i).toDouble * (mn + code(i) * step)
+        i += 1
+      }
+      s
+    }
+    val got = SqIndex.knnBruteSq(spark, sf)
+      .select($"q_id", $"neighbor_id", $"score_e6", $"rank")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 5 * 10)
+    // operator's ranked lists equal the reference quantizer's
+    val queries = vecs.filter(_._1 < 5)
+    val codes = vecs.map { case (id, v) => id -> codeOf(v) }
+    for ((qid, qv) <- queries) {
+      val expTop = codes.map { case (id, c) =>
+        (id, math.floor(sqScore(qv, c) * 1e6 + 0.5).toLong) }
+        .sortBy { case (id, s) => (-s, id) }.take(10)
+      val gotTop = got.filter(_._1 == qid).sortBy(_._4).map(t => (t._2, t._3))
+      assert(gotTop.toSeq == expTop.toSeq, s"query $qid mismatch")
+    }
+    // quantization keeps retrieval quality: recall@10 vs the EXACT dot
+    val recalls = queries.map { case (qid, qv) =>
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < d) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+      }
+      val exact = vecs.map { case (id, v) =>
+        (id, math.floor(dot(qv, v) * 1e6 + 0.5).toLong) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      val approx = got.filter(_._1 == qid).map(_._2).toSet
+      exact.intersect(approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"SQ8 recall@10 vs exact dot per query: ${recalls.map(r => f"$r%.2f").mkString(", ")}")
+    info(f"mean SQ8 recall@10 = $mean%.3f")
+    assert(mean >= 0.9, f"mean SQ8 recall $mean%.3f below bar")
+  }
 }
