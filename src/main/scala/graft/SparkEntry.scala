@@ -33,6 +33,8 @@ object SparkEntry {
     "events_funnel" -> (Relational.eventsFunnel _),
     "events_approx_users" -> (Relational.eventsApproxUsers _),
     "events_retention" -> (Relational.eventsRetention _),
+    // as-of join: purchase ← most recent at-or-prior view per user
+    "events_asof" -> (Relational.eventsAsof _),
     // per-language token-length distribution, exact + sketch-attested
     "quality_quantiles" -> (TextOps.qualityQuantiles _),
     // brute-force kNN family
@@ -402,6 +404,7 @@ object SparkEntry {
     "events_funnel" -> Relational.eventsFunnelSql,
     "events_approx_users" -> Relational.eventsApproxUsersSql,
     "events_retention" -> Relational.eventsRetentionSql,
+    "events_asof" -> Relational.eventsAsofSql,
     "quality_quantiles" -> TextOps.qualityQuantilesSql,
     "knn_brute_cosine" -> KnnSearch.bruteCosineSql,
     "knn_brute_dot" -> KnnSearch.bruteDotSql,

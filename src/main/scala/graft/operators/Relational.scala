@@ -316,6 +316,63 @@ object Relational {
       |  true AS sketch_within_5pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** `events_asof`: as-of join — each purchase event joined to the
+    * same user's most recent view event AT OR BEFORE its timestamp
+    * (left: purchases with no prior view keep nulls). The canonical
+    * time-series operator Spark has no native join type for.
+    *
+    * Spark-first shape: NOT an inequality join (a range join explodes
+    * to |views|×|purchases| per user before picking the max) and not
+    * a per-key loop — both sides UNION into one stream, ONE shuffle
+    * on user_id, and a single carry-forward window (`last` ignoring
+    * nulls over rows-unbounded-preceding) attaches the latest view
+    * struct to every purchase row in linear time. Views sort before
+    * purchases at equal timestamps (side 0 < 1), giving exact
+    * at-or-before semantics. At 100 TB: linear in events, partial
+    * per-user state, the same single-shuffle shape as sessionize.
+    *
+    * The DuckDB oracle is the engine's NATIVE `ASOF LEFT JOIN` —
+    * deterministic here because (user_id, ts) is unique in the
+    * corpus (checked at all SFs), so two independent formulations of
+    * the semantics hash-match. */
+  def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val vStructType = "struct<v_ts:timestamp,v_id:bigint>"
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts", lit(0L).as("side"), $"event_id",
+        lit(null).cast("double").as("value"),
+        struct($"ts".as("v_ts"), $"event_id".as("v_id")).as("v"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(1L).as("side"), $"event_id",
+        $"value", lit(null).cast(vStructType).as("v"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"side".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("lastv", last($"v", ignoreNulls = true).over(w))
+      .filter($"side" === 1L)
+      .select($"event_id", $"user_id",
+        unix_timestamp($"ts").as("purchase_epoch"),
+        Stab.e2($"value").as("value_e2"),
+        $"lastv.v_id".as("view_event_id"),
+        unix_timestamp($"lastv.v_ts").as("view_epoch"),
+        (unix_timestamp($"ts") - unix_timestamp($"lastv.v_ts")).as("gap_s"))
+      .orderBy($"event_id")
+  }
+
+  val eventsAsofSql: String =
+    s"""WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+       |v AS (SELECT * FROM events WHERE event_type = 'view')
+       |SELECT p.event_id, p.user_id,
+       |  CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+       |  ${Stab.sqlE2("p.value")} AS value_e2,
+       |  v.event_id AS view_event_id,
+       |  CAST(FLOOR(epoch(v.ts)) AS BIGINT) AS view_epoch,
+       |  CAST(FLOOR(epoch(p.ts)) AS BIGINT) - CAST(FLOOR(epoch(v.ts)) AS BIGINT) AS gap_s
+       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+       |ORDER BY p.event_id""".stripMargin
+
   val eventsSessionizeSql: String =
     s"""WITH flagged AS (
        |  SELECT user_id, ts, event_id, value,

@@ -172,6 +172,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("events_asof equals a brute per-user scan; left rows and exact-tie semantics hold") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"ts".cast("long").as("ts_us"), $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val viewsByUser = ev.filter(_._4 == "view").groupBy(_._2)
+      .map { case (u, rows) => u -> rows.map(r => (r._3, r._1)).sortBy(identity) }
+    val expected = ev.filter(_._4 == "purchase").map { case (pid, u, pts, _) =>
+      val prior = viewsByUser.getOrElse(u, Array.empty[(Long, Long)])
+        .filter(_._1 <= pts)
+      pid -> (if (prior.isEmpty) None else Some(prior.last._2))
+    }.toMap
+    val got = graft.operators.Relational.eventsAsof(spark, sf)
+      .select($"event_id", $"view_event_id")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(1)) None else Some(r.getAs[Long]("view_event_id")))).toMap
+    assert(got == expected)
+    // left semantics are load-bearing: some purchases precede any view
+    assert(got.valuesIterator.count(_.isEmpty) > 0)
+    assert(got.valuesIterator.count(_.nonEmpty) > 0)
+  }
+
   test("text_repetition equals brute-force gram coverage; both drop arms fire") {
     val docs = graft.core.Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect()
