@@ -356,6 +356,42 @@ object NswIndex {
     IndexMeta.bumpDelta(spark, path, nRemoved)
   }
 
+  /** Small-file compaction for the stream-maintained flat layout —
+    * the NSW twin of [[IvfIndex.compactPersisted]]: every
+    * [[addDeltaPersisted]] appends a handful of files to `vectors`
+    * and `edges`, so a long-running
+    * [[graft.streaming.IndexStream]] manufactures the classic
+    * small-file problem here exactly as it does on the IVF layout.
+    * Any table whose parquet file count exceeds `maxFiles` is
+    * rewritten coalesced to `targetFiles` through a localCheckpoint
+    * (the overwrite-while-reading discipline of [[removeRows]]).
+    * Rows never move and the drift sidecar is untouched, so serve
+    * results and the maintenance policy are unaffected; the crowded
+    * check is one directory listing per table — no job on the
+    * batches that compact nothing.
+    *
+    * Scale note: these flat tables are the STREAM'S working set (the
+    * cluster serving layout is the co-bucketed graph,
+    * [[persistBucketed]]), so the rewrite is bounded by working-set
+    * size; `maxFiles` trades rewrite frequency against scan fan-in.
+    * Returns the tables rewritten. */
+  def compactPersisted(spark: SparkSession, path: String,
+      maxFiles: Int = 16, targetFiles: Int = 4): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("vectors", "edges").filter { sub =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val n = fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
+      n > maxFiles && {
+        val out = spark.read.parquet(s"$path/$sub")
+          .repartition(targetFiles).localCheckpoint(true)
+        out.write.mode("overwrite").parquet(s"$path/$sub")
+        graft.core.Checkpoints.free(out)
+        true
+      }
+    }
+  }
+
   private def removeRows(spark: SparkSession, path: String, removeIds: DataFrame): Unit = {
     val ids = removeIds.select(col("vec_id")).localCheckpoint(true)
     val emb = spark.read.parquet(s"$path/vectors")

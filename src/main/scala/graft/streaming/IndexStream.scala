@@ -54,7 +54,8 @@ object IndexStream {
   def maintainNsw(mutations: DataFrame, path: String,
       threshold: Double = NswIndex.rebuildThreshold,
       streamId: String = "default"): DataStreamWriter[Row] =
-    mutations.writeStream.foreachBatch(applyNswBatch(_, _, path, threshold, streamId))
+    mutations.writeStream.foreachBatch(
+      (b: DataFrame, id: Long) => applyNswBatch(b, id, path, threshold, streamId))
 
   /** One IVF micro-batch, exactly as [[maintainIvf]]'s sink applies
     * it — `private[graft]` so the spec can drive a true same-batch-id
@@ -81,10 +82,14 @@ object IndexStream {
 
   private[graft] def applyNswBatch(batch: DataFrame, batchId: Long, path: String,
       threshold: Double = NswIndex.rebuildThreshold,
-      streamId: String = "default"): Unit =
+      streamId: String = "default",
+      compactFileBound: Int = streamCompactFileBound): Unit = {
     applyBatch(batch, batchId, path, streamId,
       del => NswIndex.maintainRemove(batch.sparkSession, path, del, threshold),
       ups => NswIndex.maintain(batch.sparkSession, path, ups, threshold))
+    NswIndex.compactPersisted(batch.sparkSession, path, compactFileBound,
+      targetFiles = math.max(1, compactFileBound / 4))
+  }
 
   /** Split one micro-batch into its delete and upsert sides and apply
     * each through the index's policy entry point — unless the batch

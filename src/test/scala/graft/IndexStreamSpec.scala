@@ -160,6 +160,37 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(stored.size == 490)
   }
 
+  test("NSW stream sink bounds flat-table file counts via auto-compaction") {
+    val dir = tmp("graft-nsw-stream-compact")
+    NswIndex.persist(base, NswIndex.buildEdges(base), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(sub: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    val bound = 2
+    (0 until 10).foreach { b =>
+      val ids = Seq(b * 2L, b * 2L + 1L).filter(_ < 20L)
+      IndexStream.applyNswBatch(
+        ids.map(up).toDF("vec_id", "embedding", "op"),
+        batchId = b.toLong, dir, compactFileBound = bound)
+      Seq("vectors", "edges").foreach { sub =>
+        assert(files(sub) <= bound,
+          s"after batch $b $sub holds ${files(sub)} files (> $bound)")
+      }
+    }
+    // everything streamed in is stored exactly once and still serves
+    val stored = storedIds(dir)
+    assert((0L until 20L).forall(stored.get(_).contains(1L)))
+    assert(stored.size == 470)
+    val probes = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val hits = NswIndex.searchPersisted(spark, dir, probes, k = 3)
+      .filter($"q_id" === $"neighbor_id").collect()
+    assert(hits.length == 2 && hits.forall(_.getAs[Long]("score_e6") == 1000000L),
+      "compacted NSW layout no longer serves streamed-in nodes")
+  }
+
   test("NSW stream: upserts beam-link and serve; deletes drop vectors and edges") {
     val dir = tmp("graft-nsw-stream")
     NswIndex.persist(base, NswIndex.buildEdges(base), dir)
