@@ -35,6 +35,8 @@ object SparkEntry {
     "events_retention" -> (Relational.eventsRetention _),
     // as-of join: purchase ← most recent at-or-prior view per user
     "events_asof" -> (Relational.eventsAsof _),
+    // interval-join attribution (batch twin of streaming.AttributionStream)
+    "events_attribution" -> (graft.streaming.AttributionStream.eventsAttribution _),
     // per-language token-length distribution, exact + sketch-attested
     "quality_quantiles" -> (TextOps.qualityQuantiles _),
     // brute-force kNN family
@@ -405,6 +407,7 @@ object SparkEntry {
     "events_approx_users" -> Relational.eventsApproxUsersSql,
     "events_retention" -> Relational.eventsRetentionSql,
     "events_asof" -> Relational.eventsAsofSql,
+    "events_attribution" -> graft.streaming.AttributionStream.eventsAttributionSql,
     "quality_quantiles" -> TextOps.qualityQuantilesSql,
     "knn_brute_cosine" -> KnnSearch.bruteCosineSql,
     "knn_brute_dot" -> KnnSearch.bruteDotSql,
