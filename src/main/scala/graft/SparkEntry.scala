@@ -127,6 +127,9 @@ object SparkEntry {
     // proportional mixing weights (the data-mixing knob, not a flat cap)
     "sample_weighted" -> ((s: SparkSession, d: String) => Libraries.sampleWeighted(s, d)),
     "pack_token_budget" -> ((s: SparkSession, d: String) => Libraries.packTokenBudget(s, d)),
+    // temperature-scaled (q ∝ p^0.5) multilingual sampling rates +
+    // deterministic per-doc keep draws
+    "sample_temperature" -> (Libraries.sampleTemperature _),
     // GLOBAL sequence packing via two-pass distributed prefix sum —
     // no single-task window anywhere in the plan
     "pack_shards" -> ((s: SparkSession, d: String) => Libraries.packShards(s, d)),
@@ -465,6 +468,7 @@ object SparkEntry {
     "sample_stratified" -> Libraries.sampleStratifiedSql,
     "sample_weighted" -> Libraries.sampleWeightedSql,
     "pack_token_budget" -> Libraries.packTokenBudgetSql,
+    "sample_temperature" -> Libraries.sampleTemperatureSql,
     "pack_shards" -> Libraries.packShardsSql,
     "nsw_build" -> NswIndex.nswBuildSql,
     "ivf_add_delta" -> IvfIndex.ivfAddDeltaSql,

@@ -314,6 +314,73 @@ object Libraries {
        |  FROM documents) t
        |ORDER BY source, doc_id""".stripMargin
 
+  /** `sample_temperature`: temperature-scaled language sampling — the
+    * multilingual mixing rule (q_l ∝ p_l^α with α = 0.5) that
+    * upsamples low-resource languages relative to their natural token
+    * share, under a total token budget of half the corpus. Per
+    * document: its language's sampling rate and a deterministic keep
+    * decision (content-hash threshold — a seedless Bernoulli both
+    * engines compute identically).
+    *
+    * Cross-engine determinism: the per-language token shares are
+    * exact longs; q = √p is e6-stabilized per LANGUAGE (sqrt is
+    * correctly rounded in IEEE, identical in both engines); the
+    * normalizer Σ q_e6 is an INTEGER sum (order-free); each rate is
+    * then ONE double division of long products, e6-stabilized. No
+    * float aggregation anywhere.
+    *
+    * Scale shape: one corpus scan for token counts (checkpointed),
+    * a language-keyed partial aggregation (|langs| rows), and a
+    * broadcast join of the tiny rate table back onto the corpus —
+    * the keep decision is map-side. */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(graft.text.TextOps.tokens($"text")).cast("long").as("n_tokens"),
+        pmod(graft.text.TextOps.hash60($"text"), lit(1000000L)).as("u"))
+      .localCheckpoint(true)
+    val perLang = toks.groupBy($"lang").agg(sum($"n_tokens").as("t_lang"))
+    val total = perLang.agg(sum($"t_lang").as("t_total"))
+    val q = perLang.crossJoin(broadcast(total))
+      .select($"lang", $"t_lang",
+        Stab.e6(sqrt($"t_lang".cast("double") / $"t_total")).as("q_e6"))
+    val denom = q.agg(sum($"q_e6").as("q_denom"))
+    val rates = q.crossJoin(broadcast(denom))
+      .crossJoin(broadcast(total))
+      .select($"lang", $"t_lang",
+        Stab.e6(least(lit(1.0),
+          (floor($"t_total" / 2).cast("double") * $"q_e6") /
+            ($"q_denom".cast("double") * $"t_lang"))).as("rate_e6"))
+    toks.join(broadcast(rates), Seq("lang"))
+      .select($"doc_id", $"lang", $"n_tokens", $"rate_e6",
+        ($"u" < $"rate_e6").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val sampleTemperatureSql: String = {
+    val toksLen = s"CAST(len(${graft.text.TextOps.tokensSql}) AS BIGINT)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, $toksLen AS n_tokens,
+       |    ${graft.text.TextOps.hash60Sql("text")} % 1000000 AS u
+       |  FROM documents
+       |), perlang AS (SELECT lang, sum(n_tokens) AS t_lang FROM toks GROUP BY lang),
+       |tot AS (SELECT sum(t_lang) AS t_total FROM perlang),
+       |q AS (
+       |  SELECT lang, t_lang,
+       |    ${Stab.sqlE6("sqrt(CAST(t_lang AS DOUBLE) / t_total)")} AS q_e6
+       |  FROM perlang CROSS JOIN tot
+       |), den AS (SELECT sum(q_e6) AS q_denom FROM q),
+       |rates AS (
+       |  SELECT lang, t_lang,
+       |    ${Stab.sqlE6("least(1.0, (CAST(t_total // 2 AS DOUBLE) * q_e6) / (CAST(q_denom AS DOUBLE) * t_lang))")} AS rate_e6
+       |  FROM q CROSS JOIN den CROSS JOIN tot
+       |)
+       |SELECT t.doc_id, t.lang, t.n_tokens, r.rate_e6, t.u < r.rate_e6 AS keep
+       |FROM toks t JOIN rates r USING (lang)
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   /** `pack_shards`: GLOBAL greedy sequence packing — one shard
     * sequence over the whole corpus in doc_id order, not per-source
     * ([[packTokenBudget]]'s per-source window is the right tool for

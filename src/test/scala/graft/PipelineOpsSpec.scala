@@ -37,6 +37,30 @@ class MixingOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(byShard.size > 1)
   }
 
+  test("sample_temperature upsamples low-resource languages under the token budget") {
+    val out = graft.operators.Libraries.sampleTemperature(spark, sf).collect()
+    val docs = graft.core.Tables.documents(spark, sf).count()
+    assert(out.length == docs)
+    // per-language (t_lang, rate): rate must be non-increasing in t_lang
+    // (that IS the temperature flattening) and inside (0, 1]
+    val perLang = out.groupBy(_.getAs[String]("lang")).map { case (l, rows) =>
+      (l, rows.map(_.getAs[Long]("n_tokens")).sum, rows.head.getAs[Long]("rate_e6"))
+    }.toSeq.sortBy(_._2)
+    assert(perLang.forall { case (_, _, r) => r > 0L && r <= 1000000L })
+    perLang.sliding(2).foreach { case Seq((_, tA, rA), (_, tB, rB)) =>
+      assert(tA <= tB && rA >= rB, s"rate not monotone: t=$tA r=$rA vs t=$tB r=$rB")
+    }
+    assert(perLang.map(_._3).distinct.length > 1, "all rates equal — temperature inert")
+    // expected kept tokens land under (≈) the half-corpus budget
+    val totalTokens = out.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val expectedKept = perLang.map { case (_, t, r) => t * (r / 1e6) }.sum
+    assert(expectedKept <= 0.55 * totalTokens && expectedKept >= 0.3 * totalTokens,
+      s"expected kept $expectedKept vs total $totalTokens outside the budget band")
+    // the hash draws actually split the corpus
+    val kept = out.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < docs)
+  }
+
   test("sample_weighted respects per-source quotas and keeps the WindowGroupLimit pushdown") {
     val df = SparkEntry.queries("sample_weighted")(spark, sf)
     val rows = df.collect()
