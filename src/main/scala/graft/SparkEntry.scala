@@ -78,6 +78,8 @@ object SparkEntry {
     "text_ngram_stats" -> ((s: SparkSession, d: String) => TextOps.textNgramStats(s, d)),
     // per-doc duplicated/top n-gram char coverage + keep verdict
     "text_repetition" -> (TextOps.textRepetition _),
+    // distributed BPE merge training over the word-frequency table
+    "bpe_train" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.bpeTrain(s, d)),
     // collections / data model (reference CRUD surface)
     "chunk_documents" -> (Collections.chunkDocuments _),
     "crud_upsert" -> (Collections.crudUpsert _),
@@ -439,6 +441,36 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.textFingerprintSql,
     "text_ngram_stats" -> TextOps.textNgramStatsSql,
     "text_repetition" -> TextOps.textRepetitionSql,
+    // golden-pin oracle (the embed_text_golden pattern): the merge
+    // table from the INDEPENDENT Python BPE (tools/golden_bpe.py) on
+    // the driver's verify corpus, pinned as literals — DuckDB cannot
+    // express the iterative merge loop itself
+    "bpe_train" ->
+      """SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, merged,
+        |  CAST(pair_count AS BIGINT) AS pair_count
+        |FROM (VALUES
+        |(1, 'e', 'r', 'er', 4568),
+        |(2, 'i', 'n', 'in', 2760),
+        |(3, 'o', 'w', 'ow', 2747),
+        |(4, 'o', 'r', 'or', 2696),
+        |(5, 's', 't', 'st', 2676),
+        |(6, 'm', 'er', 'mer', 1852),
+        |(7, 'a', 't', 'at', 1845),
+        |(8, 'l', 'u', 'lu', 1831),
+        |(9, 'a', 'r', 'ar', 1758),
+        |(10, 'p', 'ar', 'par', 1758),
+        |(11, 'j', 'o', 'jo', 964),
+        |(12, 'jo', 'in', 'join', 964),
+        |(13, 'a', 's', 'as', 947),
+        |(14, 'as', 'h', 'ash', 947),
+        |(15, 'h', 'ash', 'hash', 947),
+        |(16, 'r', 'ow', 'row', 943),
+        |(17, 'at', 'c', 'atc', 937),
+        |(18, 'atc', 'h', 'atch', 937),
+        |(19, 'b', 'atch', 'batch', 937),
+        |(20, 'a', 'n', 'an', 936)
+        |) t(rank, lhs, rhs, merged, pair_count)
+        |ORDER BY rank""".stripMargin,
     "chunk_documents" -> Collections.chunkDocumentsSql,
     "crud_upsert" -> Collections.crudUpsertSql,
     "crud_upsert_store" -> Collections.crudUpsertSql,

@@ -196,6 +196,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("bpe_train equals an independent in-test BPE; merges build on earlier merges") {
+    // independent reference implementation (mirrors tools/golden_bpe.py)
+    val freq = graft.core.Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+      .flatMap(_.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    var vocab: Map[String, Vector[String]] =
+      freq.keysIterator.map(w => w -> w.map(_.toString).toVector).toMap
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    for (rank <- 1 to 20) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, c) <- freq; Seq(a, b) <- vocab(w).sliding(2))
+        pairs((a, b)) = pairs.getOrElse((a, b), 0L) + c
+      if (pairs.nonEmpty) {
+        val ((a, b), n) = pairs.minBy { case ((x, y), c) => (-c, x, y) }
+        expected += ((rank.toLong, a, b, a + b, n))
+        vocab = vocab.map { case (w, syms) =>
+          val res = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              res += (a + b); i += 2
+            } else { res += syms(i); i += 1 }
+          }
+          w -> res.result()
+        }
+      }
+    }
+    val got = graft.text.BpeTrain.bpeTrain(spark, sf)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == expected.toSeq)
+    // subword growth is real: later merges consume earlier merged tokens
+    val mergedTokens = got.map(_._4).toSet
+    assert(got.exists(m => mergedTokens.contains(m._2) && m._2.length > 1),
+      "no merge builds on an earlier merge — BPE degenerated to char bigrams")
+  }
+
   test("events_asof equals a brute per-user scan; left rows and exact-tie semantics hold") {
     val ev = graft.core.Tables.events(spark, sf)
       .select($"event_id", $"user_id", $"ts".cast("long").as("ts_us"), $"event_type")
