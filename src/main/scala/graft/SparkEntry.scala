@@ -80,6 +80,10 @@ object SparkEntry {
     "text_repetition" -> (TextOps.textRepetition _),
     // distributed BPE merge training over the word-frequency table
     "bpe_train" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.bpeTrain(s, d)),
+    // PII redaction + match counts (spec drives real PII through the
+    // same expressions; this corpus is clean so the oracle pins the
+    // no-match identity)
+    "text_pii_scrub" -> (TextOps.textPiiScrub _),
     // collections / data model (reference CRUD surface)
     "chunk_documents" -> (Collections.chunkDocuments _),
     "crud_upsert" -> (Collections.crudUpsert _),
@@ -441,6 +445,7 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.textFingerprintSql,
     "text_ngram_stats" -> TextOps.textNgramStatsSql,
     "text_repetition" -> TextOps.textRepetitionSql,
+    "text_pii_scrub" -> TextOps.textPiiScrubSql,
     // golden-pin oracle (the embed_text_golden pattern): the merge
     // table from the INDEPENDENT Python BPE (tools/golden_bpe.py) on
     // the driver's verify corpus, pinned as literals — DuckDB cannot

@@ -400,6 +400,58 @@ object TextOps {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // ---- text_pii_scrub ----------------------------------------------------
+
+  /** PII patterns shared by both engines: Java regex (Spark) and RE2
+    * (DuckDB) agree on this subset — character classes, bounded
+    * repetition, word boundaries; no lookaround, no backrefs. */
+  private[graft] val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
+    ("phone", "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "[PHONE]"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"))
+
+  /** Scrub + count columns over any (doc_id, text) frame — the
+    * factored core so the spec can drive synthetic rows carrying real
+    * PII through the exact production expressions (this corpus is
+    * clean, so the registry entry's oracle pins the no-match
+    * behavior: counts 0, text byte-identical). */
+  def piiScrubColumns(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val scrubbed = piiPatterns.foldLeft(lower($"text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    val countCols = piiPatterns.map { case (kind, pat, _) =>
+      regexp_count(lower($"text"), lit(pat)).cast(LongType).as(s"n_$kind")
+    }
+    docs.select(Seq($"doc_id", md5(lower($"text")).as("orig_md5"),
+      md5(scrubbed).as("scrubbed_md5"),
+      (scrubbed =!= lower($"text")).as("changed")) ++ countCols: _*)
+  }
+
+  /** `text_pii_scrub`: per-document PII redaction (emails, phones,
+    * IPv4) with match counts and a changed flag. One scan, pure
+    * codegen'd per-row regex algebra, no shuffle except the output
+    * order. */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    piiScrubColumns(Tables.documents(spark, dir)).orderBy($"doc_id")
+  }
+
+  val textPiiScrubSql: String = {
+    val scrubbed = piiPatterns.foldLeft("lower(text)") {
+      case (e, (_, pat, repl)) =>
+        s"regexp_replace($e, '$pat', '$repl', 'g')"
+    }
+    val countCols = piiPatterns.map { case (kind, pat, _) =>
+      s"CAST(len(regexp_extract_all(lower(text), '$pat')) AS BIGINT) AS n_$kind"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id, md5(lower(text)) AS orig_md5,
+       |  md5($scrubbed) AS scrubbed_md5,
+       |  $scrubbed <> lower(text) AS changed,
+       |  $countCols
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // ---- quality_quantiles -------------------------------------------------
 
   /** `quality_quantiles`: per-language token-length distribution —

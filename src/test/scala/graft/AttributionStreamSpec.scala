@@ -67,4 +67,15 @@ class AttributionStreamSpec extends AnyFunSuite {
       assert(multi.exists(_ > 1), "no purchase with several views in-window")
     } finally q.stop()
   }
+
+  test("batch attribution joins on the user_id equality key, never a cartesian") {
+    val plan = AttributionStream.attribute(graft.core.Tables.events(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a product:\n${plan.take(2000)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"no equi-join in the attribution plan:\n${plan.take(2000)}")
+  }
 }

@@ -196,6 +196,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("text_pii_scrub redacts emails/phones/IPs on synthetic rows; corpus stays identity") {
+    import graft.text.TextOps
+    val synthetic = Seq(
+      (1L, "Contact Bob.Smith+spam@Example-Mail.co.uk or call 555-123-4567 now"),
+      (2L, "server at 10.0.255.3 answered; backup 192.168.1.1 did not"),
+      (3L, "two mails a@b.io c@d.org and a phone 111 222 3333"),
+      (4L, "nothing sensitive here, just 1234 and a.b and x@y"),
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiScrubColumns(synthetic).orderBy($"doc_id").collect()
+    def counts(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n_email"), r.getAs[Long]("n_phone"), r.getAs[Long]("n_ip"),
+        r.getAs[Boolean]("changed"))
+    assert(counts(got(0)) == ((1L, 1L, 0L, true)))
+    assert(counts(got(1)) == ((0L, 0L, 2L, true)))
+    assert(counts(got(2)) == ((2L, 1L, 0L, true)))
+    assert(counts(got(3)) == ((0L, 0L, 0L, false)))
+    // redaction replaces rather than deletes: scrubbed text of row 1
+    // hashes like the hand-scrubbed expectation
+    val expected1 = "contact [EMAIL] or call [PHONE] now"
+    val gotMd5 = got(0).getAs[String]("scrubbed_md5")
+    val expMd5 = synthetic.sparkSession.range(1)
+      .select(md5(lit(expected1))).head.getString(0)
+    assert(gotMd5 == expMd5)
+    // unchanged rows keep byte-identical text
+    assert(got(3).getAs[String]("scrubbed_md5") == got(3).getAs[String]("orig_md5"))
+    // the real corpus is clean — the registry oracle pins exactly that
+    val corpus = TextOps.textPiiScrub(spark, sf).collect()
+    assert(corpus.forall(!_.getAs[Boolean]("changed")))
+  }
+
   test("bpe_train equals an independent in-test BPE; merges build on earlier merges") {
     // independent reference implementation (mirrors tools/golden_bpe.py)
     val freq = graft.core.Tables.documents(spark, sf)
