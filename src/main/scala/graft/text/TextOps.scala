@@ -321,26 +321,43 @@ object TextOps {
     *
     * Scale shape: pure per-row column algebra — one scan, no shuffle
     * except the deterministic output `orderBy`. The within-document
-    * counting is O(distinct·len) array algebra inside codegen, bounded
-    * by document length, never a corpus-wide aggregation: at 100 TB
-    * this is exactly as parallel as the scan itself.
+    * counting is a SORT + run-length fold (O(len·log len) per doc,
+    * never the O(distinct·len) nested filter shape that degrades
+    * quadratically on long documents), all inside codegen, never a
+    * corpus-wide aggregation: at 100 TB this is exactly as parallel
+    * as the scan itself. The DuckDB twin keeps the simpler nested
+    * counting — two different algorithms for the same integers is a
+    * stronger oracle, not a weaker one.
     *
     * Cross-engine determinism: character counts are exact longs;
     * fractions are e6-stabilized quotients of exact longs; the keep
     * verdict never divides. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // per distinct gram of `arr`: (occurrences, char length)
-    def gramCounts(arr: Column): Column =
-      transform(array_distinct(arr), g => struct(
-        size(filter(arr, x => x === g)).cast(LongType).as("tf"),
-        length(g).cast(LongType).as("len")))
-    // chars covered by grams occurring >1 time (all occurrences)
-    def dupChars(cnts: Column): Column =
-      aggregate(cnts, lit(0L),
-        (a, c) => a + when(c("tf") > 1, c("tf") * c("len")).otherwise(0L))
-    def topChars(cnts: Column): Column =
-      coalesce(array_max(transform(cnts, c => c("tf") * c("len"))), lit(0L))
+    // chars covered by grams occurring >1 time (all occurrences):
+    // sort, then fold runs of equal grams — state (prev, run, acc)
+    def dupChars(arr: Column): Column =
+      aggregate(array_sort(arr),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+        (s, x) => {
+          val closed = s("acc") +
+            when(s("run") > 1, s("run") * length(s("prev"))).otherwise(0L)
+          struct(x.as("prev"),
+            when(x === s("prev"), s("run") + 1L).otherwise(lit(1L)).as("run"),
+            when(x === s("prev"), s("acc")).otherwise(closed).as("acc"))
+        },
+        s => s("acc") + when(s("run") > 1, s("run") * length(s("prev"))).otherwise(0L))
+    // heaviest single gram's char coverage, same run fold with a max
+    def topChars(arr: Column): Column =
+      aggregate(array_sort(arr),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (s, x) => {
+          val closed = greatest(s("best"), s("run") * length(s("prev")))
+          struct(x.as("prev"),
+            when(x === s("prev"), s("run") + 1L).otherwise(lit(1L)).as("run"),
+            when(x === s("prev"), s("best")).otherwise(closed).as("best"))
+        },
+        s => greatest(s("best"), s("run") * length(s("prev"))))
     val t = tokens($"text")
     Tables.documents(spark, dir)
       .select($"doc_id", t.as("w"))
@@ -348,10 +365,10 @@ object TextOps {
         aggregate($"w", lit(0L), (acc, x) => acc + length(x)).as("sum_token_len"))
       .select($"doc_id",
         size($"w").cast(LongType).as("n_tokens"), $"sum_token_len",
-        dupChars(gramCounts($"w")).as("dup_word_chars"),
-        dupChars(gramCounts($"s2")).as("dup2_chars"),
-        dupChars(gramCounts($"s3")).as("dup3_chars"),
-        topChars(gramCounts($"s2")).as("top2_chars"))
+        dupChars($"w").as("dup_word_chars"),
+        dupChars($"s2").as("dup2_chars"),
+        dupChars($"s3").as("dup3_chars"),
+        topChars($"s2").as("top2_chars"))
       .select($"doc_id", $"n_tokens", $"sum_token_len",
         $"dup_word_chars", $"dup2_chars", $"dup3_chars", $"top2_chars",
         Stab.e6(when($"sum_token_len" > 0,
