@@ -64,6 +64,8 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     "dedup_components" -> ((s: SparkSession, d: String) => Dedup.components(s, d)),
+    // component dedup electing the LONGEST member as survivor
+    "dedup_keep_best" -> (Dedup.keepBest _),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
     // the spans dedup_substring excludes, reported as a stopspan list
     "dedup_boilerplate" -> ((s: SparkSession, d: String) => Dedup.boilerplateSpans(s, d)),
@@ -436,6 +438,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_embedding" -> Dedup.embeddingNearDupSql,
     "dedup_components" -> Dedup.componentsSql,
+    "dedup_keep_best" -> Dedup.keepBestSql,
     "dedup_substring" -> Dedup.substringSpansSql,
     "dedup_boilerplate" -> Dedup.boilerplateSpansSql,
     "contamination_check" -> Dedup.contaminationSql,

@@ -196,6 +196,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("dedup_keep_best elects exactly one longest survivor per component and diverges from min-id") {
+    val rows = Dedup.keepBest(spark, sf).collect()
+    val byComp = rows.groupBy(_.getAs[Long]("component"))
+    byComp.foreach { case (c, members) =>
+      val keepers = members.filter(_.getAs[Long]("keep") == 1L)
+      assert(keepers.length == 1, s"component $c has ${keepers.length} keepers")
+      val k = keepers.head
+      // the survivor is maximal by (n_tokens, -doc_id)
+      members.foreach { m =>
+        val better = m.getAs[Long]("n_tokens") > k.getAs[Long]("n_tokens") ||
+          (m.getAs[Long]("n_tokens") == k.getAs[Long]("n_tokens") &&
+            m.getAs[Long]("doc_id") < k.getAs[Long]("doc_id"))
+        assert(!better, s"non-maximal survivor in component $c")
+      }
+    }
+    // quality election is load-bearing: some survivor is NOT the min id
+    val divergent = byComp.values.count { members =>
+      members.exists(m => m.getAs[Long]("keep") == 1L &&
+        m.getAs[Long]("doc_id") != m.getAs[Long]("component"))
+    }
+    assert(divergent > 0, "keep-best never differs from min-id — election inert")
+  }
+
   test("text_pii_scrub redacts emails/phones/IPs on synthetic rows; corpus stays identity") {
     import graft.text.TextOps
     val synthetic = Seq(
