@@ -37,6 +37,8 @@ object SparkEntry {
     "events_asof" -> (Relational.eventsAsof _),
     // interval-join attribution (batch twin of streaming.AttributionStream)
     "events_attribution" -> (graft.streaming.AttributionStream.eventsAttribution _),
+    // daily-volume z-score outliers from integer aggregates
+    "events_anomaly" -> (Relational.eventsAnomaly _),
     // per-language token-length distribution, exact + sketch-attested
     "quality_quantiles" -> (TextOps.qualityQuantiles _),
     // brute-force kNN family
@@ -150,6 +152,8 @@ object SparkEntry {
     "nsw_add_delta" -> (NswIndex.nswAddDelta _),
     "ann_lsh_bucketed" -> (LshIndex.annLshBucketed _),
     "nsw_build" -> (NswIndex.nswBuild _),
+    // degree/reciprocity observability over the exact graph
+    "nsw_graph_stats" -> (NswIndex.nswGraphStats _),
     "nsw_build_lsh" -> (NswIndex.nswBuildLsh _),
     "nsw_search" -> (NswIndex.nswSearch _),
     // IVF-PQ: product-quantized posting lists (8-byte codes, ADC probe
@@ -419,6 +423,7 @@ object SparkEntry {
     "events_retention" -> Relational.eventsRetentionSql,
     "events_asof" -> Relational.eventsAsofSql,
     "events_attribution" -> graft.streaming.AttributionStream.eventsAttributionSql,
+    "events_anomaly" -> Relational.eventsAnomalySql,
     "quality_quantiles" -> TextOps.qualityQuantilesSql,
     "knn_brute_cosine" -> KnnSearch.bruteCosineSql,
     "knn_brute_dot" -> KnnSearch.bruteDotSql,
@@ -511,6 +516,7 @@ object SparkEntry {
     "sample_temperature" -> Libraries.sampleTemperatureSql,
     "pack_shards" -> Libraries.packShardsSql,
     "nsw_build" -> NswIndex.nswBuildSql,
+    "nsw_graph_stats" -> NswIndex.nswGraphStatsSql,
     "ivf_add_delta" -> IvfIndex.ivfAddDeltaSql,
     "pq_build" -> IvfIndex.pqBuildSql,
     "ivf_search_pq" -> IvfIndex.ivfSearchPqSql,

@@ -158,6 +158,59 @@ object NswIndex {
     buildEdgesLsh(Tables.embeddings(spark, dir)).orderBy($"src", $"rank")
   }
 
+  /** `nsw_graph_stats`: per-node degree/reciprocity observability
+    * over the exact kNN graph — out-degree (fixed k by construction,
+    * asserted by the oracle), IN-degree (the hubbiness distribution
+    * that governs beam-search quality: heavy hubs = short paths but
+    * congested exploration), and the count of reciprocated edges
+    * (mutual-neighbor pairs). The index-health table an operator
+    * reads before tuning beam width / hop caps.
+    *
+    * Scale shape: two degree aggregations plus one equality self-join
+    * on the (src, dst) edge table — all linear in |edges| = n·k,
+    * shuffled on node id; nothing touches the corpus vectors. */
+  def nswGraphStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = edgesCached(spark, dir).select($"src", $"dst").localCheckpoint(true)
+    val outD = edges.groupBy($"src".as("vec_id"))
+      .agg(count(lit(1)).as("out_degree"))
+    val inD = edges.groupBy($"dst".as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    val recip = edges.as("e")
+      .join(edges.as("r"), $"e.src" === $"r.dst" && $"e.dst" === $"r.src")
+      .groupBy($"e.src".as("vec_id")).agg(count(lit(1)).as("n_reciprocal"))
+    Tables.embeddings(spark, dir).select($"vec_id")
+      .join(outD, Seq("vec_id"), "left")
+      .join(inD, Seq("vec_id"), "left")
+      .join(recip, Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"out_degree", lit(0L)).as("out_degree"),
+        coalesce($"in_degree", lit(0L)).as("in_degree"),
+        coalesce($"n_reciprocal", lit(0L)).as("n_reciprocal"))
+      .orderBy($"vec_id")
+  }
+
+  lazy val nswGraphStatsSql: String =
+    s"""WITH g AS ($nswBuildSql),
+       |edges AS (SELECT src, dst FROM g),
+       |outd AS (SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS out_degree
+       |         FROM edges GROUP BY src),
+       |ind AS (SELECT dst AS vec_id, CAST(count(*) AS BIGINT) AS in_degree
+       |        FROM edges GROUP BY dst),
+       |recip AS (
+       |  SELECT e.src AS vec_id, CAST(count(*) AS BIGINT) AS n_reciprocal
+       |  FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src
+       |  GROUP BY e.src)
+       |SELECT v.vec_id,
+       |  coalesce(o.out_degree, 0) AS out_degree,
+       |  coalesce(i.in_degree, 0) AS in_degree,
+       |  coalesce(rc.n_reciprocal, 0) AS n_reciprocal
+       |FROM (SELECT vec_id FROM embeddings) v
+       |LEFT JOIN outd o USING (vec_id)
+       |LEFT JOIN ind i USING (vec_id)
+       |LEFT JOIN recip rc USING (vec_id)
+       |ORDER BY v.vec_id""".stripMargin
+
   val nswBuildSql: String = {
     def dot(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"

@@ -373,6 +373,55 @@ object Relational {
        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
        |ORDER BY p.event_id""".stripMargin
 
+  /** `events_anomaly`: daily-volume outlier detection — per
+    * (event_type, day) count z-scored against that type's cross-day
+    * distribution, flagged at |z| ≥ 2. The ops-analytics screen every
+    * event pipeline keeps (ingestion spikes, drops, broken trackers).
+    *
+    * Cross-engine determinism: mean and variance come from INTEGER
+    * aggregates only — n, Σc, Σc² (exact longs, order-free) — through
+    * one fixed expression tree (`var = (Q − S²/n)/(n−1)`), so no
+    * float aggregation order can differ; z is one division,
+    * e6-stabilized, and the flag compares the e6 integer.
+    *
+    * Scale shape: two tiny partial-agged shuffles (day×type, then
+    * type) and a broadcast join back — the corpus is scanned once. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val stats = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"), sum($"c" * $"c").as("q"))
+    val mean = $"s".cast("double") / $"n"
+    val variance = ($"q".cast("double") - $"s".cast("double") * $"s" / $"n") / ($"n" - 1)
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select($"event_type", $"day", $"c",
+        Stab.e6(when($"n" > 1 && variance > 0,
+          ($"c".cast("double") - mean) / sqrt(variance)).otherwise(0.0)).as("z_e6"))
+      .withColumn("anomaly", abs($"z_e6") >= 2000000L)
+      .orderBy($"event_type", $"day")
+  }
+
+  val eventsAnomalySql: String = {
+    val mean = "CAST(s AS DOUBLE) / n"
+    val variance = s"(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)"
+    s"""WITH daily AS (
+       |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2
+       |), stats AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+       |  FROM daily GROUP BY event_type
+       |)
+       |SELECT d.event_type, d.day, d.c,
+       |  ${Stab.sqlE6(s"CASE WHEN n > 1 AND $variance > 0 THEN (CAST(c AS DOUBLE) - $mean) / sqrt($variance) ELSE 0.0 END")} AS z_e6,
+       |  abs(${Stab.sqlE6(s"CASE WHEN n > 1 AND $variance > 0 THEN (CAST(c AS DOUBLE) - $mean) / sqrt($variance) ELSE 0.0 END")}) >= 2000000 AS anomaly
+       |FROM daily d JOIN stats USING (event_type)
+       |ORDER BY event_type, day""".stripMargin
+  }
+
   val eventsSessionizeSql: String =
     s"""WITH flagged AS (
        |  SELECT user_id, ts, event_id, value,
