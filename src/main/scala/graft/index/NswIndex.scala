@@ -21,22 +21,34 @@ import org.apache.spark.sql.functions._
   *    simultaneously — per-hop cost is one join, independent of query
   *    count.
   *
-  * Deterministic: entry point = min vec_id, beam ties broken on
-  * (score_e6 desc, vec_id asc).
+  * Deterministic: entry seeds = the best of a fixed modulus sample
+  * (∪ min vec_id), beam ties broken on (score_e6 desc, vec_id asc).
   */
 object NswIndex {
 
   val graphDegree = 5 // matches reference NSWIndex(n_neighbors=5)
   val beamWidth = 16
+  /** Entry-seed sample modulus: the beam starts from the best of the
+    * `vec_id ≡ 0 (mod entrySeedMod)` sample instead of one fixed
+    * node (the reference walks from a single arbitrary entry,
+    * nsw_index.py:126-127). n/mod seed rows are scored per search
+    * call — size the modulus so that stays broadcast-cheap; at
+    * cluster scale the sample is the persisted coarse layer of a
+    * two-level graph. Measured at sf0.1 (Tune NSWHOPS): lifts
+    * recall@5 at every hop cap and lets the convergence cut fire
+    * sooner (see SURVEY §5). */
+  val entrySeedMod = 64
   // Hop CAP, not a constant cost: both beam loops stop early — the
   // batch BSP via the zero-new-scores Observation, the single-query
   // walk via the kth-best cut — so the cap only binds while the walk
   // is still improving. Measured (graft.Tune NSWHOPS, sf0.1 n=2000,
-  // degree 5): recall@5 0.36 @ 6 hops → 0.64 @ 8 → 0.80 @ 10, flat at
-  // 12 (the cut fires) — the old cap of 6 was tuned on the 500-row
-  // spec corpus, where convergence arrives before 6 and a larger cap
-  // costs nothing. Graph diameter grows with log n, so a fixed small
-  // cap silently starves recall exactly when the corpus grows.
+  // degree 5): single-entry recall@5 was 0.36 @ 6 hops → 0.64 @ 8 →
+  // 0.80 @ 10; with the multi-seed entry (entrySeedMod sample) the
+  // same sweep reads 0.76 @ 4 → 0.88 @ 6 → 0.92 @ 8 and 10 → 1.00 @
+  // 12 at comparable warm cost — the seeds remove most of the
+  // walk-across-the-graph hops. Graph diameter grows with log n, so
+  // a fixed small cap silently starves recall exactly when the
+  // corpus grows; 10 keeps headroom beyond the cut.
   val hops = 10
   // LSH candidate generation for the graph build (the 100 TB path):
   // bucket bit depth adapts to n (LshIndex.adaptiveBits, target ~64
@@ -577,9 +589,11 @@ object NswIndex {
     * the frontier ⋈ edges join needs no Exchange on the edge side. */
   def beamSearch(emb: DataFrame, edges: DataFrame, queries: DataFrame,
       k: Int = 5, singleQuery: Boolean = false,
-      preExpandedEdges: Boolean = false, maxHops: Int = hops): DataFrame = {
+      preExpandedEdges: Boolean = false, maxHops: Int = hops,
+      seedSampleMod: Int = entrySeedMod): DataFrame = {
     if (singleQuery)
-      return beamSearchSingle(emb, edges, queries, k, preExpandedEdges, maxHops)
+      return beamSearchSingle(emb, edges, queries, k, preExpandedEdges, maxHops,
+        seedSampleMod)
     // The graph and vectors are the persisted index: materialize once.
     // Without this every superstep re-derives the whole kNN build.
     // (In the bucketed-layout mode the tables ARE materialized files —
@@ -603,7 +617,18 @@ object NswIndex {
         .select(col("q_id"), col("node"),
           Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"),
           col("q_vec"))
-    val entry = emb.agg(min(col("vec_id")).as("node"))
+    // Multi-seed entry (the flattened two-layer idea): a deterministic
+    // coarse SAMPLE of nodes (vec_id ≡ 0 mod seedSampleMod) is scored
+    // per query and the best seeds start the beam — descending from a
+    // near neighborhood instead of walking across the graph from one
+    // fixed node. The min-id entry is unioned in so corpora smaller
+    // than the modulus keep an entry; at cluster scale the sample IS
+    // the persisted coarse layer and the modulus is sized to keep it
+    // broadcastable (n/mod rows ride one broadcast per search call).
+    val seeds = embSel.select(col("node"))
+      .filter(pmod(col("node"), lit(seedSampleMod.toLong)) === 0L)
+      .unionByName(emb.agg(min(col("vec_id")).as("node")))
+      .distinct()
     // localCheckpoint: each superstep's result is tiny (queries × beam)
     // — materializing it stops the plan DAG doubling per hop. Visited
     // is kept as the lazy UNION of the per-hop checkpointed parts
@@ -612,9 +637,13 @@ object NswIndex {
     // rewrote the whole ever-growing visited set — at the raised hop
     // cap that was ~half the loop's wall clock for zero information.
     var visitedParts = List(
-      scoreAgainst(queries.crossJoin(broadcast(entry))).localCheckpoint(true))
+      scoreAgainst(queries.crossJoin(broadcast(seeds))).localCheckpoint(true))
     def visited: DataFrame = visitedParts.reduceLeft(_ unionByName _)
     var frontier = visitedParts.head
+      .withColumn("brank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)))
+      .filter(col("brank") <= beamWidth)
+      .drop("brank")
     var hop = 1
     var exhausted = false
     while (hop <= maxHops && !exhausted) {
@@ -669,7 +698,7 @@ object NswIndex {
     * Exchange disappears too). */
   private def beamSearchSingle(emb: DataFrame, edges: DataFrame,
       queries: DataFrame, k: Int, preExpandedEdges: Boolean,
-      maxHops: Int = hops): DataFrame = {
+      maxHops: Int = hops, seedSampleMod: Int = entrySeedMod): DataFrame = {
     val spark = emb.sparkSession
     val q = queries.select(col("q_id"), col("q_vec")).collect()
     require(q.length == 1, s"single-query beam got ${q.length} query rows")
@@ -680,10 +709,24 @@ object NswIndex {
       if (preExpandedEdges) edges.select(col("node"), col("dst"))
       else edges.select(col("src").as("node"), col("dst"))
         .unionByName(edges.select(col("dst").as("node"), col("src").as("dst")))
-    val entryRow = emb.agg(min(col("vec_id")).as("node")).collect()(0)
+    // Multi-seed entry, driver-bounded: the coarse sample (+ min-id
+    // fallback) scores DISTRIBUTED and only the top beam survives the
+    // TakeOrdered collect, so the driver transfer stays O(beamWidth)
+    // no matter the corpus (the per-hop collects' existing bound).
+    val seedsDf = embSel.select(col("node"))
+      .filter(pmod(col("node"), lit(seedSampleMod.toLong)) === 0L)
+      .unionByName(emb.agg(min(col("vec_id")).as("node")))
+      .distinct()
+    val seedScored = embSel.join(broadcast(seedsDf), Seq("node"))
+      .select(col("node"), Stab.e6(cosineSim(col("embedding"), qLit)).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("node").asc)
+      .limit(math.max(k, beamWidth))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     val visited = scala.collection.mutable.LongMap.empty[Long] // node -> score_e6
-    if (!entryRow.isNullAt(0)) {
-      var frontier = Array(entryRow.getLong(0))
+    if (seedScored.nonEmpty) {
+      seedScored.foreach { case (n, s) => visited.update(n, s) }
+      var frontier = seedScored.sortBy { case (n, s) => (-s, n) }
+        .take(beamWidth).map(_._1)
       var hop = 0
       var converged = false
       while (hop < maxHops && !converged && frontier.nonEmpty) {
