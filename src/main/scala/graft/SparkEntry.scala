@@ -26,6 +26,8 @@ object SparkEntry {
     "q1_agg" -> (Relational.q1Agg _),
     "q3_join" -> (Relational.q3Join _),
     "q5_join" -> (Relational.q5Join _),
+    // dual-role dim join (nation enters twice) + fact-fact shuffle
+    "q7_join" -> (Relational.q7Join _),
     "window_topk" -> (Relational.windowTopK _),
     "events_window_agg" -> (Relational.eventsWindowAgg _),
     "events_sessionize" -> (Relational.eventsSessionize _),
@@ -415,6 +417,7 @@ object SparkEntry {
     "q1_agg" -> Relational.q1AggSql,
     "q3_join" -> Relational.q3JoinSql,
     "q5_join" -> Relational.q5JoinSql,
+    "q7_join" -> Relational.q7JoinSql,
     "window_topk" -> Relational.windowTopKSql,
     "events_window_agg" -> Relational.eventsWindowAggSql,
     "events_sessionize" -> Relational.eventsSessionizeSql,

@@ -150,6 +150,58 @@ object Relational {
        |WHERE rank <= 3
        |ORDER BY p_brand, rank""".stripMargin
 
+  /** TPC-H Q7-style volume shipping: revenue flowing between two
+    * nations per year, counted in BOTH directions (supplier in A →
+    * customer in B, and the reverse). Exercises the dual-role dim
+    * join — `nation` enters the plan twice under different keys —
+    * plus a fact-fact shuffle join and a conditional pair filter.
+    * Dims (supplier⋈nation, customer⋈nation) broadcast; lineitem ⋈
+    * orders shuffles on the order key as in q3/q5 (both fact-sized —
+    * broadcasting either would OOM at 100 TB). */
+  def q7Join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (na, nb) = ("NATION_1", "NATION_2")
+    val supp = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+      .filter($"supp_nation".isin(na, nb))
+    val cust = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+      .filter($"cust_nation".isin(na, nb))
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"l_shipdate" <= lit("1996-12-31").cast("timestamp"))
+    li.join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .filter(($"supp_nation" === na && $"cust_nation" === nb) ||
+        ($"supp_nation" === nb && $"cust_nation" === na))
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").cast("long").as("l_year"))
+      .agg(Stab.e2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_e2"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val q7JoinSql: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  ${Stab.sqlE2("sum(volume)")} AS revenue_e2
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |    l_extendedprice * (1.0 - l_discount) AS volume
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+       |) shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   /** Tumbling 1-hour windowed aggregation over the event stream
     * (batch twin of streaming.EventStream — same logical op). */
   def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame = {
