@@ -90,6 +90,8 @@ object SparkEntry {
     // same expressions; this corpus is clean so the oracle pins the
     // no-match identity)
     "text_pii_scrub" -> (TextOps.textPiiScrub _),
+    // one-row dataset summary card (docs/tokens/vocab/langs/dup rate)
+    "corpus_card" -> (TextOps.corpusCard _),
     // collections / data model (reference CRUD surface)
     "chunk_documents" -> (Collections.chunkDocuments _),
     "crud_upsert" -> (Collections.crudUpsert _),
@@ -457,6 +459,7 @@ object SparkEntry {
     "text_ngram_stats" -> TextOps.textNgramStatsSql,
     "text_repetition" -> TextOps.textRepetitionSql,
     "text_pii_scrub" -> TextOps.textPiiScrubSql,
+    "corpus_card" -> TextOps.corpusCardSql,
     // golden-pin oracle (the embed_text_golden pattern): the merge
     // table from the INDEPENDENT Python BPE (tools/golden_bpe.py) on
     // the driver's verify corpus, pinned as literals — DuckDB cannot

@@ -417,6 +417,57 @@ object TextOps {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // ---- corpus_card -------------------------------------------------------
+
+  /** `corpus_card`: the one-row dataset summary card every corpus
+    * release ships — document/token/vocabulary counts, language
+    * count, exact-duplicate rate, and mean document length. All
+    * integer counts plus e6-stabilized ratios, so the card is
+    * hash-exact cross-engine.
+    *
+    * Scale shape: one corpus scan feeding three partial-agged
+    * aggregations (global counts; distinct-term count through the
+    * standard two-phase expansion; md5-group dup count), each
+    * output-tiny. No windows, no joins against the corpus. */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", md5($"text").as("h"), tokens($"text").as("w"))
+      .localCheckpoint(true)
+    val base = toks.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct($"lang").as("n_langs"),
+      sum(size($"w")).cast(LongType).as("n_tokens"))
+    val vocab = toks.select(explode($"w").as("term"))
+      .agg(countDistinct($"term").as("vocab_size"))
+    val dups = toks.groupBy($"h").agg(count(lit(1)).as("n"))
+      .agg(sum($"n" - 1).cast(LongType).as("n_dup_docs"))
+    base.crossJoin(vocab).crossJoin(dups)
+      .select($"n_docs", $"n_langs", $"n_tokens", $"vocab_size", $"n_dup_docs",
+        Stab.e6($"n_dup_docs".cast("double") / $"n_docs").as("dup_rate_e6"),
+        Stab.e6($"n_tokens".cast("double") / $"n_docs").as("mean_doc_tokens_e6"))
+  }
+
+  val corpusCardSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, md5(text) AS h, $tokensSql AS w FROM documents
+       |), base AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(sum(len(w)) AS BIGINT) AS n_tokens
+       |  FROM t
+       |), vocab AS (
+       |  SELECT CAST(count(DISTINCT term) AS BIGINT) AS vocab_size
+       |  FROM (SELECT unnest(w) AS term FROM t)
+       |), dups AS (
+       |  SELECT CAST(sum(n - 1) AS BIGINT) AS n_dup_docs
+       |  FROM (SELECT count(*) AS n FROM t GROUP BY h)
+       |)
+       |SELECT n_docs, n_langs, n_tokens, vocab_size, n_dup_docs,
+       |  ${Stab.sqlE6("CAST(n_dup_docs AS DOUBLE) / n_docs")} AS dup_rate_e6,
+       |  ${Stab.sqlE6("CAST(n_tokens AS DOUBLE) / n_docs")} AS mean_doc_tokens_e6
+       |FROM base CROSS JOIN vocab CROSS JOIN dups""".stripMargin
+
   // ---- text_pii_scrub ----------------------------------------------------
 
   /** PII patterns shared by both engines: Java regex (Spark) and RE2
