@@ -86,6 +86,9 @@ object SparkEntry {
     "text_repetition" -> (TextOps.textRepetition _),
     // distributed BPE merge training over the word-frequency table
     "bpe_train" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.bpeTrain(s, d)),
+    // BPE ENCODE: segment the whole corpus with the trained merges —
+    // golden-pinned doc rows + a corpus-total row forcing full encode
+    "bpe_apply" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.bpeApply(s, d)),
     // PII redaction + match counts (spec drives real PII through the
     // same expressions; this corpus is clean so the oracle pins the
     // no-match identity)
@@ -490,6 +493,25 @@ object SparkEntry {
         |(20, 'a', 'n', 'an', 936)
         |) t(rank, lhs, rhs, merged, pair_count)
         |ORDER BY rank""".stripMargin,
+    // golden-pin oracle: per-doc encode stats under the trained merge
+    // table from the independent Python BPE (tools/golden_bpe.py
+    // apply) — pinned docs + the doc_id=-1 corpus-total row
+    "bpe_apply" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+        |  CAST(cpt_e6 AS BIGINT) AS cpt_e6, head_toks
+        |FROM (VALUES
+        |(7, 72, 331, 231, 1432900, 'batch w in d ow v e c t or'),
+        |(58, 72, 318, 246, 1292682, 'c o lu m n st r e a m s par k'),
+        |(123, 28, 131, 95, 1378947, 't h e st r e a m or d er'),
+        |(250, 44, 204, 141, 1446808, 'v a lu e s par k or d er'),
+        |(487, 59, 263, 192, 1369791, 'k e y w in d ow s m a l l'),
+        |(490, 50, 222, 156, 1423076, 'w in d ow q u er y a'),
+        |(-1, 27165, 122509, 88559, 1383360, '')
+        |) t(doc_id, n_words, n_chars, n_bpe_tokens, cpt_e6, head_toks)
+        |ORDER BY doc_id""".stripMargin,
     "chunk_documents" -> Collections.chunkDocumentsSql,
     "crud_upsert" -> Collections.crudUpsertSql,
     "crud_upsert_store" -> Collections.crudUpsertSql,

@@ -84,4 +84,86 @@ object BpeTrain {
     merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
       .orderBy($"rank")
   }
+
+  /** Fold a trained merge list (rank order) over a symbol array — the
+    * BPE ENCODE step. Each rank applies greedily left-to-right exactly
+    * as training did, so encode(word) reproduces training's final
+    * segmentation of that word. The merges are driver-side constants
+    * (≤ numMerges rows), so the whole encode is ONE column expression
+    * evaluated per row — no per-rank jobs, no shuffles. */
+  def encodeSyms(merges: Seq[(String, String)])(syms: Column): Column =
+    merges.foldLeft(syms) { case (c, (a, b)) => applyMerge(c, a, b) }
+
+  /** Per-document encode statistics under a trained merge table — the
+    * full-corpus frame `bpe_apply` and its spec both build on.
+    *
+    * Scale shape: the corpus tokenizes in one scan into per-(doc, word)
+    * counts (partial-agged shuffle); the encode expression then runs
+    * ONCE PER DISTINCT WORD (|vocab| rows — the same table training
+    * iterated on), never once per corpus token — "the" encodes once,
+    * not a billion times. One word-keyed join fans the token counts
+    * back to the (doc, word) frame, and a doc-keyed aggregation
+    * produces the per-doc stats. All four shuffles are partial-agged
+    * or key-joins; nothing is corpus-quadratic and nothing collects.
+    */
+  def encodePerDoc(spark: SparkSession, dir: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val wordCounts = Tables.documents(spark, dir)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
+    val encoded = wordCounts.select($"word").distinct()
+      .select($"word",
+        size(encodeSyms(merges)(
+          filter(split($"word", "(?!^)"), x => x =!= ""))).as("n_toks"))
+    wordCounts.join(encoded, "word")
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_words"),
+        sum($"cnt" * length($"word")).as("n_chars"),
+        sum($"cnt" * $"n_toks").as("n_bpe_tokens"))
+  }
+
+  /** BPE application (`bpe_apply`) — the encode half of the tokenizer
+    * loop: train the merge table (`bpeTrain`), then segment the WHOLE
+    * corpus with it and report per-document token counts under the
+    * trained tokenizer — the real token-budget input `pack_token_
+    * budget`-style packing needs (whitespace words overestimate; these
+    * are the counts the tokenizer will actually produce).
+    *
+    * Output = six golden-pinned document rows (exact n_words/n_chars/
+    * n_bpe_tokens/compression + the first three words' token
+    * segmentation as a string) plus a `doc_id = -1` CORPUS-TOTAL row.
+    * The total row is load-bearing for the bench label: it aggregates
+    * the full per-doc frame, so Catalyst cannot push the pinned-id
+    * filter into the scan and skip the corpus-wide encode. Oracle =
+    * the same rows from the independent Python BPE
+    * (tools/golden_bpe.py apply), the embed_text_golden pattern.
+    */
+  def bpeApply(spark: SparkSession, dir: String, numMerges: Int = 20,
+               pinned: Seq[Long] = Seq(7L, 58L, 123L, 250L, 487L, 490L)): DataFrame = {
+    import spark.implicits._
+    val merges = bpeTrain(spark, dir, numMerges)
+      .select($"lhs", $"rhs").as[(String, String)].collect().toSeq
+    val perDoc = encodePerDoc(spark, dir, merges)
+    val cpt = (floor($"n_chars" * lit(1000000L) / $"n_bpe_tokens")).cast("long").as("cpt_e6")
+    // first three words' segmentation, token order preserved via pos
+    val head = Tables.documents(spark, dir)
+      .filter($"doc_id".isin(pinned: _*))
+      .select($"doc_id", posexplode(TextOps.tokens($"text")))
+      .filter($"pos" < 3)
+      .select($"doc_id", $"pos",
+        encodeSyms(merges)(filter(split($"col", "(?!^)"), x => x =!= "")).as("toks"))
+      .groupBy($"doc_id")
+      .agg(concat_ws(" ", flatten(transform(
+        array_sort(collect_list(struct($"pos", $"toks"))), s => s("toks")))).as("head_toks"))
+    val pinnedRows = perDoc.filter($"doc_id".isin(pinned: _*))
+      .join(head, "doc_id")
+      .select($"doc_id", $"n_words", $"n_chars", $"n_bpe_tokens", cpt, $"head_toks")
+    val total = perDoc
+      .agg(sum($"n_words").as("n_words"), sum($"n_chars").as("n_chars"),
+        sum($"n_bpe_tokens").as("n_bpe_tokens"))
+      .select(lit(-1L).as("doc_id"), $"n_words", $"n_chars", $"n_bpe_tokens",
+        cpt, lit("").as("head_toks"))
+    pinnedRows.unionByName(total).orderBy($"doc_id")
+  }
 }

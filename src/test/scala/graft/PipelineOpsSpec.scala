@@ -286,6 +286,59 @@ class PipelineOpsSpec extends AnyFunSuite {
       "no merge builds on an earlier merge — BPE degenerated to char bigrams")
   }
 
+  test("bpe_apply equals an independent encode on every doc; totals and pins line up") {
+    import spark.implicits._
+    val merges = graft.text.BpeTrain.bpeTrain(spark, sf)
+      .select($"lhs", $"rhs").as[(String, String)].collect().toSeq
+    // independent greedy encode: fold the merge list in rank order
+    def encode(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector) { case (syms, (a, b)) =>
+        val res = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            res += (a + b); i += 2
+          } else { res += syms(i); i += 1 }
+        }
+        res.result()
+      }
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val encCache = scala.collection.mutable.Map.empty[String, Vector[String]]
+    val expected = docs.flatMap { case (id, text) =>
+      val words = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (words.isEmpty) None
+      else Some(id -> ((words.length.toLong,
+        words.map(_.length.toLong).sum,
+        words.map(w => encCache.getOrElseUpdate(w, encode(w)).length.toLong).sum,
+        words.take(3).flatMap(w => encCache(w)).mkString(" "))))
+    }.toMap
+    // the full per-doc frame matches the independent encode doc-by-doc
+    val gotPerDoc = graft.text.BpeTrain.encodePerDoc(spark, sf, merges)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, w, c, t) => id -> ((w, c, t)) }.toMap
+    assert(gotPerDoc == expected.view.mapValues { case (w, c, t, _) => (w, c, t) }.toMap)
+    // encoding genuinely compresses: fewer tokens than chars somewhere
+    assert(expected.valuesIterator.exists { case (_, c, t, _) => t < c })
+    // the registry entry: pinned rows + the -1 total row
+    val out = graft.text.BpeTrain.bpeApply(spark, sf).collect()
+    val totalRow = out.filter(_.getAs[Long]("doc_id") == -1L)
+    assert(totalRow.length == 1)
+    assert(totalRow.head.getAs[Long]("n_words") == expected.valuesIterator.map(_._1).sum)
+    assert(totalRow.head.getAs[Long]("n_bpe_tokens") == expected.valuesIterator.map(_._3).sum)
+    val pins = out.filter(_.getAs[Long]("doc_id") != -1L)
+    assert(pins.nonEmpty)
+    pins.foreach { r =>
+      val (w, c, t, head) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_words") == w && r.getAs[Long]("n_chars") == c &&
+        r.getAs[Long]("n_bpe_tokens") == t)
+      assert(r.getAs[Long]("cpt_e6") == c * 1000000L / t)
+      assert(r.getAs[String]("head_toks") == head)
+    }
+    // merges actually fire in the heads: some pinned head has a multi-char token
+    assert(pins.exists(_.getAs[String]("head_toks").split(" ").exists(_.length > 1)))
+  }
+
   test("events_asof equals a brute per-user scan; left rows and exact-tie semantics hold") {
     val ev = graft.core.Tables.events(spark, sf)
       .select($"event_id", $"user_id", $"ts".cast("long").as("ts_us"), $"event_type")

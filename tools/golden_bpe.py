@@ -15,6 +15,13 @@ Spark operator documents:
 
 Usage: python3 tools/golden_bpe.py [sf_dir] [num_merges]
 Prints the merge table as SQL VALUES rows for SparkEntry.oracleSql.
+
+Apply mode (`bpe_apply` oracle): python3 tools/golden_bpe.py apply
+[sf_dir] [num_merges] — trains the same merges, then ENCODES every
+document with them and prints per-doc VALUES rows (pinned doc ids +
+the doc_id=-1 corpus-total row): doc_id, n_words, n_chars,
+n_bpe_tokens, cpt_e6 (chars-per-token * 1e6, floored), head_toks
+(the first three words' token segmentation, space-joined).
 """
 import collections
 import re
@@ -22,10 +29,10 @@ import sys
 
 import duckdb
 
+PINNED = [7, 58, 123, 250, 487, 490]
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    num_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+def train(sf_dir, num_merges):
     rows = duckdb.sql(
         f"SELECT text FROM '{sf_dir}/documents.parquet'").fetchall()
     freq = collections.Counter()
@@ -57,6 +64,43 @@ def main():
                     i += 1
             vocab[w] = res
         out.append((rank, a, b, merged, cnt))
+    return out, vocab
+
+
+def apply_mode(sf_dir, num_merges):
+    _, vocab = train(sf_dir, num_merges)
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        " ORDER BY doc_id").fetchall()
+    tw = tc = tt = 0
+    out = []
+    for doc_id, text in rows:
+        words = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        if not words:
+            continue
+        n_chars = sum(len(w) for w in words)
+        n_toks = sum(len(vocab[w]) for w in words)
+        tw += len(words)
+        tc += n_chars
+        tt += n_toks
+        if doc_id in PINNED:
+            head = " ".join(t for w in words[:3] for t in vocab[w])
+            out.append((doc_id, len(words), n_chars, n_toks,
+                        n_chars * 1000000 // n_toks, head))
+    out.append((-1, tw, tc, tt, tc * 1000000 // tt, ""))
+    for r in out:
+        print(f"({r[0]}, {r[1]}, {r[2]}, {r[3]}, {r[4]}, '{r[5]}'),")
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "apply":
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+        num_merges = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+        apply_mode(sf_dir, num_merges)
+        return
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    num_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    out, _ = train(sf_dir, num_merges)
     for rank, a, b, merged, cnt in out:
         print(f"({rank}, '{a}', '{b}', '{merged}', {cnt}),")
 
