@@ -55,6 +55,9 @@ object SparkEntry {
     // MMR diversity rerank — the retrieval surface around the ANN core
     "range_search" -> ((s: SparkSession, d: String) => KnnSearch.rangeSearch(s, d)),
     "knn_filtered" -> ((s: SparkSession, d: String) => KnnSearch.knnFiltered(s, d)),
+    // (anchor, positive, hard-negative) triplet mining with margin
+    // violation flags — the contrastive-training data op
+    "mine_triplets" -> ((s: SparkSession, d: String) => KnnSearch.mineTriplets(s, d)),
     "ivf_search_filtered" -> (IvfIndex.ivfSearchFiltered _),
     "text_bm25" -> (graft.text.Bm25.textBm25 _),
     "text_unigram_ll" -> (TextOps.textUnigramLl _),
@@ -440,6 +443,7 @@ object SparkEntry {
     "knn_join_ivf" -> IvfIndex.knnJoinIvfSql,
     "range_search" -> KnnSearch.rangeSearchSql,
     "knn_filtered" -> KnnSearch.knnFilteredSql,
+    "mine_triplets" -> KnnSearch.mineTripletsSql,
     "ivf_search_filtered" -> IvfIndex.ivfSearchFilteredSql,
     "text_bm25" -> graft.text.Bm25.textBm25Sql,
     "text_unigram_ll" -> TextOps.textUnigramLlSql,

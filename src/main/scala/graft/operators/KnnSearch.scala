@@ -186,6 +186,79 @@ object KnnSearch {
   val knnJoinExactSql: String =
     knnSql(sqlCosine("e.embedding", "q.q_vec"), "vec_id % 50 = 0", 5, asc = false, excludeSelf = true)
 
+  /** `mine_triplets`: (anchor, positive, hard-negative) mining — the
+    * training-data op behind contrastive/metric embedding training.
+    * For each anchor: positive = the nearest SAME-label vector,
+    * hard negative = the nearest DIFFERENT-label vector (the negative
+    * the loss actually learns from), plus the margin between them and
+    * a `label_suspect` flag: when the hardest negative dominates the
+    * nearest positive by more than 0.1 cosine, the anchor's label is
+    * the likelier culprit than the geometry — the mining pass doubles
+    * as dataset-QA (on this corpus every margin is negative; the flag
+    * separates ordinary hard triplets from label-noise candidates).
+    * The reference has no training-side surface at all; this reuses
+    * its search scan shape (collection.py:243-330) for mining instead
+    * of serving.
+    *
+    * Scale shape: identical to the kNN family — anchors broadcast,
+    * corpus scanned ONCE, both per-(anchor, side) top-1 cuts ride a
+    * single `row_number <= 1` window (WindowGroupLimit: per-partition
+    * 1-row heaps before the only shuffle, keyed (q_id, is_pos)), then
+    * a |anchors|-row pivot. Nothing corpus-sized crosses the wire. */
+  def mineTriplets(spark: SparkSession, dir: String,
+      suspectE6: Long = 100000L): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val scored = emb.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        (col("label") === col("q_label")).as("is_pos"),
+        col("vec_id").as("cand_id"),
+        Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"))
+    val w = Window.partitionBy(col("q_id"), col("is_pos"))
+      .orderBy(col("score_e6").desc, col("cand_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("q_id"))
+      .agg(
+        max(when(col("is_pos"), col("cand_id"))).as("pos_id"),
+        max(when(col("is_pos"), col("score_e6"))).as("pos_score_e6"),
+        max(when(!col("is_pos"), col("cand_id"))).as("neg_id"),
+        max(when(!col("is_pos"), col("score_e6"))).as("neg_score_e6"))
+      .select(col("q_id"), col("pos_id"), col("pos_score_e6"),
+        col("neg_id"), col("neg_score_e6"),
+        (col("pos_score_e6") - col("neg_score_e6")).as("margin_e6"),
+        (col("pos_score_e6") - col("neg_score_e6") < -suspectE6).as("label_suspect"))
+      .orderBy(col("q_id"))
+  }
+
+  val mineTripletsSql: String =
+    s"""WITH a AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+       |           FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT a.q_id, (e.label = a.q_label) AS is_pos, e.vec_id AS cand_id,
+       |    ${Stab.sqlE6(sqlCosine("e.embedding", "a.q_vec"))} AS score_e6
+       |  FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.q_id
+       |),
+       |top1 AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id, is_pos
+       |      ORDER BY score_e6 DESC, cand_id ASC) AS rn
+       |    FROM scored) t
+       |  WHERE rn = 1
+       |)
+       |SELECT q_id,
+       |  max(CASE WHEN is_pos THEN cand_id END) AS pos_id,
+       |  max(CASE WHEN is_pos THEN score_e6 END) AS pos_score_e6,
+       |  max(CASE WHEN NOT is_pos THEN cand_id END) AS neg_id,
+       |  max(CASE WHEN NOT is_pos THEN score_e6 END) AS neg_score_e6,
+       |  max(CASE WHEN is_pos THEN score_e6 END)
+       |    - max(CASE WHEN NOT is_pos THEN score_e6 END) AS margin_e6,
+       |  (max(CASE WHEN is_pos THEN score_e6 END)
+       |    - max(CASE WHEN NOT is_pos THEN score_e6 END)) < -100000 AS label_suspect
+       |FROM top1 GROUP BY q_id ORDER BY q_id""".stripMargin
+
   val knnFilteredSql: String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
        |           FROM embeddings WHERE vec_id < 5),

@@ -281,4 +281,47 @@ class RetrievalOpsSpec extends AnyFunSuite {
     info(f"mean SQ8 recall@10 = $mean%.3f")
     assert(mean >= 0.9, f"mean SQ8 recall $mean%.3f below bar")
   }
+
+  test("mine_triplets equals a brute per-anchor scan; both suspect arms fire; top-1 is group-limited") {
+    import spark.implicits._
+    val df = graft.operators.KnnSearch.mineTriplets(spark, sf)
+    // the per-(anchor, side) top-1 must run as a WindowGroupLimit
+    // (per-partition 1-row heaps before the only shuffle), not a full
+    // per-group sort of every scored corpus row
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "top-1 cut is not group-limited — full corpus rows would cross the window shuffle")
+    val got = df.collect().map(r => r.getAs[Long]("q_id") ->
+      ((r.getAs[Long]("pos_id"), r.getAs[Long]("pos_score_e6"),
+        r.getAs[Long]("neg_id"), r.getAs[Long]("neg_score_e6"),
+        r.getAs[Long]("margin_e6"), r.getAs[Boolean]("label_suspect")))).toMap
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Int)].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val anchors = vecs.filter(_._1 < 8)
+    assert(got.keySet == anchors.map(_._1).toSet)
+    anchors.foreach { case (qid, qv, qlab) =>
+      def best(samelabel: Boolean) = vecs
+        .filter(v => v._1 != qid && (v._3 == qlab) == samelabel)
+        .map(v => (v._1, math.floor(cos(v._2, qv) * 1e6 + 0.5).toLong))
+        .minBy { case (id, s) => (-s, id) }
+      val (pid, ps) = best(samelabel = true)
+      val (nid, ns) = best(samelabel = false)
+      assert(got(qid) == ((pid, ps, nid, ns, ps - ns, ps - ns < -100000L)),
+        s"anchor $qid mismatch: got ${got(qid)}, expected ${(pid, ps, nid, ns)}")
+    }
+    // the suspect flag must be load-bearing on this corpus: some
+    // anchors flagged, some not — otherwise the threshold is
+    // decorative and the oracle can't catch a broken comparison
+    assert(got.valuesIterator.exists(_._6) && got.valuesIterator.exists(!_._6),
+      s"label_suspect flag not discriminative: ${got.valuesIterator.map(_._6).toSeq}")
+  }
 }
