@@ -134,6 +134,9 @@ object SparkEntry {
     "mm_features" -> (Media.mmFeatures _),
     "mm_features_golden" -> (Media.mmFeaturesGolden _),
     "mm_frame_sample" -> (Media.mmFrameSample _),
+    // payload-level media dedup summary; oracle re-derives every
+    // number analytically from the documented GRFT1 byte layout
+    "mm_dedup" -> (Media.mmDedup _),
     "embed_text" -> (embedText _),
     "embed_text_golden" -> (embedTextGolden _),
     // libraries level + write-path invariants
@@ -537,6 +540,7 @@ object SparkEntry {
     "embed_text_golden" -> embedTextGoldenSql,
     "crud_upsert_embed" -> Libraries.crudUpsertEmbedCheckedSql,
     "mm_features_golden" -> Media.mmFeaturesGoldenSql,
+    "mm_dedup" -> Media.mmDedupSql,
     "crud_library" -> Libraries.crudLibrarySql,
     "crud_integrity" -> Libraries.crudIntegritySql,
     "crud_library_cascade" -> Libraries.crudLibraryCascadeSql,

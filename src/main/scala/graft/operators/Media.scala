@@ -177,6 +177,84 @@ object Media {
       |) AS t(doc_id, ok, width, height, n_frames, n_pixels, pixel_mean, pixel_min, pixel_max, thumb_crc)
       |ORDER BY doc_id""".stripMargin
 
+  /** Payload fingerprint frame: one map-side pass hashing each binary
+    * payload and validating its header, emitting small fixed-width
+    * rows — the binary NEVER crosses a shuffle (the whole point at
+    * 100 TB: dedup moves 16-byte digests, not pixels). Exposed for
+    * [[mmDedup]] and its spec (which injects real duplicates). */
+  private[graft] def payloadFrame(records: org.apache.spark.sql.Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        md.reset()
+        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+        (r.doc_id, hex, r.payload.length.toLong, MediaCodec.decode(r.payload).isDefined)
+      }
+    }.toDF("doc_id", "payload_md5", "bytes", "valid")
+  }
+
+  /** `mm_dedup`: exact payload-level media dedup — the image-dedup
+    * step of a multimodal pipeline, as a one-row corpus summary:
+    * payload counts, distinct-digest counts, duplicate group/member
+    * counts, total payload bytes, and the bytes a keep-one pass would
+    * reclaim. Invalid payloads are excluded from grouping (a corrupt
+    * file is not a "duplicate" of anything).
+    *
+    * Oracle: DuckDB cannot build the binary payloads, but it can
+    * derive EVERY output analytically from the documented GRFT1
+    * layout — payload size = 16 + frames·w·h with w/h from the text's
+    * byte length and frames = 1 + doc_id%4, and payload equality ⇔
+    * (text, frames) equality for valid rows. The hash-match therefore
+    * verifies the codec's byte layout corpus-wide, not just on pinned
+    * rows. This corpus has no duplicate texts, so the dup arms read
+    * 0 from the oracle's own GROUP BY (a derivation, not a pinned
+    * identity); the spec drives injected duplicate payloads through
+    * the same grouping to prove those arms fire. */
+  def mmDedup(spark: SparkSession, dir: String): DataFrame = {
+    payloadDedupStats(payloadFrame(mediaRecords(spark, dir)))
+  }
+
+  private[graft] def payloadDedupStats(p: DataFrame): DataFrame = {
+    import p.sparkSession.implicits._
+    val g = p.filter($"valid")
+      .groupBy($"payload_md5")
+      .agg(count(lit(1)).as("n"), max($"bytes").as("b"))
+    val totals = p.agg(
+      count(lit(1)).as("n_payloads"),
+      count(when($"valid", 1)).as("n_valid"),
+      sum($"bytes").as("bytes_total"))
+    val dups = g.agg(
+      count(lit(1)).as("n_distinct_payloads"),
+      count(when($"n" > 1, 1)).as("n_dup_groups"),
+      coalesce(sum(when($"n" > 1, $"n")), lit(0L)).as("n_dup_members"),
+      coalesce(sum(when($"n" > 1, ($"n" - 1) * $"b")), lit(0L)).as("bytes_saved"))
+    totals.crossJoin(dups)
+      .select($"n_payloads", $"n_valid", $"n_distinct_payloads",
+        $"n_dup_groups", $"n_dup_members", $"bytes_total", $"bytes_saved")
+  }
+
+  val mmDedupSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id = 13 THEN 3
+      |      ELSE 16 + (1 + doc_id % 4)
+      |        * (8 + octet_length(encode(text)) % 24)
+      |        * (4 + octet_length(encode(text)) % 12) END AS bytes,
+      |    md5(text) || '|' || CAST(1 + doc_id % 4 AS VARCHAR) AS grp,
+      |    (doc_id <> 13) AS valid
+      |  FROM documents),
+      |g AS (SELECT grp, count(*) AS n, max(bytes) AS b
+      |      FROM p WHERE valid GROUP BY grp)
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_payloads,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM p WHERE valid) AS n_valid,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_distinct_payloads,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM g WHERE n > 1) AS n_dup_groups,
+      |  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM g WHERE n > 1) AS n_dup_members,
+      |  (SELECT CAST(sum(bytes) AS BIGINT) FROM p) AS bytes_total,
+      |  (SELECT CAST(coalesce(sum((n - 1) * b), 0) AS BIGINT) FROM g WHERE n > 1) AS bytes_saved""".stripMargin
+
   /** The stored-media stand-in: encode text into GRFT1 payloads with
     * typed metadata; 1 + doc_id%4 frames so frame sampling varies.
     * One corrupt payload (doc_id 13) exercises the rejection path. */

@@ -53,4 +53,37 @@ class MediaSpec extends AnyFunSuite {
       .filter($"count" =!= ceil($"n_frames" / lit(2.0)).cast("long"))
     assert(joined.count() == 0)
   }
+
+  test("mm_dedup: corpus summary consistent; injected duplicates fire every dup arm") {
+    // corpus run: totals line up with the document table; this corpus
+    // has no duplicate texts so the dup arms read zero
+    val row = SparkEntry.queries("mm_dedup")(spark, sf).collect().head
+    val docs = graft.core.Tables.documents(spark, sf).count()
+    assert(row.getAs[Long]("n_payloads") == docs)
+    assert(row.getAs[Long]("n_valid") == docs - 1) // the corrupt row
+    assert(row.getAs[Long]("n_distinct_payloads") == docs - 1)
+    assert(row.getAs[Long]("n_dup_groups") == 0L &&
+      row.getAs[Long]("n_dup_members") == 0L && row.getAs[Long]("bytes_saved") == 0L)
+    assert(row.getAs[Long]("bytes_total") > 0L)
+    // injected duplicates: 3 copies of one payload, 2 of another, one
+    // corrupt row, one singleton — every output arm is load-bearing
+    val pa = MediaCodec.encode("duplicated payload alpha", 2)
+    val pb = MediaCodec.encode("duplicated payload beta", 1)
+    val pc = MediaCodec.encode("singleton payload", 3)
+    val recs = spark.createDataset(Seq(
+      graft.operators.MediaRecord(1L, pa, graft.operators.MMMeta(0L, 0L, "s")),
+      graft.operators.MediaRecord(2L, pa, graft.operators.MMMeta(0L, 0L, "s")),
+      graft.operators.MediaRecord(3L, pa, graft.operators.MMMeta(0L, 0L, "s")),
+      graft.operators.MediaRecord(4L, pb, graft.operators.MMMeta(0L, 0L, "s")),
+      graft.operators.MediaRecord(5L, pb, graft.operators.MMMeta(0L, 0L, "s")),
+      graft.operators.MediaRecord(6L, pc, graft.operators.MMMeta(0L, 0L, "s")),
+      graft.operators.MediaRecord(7L, Array[Byte](9, 9, 9), graft.operators.MMMeta(0L, 0L, "s"))))
+    val s = Media.payloadDedupStats(Media.payloadFrame(recs)).collect().head
+    assert(s.getAs[Long]("n_payloads") == 7L && s.getAs[Long]("n_valid") == 6L)
+    assert(s.getAs[Long]("n_distinct_payloads") == 3L)
+    assert(s.getAs[Long]("n_dup_groups") == 2L && s.getAs[Long]("n_dup_members") == 5L)
+    assert(s.getAs[Long]("bytes_total") ==
+      3L * pa.length + 2L * pb.length + pc.length + 3L)
+    assert(s.getAs[Long]("bytes_saved") == 2L * pa.length + pb.length)
+  }
 }
