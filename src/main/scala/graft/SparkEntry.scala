@@ -58,6 +58,9 @@ object SparkEntry {
     // (anchor, positive, hard-negative) triplet mining with margin
     // violation flags — the contrastive-training data op
     "mine_triplets" -> ((s: SparkSession, d: String) => KnnSearch.mineTriplets(s, d)),
+    // leave-one-out kNN label-prediction accuracy per label — the
+    // embedding-space quality eval
+    "label_knn_eval" -> ((s: SparkSession, d: String) => KnnSearch.labelKnnEval(s, d)),
     "ivf_search_filtered" -> (IvfIndex.ivfSearchFiltered _),
     "text_bm25" -> (graft.text.Bm25.textBm25 _),
     "text_unigram_ll" -> (TextOps.textUnigramLl _),
@@ -447,6 +450,7 @@ object SparkEntry {
     "range_search" -> KnnSearch.rangeSearchSql,
     "knn_filtered" -> KnnSearch.knnFilteredSql,
     "mine_triplets" -> KnnSearch.mineTripletsSql,
+    "label_knn_eval" -> KnnSearch.labelKnnEvalSql,
     "ivf_search_filtered" -> IvfIndex.ivfSearchFilteredSql,
     "text_bm25" -> graft.text.Bm25.textBm25Sql,
     "text_unigram_ll" -> TextOps.textUnigramLlSql,

@@ -233,6 +233,86 @@ object KnnSearch {
       .orderBy(col("q_id"))
   }
 
+  /** `label_knn_eval`: leave-one-out kNN classification accuracy of
+    * the embedding space — the standard "is this embedding any good"
+    * eval a training pipeline runs after every embedder change. Every
+    * 10th vector is an eval point; its label is predicted by majority
+    * vote of its k nearest OTHER vectors (tie → more votes first,
+    * then smaller label — fully deterministic), and accuracy is
+    * reported per true label plus an overall `label = -1` row.
+    *
+    * Scale shape: the eval set is a bounded deterministic sample
+    * (broadcast), the corpus is scanned once, the per-eval-point
+    * top-k rides the WindowGroupLimit heap cut, and everything after
+    * the k-row-per-point frame is label-cardinality-sized. Integer
+    * counts only — the accuracy ratio is an e6 floor division. */
+  def labelKnnEval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"),
+        col("label").as("n_label"), col("vec_id").as("neighbor_id"),
+        Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_e6").desc, col("neighbor_id").asc)
+    val votes = scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .groupBy(col("q_id"), col("q_label"), col("n_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("n_label").asc)
+    val preds = votes.withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("q_label"),
+        (col("n_label") === col("q_label")).as("correct"))
+    val perLabel = preds.groupBy(col("q_label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_eval"),
+        count(when(col("correct"), 1)).as("n_correct"))
+    val overall = preds.agg(count(lit(1)).as("n_eval"),
+        count(when(col("correct"), 1)).as("n_correct"))
+      .select(lit(-1L).as("label"), col("n_eval"), col("n_correct"))
+    perLabel.unionByName(overall)
+      .select(col("label"), col("n_eval"), col("n_correct"),
+        floor(col("n_correct") * lit(1000000L) / col("n_eval"))
+          .cast("long").as("acc_e6"))
+      .orderBy(col("label"))
+  }
+
+  val labelKnnEvalSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+       |           FROM embeddings WHERE vec_id % 10 = 0),
+       |scored AS (
+       |  SELECT q.q_id, q.q_label, e.label AS n_label, e.vec_id AS neighbor_id,
+       |    ${Stab.sqlE6(sqlCosine("e.embedding", "q.q_vec"))} AS score_e6
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |topk AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score_e6 DESC, neighbor_id ASC) AS rank
+       |    FROM scored) t WHERE rank <= 5),
+       |votes AS (
+       |  SELECT q_id, q_label, n_label, count(*) AS n_votes
+       |  FROM topk GROUP BY q_id, q_label, n_label),
+       |preds AS (
+       |  SELECT q_id, q_label, (n_label = q_label) AS correct FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY n_votes DESC, n_label ASC) AS vr
+       |    FROM votes) t WHERE vr = 1),
+       |per_label AS (
+       |  SELECT CAST(q_label AS BIGINT) AS label,
+       |    CAST(count(*) AS BIGINT) AS n_eval,
+       |    CAST(count(*) FILTER (correct) AS BIGINT) AS n_correct
+       |  FROM preds GROUP BY q_label
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+       |    CAST(count(*) FILTER (correct) AS BIGINT) FROM preds)
+       |SELECT label, n_eval, n_correct,
+       |  CAST(FLOOR(n_correct * 1000000 / n_eval) AS BIGINT) AS acc_e6
+       |FROM per_label ORDER BY label""".stripMargin
+
   val mineTripletsSql: String =
     s"""WITH a AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
        |           FROM embeddings WHERE vec_id < 8),

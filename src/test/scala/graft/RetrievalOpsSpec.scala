@@ -324,4 +324,43 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got.valuesIterator.exists(_._6) && got.valuesIterator.exists(!_._6),
       s"label_suspect flag not discriminative: ${got.valuesIterator.map(_._6).toSeq}")
   }
+
+  test("label_knn_eval equals a brute leave-one-out vote; overall row sums the labels") {
+    import spark.implicits._
+    val df = graft.operators.KnnSearch.labelKnnEval(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val got = df.collect().map(r => r.getAs[Long]("label") ->
+      ((r.getAs[Long]("n_eval"), r.getAs[Long]("n_correct"), r.getAs[Long]("acc_e6")))).toMap
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Int)].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val preds = vecs.filter(_._1 % 10 == 0).map { case (qid, qv, qlab) =>
+      val top5 = vecs.filter(_._1 != qid)
+        .map(v => (v._1, v._3, math.floor(cos(v._2, qv) * 1e6 + 0.5).toLong))
+        .sortBy { case (id, _, s) => (-s, id) }.take(5)
+      val pred = top5.groupBy(_._2).view.mapValues(_.size).toSeq
+        .minBy { case (lab, n) => (-n, lab) }._1
+      (qlab.toLong, pred == qlab)
+    }
+    val expPerLabel = preds.groupBy(_._1).map { case (lab, rs) =>
+      lab -> ((rs.size.toLong, rs.count(_._2).toLong)) }
+    expPerLabel.foreach { case (lab, (n, c)) =>
+      assert(got(lab) == ((n, c, c * 1000000L / n)), s"label $lab mismatch")
+    }
+    // the -1 overall row is exactly the per-label sums
+    val (totN, totC) = (preds.size.toLong, preds.count(_._2).toLong)
+    assert(got(-1L) == ((totN, totC, totC * 1000000L / totN)))
+    assert(got.size == expPerLabel.size + 1)
+    // the eval must be discriminative on this corpus: neither 0% nor 100%
+    assert(totC > 0L && totC < totN, s"degenerate accuracy $totC/$totN")
+  }
 }
