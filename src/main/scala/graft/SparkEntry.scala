@@ -61,6 +61,10 @@ object SparkEntry {
     // leave-one-out kNN label-prediction accuracy per label — the
     // embedding-space quality eval
     "label_knn_eval" -> ((s: SparkSession, d: String) => KnnSearch.labelKnnEval(s, d)),
+    // per-dimension embedding distribution table (dead dims, scale
+    // drift, SQ8 ranges) — exact integer stats, one partial-agged pass
+    "embedding_dim_stats" -> ((s: SparkSession, d: String) =>
+      graft.operators.EmbeddingStats.embeddingDimStats(s, d)),
     "ivf_search_filtered" -> (IvfIndex.ivfSearchFiltered _),
     "text_bm25" -> (graft.text.Bm25.textBm25 _),
     "text_unigram_ll" -> (TextOps.textUnigramLl _),
@@ -451,6 +455,7 @@ object SparkEntry {
     "knn_filtered" -> KnnSearch.knnFilteredSql,
     "mine_triplets" -> KnnSearch.mineTripletsSql,
     "label_knn_eval" -> KnnSearch.labelKnnEvalSql,
+    "embedding_dim_stats" -> graft.operators.EmbeddingStats.embeddingDimStatsSql,
     "ivf_search_filtered" -> IvfIndex.ivfSearchFilteredSql,
     "text_bm25" -> graft.text.Bm25.textBm25Sql,
     "text_unigram_ll" -> TextOps.textUnigramLlSql,

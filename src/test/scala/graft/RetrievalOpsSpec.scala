@@ -363,4 +363,29 @@ class RetrievalOpsSpec extends AnyFunSuite {
     // the eval must be discriminative on this corpus: neither 0% nor 100%
     assert(totC > 0L && totC < totN, s"degenerate accuracy $totC/$totN")
   }
+
+  test("embedding_dim_stats equals a brute per-dim pass; map-side partial agg in the plan") {
+    import spark.implicits._
+    val df = graft.operators.EmbeddingStats.embeddingDimStats(spark, sf)
+    // the corpus-sized explode must partial-aggregate before its one
+    // shuffle — a plan that ships raw (dim, component) pairs is the
+    // 100 TB failure mode
+    assert(df.queryExecution.executedPlan.toString.contains("partial_"),
+      "no partial aggregation before the shuffle")
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select($"embedding").as[Array[Float]].collect()
+    val d = vecs.head.length
+    val got = df.collect()
+    assert(got.map(_.getAs[Long]("dim")).toSeq == (1 to d).map(_.toLong))
+    got.foreach { r =>
+      val dim = r.getAs[Long]("dim").toInt - 1
+      val qs = vecs.map(v => math.floor(v(dim).toDouble * 1e6 + 0.5).toLong)
+      val (n, s, s2) = (qs.length.toLong, qs.sum, qs.map(q => q * q).sum)
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("sum_e6") == s &&
+        r.getAs[Long]("sumsq_e12") == s2)
+      assert(r.getAs[Long]("min_e6") == qs.min && r.getAs[Long]("max_e6") == qs.max)
+      assert(r.getAs[Long]("var_num") == n * s2 - s * s)
+      assert(r.getAs[Long]("var_num") >= 0L)
+    }
+  }
 }
