@@ -28,6 +28,8 @@ object SparkEntry {
     "q5_join" -> (Relational.q5Join _),
     // dual-role dim join (nation enters twice) + fact-fact shuffle
     "q7_join" -> (Relational.q7Join _),
+    // TPC-H Q6-style scan-pushdown revenue filter (no join, no keys)
+    "q6_filter" -> (Relational.q6Filter _),
     "window_topk" -> (Relational.windowTopK _),
     "events_window_agg" -> (Relational.eventsWindowAgg _),
     "events_sessionize" -> (Relational.eventsSessionize _),
@@ -436,6 +438,7 @@ object SparkEntry {
     "q3_join" -> Relational.q3JoinSql,
     "q5_join" -> Relational.q5JoinSql,
     "q7_join" -> Relational.q7JoinSql,
+    "q6_filter" -> Relational.q6FilterSql,
     "window_topk" -> Relational.windowTopKSql,
     "events_window_agg" -> Relational.eventsWindowAggSql,
     "events_sessionize" -> Relational.eventsSessionizeSql,

@@ -150,6 +150,35 @@ object Relational {
        |WHERE rank <= 3
        |ORDER BY p_brand, rank""".stripMargin
 
+  /** TPC-H Q6-style forecasting-revenue filter: the pure
+    * SCAN-PUSHDOWN showcase — a tight conjunctive predicate (date
+    * range, discount band, quantity cap) reduced to one revenue
+    * number with NO join and NO groupBy key. At 100 TB this query is
+    * won or lost entirely at the parquet scan: every predicate must
+    * reach `PushedFilters` (row-group pruning does the rest) and only
+    * two columns may survive pruning into the product. The spec
+    * asserts both plan properties; revenue follows q1's e2-stabilized
+    * float-sum convention. */
+  def q6Filter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+        $"l_quantity" < 24)
+      .agg(Stab.e2(sum($"l_extendedprice" * $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q6FilterSql: String =
+    s"""SELECT ${Stab.sqlE2("sum(l_extendedprice * l_discount)")} AS revenue,
+       |  count(*) AS n_rows
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+       |  AND l_shipdate < TIMESTAMP '1996-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""".stripMargin
+
   /** TPC-H Q7-style volume shipping: revenue flowing between two
     * nations per year, counted in BOTH directions (supplier in A →
     * customer in B, and the reverse). Exercises the dual-role dim

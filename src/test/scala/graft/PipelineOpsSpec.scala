@@ -286,6 +286,38 @@ class PipelineOpsSpec extends AnyFunSuite {
       "no merge builds on an earlier merge — BPE degenerated to char bigrams")
   }
 
+  test("q6_filter: all predicates reach the parquet scan, untouched columns pruned, value exact") {
+    import spark.implicits._
+    val df = graft.operators.Relational.q6Filter(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(scan.nonEmpty, "no parquet scan with PushedFilters in the plan")
+    // every predicate family must be pushed to the scan, not applied post-read
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(scan.contains(c), s"predicate on $c not pushed:\n$scan")
+    }
+    // column pruning: the scan schema carries only the four involved
+    // columns — reading all 11 for a 2-column product is the bug
+    val readSchema = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    Seq("l_partkey", "l_returnflag", "l_orderkey").foreach { c =>
+      assert(!readSchema.contains(c), s"unpruned column $c in scan:\n$readSchema")
+    }
+    // value check vs a driver-side recompute on the same rows
+    val rows = graft.core.Tables.lineitem(spark, sf)
+      .select(date_format($"l_shipdate", "yyyy-MM-dd"),
+        $"l_extendedprice", $"l_discount", $"l_quantity")
+      .as[(String, Double, Double, Double)].collect()
+    val kept = rows.filter { case (day, _, d, q) =>
+      day >= "1995-01-01" && day < "1996-01-01" && d >= 0.05 && d <= 0.07 && q < 24 }
+    val got = df.collect().head
+    assert(got.getAs[Long]("n_rows") == kept.length.toLong)
+    val expRevenue = math.floor(kept.map { case (_, p, d, _) => p * d }.sum * 100.0 + 0.5).toLong
+    // float-sum order differs driver vs distributed; e2 rounding absorbs it
+    assert(math.abs(got.getAs[Long]("revenue") - expRevenue) <= 1L)
+    assert(kept.nonEmpty)
+  }
+
   test("bpe_apply equals an independent encode on every doc; totals and pins line up") {
     import spark.implicits._
     val merges = graft.text.BpeTrain.bpeTrain(spark, sf)
