@@ -186,6 +186,10 @@ object SparkEntry {
     // the compressed brute scan (integer-exact, fully SQL-oracled)
     "sq_build" -> (SqIndex.sqBuild _),
     "knn_brute_sq" -> ((s: SparkSession, d: String) => SqIndex.knnBruteSq(s, d)),
+    // unified index accountability: recall@k of every approximate
+    // family vs the exact scan, one servable table (rows-only check;
+    // the per-family bars are the ScalaTest gate in RecallEvalSpec)
+    "index_recall_eval" -> (graft.index.RecallEval.indexRecallEval _),
     // composite cleaning pipeline
     "pipeline_clean" -> (Collections.pipelineClean _),
   )

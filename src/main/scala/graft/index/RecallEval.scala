@@ -1,0 +1,86 @@
+package graft.index
+
+import graft.core.{Stab, Tables}
+import graft.functions.vectors._
+import graft.operators.KnnSearch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unified index accountability (`index_recall_eval`) — every
+  * approximate index family measured against the exact scan in ONE
+  * servable table: the nightly index-health job a production vector
+  * store runs after maintenance, and the number an operator reads
+  * before trusting an index for serving. The reference never measures
+  * its own indexes (ivf_index.py / nsw_index.py serve blind); here
+  * recall is a first-class query, same pattern as
+  * `events_approx_users`' in-plan error attestation.
+  *
+  * Per family: the SAME query workload its serving entry uses
+  * (`vec_id < 5`), its own k, recall@k vs the exact scan under the
+  * family's OWN metric (cosine for ivf/nsw/lsh/pq, dot for sq8 —
+  * measuring a dot-ranked index against a cosine oracle would report
+  * metric disagreement, not index quality), and the spec-pinned bar.
+  *
+  * Scale shape: every leg reuses the memoized/persisted layouts the
+  * build entries create (nothing rebuilds here when builds ran
+  * first), the exact baselines are the brute broadcast-scan family
+  * (one corpus scan each), and all joins/aggregations after the top-k
+  * cuts touch only |queries|·k rows. Integer arithmetic end-to-end:
+  * recall = Σ hits · 1e6 / (n_queries · k), floored.
+  */
+object RecallEval {
+
+  private def exactTopK(spark: SparkSession, dir: String, k: Int,
+      dot: Boolean): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val score = if (dot) dotProduct _ else cosineSim _
+    KnnSearch.topK(
+      emb.crossJoin(broadcast(q))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          Stab.e6(score(col("embedding"), col("q_vec"))).as("score_e6")),
+      k, asc = false)
+  }
+
+  /** Mean recall@k of `approx` against `exact`, as a one-row frame
+    * labeled `index` with the family's bar. Both frames carry
+    * (q_id, neighbor_id); k is the denominator per query. */
+  private def recallRow(index: String, approx: DataFrame, exact: DataFrame,
+      k: Int, barE6: Long): DataFrame = {
+    val hits = approx.select(col("q_id"), col("neighbor_id"))
+      .join(exact.select(col("q_id"), col("neighbor_id")),
+        Seq("q_id", "neighbor_id"))
+    val nq = exact.select(col("q_id")).distinct()
+    hits.agg(count(lit(1)).as("n_hits"))
+      .crossJoin(nq.agg(count(lit(1)).as("n_queries")))
+      .select(lit(index).as("index"), col("n_queries"),
+        lit(k.toLong).as("k"),
+        floor(col("n_hits") * lit(1000000L) / (col("n_queries") * lit(k.toLong)))
+          .cast("long").as("mean_recall_e6"),
+        lit(barE6).as("bar_e6"))
+      .withColumn("meets_bar", col("mean_recall_e6") >= col("bar_e6"))
+  }
+
+  def indexRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val exactCos10 = exactTopK(spark, dir, 10, dot = false).localCheckpoint(true)
+    val exactCos5 = exactTopK(spark, dir, 5, dot = false)
+    val exactDot10 = exactTopK(spark, dir, 10, dot = true)
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val ivf = IvfIndex.search(IvfIndex.buildCached(spark, dir), queries)
+    val nsw = NswIndex.beamSearch(emb.select(col("vec_id"), col("embedding")),
+      NswIndex.edgesCached(spark, dir), queries)
+    val lsh = LshIndex.annLshBucketed(spark, dir)
+    val sq8 = SqIndex.knnBruteSq(spark, dir)
+    val pq = IvfIndex.searchPersistedPq(spark,
+      IvfIndex.pqLayoutFor(spark, dir), queries)
+    recallRow("ivf", ivf, exactCos10, 10, 900000L)
+      .unionByName(recallRow("lsh", lsh, exactCos10, 10, 600000L))
+      .unionByName(recallRow("nsw", nsw, exactCos5, 5, 900000L))
+      .unionByName(recallRow("pq", pq, exactCos10, 10, 850000L))
+      .unionByName(recallRow("sq8", sq8, exactDot10, 10, 900000L))
+      .orderBy(col("index"))
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `index_recall_eval` is the nightly index-health table: every
+  * approximate family's recall@k vs the exact scan under its own
+  * metric, each with a spec-pinned bar. This spec IS the gate the
+  * `meets_bar` column claims — if a family's recall regresses below
+  * its published bar, the suite fails, not just the report row.
+  */
+class RecallEvalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every index family meets its recall bar and the table shape is exact") {
+    val rows = graft.index.RecallEval.indexRecallEval(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("ivf", "lsh", "nsw", "pq", "sq8"), "one row per family, sorted")
+    rows.foreach { r =>
+      val (idx, nq, k, recall, bar, meets) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5))
+      assert(nq == 5, s"$idx evaluated the fixed 5-query workload")
+      assert(k == (if (idx == "nsw") 5L else 10L), s"$idx k")
+      assert(recall >= 0L && recall <= 1000000L, s"$idx recall in [0,1e6]")
+      assert(meets == (recall >= bar), s"$idx meets_bar consistent")
+      assert(meets, s"$idx recall ${recall / 1e6} below bar ${bar / 1e6}")
+    }
+  }
+}
