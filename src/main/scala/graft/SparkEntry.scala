@@ -78,7 +78,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
-    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
+    "dedup_embedding_lsh" -> (Dedup.embeddingNearDupLshChecked _),
     "dedup_components" -> ((s: SparkSession, d: String) => Dedup.components(s, d)),
     // component dedup electing the LONGEST member as survivor
     "dedup_keep_best" -> (Dedup.keepBest _),
@@ -166,18 +166,18 @@ object SparkEntry {
     // no single-task window anywhere in the plan
     "pack_shards" -> ((s: SparkSession, d: String) => Libraries.packShards(s, d)),
     // ANN index family
-    "ivf_build" -> (IvfIndex.ivfBuild _),
-    "ivf_search" -> (IvfIndex.ivfSearch _),
+    "ivf_build" -> (graft.index.ContractGrids.ivfBuildChecked _),
+    "ivf_search" -> (graft.index.ContractGrids.ivfSearchChecked _),
     // incremental maintenance: delta add/remove against a built index
     // without a KMeans refit / graph rebuild (invariant-checked grids)
     "ivf_add_delta" -> (IvfIndex.ivfAddDelta _),
     "nsw_add_delta" -> (NswIndex.nswAddDelta _),
-    "ann_lsh_bucketed" -> (LshIndex.annLshBucketed _),
+    "ann_lsh_bucketed" -> (graft.index.ContractGrids.annLshBucketedChecked _),
     "nsw_build" -> (NswIndex.nswBuild _),
     // degree/reciprocity observability over the exact graph
     "nsw_graph_stats" -> (NswIndex.nswGraphStats _),
-    "nsw_build_lsh" -> (NswIndex.nswBuildLsh _),
-    "nsw_search" -> (NswIndex.nswSearch _),
+    "nsw_build_lsh" -> (graft.index.ContractGrids.nswBuildLshChecked _),
+    "nsw_search" -> (graft.index.ContractGrids.nswSearchChecked _),
     // IVF-PQ: product-quantized posting lists (8-byte codes, ADC probe
     // + exact rerank) over the persisted cluster layout
     "pq_build" -> (IvfIndex.pqBuild _),
@@ -575,6 +575,14 @@ object SparkEntry {
     "sq_build" -> SqIndex.sqBuildSql,
     "knn_brute_sq" -> SqIndex.knnBruteSqSql,
     "nsw_add_delta" -> NswIndex.nswAddDeltaSql,
+    // serve/build contract grids over the approximate indexes (the
+    // all-true grid is SQL-exact; recall stays the ScalaTest bars)
+    "ivf_build" -> graft.index.ContractGrids.ivfBuildCheckedSql,
+    "ivf_search" -> graft.index.ContractGrids.ivfSearchCheckedSql,
+    "nsw_search" -> graft.index.ContractGrids.nswSearchCheckedSql,
+    "nsw_build_lsh" -> graft.index.ContractGrids.nswBuildLshCheckedSql,
+    "ann_lsh_bucketed" -> graft.index.ContractGrids.annLshBucketedCheckedSql,
+    "dedup_embedding_lsh" -> Dedup.embeddingNearDupLshCheckedSql,
     "pipeline_clean" -> Collections.pipelineCleanSql(
       TextOps.textQualitySql, Dedup.minhashSql),
   )

@@ -292,6 +292,44 @@ object Dedup {
     confirmed.orderBy($"vec_a", $"vec_b")
   }
 
+  /** `dedup_embedding_lsh` through a summary contract grid (same
+    * oracle pattern as the checked index entries — ContractGrids):
+    * the LSH-confirmed pair set is non-empty, ordered (a < b),
+    * duplicate-free, entirely at-or-above the 0.40 threshold, and
+    * every reported similarity equals the exact stabilized cosine
+    * recomputed for its pair — which together pin the output to a
+    * SUBSET of the exact threshold pairs (candidate-pair RECALL of
+    * that set stays the measured ScalaTest bar, ≥ 0.9). The recompute
+    * joins touch only |pairs| rows. */
+  def embeddingNearDupLshChecked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    // already localCheckpoint'ed inside: probes below replay nothing
+    val pairs = embeddingNearDupLsh(spark, dir)
+    val n = pairs.count()
+    val unordered = pairs.filter($"vec_a" >= $"vec_b").count()
+    val dup = n - pairs.select($"vec_a", $"vec_b").distinct().count()
+    val below = pairs.filter($"cos_e6" < 400000L).count()
+    val wrong = pairs
+      .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("emb_a")), Seq("vec_a"))
+      .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("emb_b")), Seq("vec_b"))
+      .filter(graft.core.Stab.e6(cosineSim($"emb_a", $"emb_b")) =!= $"cos_e6")
+      .count()
+    Seq(
+      ("above_threshold", below == 0L),
+      ("distinct_pairs", dup == 0L),
+      ("nonempty", n > 0L),
+      ("ordered", unordered == 0L),
+      ("sims_exact", wrong == 0L))
+      .toDF("invariant", "holds").orderBy($"invariant")
+  }
+
+  val embeddingNearDupLshCheckedSql: String =
+    """SELECT t.invariant, true AS holds
+      |FROM (VALUES ('above_threshold'), ('distinct_pairs'), ('nonempty'),
+      |  ('ordered'), ('sims_exact')) t(invariant)
+      |ORDER BY invariant""".stripMargin
+
   /** Exact-substring dedup: pairs of documents sharing at least one
     * verbatim `spanLen`-token run — the signal n-gram/minhash dedup
     * misses when two long documents share only a copied paragraph

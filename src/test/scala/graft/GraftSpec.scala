@@ -109,13 +109,14 @@ class AnnRecallSpec extends AnyFunSuite {
   lazy val brute = neighborSets(SparkEntry.queries("knn_brute_cosine")(spark, sf), 10)
 
   test("IVF probe search recall@10 >= 0.9 vs brute force") {
-    val ivf = neighborSets(SparkEntry.queries("ivf_search")(spark, sf), 10)
+    // raw hit frame: the registry entry now serves the contract grid
+    val ivf = neighborSets(IvfIndex.ivfSearch(spark, sf), 10)
     val r = recall(ivf, brute)
     assert(r >= 0.9, s"IVF recall $r")
   }
 
   test("LSH bucketed search recall@10 >= 0.6 vs brute force") {
-    val lsh = neighborSets(SparkEntry.queries("ann_lsh_bucketed")(spark, sf), 10)
+    val lsh = neighborSets(LshIndex.annLshBucketed(spark, sf), 10)
     val r = recall(lsh, brute)
     assert(r >= 0.6, s"LSH recall $r")
   }
@@ -137,7 +138,7 @@ class AnnRecallSpec extends AnyFunSuite {
     val bruteTop5 = brute.map { case (q, _) =>
       q -> neighborSets(SparkEntry.queries("knn_brute_cosine")(spark, sf), 5)(q)
     }
-    val nsw = neighborSets(SparkEntry.queries("nsw_search")(spark, sf), 5)
+    val nsw = neighborSets(NswIndex.nswSearch(spark, sf), 5)
     val r = recall(nsw, bruteTop5)
     assert(r >= 0.9, s"NSW recall $r")
   }
