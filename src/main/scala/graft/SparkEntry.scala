@@ -67,6 +67,8 @@ object SparkEntry {
     // drift, SQ8 ranges) — exact integer stats, one partial-agged pass
     "embedding_dim_stats" -> ((s: SparkSession, d: String) =>
       graft.operators.EmbeddingStats.embeddingDimStats(s, d)),
+    // PCA whitening (16 of 64 dims) served as its contract grid
+    "embedding_whiten" -> (graft.operators.Whiten.embeddingWhitenGrid _),
     "ivf_search_filtered" -> (IvfIndex.ivfSearchFiltered _),
     "text_bm25" -> (graft.text.Bm25.textBm25 _),
     "text_unigram_ll" -> (TextOps.textUnigramLl _),
@@ -463,6 +465,7 @@ object SparkEntry {
     "mine_triplets" -> KnnSearch.mineTripletsSql,
     "label_knn_eval" -> KnnSearch.labelKnnEvalSql,
     "embedding_dim_stats" -> graft.operators.EmbeddingStats.embeddingDimStatsSql,
+    "embedding_whiten" -> graft.operators.Whiten.embeddingWhitenSql,
     "ivf_search_filtered" -> IvfIndex.ivfSearchFilteredSql,
     "text_bm25" -> graft.text.Bm25.textBm25Sql,
     "text_unigram_ll" -> TextOps.textUnigramLlSql,
