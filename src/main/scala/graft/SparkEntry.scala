@@ -28,6 +28,7 @@ object SparkEntry {
     "q5_join" -> (Relational.q5Join _),
     // dual-role dim join (nation enters twice) + fact-fact shuffle
     "q7_join" -> (Relational.q7Join _),
+    "q8_mktshare" -> (Relational.q8Mktshare _),
     // TPC-H Q6-style scan-pushdown revenue filter (no join, no keys)
     "q6_filter" -> (Relational.q6Filter _),
     "window_topk" -> (Relational.windowTopK _),
@@ -444,6 +445,7 @@ object SparkEntry {
     "q3_join" -> Relational.q3JoinSql,
     "q5_join" -> Relational.q5JoinSql,
     "q7_join" -> Relational.q7JoinSql,
+    "q8_mktshare" -> Relational.q8MktshareSql,
     "q6_filter" -> Relational.q6FilterSql,
     "window_topk" -> Relational.windowTopKSql,
     "events_window_agg" -> Relational.eventsWindowAggSql,

@@ -526,4 +526,76 @@ object Relational {
        |FROM sessions
        |GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
+
+  /** TPC-H Q8-style market share: NATION_3 suppliers' share of PROMO
+    * part revenue sold to EUROPE customers, per order year. The share
+    * is computed from the two already-stabilized long sums by integer
+    * floor division (share_e6 = num_e2·1e6 // den_e2) — no float
+    * division crosses the oracle boundary.
+    *
+    * Scale shape: three broadcast dims (filtered part list, EUROPE
+    * customer keys, supplier→nation map) reach the fact scan without
+    * shuffling it; lineitem ⋈ orders is the one fact-fact shuffle
+    * (both unboundable at 100 TB, as in q3/q5/q7); the conditional
+    * share numerator is a map-side `when` inside the same partial
+    * agg, not a second pass. Year-cardinality output. */
+  def q8Mktshare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val promo = Tables.part(spark, dir)
+      .filter($"p_type" === "PROMO").select($"p_partkey")
+    val custEur = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .join(Tables.region(spark, dir).filter($"r_name" === "EUROPE"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey")
+    val suppNat = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey",
+        year($"o_orderdate").cast("long").as("o_year"))
+    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(promo), $"l_partkey" === $"p_partkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(custEur), $"o_custkey" === $"c_custkey")
+      .join(broadcast(suppNat), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"o_year")
+      .agg(
+        Stab.e2(sum(when($"supp_nation" === "NATION_3", vol)
+          .otherwise(lit(0.0)))).as("nation_volume_e2"),
+        Stab.e2(sum(vol)).as("total_volume_e2"))
+      .select($"o_year", $"nation_volume_e2", $"total_volume_e2",
+        // `div`, not `/`: long / long routes through DOUBLE and loses
+        // integer precision once num_e2·1e6 passes 2^53 (sf ≳ 1)
+        expr("nation_volume_e2 * 1000000L div total_volume_e2")
+          .as("share_e6"))
+      .orderBy($"o_year")
+  }
+
+  val q8MktshareSql: String =
+    s"""WITH vols AS (
+       |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       |    ${Stab.sqlE2("sum(CASE WHEN n.n_name = 'NATION_3' " +
+         "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)")}
+       |      AS nation_volume_e2,
+       |    ${Stab.sqlE2("sum(l_extendedprice * (1.0 - l_discount))")}
+       |      AS total_volume_e2
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |  JOIN region ON cn.n_regionkey = r_regionkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n ON s_nationkey = n.n_nationkey
+       |  WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+       |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+       |    AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  GROUP BY 1)
+       |SELECT o_year, nation_volume_e2, total_volume_e2,
+       |  nation_volume_e2 * 1000000 // total_volume_e2 AS share_e6
+       |FROM vols ORDER BY o_year""".stripMargin
 }
