@@ -85,6 +85,8 @@ object SparkEntry {
     "dedup_components" -> ((s: SparkSession, d: String) => Dedup.components(s, d)),
     // component dedup electing the LONGEST member as survivor
     "dedup_keep_best" -> (Dedup.keepBest _),
+    // cluster-size histogram + removal share of the component dedup
+    "dedup_cluster_stats" -> (Dedup.clusterStats _),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
     // the spans dedup_substring excludes, reported as a stopspan list
     "dedup_boilerplate" -> ((s: SparkSession, d: String) => Dedup.boilerplateSpans(s, d)),
@@ -480,6 +482,7 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.embeddingNearDupSql,
     "dedup_components" -> Dedup.componentsSql,
     "dedup_keep_best" -> Dedup.keepBestSql,
+    "dedup_cluster_stats" -> Dedup.clusterStatsSql,
     "dedup_substring" -> Dedup.substringSpansSql,
     "dedup_boilerplate" -> Dedup.boilerplateSpansSql,
     "contamination_check" -> Dedup.contaminationSql,

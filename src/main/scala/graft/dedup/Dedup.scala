@@ -530,6 +530,45 @@ object Dedup {
        |FROM comp c JOIN toks t USING (doc_id)
        |ORDER BY c.doc_id""".stripMargin
 
+  /** `dedup_cluster_stats`: the duplication PROFILE of the corpus —
+    * how many near-dup clusters exist at each size, how many
+    * documents they hold, and what fraction of the corpus deduping at
+    * this threshold would remove. The histogram a curation run reads
+    * to choose its threshold (a fat tail of giant clusters means
+    * boilerplate, not duplication) and the number that goes in a
+    * dataset card next to the retention rate.
+    *
+    * Scale shape: rides [[components]]' propagation, then two
+    * dimension-collapsing aggregations (corpus → component →
+    * size-histogram), all map-side-combinable; output is
+    * histogram-cardinality. The removal ratio is integer floor
+    * division of long counts — nothing float crosses the oracle. */
+  def clusterStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sizes = components(spark, dir)
+      .groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+    val n = Tables.documents(spark, dir).count()
+    sizes.groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select($"cluster_size", $"n_clusters",
+        ($"cluster_size" * $"n_clusters").as("n_docs"),
+        (($"cluster_size" - 1L) * $"n_clusters").as("n_removed"),
+        expr(s"(cluster_size - 1L) * n_clusters * 1000000L div ${n}L")
+          .as("removed_share_e6"))
+      .orderBy($"cluster_size")
+  }
+
+  val clusterStatsSql: String =
+    s"""WITH comp AS ($componentsSql),
+       |sizes AS (
+       |  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+       |SELECT cluster_size, count(*) AS n_clusters,
+       |  cluster_size * count(*) AS n_docs,
+       |  (cluster_size - 1) * count(*) AS n_removed,
+       |  (cluster_size - 1) * count(*) * 1000000
+       |    // (SELECT count(*) FROM documents) AS removed_share_e6
+       |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   /** Train/eval contamination check: which training documents share
     * verbatim word-7-grams with the held-out eval slice
     * (doc_id % 10 = 0 stands in for a benchmark suite), and how much
