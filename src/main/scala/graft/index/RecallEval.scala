@@ -76,9 +76,29 @@ object RecallEval {
     val sq8 = SqIndex.knnBruteSq(spark, dir)
     val pq = IvfIndex.searchPersistedPq(spark,
       IvfIndex.pqLayoutFor(spark, dir), queries)
+    // pca16: brute cosine in the 16-of-64 PCA projection vs the exact
+    // 64-d scan — not an index but the REDUCTION fidelity row: what a
+    // 4× cheaper scan/store/shuffle costs in recall on THIS corpus.
+    // The synthetic corpus is near-isotropic (no decaying spectrum for
+    // PCA to exploit), so the measured fidelity is low and the bar
+    // documents that floor — on real embedding corpora this row is
+    // what justifies (or forbids) serving from the reduced space.
+    val embSel = emb.select(col("vec_id"), col("embedding"))
+    val fitted = graft.operators.Whiten.fit(spark, embSel, embSel.count())
+    val proj16 = graft.operators.Whiten.projected(embSel, fitted)
+      .select(col("vec_id"), col("proj").cast("array<float>").as("p"))
+      .localCheckpoint(true)
+    val projQ = proj16.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("p").as("q_vec"))
+    val pca = KnnSearch.topK(
+      proj16.crossJoin(broadcast(projQ))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          Stab.e6(cosineSim(col("p"), col("q_vec"))).as("score_e6")),
+      10, asc = false)
     recallRow("ivf", ivf, exactCos10, 10, 900000L)
       .unionByName(recallRow("lsh", lsh, exactCos10, 10, 600000L))
       .unionByName(recallRow("nsw", nsw, exactCos5, 5, 900000L))
+      .unionByName(recallRow("pca16", pca, exactCos10, 10, 200000L))
       .unionByName(recallRow("pq", pq, exactCos10, 10, 850000L))
       .unionByName(recallRow("sq8", sq8, exactDot10, 10, 900000L))
       .orderBy(col("index"))

@@ -14,7 +14,8 @@ class RecallEvalSpec extends AnyFunSuite {
   test("every index family meets its recall bar and the table shape is exact") {
     val rows = graft.index.RecallEval.indexRecallEval(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("ivf", "lsh", "nsw", "pq", "sq8"), "one row per family, sorted")
+      Seq("ivf", "lsh", "nsw", "pca16", "pq", "sq8"),
+      "one row per family, sorted")
     rows.foreach { r =>
       val (idx, nq, k, recall, bar, meets) =
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
