@@ -29,6 +29,7 @@ object SparkEntry {
     // dual-role dim join (nation enters twice) + fact-fact shuffle
     "q7_join" -> (Relational.q7Join _),
     "q8_mktshare" -> (Relational.q8Mktshare _),
+    "q10_returns" -> (Relational.q10Returns _),
     // TPC-H Q6-style scan-pushdown revenue filter (no join, no keys)
     "q6_filter" -> (Relational.q6Filter _),
     "window_topk" -> (Relational.windowTopK _),
@@ -448,6 +449,7 @@ object SparkEntry {
     "q5_join" -> Relational.q5JoinSql,
     "q7_join" -> Relational.q7JoinSql,
     "q8_mktshare" -> Relational.q8MktshareSql,
+    "q10_returns" -> Relational.q10ReturnsSql,
     "q6_filter" -> Relational.q6FilterSql,
     "window_topk" -> Relational.windowTopKSql,
     "events_window_agg" -> Relational.eventsWindowAggSql,

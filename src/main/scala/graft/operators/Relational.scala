@@ -598,4 +598,47 @@ object Relational {
        |SELECT o_year, nation_volume_e2, total_volume_e2,
        |  nation_volume_e2 * 1000000 // total_volume_e2 AS share_e6
        |FROM vols ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q10-style returned-item report: the top-20 customers by
+    * revenue lost to returns (`l_returnflag = 'R'`) for orders placed
+    * in one quarter — the classic "who should account management call"
+    * query. Returns ⋈ quarter-filtered orders is the fact-fact
+    * shuffle; customer⋈nation broadcasts; the top-20 cut is a global
+    * `orderBy · limit` with a deterministic (revenue, custkey)
+    * tie-break — TakeOrderedAndProject, per-partition top-k then a
+    * driver merge of 20-row heads, never a full sort at 100 TB. */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(Stab.e2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        .as("lost_revenue_e2"))
+      .orderBy($"lost_revenue_e2".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
+  val q10ReturnsSql: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  ${Stab.sqlE2("sum(l_extendedprice * (1.0 - l_discount))")}
+       |    AS lost_revenue_e2
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1996-04-01'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY lost_revenue_e2 DESC, c_custkey ASC
+       |LIMIT 20""".stripMargin
 }
