@@ -30,6 +30,10 @@ object SparkEntry {
     "q7_join" -> (Relational.q7Join _),
     "q8_mktshare" -> (Relational.q8Mktshare _),
     "q10_returns" -> (Relational.q10Returns _),
+    // outer-join order-count distribution (zero bucket preserved)
+    "q13_custdist" -> (Relational.q13Custdist _),
+    // HAVING-filtered volume rollup joined back to its dimensions
+    "q18_bigorders" -> (Relational.q18Bigorders _),
     // TPC-H Q6-style scan-pushdown revenue filter (no join, no keys)
     "q6_filter" -> (Relational.q6Filter _),
     "window_topk" -> (Relational.windowTopK _),
@@ -450,6 +454,8 @@ object SparkEntry {
     "q7_join" -> Relational.q7JoinSql,
     "q8_mktshare" -> Relational.q8MktshareSql,
     "q10_returns" -> Relational.q10ReturnsSql,
+    "q13_custdist" -> Relational.q13CustdistSql,
+    "q18_bigorders" -> Relational.q18BigordersSql,
     "q6_filter" -> Relational.q6FilterSql,
     "window_topk" -> Relational.windowTopKSql,
     "events_window_agg" -> Relational.eventsWindowAggSql,

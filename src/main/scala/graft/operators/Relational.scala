@@ -641,4 +641,77 @@ object Relational {
        |GROUP BY c_custkey, c_name, n_name
        |ORDER BY lost_revenue_e2 DESC, c_custkey ASC
        |LIMIT 20""".stripMargin
+
+  /** TPC-H Q13-style customer order-count distribution: how many
+    * customers placed exactly N non-urgent orders, including the
+    * zero-order bucket — the classic outer-join + double-aggregation
+    * shape. The join is customer LEFT OUTER orders on the customer
+    * key with the priority exclusion in the join condition (NOT the
+    * WHERE — a WHERE would turn the outer join inner and drop the
+    * zero bucket). At 100 TB both sides are fact-sized so this is a
+    * shuffle join on `custkey`; the first aggregation collapses to
+    * customer cardinality and the second to distinct-count
+    * cardinality, both partial-agged map-side. */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" =!= "1-URGENT")
+      .select($"o_custkey", $"o_orderkey")
+    Tables.customer(spark, dir).select($"c_custkey")
+      .join(ord, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q13CustdistSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q18-style large-volume orders: the top-20 orders whose
+    * total line quantity exceeds 250 units, with their customer — a
+    * HAVING-filtered aggregation joined back to its dimensions. The
+    * quantity rollup is ONE partial-agged shuffle on the order key;
+    * the `> 250` cut happens before any join so only qualifying
+    * orders (~1% of the table) meet `orders` ⋈ `customer`, and at
+    * that cardinality the qualifying side broadcasts to the orders
+    * scan rather than shuffling it. Top-20 is a deterministic
+    * (quantity, orderkey) TakeOrderedAndProject. */
+  def q18Bigorders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(Stab.e2(sum($"l_quantity")).as("total_qty_e2"))
+      .filter($"total_qty_e2" > 250L * 100L)
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_name")
+    bigOrders
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_custkey", $"c_name", $"o_orderdate",
+        $"total_qty_e2")
+      .orderBy($"total_qty_e2".desc, $"o_orderkey".asc)
+      .limit(20)
+  }
+
+  val q18BigordersSql: String =
+    s"""SELECT o_orderkey, c_custkey, c_name, o_orderdate, total_qty_e2
+       |FROM (
+       |  SELECT l_orderkey,
+       |    ${Stab.sqlE2("sum(l_quantity)")} AS total_qty_e2
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING ${Stab.sqlE2("sum(l_quantity)")} > 25000)
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY total_qty_e2 DESC, o_orderkey ASC
+       |LIMIT 20""".stripMargin
 }
