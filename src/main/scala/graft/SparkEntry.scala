@@ -172,6 +172,8 @@ object SparkEntry {
     // temperature-scaled (q ∝ p^0.5) multilingual sampling rates +
     // deterministic per-doc keep draws
     "sample_temperature" -> (Libraries.sampleTemperature _),
+    // corpus-level mixture planning: shares, upsample factors, epochs
+    "mixture_plan" -> (Libraries.mixturePlan _),
     // GLOBAL sequence packing via two-pass distributed prefix sum —
     // no single-task window anywhere in the plan
     "pack_shards" -> ((s: SparkSession, d: String) => Libraries.packShards(s, d)),
@@ -582,6 +584,7 @@ object SparkEntry {
     "sample_weighted" -> Libraries.sampleWeightedSql,
     "pack_token_budget" -> Libraries.packTokenBudgetSql,
     "sample_temperature" -> Libraries.sampleTemperatureSql,
+    "mixture_plan" -> Libraries.mixturePlanSql,
     "pack_shards" -> Libraries.packShardsSql,
     "nsw_build" -> NswIndex.nswBuildSql,
     "nsw_graph_stats" -> NswIndex.nswGraphStatsSql,

@@ -477,4 +477,66 @@ object Libraries {
     """SELECT doc_id, source AS meta_source, n_chars AS meta_n_chars
       |FROM documents WHERE lang = 'en' AND n_chars > 300
       |ORDER BY doc_id""".stripMargin
+
+  /** `mixture_plan`: the data-mixture PLANNING report — per source:
+    * its natural token share, the target share (uniform across
+    * sources here; any broadcast target table slots in), the
+    * upsampling factor target/actual, the epoch count an epoch-based
+    * schedule needs (⌈factor⌉ passes over the source), and the
+    * planned token contribution. This is the table a pretraining run
+    * is configured FROM (LLaMA-style mixtures repeat small
+    * high-quality sources several epochs while big crawls run < 1);
+    * [[sampleTemperature]] then EXECUTES a per-record keep decision —
+    * this op does the corpus-level arithmetic that precedes it.
+    *
+    * Cross-engine determinism: everything after the token count is
+    * integer — shares and factors are e6 floor-divisions of long
+    * products (`div`, never long/long through DOUBLE), the epoch
+    * ceiling is (x + 999999) div 1e6. No float anywhere.
+    *
+    * Scale shape: one corpus scan, ONE partial-agged shuffle onto
+    * source cardinality, the two-row totals broadcast back — output
+    * is |sources| rows regardless of corpus size. */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .select($"source",
+        size(graft.text.TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("docs"), sum($"n_tokens").as("src_tokens"))
+    val tot = per.agg(sum($"src_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share_e6",
+        expr("src_tokens * 1000000L div total_tokens"))
+      .withColumn("target_share_e6", expr("1000000L div n_sources"))
+      .withColumn("upsample_e6",
+        expr("target_share_e6 * 1000000L div greatest(share_e6, 1L)"))
+      .withColumn("epochs", expr("(upsample_e6 + 999999L) div 1000000L"))
+      .withColumn("planned_tokens",
+        expr("src_tokens * upsample_e6 div 1000000L"))
+      .select($"source", $"docs", $"src_tokens", $"share_e6",
+        $"target_share_e6", $"upsample_e6", $"epochs", $"planned_tokens")
+      .orderBy($"source")
+  }
+
+  val mixturePlanSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS docs,
+       |    sum(CAST(len(${graft.text.TextOps.tokensSql}) AS BIGINT)) AS src_tokens
+       |  FROM documents GROUP BY source
+       |), tot AS (
+       |  SELECT sum(src_tokens) AS total_tokens, count(*) AS n_sources FROM per
+       |), shares AS (
+       |  SELECT source, docs, src_tokens,
+       |    src_tokens * 1000000 // total_tokens AS share_e6,
+       |    1000000 // n_sources AS target_share_e6
+       |  FROM per CROSS JOIN tot
+       |)
+       |SELECT source, docs, src_tokens, share_e6, target_share_e6,
+       |  target_share_e6 * 1000000 // greatest(share_e6, 1) AS upsample_e6,
+       |  (target_share_e6 * 1000000 // greatest(share_e6, 1) + 999999) // 1000000 AS epochs,
+       |  src_tokens * (target_share_e6 * 1000000 // greatest(share_e6, 1)) // 1000000 AS planned_tokens
+       |FROM shares
+       |ORDER BY source""".stripMargin
 }
