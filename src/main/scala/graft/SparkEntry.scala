@@ -92,6 +92,8 @@ object SparkEntry {
     "dedup_keep_best" -> (Dedup.keepBest _),
     // cluster-size histogram + removal share of the component dedup
     "dedup_cluster_stats" -> (Dedup.clusterStats _),
+    // SemDeDup: k-means clusters bound the pairwise prune (checked grid)
+    "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticDedupChecked(s, d)),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
     // the spans dedup_substring excludes, reported as a stopspan list
     "dedup_boilerplate" -> ((s: SparkSession, d: String) => Dedup.boilerplateSpans(s, d)),
@@ -493,6 +495,7 @@ object SparkEntry {
     "dedup_components" -> Dedup.componentsSql,
     "dedup_keep_best" -> Dedup.keepBestSql,
     "dedup_cluster_stats" -> Dedup.clusterStatsSql,
+    "dedup_semantic" -> Dedup.semanticDedupSql,
     "dedup_substring" -> Dedup.substringSpansSql,
     "dedup_boilerplate" -> Dedup.boilerplateSpansSql,
     "contamination_check" -> Dedup.contaminationSql,

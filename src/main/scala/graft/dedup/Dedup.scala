@@ -626,4 +626,118 @@ object Dedup {
        |WHERE ${Stab.sqlE6(cos)} >= 400000
        |ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then
+    * prune near-identical members WITHIN each cluster — the published
+    * recipe for web-scale semantic dedup, because clustering bounds
+    * the pairwise work (E[cluster] = n/k rows; k grows with n, so the
+    * per-cluster self-join never approaches n²; the rare hot cluster
+    * is AQE skew-join territory, same as the band buckets above).
+    *
+    * Reuses the session's spherical-KMeans IVF build
+    * ([[graft.index.IvfIndex.buildCached]]) — the dedup clustering IS
+    * the index clustering, so a corpus that already serves ANN pays
+    * nothing extra for dedup candidate generation.
+    *
+    * Removal rule, fully deterministic: within a cluster, a confirmed
+    * dup pair (exact stabilized cosine ≥ `tauE6`) removes its
+    * lower-PRIORITY member, where priority = (centroid cosine DESC,
+    * vec_id ASC) — keep the member most central to its cluster, the
+    * paper's "closest to centroid" variant with an id tie-break.
+    * Chains resolve greedily: b may lose to a while c loses to b, so
+    * a removed vector's witness is a strictly-higher-priority partner
+    * that is itself kept OR removed by a yet-higher one — either way
+    * every removal is justified by a confirmed ≥ τ pair.
+    *
+    * Returns the per-vector decision frame
+    * `(vec_id, cluster_id, centroid_cos_e6, keep)`. */
+  def semanticDedupDecisions(spark: SparkSession, dir: String,
+      tauE6: Long = 400000L): DataFrame = {
+    import spark.implicits._
+    val built = graft.index.IvfIndex.buildCached(spark, dir)
+    val withC = built.assigned
+      .join(broadcast(built.centroids), Seq("cluster_id"))
+      .select($"cluster_id", $"vec_id", $"embedding",
+        Stab.e6(cosineSim($"embedding", $"centroid")).as("centroid_cos_e6"))
+      .localCheckpoint(true)
+    val a = withC.select($"cluster_id", $"vec_id".as("a_id"),
+      $"embedding".as("a_emb"), $"centroid_cos_e6".as("a_cc"))
+    val b = withC.select($"cluster_id", $"vec_id".as("b_id"),
+      $"embedding".as("b_emb"), $"centroid_cos_e6".as("b_cc"))
+    val losers = a.join(b, Seq("cluster_id"))
+      .filter($"a_id" < $"b_id")
+      .filter(Stab.e6(cosineSim($"a_emb", $"b_emb")) >= tauE6)
+      .select(when($"a_cc" < $"b_cc" ||
+          ($"a_cc" === $"b_cc" && $"a_id" > $"b_id"), $"a_id")
+        .otherwise($"b_id").as("vec_id"))
+      .distinct()
+    withC.join(losers.withColumn("lost", lit(true)), Seq("vec_id"), "left_outer")
+      .select($"vec_id", $"cluster_id", $"centroid_cos_e6",
+        coalesce(!$"lost", lit(true)).as("keep"))
+  }
+
+  /** `dedup_semantic` through a summary contract grid (the checked
+    * pattern of ContractGrids / the LSH dedup entry): one row whose
+    * `n_total` is the SQL-exact corpus count and whose booleans pin
+    * the decision frame's invariants —
+    *  - `partition_exact`: every vector got exactly one keep/remove
+    *    decision (no dropped or duplicated ids);
+    *  - `pairs_resolve`: for EVERY confirmed within-cluster dup pair,
+    *    the lower-priority member is removed (no surviving dup pair);
+    *  - `removed_justified`: every removed vector has a confirmed
+    *    ≥ τ partner of strictly higher priority;
+    *  - `removed_lt_total`: the prune never consumes the corpus.
+    * The recompute self-join runs once more over the checkpointed
+    * cluster frame — same bounded per-cluster shape as the decision
+    * pass. Removal QUALITY (vs the exact label-blocked pair set)
+    * stays covered by SemanticDedupSpec's independent brute recompute
+    * at sf0.001. */
+  def semanticDedupChecked(spark: SparkSession, dir: String,
+      tauE6: Long = 400000L): DataFrame = {
+    import spark.implicits._
+    val dec = semanticDedupDecisions(spark, dir, tauE6).localCheckpoint(true)
+    val built = graft.index.IvfIndex.buildCached(spark, dir)
+    val withC = built.assigned
+      .join(broadcast(built.centroids), Seq("cluster_id"))
+      .select($"cluster_id", $"vec_id", $"embedding",
+        Stab.e6(cosineSim($"embedding", $"centroid")).as("centroid_cos_e6"))
+      .localCheckpoint(true)
+    val a = withC.select($"cluster_id", $"vec_id".as("a_id"),
+      $"embedding".as("a_emb"), $"centroid_cos_e6".as("a_cc"))
+    val b = withC.select($"cluster_id", $"vec_id".as("b_id"),
+      $"embedding".as("b_emb"), $"centroid_cos_e6".as("b_cc"))
+    val pairs = a.join(b, Seq("cluster_id"))
+      .filter($"a_id" < $"b_id")
+      .filter(Stab.e6(cosineSim($"a_emb", $"b_emb")) >= tauE6)
+      .select($"a_id", $"b_id", $"a_cc", $"b_cc")
+      .localCheckpoint(true)
+    val loserOf = pairs.select(
+      when($"a_cc" < $"b_cc" || ($"a_cc" === $"b_cc" && $"a_id" > $"b_id"),
+        $"a_id").otherwise($"b_id").as("vec_id"))
+    val removed = dec.filter(!$"keep").select($"vec_id")
+    val nTotal = Tables.embeddings(spark, dir).count()
+    val nDecisions = dec.count()
+    val nDistinctIds = dec.select($"vec_id").distinct().count()
+    val nRemoved = removed.count()
+    // every pair's loser is removed
+    val unresolved = loserOf.distinct()
+      .join(removed, Seq("vec_id"), "left_anti").count()
+    // every removed id appears as some pair's loser
+    val unjustified = removed
+      .join(loserOf.distinct(), Seq("vec_id"), "left_anti").count()
+    Seq((nTotal,
+      nDecisions == nTotal && nDistinctIds == nTotal,
+      unresolved == 0L,
+      unjustified == 0L,
+      nRemoved < nTotal)).toDF(
+      "n_total", "partition_exact", "pairs_resolve",
+      "removed_justified", "removed_lt_total")
+  }
+
+  val semanticDedupSql: String =
+    """SELECT count(*) AS n_total, true AS partition_exact,
+      |  true AS pairs_resolve, true AS removed_justified,
+      |  true AS removed_lt_total
+      |FROM embeddings""".stripMargin
 }

@@ -1,0 +1,82 @@
+package graft
+
+import graft.dedup.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `dedup_semantic` (SemDeDup): the Spark decision frame must equal an
+  * INDEPENDENT driver-side brute recompute of the same rule — same
+  * clusters, same priorities, same τ cut — and the registry's summary
+  * contract grid must come back all-true. The brute path replicates
+  * the engine's exact float semantics (sequential-loop cosine, e6
+  * floor(x·1e6 + 0.5)) so the comparison is integer-exact, not
+  * tolerance-based. */
+class SemanticDedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def cosE6(a: IndexedSeq[Float], b: IndexedSeq[Float]): Long = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; nx += x * x; ny += y * y
+      i += 1
+    }
+    val c = if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+    math.floor(c * 1000000.0 + 0.5).toLong
+  }
+
+  test("decisions equal an independent brute recompute of the SemDeDup rule") {
+    val tau = 400000L
+    val dec = Dedup.semanticDedupDecisions(spark, sf, tau).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster_id"), r.getAs[Long]("centroid_cos_e6"),
+          r.getAs[Boolean]("keep"))).toMap
+
+    val built = graft.index.IvfIndex.buildCached(spark, sf)
+    val members = built.assigned.select("cluster_id", "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getAs[Int]("cluster_id"), r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toIndexedSeq))
+    val cents = built.centroids.collect()
+      .map(r => r.getAs[Int]("cluster_id") ->
+        r.getAs[scala.collection.Seq[Float]]("centroid").toIndexedSeq).toMap
+
+    // brute: per cluster, all pairs ≥ τ remove the lower-priority member
+    val prio = members.map { case (c, id, emb) =>
+      id -> (cosE6(emb, cents(c)), id)
+    }.toMap
+    val losers = scala.collection.mutable.Set[Long]()
+    members.groupBy(_._1).values.foreach { ms =>
+      for (Array((_, idA, embA), (_, idB, embB)) <- ms.sortBy(_._2).combinations(2).map(_.toArray))
+        if (cosE6(embA, embB) >= tau) {
+          val (ccA, _) = prio(idA); val (ccB, _) = prio(idB)
+          // keep higher centroid-cos; tie keeps the smaller id
+          losers += (if (ccA < ccB || (ccA == ccB && idA > idB)) idA else idB)
+        }
+    }
+
+    assert(dec.size == members.length, "decision frame dropped or duplicated ids")
+    members.foreach { case (c, id, _) =>
+      val (decCluster, decCc, decKeep) = dec(id)
+      assert(decCluster == c, s"vec $id cluster $decCluster != $c")
+      assert(decCc == prio(id)._1, s"vec $id centroid_cos ${decCc} != ${prio(id)._1}")
+      assert(decKeep == !losers.contains(id),
+        s"vec $id keep=$decKeep but brute says loser=${losers.contains(id)}")
+    }
+    // the rule actually fires on this corpus — a τ that never cuts
+    // would leave the operator vacuously "correct"
+    assert(losers.nonEmpty, "no removals at τ=0.40 — vacuous test corpus")
+    assert(losers.size < members.length)
+  }
+
+  test("summary contract grid is all-true with the SQL-exact corpus count") {
+    val row = Dedup.semanticDedupChecked(spark, sf).collect().head
+    assert(row.getAs[Long]("n_total") ==
+      graft.core.Tables.embeddings(spark, sf).count())
+    Seq("partition_exact", "pairs_resolve", "removed_justified",
+      "removed_lt_total").foreach { c =>
+      assert(row.getAs[Boolean](c), s"contract check $c failed")
+    }
+  }
+}
