@@ -182,6 +182,8 @@ object SparkEntry {
     // ANN index family
     "ivf_build" -> (graft.index.ContractGrids.ivfBuildChecked _),
     "ivf_search" -> (graft.index.ContractGrids.ivfSearchChecked _),
+    // SparkSessionExtensions optimizer rule: brute cosine top-k → IVF probe
+    "ann_rewrite" -> (graft.plans.AnnRewrite.annRewriteChecked _),
     // incremental maintenance: delta add/remove against a built index
     // without a KMeans refit / graph rebuild (invariant-checked grids)
     "ivf_add_delta" -> (IvfIndex.ivfAddDelta _),
@@ -601,6 +603,7 @@ object SparkEntry {
     // all-true grid is SQL-exact; recall stays the ScalaTest bars)
     "ivf_build" -> graft.index.ContractGrids.ivfBuildCheckedSql,
     "ivf_search" -> graft.index.ContractGrids.ivfSearchCheckedSql,
+    "ann_rewrite" -> graft.plans.AnnRewrite.annRewriteCheckedSql,
     "nsw_search" -> graft.index.ContractGrids.nswSearchCheckedSql,
     "nsw_build_lsh" -> graft.index.ContractGrids.nswBuildLshCheckedSql,
     "ann_lsh_bucketed" -> graft.index.ContractGrids.annLshBucketedCheckedSql,

@@ -19,6 +19,9 @@ package graft.core
   * per query; the library default is off.
   */
 object EngineConf {
-  val recommended: Map[String, String] =
-    Map("spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false")
+  val recommended: Map[String, String] = Map(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false",
+    // registers the (default-inert) ANN top-k rewrite rule; it does
+    // nothing unless spark.graft.ann.rewrite=true in the session
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions")
 }

@@ -1,0 +1,243 @@
+package graft.plans
+
+import graft.functions.CosineSimilarity
+import graft.functions.vectors._
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, typedlit}
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+/** Catalyst extension: transparent ANN serving for brute-force
+  * cosine top-k plans (the reference serves every query through its
+  * index once one exists, main.py:117-131 — this rule gives the SQL
+  * surface the same behavior without the caller knowing an index
+  * exists).
+  *
+  * The rule recognizes the canonical exact-scan shape
+  * {{{
+  *   embeddings.select($"vec_id", cosine_sim($"embedding", lit(q)).as("score"))
+  *     .orderBy($"score".desc).limit(k)
+  * }}}
+  * — logically `Limit k · Sort(score DESC, global) · Project(…,
+  * Alias(cosine_sim(emb, const))) · ParquetRelation(embeddings)` —
+  * and, when `spark.graft.ann.rewrite=true`, swaps the full-corpus
+  * sort for the session's memoized IVF probe over the SAME corpus:
+  * centroids ranked driver-side against the literal query, `nProbe`
+  * posting lists scanned instead of the whole table, exact cosine
+  * rescoring inside the probe. Output attributes keep the original
+  * plan's names, types, AND exprIds, so any operators above the
+  * limit keep resolving.
+  *
+  * OPT-IN because the swap is semantics-changing (approximate):
+  * default-off conf flag, recall accountability lives with the rest
+  * of the IVF family (`index_recall_eval`, ≥ 0.9 bar). At 100 TB the
+  * rewrite is the difference between a full-corpus scan+sort per
+  * query and a partition-pruned read of nProbe/k of the corpus —
+  * this is the optimizer doing what every vector store's query
+  * planner does, expressed as a stock `SparkSessionExtensions` rule.
+  *
+  * Scope guards, all conservative: global descending sort on the
+  * aliased score, constant query vector, bare Project over a parquet
+  * scan whose root path is an `embeddings.parquet` corpus table
+  * (anything else — filters, joins, non-constant queries — keeps the
+  * exact plan).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(AnnTopKRewrite.apply)
+}
+
+case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    spark.conf.getOption("spark.graft.ann.rewrite").exists(_.toBoolean)
+
+  /** nProbe for rewritten serves; the IVF default unless overridden. */
+  private def nProbe: Int =
+    spark.conf.getOption("spark.graft.ann.rewrite.nProbe")
+      .map(_.toInt).getOrElse(graft.index.IvfIndex.defaultNProbe)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformDown {
+      case l @ Limit(IntegerLiteral(k), s: Sort) if s.global =>
+        rewrite(k, s).getOrElse(l)
+    }
+
+  private def rewrite(k: Int, s: Sort): Option[LogicalPlan] = s.child match {
+    case p @ Project(projList, lr: LogicalRelation) =>
+      for {
+        scoreAttr <- s.order.headOption.collect {
+          case SortOrder(a: Attribute, Descending, _, _) => a
+        }
+        scoreAlias <- projList.collectFirst {
+          case a @ Alias(_: CosineSimilarity, _) if a.exprId == scoreAttr.exprId => a
+        }
+        cos = scoreAlias.child.asInstanceOf[CosineSimilarity]
+        queryVec <- constVector(cos.left).orElse(constVector(cos.right))
+        dir <- corpusDir(lr)
+        // every other projected column must be a plain relation
+        // attribute the posting table also carries
+        passthrough <- {
+          val others = projList.filterNot(_.exprId == scoreAlias.exprId)
+          if (others.nonEmpty && others.forall(_.isInstanceOf[AttributeReference]))
+            Some(others.map(_.asInstanceOf[AttributeReference])) else None
+        }
+        built = graft.index.IvfIndex.buildCached(spark, dir)
+        _ <- if (passthrough.forall(a => built.assigned.columns.contains(a.name)))
+          Some(()) else None
+      } yield {
+        val probeIds = topClusters(built.centroids, queryVec, nProbe)
+        val probed = built.assigned
+          .filter(col("cluster_id").isin(probeIds: _*))
+          .select(passthrough.map(a => col(a.name)) :+
+            cosineSim(col("embedding"), typedlit(queryVec)).as("score"): _*)
+          .orderBy(col("score").desc, col(passthrough.head.name).asc)
+          .limit(k)
+        // splice with the ORIGINAL attribute ids so parents resolve
+        val inner = probed.queryExecution.optimizedPlan
+        val byName = inner.output.map(a => a.name -> a).toMap
+        Project(
+          projList.map {
+            case a: AttributeReference =>
+              Alias(byName(a.name), a.name)(exprId = a.exprId)
+            case a: Alias =>
+              Alias(byName("score"), a.name)(exprId = a.exprId)
+          },
+          inner)
+      }
+    case _ => None
+  }
+
+  private def constVector(e: Expression): Option[Array[Float]] = e match {
+    case Literal(v: ArrayData, ArrayType(FloatType, _)) => Some(v.toFloatArray())
+    case _ => None
+  }
+
+  /** The corpus dir of a parquet embeddings scan, if that's what this
+    * relation is. */
+  private def corpusDir(lr: LogicalRelation): Option[String] = lr.relation match {
+    case fs: HadoopFsRelation =>
+      fs.location.rootPaths.headOption.map(_.toUri.getPath)
+        .filter(_.endsWith("/embeddings.parquet"))
+        .map(_.stripSuffix("/embeddings.parquet"))
+    case _ => None
+  }
+
+  /** Rank centroids against the literal query driver-side — |k|
+    * centroid rows, no job. */
+  private def topClusters(centroids: org.apache.spark.sql.DataFrame,
+      q: Array[Float], n: Int): Seq[Int] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val len = math.min(a.length, b.length)
+      while (i < len) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    centroids.collect()
+      .map(r => (r.getAs[Int]("cluster_id"),
+        cos(r.getAs[scala.collection.Seq[Float]]("centroid").toArray, q)))
+      .sortBy { case (id, c) => (-c, id) }
+      .take(n).map(_._1).toSeq
+  }
+}
+
+/** Registry surface for the rewrite: the standard `vec_id < 5`
+  * serve workload pushed through the BRUTE-FORCE pattern with the
+  * rewrite flag on, graded by the shared ANN serve grid plus a
+  * `served_by_index` attestation — false (→ driver hash mismatch)
+  * if any query's optimized plan still reads the parquet corpus,
+  * i.e. if the rule silently stopped firing. */
+object AnnRewrite {
+
+  /** True iff `df`'s optimized plan no longer scans the parquet
+    * embeddings table — the rewrite's observable effect. */
+  private def servedByIndex(df: DataFrame): Boolean =
+    !df.queryExecution.optimizedPlan.exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains("embeddings.parquet"))
+        case _ => false
+      }
+      case _ => false
+    }
+
+  /** The brute-force cosine top-k DataFrame the rule targets —
+    * written exactly as a user would write it, no index API in
+    * sight. */
+  def brutePlan(spark: SparkSession, dir: String, q: Array[Float],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        cosineSim($"embedding", typedlit(q)).as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(k)
+  }
+
+  /** `ann_rewrite`: run the workload under the flag, collect per-query
+    * hits + the plan attestation, grade through the serve grid. */
+  def annRewriteChecked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 10
+    val queries = Tables.embeddings(spark, dir)
+      .filter($"vec_id" < 5).select($"vec_id", $"embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val prev = spark.conf.getOption("spark.graft.ann.rewrite")
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      var allServed = true
+      val hits = queries.flatMap { case (qid, qv) =>
+        val df = brutePlan(spark, dir, qv, k)
+        allServed &&= servedByIndex(df)
+        df.collect().zipWithIndex.map { case (r, i) =>
+          (qid, r.getAs[Long]("vec_id"),
+            math.floor(r.getAs[Double]("score") * 1000000.0 + 0.5).toLong,
+            (i + 1).toLong)
+        }
+      }.toSeq
+      graft.index.ContractGrids.annServeGrid(spark, dir,
+          spark.createDataFrame(hits.map(h => Row(h._1, h._2, h._3, h._4)).asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("q_id", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("score_e6", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType)))),
+          withTop1 = true)
+        .withColumn("served_by_index", org.apache.spark.sql.functions.lit(allServed))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.ann.rewrite", v)
+        case None => spark.conf.unset("spark.graft.ann.rewrite")
+      }
+    }
+  }
+
+  val annRewriteCheckedSql: String =
+    """SELECT q.q_id, CAST(r.rank AS BIGINT) AS rank, true AS id_in_corpus,
+      |  true AS score_exact, true AS top1_exact, true AS monotone,
+      |  true AS served_by_index
+      |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 5) q
+      |CROSS JOIN generate_series(1, 10) r(rank)
+      |ORDER BY q_id, rank""".stripMargin
+
+  private implicit class SeqAsJava[T](s: Seq[T]) {
+    def asJava: java.util.List[T] = {
+      val l = new java.util.ArrayList[T](s.size)
+      s.foreach(l.add)
+      l
+    }
+  }
+}

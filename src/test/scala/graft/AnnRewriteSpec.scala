@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.vectors._
+import graft.plans.AnnRewrite
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `SparkSessionExtensions` ANN rewrite: inert by default, fires
+  * only on the exact brute-force pattern under the flag, preserves
+  * output resolution for downstream operators, and serves with the
+  * IVF family's recall. */
+class AnnRewriteSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def scansParquetCorpus(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains("embeddings.parquet"))
+        case _ => false
+      }
+      case _ => false
+    }
+
+  private def queryVecs: Seq[(Long, Array[Float])] = {
+    import spark.implicits._
+    graft.core.Tables.embeddings(spark, sf)
+      .filter($"vec_id" < 5).select($"vec_id", $"embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toSeq
+  }
+
+  test("flag off: the brute plan scans the corpus, untouched") {
+    spark.conf.unset("spark.graft.ann.rewrite")
+    val df = AnnRewrite.brutePlan(spark, sf, queryVecs.head._2, 10)
+    assert(scansParquetCorpus(df), "rule fired with the flag off")
+    assert(df.count() == 10)
+  }
+
+  test("flag on: plan rewritten to the index, recall holds, parents still resolve") {
+    val qs = queryVecs
+    // exact baselines, flag off
+    spark.conf.unset("spark.graft.ann.rewrite")
+    val exact = qs.map { case (qid, qv) =>
+      qid -> AnnRewrite.brutePlan(spark, sf, qv, 10)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+    }.toMap
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      var hit = 0; var total = 0
+      qs.foreach { case (qid, qv) =>
+        val df = AnnRewrite.brutePlan(spark, sf, qv, 10)
+        assert(!scansParquetCorpus(df),
+          s"query $qid not rewritten:\n${df.queryExecution.optimizedPlan}")
+        val got = df.collect().map(_.getAs[Long]("vec_id")).toSet
+        assert(got.size == 10, s"query $qid returned ${got.size} rows")
+        hit += (got & exact(qid)).size; total += 10
+      }
+      assert(hit.toDouble / total >= 0.9,
+        s"rewrite recall@10 ${hit.toDouble / total} below the IVF family bar")
+      // downstream operators above the rewritten limit keep resolving
+      // (output exprIds preserved) — and the query's own vector leads
+      val (qid, qv) = qs.head
+      val top = AnnRewrite.brutePlan(spark, sf, qv, 10)
+        .filter(col("score") > 0.99).select(col("vec_id")).collect()
+      assert(top.map(_.getLong(0)).contains(qid))
+    } finally spark.conf.unset("spark.graft.ann.rewrite")
+  }
+
+  test("guarded: a non-matching plan (extra filter) stays exact under the flag") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val qv = queryVecs.head._2
+      val df = graft.core.Tables.embeddings(spark, sf)
+        .filter($"label" >= 0)
+        .select($"vec_id", cosineSim($"embedding", typedlit(qv)).as("score"))
+        .orderBy($"score".desc, $"vec_id".asc)
+        .limit(10)
+      assert(scansParquetCorpus(df), "rule fired on a guarded (filtered) plan")
+    } finally spark.conf.unset("spark.graft.ann.rewrite")
+  }
+
+  test("registry contract grid is all-true including the served_by_index attestation") {
+    val rows = AnnRewrite.annRewriteChecked(spark, sf).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      Seq("id_in_corpus", "score_exact", "top1_exact", "monotone",
+        "served_by_index").foreach { c =>
+        assert(r.getAs[Boolean](c), s"$c failed at q=${r.getAs[Long]("q_id")} rank=${r.getAs[Long]("rank")}")
+      }
+    }
+  }
+}
