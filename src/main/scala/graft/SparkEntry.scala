@@ -34,6 +34,9 @@ object SparkEntry {
     "q13_custdist" -> (Relational.q13Custdist _),
     // HAVING-filtered volume rollup joined back to its dimensions
     "q18_bigorders" -> (Relational.q18Bigorders _),
+    // EXISTS → left-semi (q4); NOT EXISTS + integer scalar threshold (q22)
+    "q4_priority" -> (Relational.q4Priority _),
+    "q22_dormant" -> (Relational.q22Dormant _),
     // TPC-H Q6-style scan-pushdown revenue filter (no join, no keys)
     "q6_filter" -> (Relational.q6Filter _),
     "window_topk" -> (Relational.windowTopK _),
@@ -462,6 +465,8 @@ object SparkEntry {
     "q10_returns" -> Relational.q10ReturnsSql,
     "q13_custdist" -> Relational.q13CustdistSql,
     "q18_bigorders" -> Relational.q18BigordersSql,
+    "q4_priority" -> Relational.q4PrioritySql,
+    "q22_dormant" -> Relational.q22DormantSql,
     "q6_filter" -> Relational.q6FilterSql,
     "window_topk" -> Relational.windowTopKSql,
     "events_window_agg" -> Relational.eventsWindowAggSql,

@@ -714,4 +714,82 @@ object Relational {
        |JOIN customer ON o_custkey = c_custkey
        |ORDER BY total_qty_e2 DESC, o_orderkey ASC
        |LIMIT 20""".stripMargin
+
+  /** TPC-H Q4-style order-priority check: orders from one half-year
+    * with at least one returned line, counted per priority — the
+    * canonical EXISTS shape, planned as a LEFT SEMI join so each
+    * order matches AT MOST once (an inner join would double-count
+    * multi-return orders, and at 100 TB would inflate the probe side
+    * before the aggregation). The date filter reaches the orders scan
+    * (PushedFilters) and the returnflag filter the lineitem scan, so
+    * the semi-join meets two pre-shrunk sides on the order key. */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val returned = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R").select($"l_orderkey")
+    Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-07-01").cast("timestamp"))
+      .join(returned, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q4PrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q22-style dormant high-balance customers: per market
+    * segment, customers whose balance beats the positive-balance
+    * average but who placed NO order in 1996 — the canonical
+    * NOT-EXISTS (LEFT ANTI join) + scalar-aggregate-threshold shape.
+    * The average is computed in CENTS as integer floor-division of
+    * two exact longs (a float average differs between engines in
+    * ulps, and a boundary balance would flip the cut), broadcast as
+    * a one-row frame into the customer scan; the anti join's right
+    * side is the date-pruned orders key set. Balance sums stay
+    * integer cents end-to-end. */
+  def q22Dormant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment",
+        Stab.e2($"c_acctbal").as("bal_e2"))
+    val thresh = cust.filter($"bal_e2" > 0L)
+      .agg(expr("sum(bal_e2) div count(1)").as("avg_bal_e2"))
+    val ordered96 = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    cust.crossJoin(broadcast(thresh))
+      .filter($"bal_e2" > $"avg_bal_e2")
+      .join(ordered96, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"), sum($"bal_e2").as("total_bal_e2"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q22DormantSql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS bal_e2
+      |  FROM customer),
+      |thresh AS (
+      |  SELECT sum(bal_e2) // count(*) AS avg_bal_e2
+      |  FROM cust WHERE bal_e2 > 0)
+      |SELECT c_mktsegment, count(*) AS n_custs, sum(bal_e2) AS total_bal_e2
+      |FROM cust CROSS JOIN thresh
+      |WHERE bal_e2 > avg_bal_e2
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |                    AND o_orderdate < TIMESTAMP '1997-01-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
 }
