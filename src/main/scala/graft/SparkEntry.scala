@@ -187,6 +187,8 @@ object SparkEntry {
     "ivf_search" -> (graft.index.ContractGrids.ivfSearchChecked _),
     // SparkSessionExtensions optimizer rule: brute cosine top-k → IVF probe
     "ann_rewrite" -> (graft.plans.AnnRewrite.annRewriteChecked _),
+    // injected-SQL surface: same semantics as knn_brute_cosine, via spark.sql
+    "sql_knn_cosine" -> (KnnSearch.sqlKnnCosine _),
     // incremental maintenance: delta add/remove against a built index
     // without a KMeans refit / graph rebuild (invariant-checked grids)
     "ivf_add_delta" -> (IvfIndex.ivfAddDelta _),
@@ -609,6 +611,7 @@ object SparkEntry {
     "ivf_build" -> graft.index.ContractGrids.ivfBuildCheckedSql,
     "ivf_search" -> graft.index.ContractGrids.ivfSearchCheckedSql,
     "ann_rewrite" -> graft.plans.AnnRewrite.annRewriteCheckedSql,
+    "sql_knn_cosine" -> KnnSearch.sqlKnnCosineSql,
     "nsw_search" -> graft.index.ContractGrids.nswSearchCheckedSql,
     "nsw_build_lsh" -> graft.index.ContractGrids.nswBuildLshCheckedSql,
     "ann_lsh_bucketed" -> graft.index.ContractGrids.annLshBucketedCheckedSql,

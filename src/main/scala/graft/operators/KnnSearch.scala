@@ -186,6 +186,33 @@ object KnnSearch {
   val knnJoinExactSql: String =
     knnSql(sqlCosine("e.embedding", "q.q_vec"), "vec_id % 50 = 0", 5, asc = false, excludeSelf = true)
 
+  /** `sql_knn_cosine`: the brute cosine top-k expressed ENTIRELY in
+    * SQL text through the extension-injected function surface
+    * (`graft.plans.GraftExtensions` → `registry.injectInto`) — no
+    * Column API, no manual registration call. Semantically identical
+    * to `knn_brute_cosine`; the point of the entry is that the parsed
+    * `cosine_sim` resolves to the same codegen'd Catalyst expression
+    * and hash-matches the same oracle, proving the SQL surface is the
+    * full-fidelity API. */
+  def sqlKnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir).createOrReplaceTempView("graft_sql_embeddings")
+    spark.sql(
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+        |           FROM graft_sql_embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id AS neighbor_id,
+        |    CAST(FLOOR(cosine_sim(e.embedding, q.q_vec) * 1000000.0 + 0.5) AS BIGINT) AS score_e6
+        |  FROM graft_sql_embeddings e CROSS JOIN q)
+        |SELECT q_id, neighbor_id, score_e6, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score_e6 DESC, neighbor_id ASC) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin)
+  }
+
+  val sqlKnnCosineSql: String = bruteCosineSql
+
   /** `mine_triplets`: (anchor, positive, hard-negative) mining — the
     * training-data op behind contrastive/metric embedding training.
     * For each anchor: positive = the nearest SAME-label vector,

@@ -48,8 +48,13 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
   * exact plan).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(AnnTopKRewrite.apply)
+    // the SQL function surface (graft.functions.registry) injected at
+    // session build, so `spark.sql("SELECT cosine_sim(...)")` works
+    // without a manual registration call in every session
+    graft.functions.registry.injectInto(e)
+  }
 }
 
 case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
