@@ -22,16 +22,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos (`nanosAsLong`) and convert
-    * with exact integer division (`DIV 1000` → micros) so the value
-    * matches DuckDB's own nanos→micros truncation bit-for-bit. */
+  /** `events.ts` is parquet TIMESTAMP(NANOS). Depending on the Spark
+    * build it surfaces either as raw nanos under `nanosAsLong` (older
+    * readers reject nanos outright) — converted here with exact
+    * integer division (`DIV 1000` → micros) — or natively as
+    * TIMESTAMP_NTZ with the same micros truncation (Spark ≥ 4.1
+    * ignores the legacy conf). BOTH normalize to plain TIMESTAMP so
+    * every consumer sees one type contract: under the UTC sessions
+    * this library pins (Verify, the specs) the NTZ→LTZ cast is
+    * value-exact, and the result matches DuckDB's naive `epoch()`
+    * arithmetic bit-for-bit. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

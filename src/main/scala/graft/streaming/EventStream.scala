@@ -13,23 +13,30 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet on-disk schema (ts is raw TIMESTAMP(NANOS) →
-    * read as long, converted in [[normalize]]). */
+  /** events.parquet on-disk schema. `ts` is parquet TIMESTAMP(NANOS):
+    * Spark ≥ 4.1 reads it natively as TIMESTAMP_NTZ (micros
+    * truncation) and IGNORES the `nanosAsLong` legacy conf — an
+    * explicit LongType field here would silently misread on those
+    * builds, so the declared type is NTZ and [[normalize]] converts
+    * to plain TIMESTAMP (value-exact under the UTC sessions this
+    * library pins), keeping one `ts` type contract with the batch
+    * loader `Tables.events`. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def readStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def readStream(spark: SparkSession, dir: String): DataFrame =
     normalize(spark.readStream.schema(rawSchema).parquet(dir))
-  }
 
-  def normalize(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def normalize(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => raw
+  }
 
   /** Watermarked tumbling 1-hour aggregation (streaming twin of
     * `events_window_agg`). */

@@ -373,7 +373,12 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("events_asof equals a brute per-user scan; left rows and exact-tie semantics hold") {
     val ev = graft.core.Tables.events(spark, sf)
-      .select($"event_id", $"user_id", $"ts".cast("long").as("ts_us"), $"event_type")
+      // the nanos ts column reads as TIMESTAMP_NTZ on this Spark:
+      // NTZ -> BIGINT is not a legal cast and unix_micros wants LTZ,
+      // so hop through an LTZ cast (session tz is UTC — value-exact;
+      // micros also preserve exact tie ordering where seconds don't)
+      .select($"event_id", $"user_id",
+        unix_micros($"ts".cast("timestamp")).as("ts_us"), $"event_type")
       .as[(Long, Long, Long, String)].collect()
     val viewsByUser = ev.filter(_._4 == "view").groupBy(_._2)
       .map { case (u, rows) => u -> rows.map(r => (r._3, r._1)).sortBy(identity) }
