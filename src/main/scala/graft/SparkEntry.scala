@@ -37,6 +37,12 @@ object SparkEntry {
     // EXISTS → left-semi (q4); NOT EXISTS + integer scalar threshold (q22)
     "q4_priority" -> (Relational.q4Priority _),
     "q22_dormant" -> (Relational.q22Dormant _),
+    // conditional-share by month (q14), scalar-max subquery (q15),
+    // correlated per-part avg threshold (q17), disjunctive join (q19)
+    "q14_promo" -> (Relational.q14Promo _),
+    "q15_topsupplier" -> (Relational.q15TopSupplier _),
+    "q17_smallqty" -> (Relational.q17SmallQty _),
+    "q19_disjunct" -> (Relational.q19Disjunct _),
     // TPC-H Q6-style scan-pushdown revenue filter (no join, no keys)
     "q6_filter" -> (Relational.q6Filter _),
     "window_topk" -> (Relational.windowTopK _),
@@ -469,6 +475,10 @@ object SparkEntry {
     "q18_bigorders" -> Relational.q18BigordersSql,
     "q4_priority" -> Relational.q4PrioritySql,
     "q22_dormant" -> Relational.q22DormantSql,
+    "q14_promo" -> Relational.q14PromoSql,
+    "q15_topsupplier" -> Relational.q15TopSupplierSql,
+    "q17_smallqty" -> Relational.q17SmallQtySql,
+    "q19_disjunct" -> Relational.q19DisjunctSql,
     "q6_filter" -> Relational.q6FilterSql,
     "window_topk" -> Relational.windowTopKSql,
     "events_window_agg" -> Relational.eventsWindowAggSql,

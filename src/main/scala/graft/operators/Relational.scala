@@ -792,4 +792,161 @@ object Relational {
       |                    AND o_orderdate < TIMESTAMP '1997-01-01')
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q14-style promo revenue share per ship month: the
+    * conditional-aggregate ratio where numerator and denominator ride
+    * the SAME partial-agged shuffle (a map-side `when` splits them —
+    * two scans or two shuffles would double the cost at 100 TB).
+    * `part` is the only broadcast side; the share is derived from the
+    * two stabilized long sums by integer division (`div`, never
+    * long/long through DOUBLE — q8's convention). */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir).select($"p_partkey", $"p_type")
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+      .agg(
+        Stab.e2(sum(when($"p_type" === "PROMO",
+          $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(lit(0.0))))
+          .as("promo_rev_e2"),
+        Stab.e2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("total_rev_e2"))
+      .select($"ship_month", $"promo_rev_e2", $"total_rev_e2",
+        expr("promo_rev_e2 * 1000000 div total_rev_e2").as("promo_share_e6"))
+      .orderBy($"ship_month")
+  }
+
+  val q14PromoSql: String =
+    s"""SELECT ship_month, promo_rev_e2, total_rev_e2,
+       |  promo_rev_e2 * 1000000 // total_rev_e2 AS promo_share_e6
+       |FROM (
+       |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       |    ${Stab.sqlE2("sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)")} AS promo_rev_e2,
+       |    ${Stab.sqlE2("sum(l_extendedprice * (1.0 - l_discount))")} AS total_rev_e2
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  GROUP BY 1)
+       |ORDER BY ship_month""".stripMargin
+
+  /** TPC-H Q15-style top supplier: quarterly revenue per supplier,
+    * then the supplier(s) achieving the MAXIMUM — the scalar-subquery
+    * shape. The per-supplier rollup is one partial-agged shuffle onto
+    * supplier cardinality; the max collapses that |supplier| frame to
+    * ONE broadcast row joined back (never a global sort, never a
+    * second lineitem scan); `supplier` broadcasts for the name. Ties
+    * on the max all surface, ordered by key — deterministic without a
+    * tie-break cut. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(Stab.e2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        .as("total_revenue_e2"))
+    val mx = rev.agg(max($"total_revenue_e2").as("max_revenue_e2"))
+    val sup = Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")
+    rev.crossJoin(broadcast(mx))
+      .filter($"total_revenue_e2" === $"max_revenue_e2")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_revenue_e2")
+      .orderBy($"s_suppkey")
+  }
+
+  val q15TopSupplierSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    ${Stab.sqlE2("sum(l_extendedprice * (1.0 - l_discount))")} AS total_revenue_e2
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue_e2
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue_e2 = (SELECT max(total_revenue_e2) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17-style small-quantity revenue: lineitems of one brand's
+    * parts whose quantity is under 20% of that PART's average — the
+    * correlated-aggregate-threshold shape. The correlation never
+    * re-scans: the brand's part keys broadcast into the lineitem scan
+    * (the scan shrinks ~1/|brands| BEFORE any aggregation), the
+    * per-part average is a |brand parts|-sized rollup broadcast back,
+    * and the 20% cut is exact integer cross-multiplication
+    * (`qty_e2 * 5 < avg_qty_e2` — a float threshold would flip
+    * boundary rows between engines). Averages floor-divide exact
+    * longs, q22's convention. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brandParts = Tables.part(spark, dir)
+      .filter($"p_brand" === "Brand#23").select($"p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", Stab.e2($"l_quantity").as("qty_e2"),
+        $"l_extendedprice")
+    val avgQ = li.groupBy($"l_partkey")
+      .agg(expr("sum(qty_e2) div count(1)").as("avg_qty_e2"))
+    li.join(broadcast(avgQ), Seq("l_partkey"))
+      .filter($"qty_e2" * lit(5L) < $"avg_qty_e2")
+      .agg(count(lit(1)).as("n_small_lines"),
+        Stab.e2(sum($"l_extendedprice")).as("total_price_e2"))
+      .select($"n_small_lines", $"total_price_e2",
+        expr("total_price_e2 div 7").as("avg_yearly_e2"))
+  }
+
+  val q17SmallQtySql: String =
+    s"""WITH li AS (
+       |  SELECT l_partkey,
+       |    CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT) AS qty_e2,
+       |    l_extendedprice
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_brand = 'Brand#23'),
+       |avgq AS (
+       |  SELECT l_partkey, sum(qty_e2) // count(*) AS avg_qty_e2
+       |  FROM li GROUP BY l_partkey)
+       |SELECT count(*) AS n_small_lines,
+       |  ${Stab.sqlE2("sum(l_extendedprice)")} AS total_price_e2,
+       |  ${Stab.sqlE2("sum(l_extendedprice)")} // 7 AS avg_yearly_e2
+       |FROM li JOIN avgq USING (l_partkey)
+       |WHERE qty_e2 * 5 < avg_qty_e2""".stripMargin
+
+  /** TPC-H Q19-style disjunctive-predicate revenue: three
+    * (type, size-band, quantity-band) conjunctions OR'd inside the
+    * part⋈lineitem broadcast join. The disjunction evaluates
+    * map-side in the scan's codegen stage — rows failing all three
+    * arms die before any shuffle, and the common `l_partkey =
+    * p_partkey` conjunct still drives the hash join (an OR across
+    * JOIN KEYS would degrade to a nested loop; an OR across FILTERS
+    * does not). Quantities in the synthetic corpus are integral, so
+    * the band bounds compare exactly in both engines. */
+  def q19Disjunct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir).select($"p_partkey", $"p_type", $"p_size")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), $"l_partkey" === $"p_partkey" && (
+        ($"p_type" === "PROMO" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(1.0, 15.0)) ||
+        ($"p_type" === "STANDARD" && $"p_size".between(10, 30) &&
+          $"l_quantity".between(10.0, 30.0)) ||
+        ($"p_type" === "LARGE" && $"p_size".between(20, 50) &&
+          $"l_quantity".between(20.0, 50.0))))
+      .agg(count(lit(1)).as("n_lines"),
+        Stab.e2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("revenue_e2"))
+  }
+
+  val q19DisjunctSql: String =
+    s"""SELECT count(*) AS n_lines,
+       |  ${Stab.sqlE2("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue_e2
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15
+       |        AND l_quantity BETWEEN 1 AND 15)
+       |   OR (p_type = 'STANDARD' AND p_size BETWEEN 10 AND 30
+       |        AND l_quantity BETWEEN 10 AND 30)
+       |   OR (p_type = 'LARGE' AND p_size BETWEEN 20 AND 50
+       |        AND l_quantity BETWEEN 20 AND 50)""".stripMargin
 }
