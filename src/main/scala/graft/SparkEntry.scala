@@ -87,6 +87,8 @@ object SparkEntry {
     "ivf_search_filtered" -> (IvfIndex.ivfSearchFiltered _),
     "text_bm25" -> (graft.text.Bm25.textBm25 _),
     "text_unigram_ll" -> (TextOps.textUnigramLl _),
+    // DSIR-style hashed-ngram importance weights vs a target domain
+    "dsir_importance" -> (TextOps.dsirImportance _),
     "hybrid_rrf" -> (Hybrid.hybridRrfChecked _),
     "mmr_rerank" -> (Rerank.mmrRerankEntry _),
     // dedup family
@@ -130,6 +132,8 @@ object SparkEntry {
     "corpus_card" -> (TextOps.corpusCard _),
     // collections / data model (reference CRUD surface)
     "chunk_documents" -> (Collections.chunkDocuments _),
+    // chunk-embedding mean-pool to document vectors (unit-renormed)
+    "doc_embed_pool" -> (Collections.docEmbedPool _),
     "crud_upsert" -> (Collections.crudUpsert _),
     // the same contract driven through a REAL CollectionStore mutation
     // round-trip (temp dir), sharing crud_upsert's oracle verbatim
@@ -504,6 +508,7 @@ object SparkEntry {
     "ivf_search_filtered" -> IvfIndex.ivfSearchFilteredSql,
     "text_bm25" -> graft.text.Bm25.textBm25Sql,
     "text_unigram_ll" -> TextOps.textUnigramLlSql,
+    "dsir_importance" -> TextOps.dsirImportanceSql,
     "hybrid_rrf" -> Hybrid.hybridRrfCheckedSql,
     "mmr_rerank" -> Rerank.mmrRerankSql,
     "dedup_exact" -> Dedup.exactSql,
@@ -576,6 +581,7 @@ object SparkEntry {
         |) t(doc_id, n_words, n_chars, n_bpe_tokens, cpt_e6, head_toks)
         |ORDER BY doc_id""".stripMargin,
     "chunk_documents" -> Collections.chunkDocumentsSql,
+    "doc_embed_pool" -> Collections.docEmbedPoolSql,
     "crud_upsert" -> Collections.crudUpsertSql,
     "crud_upsert_store" -> Collections.crudUpsertSql,
     "crud_delete_cascade" -> Collections.crudDeleteCascadeSql,

@@ -242,6 +242,60 @@ object Collections {
     * the TEXT query path searches (the reference embeds chunk content
     * at write time and queries against those vectors,
     * main.py:234-238 + 320-341). */
+  /** `doc_embed_pool`: document-level vectors by MEAN-POOLING chunk
+    * embeddings and renormalizing to the unit sphere — the standard
+    * passage→document aggregation a retrieval corpus keeps alongside
+    * its chunk index (long documents overflow any embedder's window;
+    * the pooled vector is the document-granular search key).
+    *
+    * Plan shape: the chunk corpus scans ONCE into (doc, chunk emb);
+    * ONE doc-keyed shuffle gathers each document's chunk vectors
+    * (`collect_list` bounded by chunks-per-doc = ⌈len/stride⌉, a
+    * per-document constant — never corpus-cardinality state); the
+    * element-wise mean and renormalization run map-side as array
+    * HOFs on the d=64 arrays. Output is document-cardinality.
+    *
+    * The registry projection is the oracle-checkable contract —
+    * n_chunks re-derived by DuckDB from the chunking formula, fixed
+    * dim, unit norm after renormalization (e6-exact: doubles land
+    * within 1e-15 of 1.0) — while DocEmbedPoolSpec pins the pooled
+    * VALUES against an independent driver-side mean over the same
+    * chunk embeddings. */
+  def docEmbedPool(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Embedder.DefaultDim
+    val chunks = chunksRaw(spark, dir)
+      .select($"doc_id", Embedder.embedText($"chunk_text").as("emb"))
+    pooledVectors(chunks, dim)
+      .select($"doc_id", $"n_chunks", lit(dim.toLong).as("dim"),
+        Stab.e6(sqrt(dotProduct($"pooled", $"pooled")).cast("double")).as("unit_e6"))
+      .orderBy($"doc_id")
+  }
+
+  /** (doc_id, n_chunks, pooled float[dim]) — mean of `emb` arrays per
+    * doc, L2-renormalized (zero-safe: an all-zero mean stays zero). */
+  private[graft] def pooledVectors(chunks: DataFrame, dim: Int): DataFrame = {
+    import chunks.sparkSession.implicits._
+    chunks.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"), collect_list($"emb").as("embs"))
+      .withColumn("mean",
+        expr(s"transform(aggregate(embs, array_repeat(CAST(0.0 AS DOUBLE), $dim), " +
+          "(acc, x) -> zip_with(acc, x, (a, b) -> a + CAST(b AS DOUBLE))), " +
+          "s -> s / size(embs))"))
+      .withColumn("mnorm",
+        expr("sqrt(aggregate(mean, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v*v))"))
+      .select($"doc_id", $"n_chunks",
+        expr("transform(mean, v -> CAST(CASE WHEN mnorm > 0.0 THEN v / mnorm ELSE 0.0 END AS FLOAT))")
+          .as("pooled"))
+  }
+
+  val docEmbedPoolSql: String =
+    s"""WITH chunks AS ($chunkDocumentsSql)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  CAST(${Embedder.DefaultDim} AS BIGINT) AS dim,
+       |  CAST(1000000 AS BIGINT) AS unit_e6
+       |FROM chunks GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val docEmbCache =
     new graft.store.VersionedMemo[DataFrame](graft.core.Checkpoints.free)
 

@@ -234,6 +234,124 @@ object TextOps {
        |  sum_lp_e6 >= -3450000 * n_tokens AS keep
        |FROM perdoc ORDER BY doc_id""".stripMargin
 
+  // ---- dsir_importance (hashed n-gram importance resampling) -------------
+
+  /** Hashed feature buckets for [[dsirImportance]]. DSIR's bag-of-
+    * hashed-ngrams keeps the model size FIXED at any corpus size —
+    * the two distribution estimates are B-row tables regardless of
+    * vocabulary, which is what makes the method serviceable at
+    * 100 TB (a raw-vocab bigram LM would be corpus-sized). */
+  val dsirBuckets = 8192
+  private val dsirTargetLang = "en"
+
+  /** `dsir_importance`: Data Selection via Importance Resampling
+    * (Xie et al., arXiv:2302.03169) — score every raw document by
+    * how much more likely its hashed unigram+bigram bag is under a
+    * TARGET domain's distribution than under the raw corpus's own:
+    * `log w(x) = Σ_f tf_f · (ln p̂_target[f] − ln p̂_raw[f])`, add-1
+    * smoothed over the B buckets. Target here = the `en` slice (the
+    * classic select-in-domain-like-data demo — the synthetic sources
+    * are homogeneous mixtures, but languages are genuinely distinct
+    * distributions); a real pipeline swaps the target predicate.
+    * Features are 60-bit-hashed into B buckets with the same
+    * md5-based [[hash60]] both engines share. A doc keeps iff its
+    * per-feature MEAN log-ratio beats the corpus mean — a relative
+    * cut (DSIR resamples by relative weight; an absolute sign test is
+    * inert when target and raw share most content vocabulary, as this
+    * synthetic corpus does). The comparison is exact integer
+    * cross-multiplication of the two (sum, count) pairs — no float
+    * aggregation, no global sort, just a broadcast one-row total.
+    *
+    * Plan shape: one tokenize+explode scan into (doc, bucket, tf)
+    * postings (the same intermediate `text_unigram_ll` keeps), the
+    * two distribution estimates collapse to ≤ B-row frames which
+    * BROADCAST back onto the postings (never a shuffle of the corpus
+    * against the model), one per-doc partial-agged rollup. Per-bucket
+    * log-probabilities are e6-stabilized then tf-multiplied and
+    * long-summed — no float aggregation; the keep verdict
+    * (mean log-ratio > 0 ⇔ likelier under target) compares exact
+    * integer cross-products. */
+  def dsirImportance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val B = dsirBuckets
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", ($"lang" === dsirTargetLang).as("is_target"),
+        tokens($"text").as("w"))
+    val feats = toks.select($"doc_id", $"is_target",
+        explode(concat(shingles($"w", 1), shingles($"w", 2))).as("g"))
+      .select($"doc_id", $"is_target", (hash60($"g") % B).as("b"))
+    val postings = feats.groupBy($"doc_id", $"is_target", $"b")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    def dist(side: DataFrame): DataFrame = side.groupBy($"b")
+      .agg(sum($"tf").as("cnt"))
+    val tgt = dist(postings.filter($"is_target"))
+      .withColumnRenamed("cnt", "tcnt")
+    val raw = dist(postings).withColumnRenamed("cnt", "rcnt")
+    val tots = postings.agg(
+      sum(when($"is_target", $"tf").otherwise(0L)).cast("double").as("tn"),
+      sum($"tf").cast("double").as("rn"))
+    postings
+      .join(broadcast(tgt), Seq("b"), "left")
+      .join(broadcast(raw), Seq("b"))
+      .crossJoin(broadcast(tots))
+      .select($"doc_id", $"tf",
+        ($"tf" * (
+          Stab.e6(log((coalesce($"tcnt", lit(0L)).cast("double") + 1.0) / ($"tn" + B))) -
+          Stab.e6(log(($"rcnt".cast("double") + 1.0) / ($"rn" + B)))
+        )).as("lr_e6"))
+      .groupBy($"doc_id").agg(
+        sum($"tf").as("n_feats"),
+        sum($"lr_e6").as("sum_lr_e6"))
+      .transform { perDoc =>
+        val corpus = perDoc.agg(
+          sum($"n_feats").as("tot_feats"), sum($"sum_lr_e6").as("tot_lr_e6"))
+        perDoc.crossJoin(broadcast(corpus))
+          .select($"doc_id", $"n_feats", $"sum_lr_e6",
+            ($"sum_lr_e6" * $"tot_feats" > $"n_feats" * $"tot_lr_e6").as("keep"))
+      }
+      .orderBy($"doc_id")
+  }
+
+  val dsirImportanceSql: String = {
+    val B = dsirBuckets
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang = '$dsirTargetLang' AS is_target,
+       |    $tokensSql AS w
+       |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id, is_target, ${hash60Sql("g")} % $B AS b
+       |  FROM (SELECT doc_id, is_target,
+       |          unnest(list_concat(${shinglesSql("w", 1)}, ${shinglesSql("w", 2)})) AS g
+       |        FROM toks)),
+       |posting AS (
+       |  SELECT doc_id, is_target, b, count(*) AS tf
+       |  FROM feats GROUP BY doc_id, is_target, b),
+       |tgt AS (SELECT b, sum(tf) AS tcnt FROM posting WHERE is_target GROUP BY b),
+       |raw AS (SELECT b, sum(tf) AS rcnt FROM posting GROUP BY b),
+       |tots AS (
+       |  SELECT CAST(sum(CASE WHEN is_target THEN tf ELSE 0 END) AS DOUBLE) AS tn,
+       |    CAST(sum(tf) AS DOUBLE) AS rn
+       |  FROM posting),
+       |perdoc AS (
+       |  SELECT p.doc_id, sum(p.tf) AS n_feats,
+       |    sum(p.tf * (
+       |      ${Stab.sqlE6(s"ln((CAST(coalesce(t.tcnt, 0) AS DOUBLE) + 1.0) / (tots.tn + $B))")} -
+       |      ${Stab.sqlE6(s"ln((CAST(r.rcnt AS DOUBLE) + 1.0) / (tots.rn + $B))")}
+       |    )) AS sum_lr_e6
+       |  FROM posting p
+       |  LEFT JOIN tgt t USING (b)
+       |  JOIN raw r USING (b)
+       |  CROSS JOIN tots
+       |  GROUP BY p.doc_id),
+       |corpus AS (
+       |  SELECT sum(n_feats) AS tot_feats, sum(sum_lr_e6) AS tot_lr_e6
+       |  FROM perdoc)
+       |SELECT doc_id, n_feats, sum_lr_e6,
+       |  sum_lr_e6 * tot_feats > n_feats * tot_lr_e6 AS keep
+       |FROM perdoc CROSS JOIN corpus ORDER BY doc_id""".stripMargin
+  }
+
   // ---- text_fingerprint (winnowing) --------------------------------------
 
   /** Winnowing fingerprints: char 8-grams → 60-bit rolling hash set →

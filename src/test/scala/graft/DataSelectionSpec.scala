@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent driver-side references for the two data-selection ops
+  * added in r7: `doc_embed_pool` is checked value-for-value against a
+  * plain Scala mean over the same chunk embeddings, `dsir_importance`
+  * against a from-scratch reimplementation of the hashed-ngram
+  * log-ratio scoring (own tokenizer, own md5 hashing, own smoothing
+  * arithmetic) — both tiny at the spec SF but computed by a different
+  * code path than the operator under test. */
+class DataSelectionSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("doc_embed_pool equals a driver-side mean of the chunk embeddings, renormalized") {
+    val dim = graft.embed.Embedder.DefaultDim
+    // chunk embeddings via the public chunker + embedder (the same
+    // inputs the operator consumes), pooled independently in Scala
+    val chunkEmbs = graft.operators.Collections.chunkDocuments(spark, sf)
+      .select($"doc_id", graft.embed.Embedder.embedText($"chunk_text").as("emb"))
+      .as[(Long, Array[Float])].collect()
+    val expected = chunkEmbs.groupBy(_._1).map { case (doc, rows) =>
+      val n = rows.length
+      val mean = Array.tabulate(dim)(i => rows.map(_._2(i).toDouble).sum / n)
+      val norm = math.sqrt(mean.map(v => v * v).sum)
+      val unit =
+        if (norm > 0.0) mean.map(v => (v / norm).toFloat) else mean.map(_ => 0f)
+      doc -> ((n.toLong, unit))
+    }
+    val pooled = graft.operators.Collections.pooledVectors(
+        graft.operators.Collections.chunkDocuments(spark, sf)
+          .select($"doc_id", graft.embed.Embedder.embedText($"chunk_text").as("emb")),
+        dim)
+      .as[(Long, Long, Array[Float])].collect()
+      .map { case (d, n, v) => d -> ((n, v)) }.toMap
+    assert(pooled.keySet == expected.keySet && pooled.nonEmpty)
+    expected.foreach { case (doc, (n, want)) =>
+      val (gotN, got) = pooled(doc)
+      assert(gotN == n, s"doc $doc chunk count")
+      want.zip(got).zipWithIndex.foreach { case ((w, g), i) =>
+        assert(math.abs(w - g) < 1e-6f, s"doc $doc component $i: $w vs $g")
+      }
+    }
+    // pooling is load-bearing: some doc has >1 chunk, and for those the
+    // pooled vector differs from any single chunk's embedding
+    assert(expected.values.exists(_._1 > 1))
+    // the registry projection holds its contract on every row
+    val grid = graft.operators.Collections.docEmbedPool(spark, sf).collect()
+    assert(grid.length == expected.size)
+    grid.foreach { r =>
+      assert(r.getAs[Long]("dim") == dim.toLong)
+      assert(r.getAs[Long]("unit_e6") == 1000000L,
+        s"doc ${r.getAs[Long]("doc_id")} not unit after renorm")
+    }
+  }
+
+  test("dsir_importance equals an independent hashed-ngram log-ratio scorer") {
+    val B = graft.text.TextOps.dsirBuckets
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+    def toks(t: String): Array[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    def hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def features(t: String): Seq[Long] = {
+      val w = toks(t)
+      val unis = w.toSeq
+      val bis = if (w.length >= 2) w.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty
+      (unis ++ bis).map(g => hash60(g) % B)
+    }
+    val perDoc = docs.map { case (id, lang, text) =>
+      (id, lang == "en", features(text).groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    }
+    val tgtCnt = new scala.collection.mutable.HashMap[Long, Long]()
+    val rawCnt = new scala.collection.mutable.HashMap[Long, Long]()
+    perDoc.foreach { case (_, isT, fs) =>
+      fs.foreach { case (b, tf) =>
+        rawCnt(b) = rawCnt.getOrElse(b, 0L) + tf
+        if (isT) tgtCnt(b) = tgtCnt.getOrElse(b, 0L) + tf
+      }
+    }
+    val tn = tgtCnt.values.sum.toDouble
+    val rn = rawCnt.values.sum.toDouble
+    def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val sums = perDoc.map { case (id, _, fs) =>
+      val nf = fs.values.sum
+      val slr = fs.map { case (b, tf) =>
+        tf * (e6(math.log((tgtCnt.getOrElse(b, 0L) + 1.0) / (tn + B))) -
+          e6(math.log((rawCnt(b) + 1.0) / (rn + B))))
+      }.sum
+      (id, nf, slr)
+    }
+    val totFeats = sums.map(_._2).sum
+    val totLr = sums.map(_._3).sum
+    val expected = sums.map { case (id, nf, slr) =>
+      id -> ((nf, slr, slr * totFeats > nf * totLr))
+    }.toMap
+    val got = graft.text.TextOps.dsirImportance(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map { case (id, nf, slr, k) => id -> ((nf, slr, k)) }.toMap
+    assert(got == expected)
+    // the verdict is load-bearing on this corpus: both arms fire, and
+    // the target slice itself scores likelier-under-target on average
+    // (the method's sanity property)
+    val kept = expected.valuesIterator.count(_._3)
+    assert(kept > 0 && kept < expected.size)
+    val bySrc = docs.map { case (id, lang, _) => (lang == "en", expected(id)._3) }
+    val tgtKeepRate = { val t = bySrc.filter(_._1); t.count(_._2).toDouble / t.length }
+    val otherKeepRate = { val o = bySrc.filterNot(_._1); o.count(_._2).toDouble / o.length }
+    assert(tgtKeepRate > otherKeepRate,
+      s"target keep rate $tgtKeepRate not above non-target $otherKeepRate — scoring inert")
+  }
+}
