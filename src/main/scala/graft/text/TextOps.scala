@@ -303,6 +303,9 @@ object TextOps {
       .groupBy($"doc_id").agg(
         sum($"tf").as("n_feats"),
         sum($"lr_e6").as("sum_lr_e6"))
+      // checkpoint the doc-cardinality scores so the corpus-total
+      // branch reads them instead of re-running the scoring subtree
+      .localCheckpoint(true)
       .transform { perDoc =>
         val corpus = perDoc.agg(
           sum($"n_feats").as("tot_feats"), sum($"sum_lr_e6").as("tot_lr_e6"))
