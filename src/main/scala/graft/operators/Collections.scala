@@ -542,6 +542,87 @@ object Collections {
       k: Int = 10): DataFrame =
     chunkHitsGrid(spark, dir, queryTextChunks(spark, dir, k = k))
 
+  /** `query_text_maxsim`: ColBERT-style LATE-INTERACTION document
+    * retrieval (Khattab & Zaharia, SIGIR'20) — the query text is
+    * embedded PER TERM instead of as one pooled vector, and a
+    * document's score is the MaxSim sum: for each query term, the
+    * best cosine any of the document's chunk embeddings achieves,
+    * summed over terms. Late interaction keeps per-term/per-chunk
+    * granularity through scoring (a single pooled query vector
+    * averages away rare terms), which is why it out-ranks bi-encoder
+    * pooling on multi-aspect queries.
+    *
+    * Plan shape: the ≤|terms| query vectors ride ONE broadcast into
+    * the chunk-embedding scan (corpus scanned once, scored map-side
+    * terms× per chunk); the MaxSim reduction is two partial-agged
+    * shuffles — (doc, term) max then doc sum — both collapsing
+    * BEFORE the top-k cut, which is a TakeOrdered, never a global
+    * sort. Per-term maxes are e6-stabilized before the long sum, so
+    * ranking and ties are engine-exact.
+    *
+    * Served through [[queryTextMaxsimChecked]]'s invariant grid (the
+    * ANN /query convention — the score bound is ±n_terms·1e6);
+    * RetrievalOpsSpec pins exact hit-set and score parity against a
+    * driver-side brute MaxSim over the same chunk embeddings. */
+  def queryTextMaxsim(spark: SparkSession, dir: String,
+      queryText: String = DemoQueryText, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val terms = queryText.toLowerCase.split("[^a-z0-9]+")
+      .filter(_.nonEmpty).distinct.toSeq
+    val qterms = terms.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("term_id", "term")
+      .select($"term_id", Embedder.embedText($"term").as("qvec"))
+    val scored = chunkEmbeddings(spark, dir)
+      .select(expr(s"vec_id div $chunkIdBase").as("doc_id"), $"embedding")
+      .join(broadcast(qterms))
+      .select($"doc_id", $"term_id",
+        Stab.e6(cosineSim($"embedding", $"qvec").cast("double")).as("cos_e6"))
+      .groupBy($"doc_id", $"term_id").agg(max($"cos_e6").as("term_max_e6"))
+      .groupBy($"doc_id").agg(sum($"term_max_e6").as("score_e6"))
+    // TakeOrdered cut + k² self-join rank recovery (the topKSingle
+    // convention — a global window here would funnel the doc frame
+    // into one task)
+    val top = scored.orderBy($"score_e6".desc, $"doc_id".asc).limit(k)
+      .localCheckpoint(true)
+    val beatsOrEq = col("b.score_e6") > col("a.score_e6") ||
+      (col("b.score_e6") === col("a.score_e6") && col("b.doc_id") <= col("a.doc_id"))
+    val hits = top.as("a").join(top.as("b"), beatsOrEq)
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.score_e6").as("score_e6"))
+      .agg(count(lit(1)).cast("long").as("rank"))
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", substring($"text", 1, 40).as("content"))
+    docs.join(broadcast(hits), Seq("doc_id"))
+      .select($"rank", $"doc_id", $"content", $"score_e6".as("confidence_e6"))
+      .orderBy($"rank")
+  }
+
+  /** Invariant grid over [[queryTextMaxsim]] (the checked /query
+    * convention): ranks 1..k, every hit a real document, content =
+    * that document's prefix, score inside ±n_terms·1e6, ranking
+    * non-increasing — all-true grid shared with the other checked
+    * text queries. */
+  def queryTextMaxsimChecked(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val nTerms = DemoQueryText.toLowerCase.split("[^a-z0-9]+")
+      .filter(_.nonEmpty).distinct.length.toLong
+    val base = queryTextMaxsim(spark, dir, k = k)
+      .select($"rank", $"doc_id".as("id"), $"content", $"confidence_e6")
+      .localCheckpoint(true)
+    val expected = Tables.documents(spark, dir)
+      .join(broadcast(base.select($"id")), $"doc_id" === $"id", "left_semi")
+      .select($"doc_id".as("id"), substring($"text", 1, 40).as("expected_content"))
+    val next = base.select(($"rank" - 1).as("rank"), $"confidence_e6".as("next_conf"))
+    base.join(broadcast(expected), Seq("id"), "left")
+      .join(broadcast(next), Seq("rank"), "left")
+      .select($"rank",
+        $"expected_content".isNotNull.as("id_in_corpus"),
+        coalesce($"content" === $"expected_content", lit(false)).as("content_ok"),
+        $"confidence_e6".between(-1000000L * nTerms, 1000000L * nTerms).as("score_bounded"),
+        coalesce($"next_conf" <= $"confidence_e6", lit(true)).as("next_not_higher"))
+      .orderBy($"rank")
+  }
+
   /** The invariant grid shared by every chunk-granular /query view: a
     * (rank, doc_id, chunk_idx, content, confidence_e6) hit frame maps
     * to per-rank flags the all-true SQL oracle pins. */

@@ -388,4 +388,58 @@ class RetrievalOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("var_num") >= 0L)
     }
   }
+
+  test("query_text_maxsim equals a driver-side brute MaxSim over the same chunk embeddings") {
+    val k = 10
+    // independent recompute: chunk embeddings via the public chunker +
+    // embedder, per-term max cosine summed per doc, e6 per-term floors
+    val chunkEmbs = graft.operators.Collections.chunkDocuments(spark, sf)
+      .select($"doc_id", graft.embed.Embedder.embedText($"chunk_text").as("emb"))
+      .as[(Long, Array[Float])].collect()
+    val terms = graft.operators.Collections.DemoQueryText.toLowerCase
+      .split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+    val qvecs = terms.toSeq.toDF("t")
+      .select(graft.embed.Embedder.embedText($"t")).as[Array[Float]].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val expected = chunkEmbs.groupBy(_._1).map { case (doc, rows) =>
+      doc -> qvecs.map(q => rows.map(r => e6(cos(r._2, q))).max).sum
+    }.toSeq.sortBy { case (d, s) => (-s, d) }.take(k)
+    val got = graft.operators.Collections.queryTextMaxsim(spark, sf, k = k)
+      .select($"rank", $"doc_id", $"confidence_e6")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == k)
+    got.zip(expected).zipWithIndex.foreach { case (((rank, doc, score), (wDoc, wScore)), i) =>
+      assert(rank == i + 1)
+      assert(doc == wDoc && score == wScore,
+        s"rank ${i + 1}: got ($doc, $score) want ($wDoc, $wScore)")
+    }
+    // late interaction is load-bearing: MaxSim's ranking differs from
+    // the pooled single-vector ranking somewhere in the top k
+    val pooledTop = {
+      val full = graft.core.Tables.documents(spark, sf)
+        .select($"doc_id", graft.embed.Embedder.embedText(lit(
+          graft.operators.Collections.DemoQueryText)).as("q"),
+          graft.embed.Embedder.embedText($"text").as("d"))
+        .select($"doc_id", graft.functions.vectors.cosineSim($"q", $"d").as("c"))
+        .as[(Long, Double)].collect()
+      full.sortBy { case (d, c) => (-e6(c), d) }.take(k).map(_._1).toSeq
+    }
+    assert(got.map(_._2).toSeq != pooledTop,
+      "MaxSim ranking identical to pooled ranking — late interaction inert")
+    // the checked grid the registry serves is all-true
+    val grid = graft.operators.Collections.queryTextMaxsimChecked(spark, sf).collect()
+    assert(grid.length == k)
+    grid.foreach { r =>
+      assert(r.getAs[Boolean]("id_in_corpus") && r.getAs[Boolean]("content_ok") &&
+        r.getAs[Boolean]("score_bounded") && r.getAs[Boolean]("next_not_higher"))
+    }
+  }
 }
