@@ -173,6 +173,8 @@ object SparkEntry {
     // payload-level media dedup summary; oracle re-derives every
     // number analytically from the documented GRFT1 byte layout
     "mm_dedup" -> (Media.mmDedup _),
+    // perceptual-hash (aHash) image near-dup summary, simhash-banded
+    "mm_phash" -> (Media.mmPhash _),
     "embed_text" -> (embedText _),
     "embed_text_golden" -> (embedTextGolden _),
     // libraries level + write-path invariants
@@ -606,6 +608,7 @@ object SparkEntry {
     "crud_upsert_embed" -> Libraries.crudUpsertEmbedCheckedSql,
     "mm_features_golden" -> Media.mmFeaturesGoldenSql,
     "mm_dedup" -> Media.mmDedupSql,
+    "mm_phash" -> Media.mmPhashSql,
     "crud_library" -> Libraries.crudLibrarySql,
     "crud_integrity" -> Libraries.crudIntegritySql,
     "crud_library_cascade" -> Libraries.crudLibraryCascadeSql,

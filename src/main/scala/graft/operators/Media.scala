@@ -69,6 +69,38 @@ object MediaCodec {
     Some(Decoded(w, h, f, px))
   }
 
+  /** 64-bit AVERAGE-HASH of frame 0 (the aHash member of the
+    * perceptual-hash family image dedup pipelines run): box-average
+    * the frame onto an 8×8 cell grid, then bit c = cell-mean(c) >
+    * mean of cell means. Deterministic for any frame geometry (cells
+    * a short frame never maps onto stay 0 — fewer live bits, same
+    * hash both sides of a comparison). Equal frame-0 pixels ⇒ equal
+    * hash; small pixel perturbations flip few bits, which is the
+    * property the hamming-banded near-dup join exploits. */
+  def phash64(d: Decoded): Long = {
+    val w = d.width; val h = d.height
+    val sums = new Array[Long](64); val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val c = cy * 8 + (x * 8 / w)
+        sums(c) += d.pixels(y * w + x) & 0xff
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(64)(i =>
+      if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))
+    val mean = means.sum / 64.0
+    var hash = 0L
+    var i = 0
+    while (i < 64) { if (means(i) > mean) hash |= (1L << i); i += 1 }
+    hash
+  }
+
   /** 2× box-filter downsample of one frame — the "resize" feature
     * step (mean of each 2×2 block, truncating odd edges). */
   def downsample2x(d: Decoded, frame: Int): Array[Byte] = {
@@ -254,6 +286,91 @@ object Media {
       |  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM g WHERE n > 1) AS n_dup_members,
       |  (SELECT CAST(sum(bytes) AS BIGINT) FROM p) AS bytes_total,
       |  (SELECT CAST(coalesce(sum((n - 1) * b), 0) AS BIGINT) FROM g WHERE n > 1) AS bytes_saved""".stripMargin
+
+  /** (doc_id, phash) for every payload that decodes — the binary is
+    * dropped map-side; only 8-byte hashes ever reach a shuffle. */
+  private[graft] def phashFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaRecords(spark, dir).mapPartitions { it =>
+      it.flatMap(r => MediaCodec.decode(r.payload).map(d => (r.doc_id, MediaCodec.phash64(d))))
+    }.toDF("doc_id", "phash")
+  }
+
+  /** Perceptual near-dup pairs over the media corpus: phash-banded
+    * candidates (4 × 16-bit bands — `dedup_simhash`'s discipline on
+    * the image hash) confirmed at hamming ≤ 6. Linear: per-band
+    * bucket equality joins, never n² — the image-dedup step of a
+    * multimodal training pipeline, run entirely on 8-byte hashes. */
+  private[graft] def mmPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = phashFrame(spark, dir).cache()
+    val bands = hashed.select($"doc_id", $"phash",
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .select($"doc_id", $"phash", $"b",
+        expr("shiftright(phash, cast(b * 16 AS int)) & 65535").as("bv"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.phash ^ y.phash)").cast(LongType).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 6)
+  }
+
+  /** Pinned doc ids + their INDEPENDENT-Python phash values
+    * (tools/golden_phash.py on sf0.01 — the embed_text_golden
+    * pattern: a cross-implementation VALUE oracle over the whole
+    * encode→decode→average-hash path; silent drift in header layout,
+    * pixel mixing, cell mapping, or bit order flips the hash). */
+  private val phashGoldenPins: Seq[(Long, Long)] = Seq(
+    0L -> 71777218556133369L,
+    7L -> 2251816993554240L,
+    123L -> 72057589759732160L)
+
+  /** `mm_phash`: the perceptual image-dedup surface served as its
+    * strongest driver-checkable projection — three golden phash
+    * VALUES (independent Python reimplementation, pinned to the
+    * sf0.01 corpus the oracle evaluates), the decode-validity count,
+    * and a well-formedness residual over every emitted near-dup pair
+    * (emitted − wellformed, predicted 0: a pair with a missing side,
+    * inverted key order, or out-of-band hamming makes it positive).
+    * The pair table itself is approximate (banded candidates), so
+    * MediaSpec carries its exactness: a driver-side brute recompute
+    * of the full banded pair set, plus injected perturbed payloads
+    * that fire the 0 < hamming ≤ 6 near-dup arm. */
+  def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = phashFrame(spark, dir).localCheckpoint(true)
+    val pairs = mmPhashPairs(spark, dir).localCheckpoint(true)
+    val wellformed = pairs
+      .join(hashed.select($"doc_id".as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(hashed.select($"doc_id".as("doc_b")), Seq("doc_b"), "left_semi")
+      .filter($"doc_a" < $"doc_b" && $"hamming".between(0L, 6L))
+    val counters = hashed.agg(count(lit(1)).as("n_valid"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_emitted")))
+      .crossJoin(wellformed.agg(count(lit(1)).as("n_ok")))
+      .select(
+        array(
+          struct(lit(-2L).as("doc_id"), $"n_valid".as("phash")),
+          struct(lit(-1L).as("doc_id"), ($"n_emitted" - $"n_ok").as("phash"))
+        ).as("rows"))
+      .select(explode($"rows").as("r")).select($"r.doc_id", $"r.phash")
+    val pinned = hashed
+      .filter($"doc_id".isin(phashGoldenPins.map(_._1): _*))
+      .select($"doc_id", $"phash")
+    counters.unionByName(pinned).orderBy($"doc_id")
+  }
+
+  val mmPhashSql: String = {
+    val pins = phashGoldenPins
+      .map { case (id, h) => s"SELECT CAST($id AS BIGINT) AS doc_id, CAST($h AS BIGINT) AS phash" }
+      .mkString("\n      |UNION ALL ")
+    s"""SELECT CAST(-2 AS BIGINT) AS doc_id,
+       |  (SELECT count(*) - 1 FROM documents) AS phash
+       |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+       |UNION ALL $pins
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** The stored-media stand-in: encode text into GRFT1 payloads with
     * typed metadata; 1 + doc_id%4 frames so frame sampling varies.

@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Independent reference for the GRFT1 average-hash (mm_phash pins).
+
+Reimplements, from the documented algorithm only (Media.scala
+scaladoc), the payload encode (magic, w=8+len%24, h=4+len%12, frames,
+pixel = (textbyte + 31*f + i) % 256) and the 8x8 average-hash of
+frame 0 (box-average cells, bit c = cell mean > mean of cell means,
+empty cells = 0). Prints doc_id, phash for the pinned doc ids on
+sf0.01 — the literals in Media.mmPhashSql.
+
+Usage: python3 tools/golden_phash.py [sf_dir] [doc_id...]
+"""
+import sys
+
+import duckdb
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ids = [int(x) for x in sys.argv[2:]] or [0, 7, 123]
+
+rows = duckdb.connect().execute(
+    f"SELECT doc_id, text FROM '{sf}/documents.parquet' WHERE doc_id IN ({','.join(map(str, ids))})"
+).fetchall()
+
+
+def phash(text: str) -> int:
+    b = text.encode("utf-8")
+    w = 8 + len(b) % 24
+    h = 4 + len(b) % 12
+    # frame 0 pixels
+    px = [((b[i % len(b)] if b else 0) + i) % 256 for i in range(w * h)]
+    sums = [0] * 64
+    counts = [0] * 64
+    for y in range(h):
+        cy = y * 8 // h
+        for x in range(w):
+            c = cy * 8 + x * 8 // w
+            sums[c] += px[y * w + x]
+            counts[c] += 1
+    means = [sums[i] / counts[i] if counts[i] else 0.0 for i in range(64)]
+    mean = sum(means) / 64.0
+    hv = 0
+    for i in range(64):
+        if means[i] > mean:
+            hv |= 1 << i
+    # two's-complement to signed 64-bit (Spark LongType)
+    return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
+for doc_id, text in sorted(rows):
+    print(doc_id, phash(text))
