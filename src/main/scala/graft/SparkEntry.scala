@@ -109,6 +109,8 @@ object SparkEntry {
     // the spans dedup_substring excludes, reported as a stopspan list
     "dedup_boilerplate" -> ((s: SparkSession, d: String) => Dedup.boilerplateSpans(s, d)),
     "contamination_check" -> (Dedup.contamination _),
+    // per-pair method-agreement bitmask across minhash/simhash/spans
+    "dedup_ensemble" -> (Dedup.ensemble _),
     // text analysis family
     "text_tokens" -> (TextOps.textTokens _),
     "text_quality" -> (TextOps.textQuality _),
@@ -527,6 +529,7 @@ object SparkEntry {
     "dedup_substring" -> Dedup.substringSpansSql,
     "dedup_boilerplate" -> Dedup.boilerplateSpansSql,
     "contamination_check" -> Dedup.contaminationSql,
+    "dedup_ensemble" -> Dedup.ensembleSql,
     "text_tokens" -> TextOps.textTokensSql,
     "text_quality" -> TextOps.textQualitySql,
     "text_lang_id" -> TextOps.textLangIdSql,

@@ -494,6 +494,52 @@ object Dedup {
        |SELECT doc_id, min(r) AS component, CAST(doc_id = min(r) AS BIGINT) AS keep
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** `dedup_ensemble`: near-dup pair PROVENANCE across the three
+    * text-level detectors — MinHash (set-resemblance), SimHash
+    * (weighted-feature hamming), and verbatim-span sharing. Real
+    * pipelines run several detectors because each misses a different
+    * duplication mode (reorderings beat spans, short texts beat
+    * minhash bands, topical twins beat simhash); the ensemble table
+    * records, per candidate pair, WHICH methods fired as a bitmask
+    * (1=minhash, 2=simhash, 4=substring) and how many agreed — the
+    * evidence column a dedup-threshold review reads before choosing
+    * what to drop.
+    *
+    * Scale shape: the three pair tables are each linear (banded/
+    * posting joins, never n²); the ensemble adds ONE (doc_a, doc_b)
+    * partial-agged shuffle over their union. Thresholds match each
+    * method's own registry entry, so the union is exactly "what the
+    * individual detectors reported", made joinable. */
+  def ensemble(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mh = minhash(spark, dir).filter($"est_jaccard_e6" >= 500000L)
+      .select($"doc_a", $"doc_b", lit(1L).as("m"))
+    val sh = simhash(spark, dir)
+      .select($"doc_a", $"doc_b", lit(2L).as("m"))
+    val ss = substringSpans(spark, dir)
+      .select($"doc_a", $"doc_b", lit(4L).as("m"))
+    mh.unionByName(sh).unionByName(ss)
+      .groupBy($"doc_a", $"doc_b")
+      .agg(sum($"m").as("method_mask"),
+        count(lit(1)).as("n_methods"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val ensembleSql: String =
+    s"""WITH mh AS (
+       |  SELECT doc_a, doc_b, 1 AS m FROM ($minhashSql) t
+       |  WHERE est_jaccard_e6 >= 500000
+       |), sh AS (
+       |  SELECT doc_a, doc_b, 2 AS m FROM ($simhashSql) t
+       |), ss AS (
+       |  SELECT doc_a, doc_b, 4 AS m FROM ($substringSpansSql) t
+       |), u AS (
+       |  SELECT * FROM mh UNION ALL SELECT * FROM sh UNION ALL SELECT * FROM ss
+       |)
+       |SELECT doc_a, doc_b, CAST(sum(m) AS BIGINT) AS method_mask,
+       |  count(*) AS n_methods
+       |FROM u GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
+
   /** `dedup_keep_best`: component dedup with a QUALITY survivor — the
     * choice a real pipeline makes: within each near-dup component keep
     * the LONGEST member (most tokens, tie → smaller doc_id), not the

@@ -115,4 +115,26 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(tgtKeepRate > otherKeepRate,
       s"target keep rate $tgtKeepRate not above non-target $otherKeepRate — scoring inert")
   }
+
+  test("dedup_ensemble equals the per-method union; the methods genuinely disagree") {
+    import graft.dedup.Dedup
+    val mh = Dedup.minhash(spark, sf).filter($"est_jaccard_e6" >= 500000L)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val sh = Dedup.simhash(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val ss = Dedup.substringSpans(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val expected = (mh ++ sh ++ ss).map { p =>
+      val mask = (if (mh(p)) 1L else 0L) + (if (sh(p)) 2L else 0L) + (if (ss(p)) 4L else 0L)
+      p -> ((mask, java.lang.Long.bitCount(mask).toLong))
+    }.toMap
+    val got = Dedup.ensemble(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (a, b, m, n) => (a, b) -> ((m, n)) }.toMap
+    assert(got == expected && got.nonEmpty)
+    // the ensemble is load-bearing: at least one pair that only a
+    // single method catches AND at least one multi-method agreement
+    assert(expected.values.exists(_._2 == 1L), "no single-method pair — union inert")
+    assert(expected.values.exists(_._2 >= 2L), "no multi-method agreement")
+  }
 }
