@@ -162,6 +162,8 @@ object SparkEntry {
     "query_text_chunks" -> ((s: SparkSession, d: String) => Collections.queryTextChunksChecked(s, d)),
     // ColBERT-style late-interaction (MaxSim) document retrieval
     "query_text_maxsim" -> ((s: SparkSession, d: String) => Collections.queryTextMaxsimChecked(s, d)),
+    // MaxSim served entirely from the durable persistChunks layout
+    "query_maxsim_persisted" -> ((s: SparkSession, d: String) => Collections.queryTextMaxsimPersistedChecked(s, d)),
     "query_chunks_persisted_ivf" -> ((s: SparkSession, d: String) =>
       Collections.queryTextChunksPersistedChecked(s, d, "ivf")),
     "query_chunks_persisted_nsw" -> ((s: SparkSession, d: String) =>
@@ -602,6 +604,7 @@ object SparkEntry {
     "query_text_nsw" -> Collections.queryTextCheckedSql,
     "query_text_chunks" -> Collections.queryTextCheckedSql,
     "query_text_maxsim" -> Collections.queryTextCheckedSql,
+    "query_maxsim_persisted" -> Collections.queryTextCheckedSql,
     "query_chunks_persisted_ivf" -> Collections.queryTextCheckedSql,
     "query_chunks_persisted_nsw" -> Collections.queryTextCheckedSql,
     "persist_chunks_build" -> Collections.persistChunksBuildSql,

@@ -567,31 +567,58 @@ object Collections {
   def queryTextMaxsim(spark: SparkSession, dir: String,
       queryText: String = DemoQueryText, k: Int = 10): DataFrame = {
     import spark.implicits._
+    val hits = maxsimHits(spark, chunkEmbeddings(spark, dir), queryText, k)
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", substring($"text", 1, 40).as("content"))
+    docs.join(broadcast(hits), Seq("doc_id"))
+      .select($"rank", $"doc_id", $"content", $"score_e6".as("confidence_e6"))
+      .orderBy($"rank")
+  }
+
+  /** The MaxSim scoring core over any (vec_id, embedding) chunk
+    * corpus: per-term broadcast scoring, (doc, term) max → doc sum,
+    * TakeOrdered cut + k² self-join rank recovery (the topKSingle
+    * convention — a global window here would funnel the doc frame
+    * into one task). */
+  private def maxsimHits(spark: SparkSession, corpus: DataFrame,
+      queryText: String, k: Int): DataFrame = {
+    import spark.implicits._
     val terms = queryText.toLowerCase.split("[^a-z0-9]+")
       .filter(_.nonEmpty).distinct.toSeq
     val qterms = terms.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("term_id", "term")
       .select($"term_id", Embedder.embedText($"term").as("qvec"))
-    val scored = chunkEmbeddings(spark, dir)
+    val scored = corpus
       .select(expr(s"vec_id div $chunkIdBase").as("doc_id"), $"embedding")
       .join(broadcast(qterms))
       .select($"doc_id", $"term_id",
         Stab.e6(cosineSim($"embedding", $"qvec").cast("double")).as("cos_e6"))
       .groupBy($"doc_id", $"term_id").agg(max($"cos_e6").as("term_max_e6"))
       .groupBy($"doc_id").agg(sum($"term_max_e6").as("score_e6"))
-    // TakeOrdered cut + k² self-join rank recovery (the topKSingle
-    // convention — a global window here would funnel the doc frame
-    // into one task)
     val top = scored.orderBy($"score_e6".desc, $"doc_id".asc).limit(k)
       .localCheckpoint(true)
     val beatsOrEq = col("b.score_e6") > col("a.score_e6") ||
       (col("b.score_e6") === col("a.score_e6") && col("b.doc_id") <= col("a.doc_id"))
-    val hits = top.as("a").join(top.as("b"), beatsOrEq)
+    top.as("a").join(top.as("b"), beatsOrEq)
       .groupBy(col("a.doc_id").as("doc_id"), col("a.score_e6").as("score_e6"))
       .agg(count(lit(1)).cast("long").as("rank"))
-    val docs = Tables.documents(spark, dir)
+  }
+
+  /** `query_maxsim_persisted`: the late-interaction /query served
+    * ENTIRELY from the [[persistChunks]] layout — the chunk-embedding
+    * corpus is the durable parquet table (no re-chunk, no re-embed)
+    * and the content join reads the bucketed `<name>_docs` table, so
+    * a fresh session answers MaxSim queries with zero build work.
+    * Same scoring core, same invariant-grid contract. */
+  def queryTextMaxsimPersisted(spark: SparkSession, dir: String,
+      queryText: String = DemoQueryText, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val (base, name) = persistedChunksFor(spark, dir)
+    val corpus = spark.read.parquet(s"$base/chunk_embeddings")
+    val hits = maxsimHits(spark, corpus, queryText, k)
+    spark.table(s"${name}_docs")
       .select($"doc_id", substring($"text", 1, 40).as("content"))
-    docs.join(broadcast(hits), Seq("doc_id"))
+      .join(broadcast(hits), Seq("doc_id"))
       .select($"rank", $"doc_id", $"content", $"score_e6".as("confidence_e6"))
       .orderBy($"rank")
   }
@@ -602,11 +629,22 @@ object Collections {
     * non-increasing — all-true grid shared with the other checked
     * text queries. */
   def queryTextMaxsimChecked(spark: SparkSession, dir: String,
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
+    maxsimGrid(spark, dir, queryTextMaxsim(spark, dir, k = k))
+
+  /** Persisted-layout twin of [[queryTextMaxsimChecked]] (same
+    * all-true grid; content equality is checked against the SOURCE
+    * documents table, so a layout/doc drift would flip the hash). */
+  def queryTextMaxsimPersistedChecked(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame =
+    maxsimGrid(spark, dir, queryTextMaxsimPersisted(spark, dir, k = k))
+
+  private def maxsimGrid(spark: SparkSession, dir: String,
+      hits: DataFrame): DataFrame = {
     import spark.implicits._
     val nTerms = DemoQueryText.toLowerCase.split("[^a-z0-9]+")
       .filter(_.nonEmpty).distinct.length.toLong
-    val base = queryTextMaxsim(spark, dir, k = k)
+    val base = hits
       .select($"rank", $"doc_id".as("id"), $"content", $"confidence_e6")
       .localCheckpoint(true)
     val expected = Tables.documents(spark, dir)

@@ -441,5 +441,12 @@ class RetrievalOpsSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("id_in_corpus") && r.getAs[Boolean]("content_ok") &&
         r.getAs[Boolean]("score_bounded") && r.getAs[Boolean]("next_not_higher"))
     }
+    // the persisted-layout serve returns the identical ranking — the
+    // durable corpus IS the memoized corpus, made parquet
+    val persisted = graft.operators.Collections.queryTextMaxsimPersisted(spark, sf, k = k)
+      .select($"rank", $"doc_id", $"confidence_e6")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(persisted.toSeq == got.toSeq,
+      "persisted MaxSim serve diverges from the memoized corpus serve")
   }
 }
