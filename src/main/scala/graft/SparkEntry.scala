@@ -111,6 +111,8 @@ object SparkEntry {
     "contamination_check" -> (Dedup.contamination _),
     // per-pair method-agreement bitmask across minhash/simhash/spans
     "dedup_ensemble" -> (Dedup.ensemble _),
+    // pair/doc counts at five Jaccard thresholds from one pair pass
+    "dedup_threshold_sweep" -> (Dedup.thresholdSweep _),
     // text analysis family
     "text_tokens" -> (TextOps.textTokens _),
     "text_quality" -> (TextOps.textQuality _),
@@ -532,6 +534,7 @@ object SparkEntry {
     "dedup_boilerplate" -> Dedup.boilerplateSpansSql,
     "contamination_check" -> Dedup.contaminationSql,
     "dedup_ensemble" -> Dedup.ensembleSql,
+    "dedup_threshold_sweep" -> Dedup.thresholdSweepSql,
     "text_tokens" -> TextOps.textTokensSql,
     "text_quality" -> TextOps.textQualitySql,
     "text_lang_id" -> TextOps.textLangIdSql,

@@ -494,6 +494,65 @@ object Dedup {
        |SELECT doc_id, min(r) AS component, CAST(doc_id = min(r) AS BIGINT) AS keep
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** `dedup_threshold_sweep`: the threshold-SELECTION table — pair
+    * count, touched-document count, and corpus share at five
+    * candidate Jaccard thresholds, from ONE pass over the MinHash
+    * pair table (choosing the dedup threshold is the first decision
+    * a dataset card records; sweeping it must not cost five dedup
+    * runs). The pair table is linear (banded candidates); the sweep
+    * adds a 5-row broadcast, one pair-keyed filter, and two
+    * threshold-keyed partial aggs — output is |thresholds| rows at
+    * any corpus size. Shares (doc count) crosses as an exact integer;
+    * the share is an e6 floor division. */
+  val sweepThresholds: Seq[Long] =
+    Seq(200000L, 500000L, 950000L, 970000L, 1000000L)
+
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhash(spark, dir)
+      .select($"doc_a", $"doc_b", $"est_jaccard_e6").localCheckpoint(true)
+    val nDocs = Tables.documents(spark, dir).count()
+    val th = sweepThresholds.toDF("thresh_e6")
+    val at = pairs.crossJoin(broadcast(th))
+      .filter($"est_jaccard_e6" >= $"thresh_e6")
+    val nPairs = at.groupBy($"thresh_e6").agg(count(lit(1)).as("n_pairs"))
+    val touched = at
+      .select($"thresh_e6", explode(array($"doc_a", $"doc_b")).as("doc"))
+      .distinct()
+      .groupBy($"thresh_e6").agg(count(lit(1)).as("n_docs_touched"))
+    th.join(nPairs, Seq("thresh_e6"), "left")
+      .join(touched, Seq("thresh_e6"), "left")
+      .select($"thresh_e6",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_docs_touched", lit(0L)).as("n_docs_touched"),
+        expr(s"coalesce(n_docs_touched, 0) * 1000000 div $nDocs")
+          .as("touched_share_e6"))
+      .orderBy($"thresh_e6")
+  }
+
+  val thresholdSweepSql: String = {
+    val ths = sweepThresholds.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b, est_jaccard_e6 FROM ($minhashSql) t
+       |), th AS (SELECT unnest([$ths]) AS thresh_e6),
+       |at_th AS (
+       |  SELECT thresh_e6, doc_a, doc_b FROM pairs CROSS JOIN th
+       |  WHERE est_jaccard_e6 >= thresh_e6),
+       |np AS (SELECT thresh_e6, count(*) AS n_pairs FROM at_th GROUP BY 1),
+       |nd AS (
+       |  SELECT thresh_e6, count(*) AS n_docs_touched FROM (
+       |    SELECT DISTINCT thresh_e6, doc FROM (
+       |      SELECT thresh_e6, doc_a AS doc FROM at_th
+       |      UNION ALL SELECT thresh_e6, doc_b FROM at_th))
+       |  GROUP BY 1)
+       |SELECT thresh_e6,
+       |  coalesce(n_pairs, 0) AS n_pairs,
+       |  coalesce(n_docs_touched, 0) AS n_docs_touched,
+       |  coalesce(n_docs_touched, 0) * 1000000 // (SELECT count(*) FROM documents) AS touched_share_e6
+       |FROM th LEFT JOIN np USING (thresh_e6) LEFT JOIN nd USING (thresh_e6)
+       |ORDER BY thresh_e6""".stripMargin
+  }
+
   /** `dedup_ensemble`: near-dup pair PROVENANCE across the three
     * text-level detectors — MinHash (set-resemblance), SimHash
     * (weighted-feature hamming), and verbatim-span sharing. Real

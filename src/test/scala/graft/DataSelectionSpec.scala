@@ -137,4 +137,19 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(expected.values.exists(_._2 == 1L), "no single-method pair — union inert")
     assert(expected.values.exists(_._2 >= 2L), "no multi-method agreement")
   }
+
+  test("dedup_threshold_sweep is monotone and genuinely discriminates thresholds") {
+    val rows = graft.dedup.Dedup.thresholdSweep(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == graft.dedup.Dedup.sweepThresholds.sorted)
+    // raising the threshold can only shrink the pair and doc sets
+    rows.sliding(2).foreach { case Array((_, pA, dA, _), (_, pB, dB, _)) =>
+      assert(pA >= pB && dA >= dB)
+    }
+    // the sweep is load-bearing: the counts actually change somewhere
+    assert(rows.map(_._2).distinct.length > 1, "sweep flat — thresholds don't discriminate")
+    // the share column is the exact floor division of touched by corpus
+    val docs = graft.core.Tables.documents(spark, sf).count()
+    rows.foreach { case (_, _, d, share) => assert(share == d * 1000000L / docs) }
+  }
 }
