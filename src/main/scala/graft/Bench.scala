@@ -72,7 +72,8 @@ object Bench {
     * number even under take-min repeat mode), relying on build-first
     * ordering to keep the layout build out of that first run. */
   private val persistedServeQueries =
-    Set("query_chunks_persisted_ivf", "query_chunks_persisted_nsw", "ivf_search_pq")
+    Set("query_chunks_persisted_ivf", "query_chunks_persisted_nsw", "ivf_search_pq",
+      "query_maxsim_persisted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -136,7 +137,8 @@ object Bench {
     // a warm re-run that FAILS must not report its time-to-exception
     // as a serve time — mark it in the JSON instead
     val warm = Seq("query_text_ivf", "query_text_nsw", "query_text_chunks",
-        "query_chunks_persisted_ivf", "query_chunks_persisted_nsw", "ivf_search_pq")
+        "query_chunks_persisted_ivf", "query_chunks_persisted_nsw", "ivf_search_pq",
+        "query_maxsim_persisted")
       .filter(name => only.forall(_.contains(name)))
       .flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>

@@ -231,6 +231,8 @@ object SparkEntry {
     // family vs the exact scan, one servable table (rows-only check;
     // the per-family bars are the ScalaTest gate in RecallEvalSpec)
     "index_recall_eval" -> (graft.index.RecallEval.indexRecallEval _),
+    // recall@10 vs nProbe sweep from one cached build (checked grid)
+    "ivf_probe_curve" -> (graft.index.RecallEval.ivfProbeCurveChecked _),
     // composite cleaning pipeline
     "pipeline_clean" -> (Collections.pipelineClean _),
   )
@@ -634,6 +636,7 @@ object SparkEntry {
     "ivf_add_delta" -> IvfIndex.ivfAddDeltaSql,
     "pq_build" -> IvfIndex.pqBuildSql,
     "ivf_search_pq" -> IvfIndex.ivfSearchPqSql,
+    "ivf_probe_curve" -> graft.index.RecallEval.ivfProbeCurveSql,
     "sq_build" -> SqIndex.sqBuildSql,
     "knn_brute_sq" -> SqIndex.knnBruteSqSql,
     "nsw_add_delta" -> NswIndex.nswAddDeltaSql,

@@ -62,6 +62,64 @@ object RecallEval {
       .withColumn("meets_bar", col("mean_recall_e6") >= col("bar_e6"))
   }
 
+  /** `ivf_probe_curve`: recall@10 vs nProbe across the whole probe
+    * range, from ONE cached build — the tuning-evidence table behind
+    * `defaultNProbe` (SURVEY §5's bars are measured, not aspirational;
+    * this op makes the measurement itself a servable query, the way
+    * `index_recall_eval` serves the per-family health row). Probing
+    * all `defaultK` clusters IS the exact scan, so the curve's last
+    * point is pinned to recall exactly 1e6 — an end-to-end identity
+    * check on the probe machinery, not just a bar.
+    *
+    * Scale shape: the exact baseline is one brute broadcast scan, each
+    * curve point probes the SAME memoized cluster layout, and every
+    * post-cut join touches |queries|·k rows; output is |probes| rows
+    * at any corpus size. */
+  val probeSweep: Seq[Int] = Seq(1, 3, 7, 11, IvfIndex.defaultK)
+
+  def ivfProbeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val exact = exactTopK(spark, dir, 10, dot = false).localCheckpoint(true)
+    val built = IvfIndex.buildCached(spark, dir)
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    probeSweep.map { p =>
+      recallRow(s"ivf", IvfIndex.search(built, queries, nProbe = p),
+          exact, 10, 0L)
+        .select(lit(p.toLong).as("n_probe"), col("n_queries"), col("k"),
+          col("mean_recall_e6"))
+    }.reduce(_ unionByName _).orderBy(col("n_probe"))
+  }
+
+  /** Invariant grid over [[ivfProbeCurve]] (the checked convention for
+    * measured-value ops): recall bounded, NON-DECREASING in nProbe
+    * (probing more clusters can only add candidates), and exactly 1e6
+    * at the full probe — the all-true grid is the SQL oracle, the
+    * measured values themselves are spec-asserted. */
+  def ivfProbeCurveChecked(spark: SparkSession, dir: String): DataFrame = {
+    val curve = ivfProbeCurve(spark, dir).localCheckpoint(true)
+    val prevMap = probeSweep.zip(probeSweep.drop(1))
+      .map { case (a, b) => (b.toLong, a.toLong) }
+    import spark.implicits._
+    val prev = prevMap.toDF("n_probe", "prev_probe")
+    val prevRecall = curve.select(col("n_probe").as("prev_probe"),
+      col("mean_recall_e6").as("prev_recall_e6"))
+    curve.join(broadcast(prev), Seq("n_probe"), "left")
+      .join(broadcast(prevRecall), Seq("prev_probe"), "left")
+      .select(col("n_probe"),
+        col("mean_recall_e6").between(0L, 1000000L).as("recall_bounded"),
+        coalesce(col("mean_recall_e6") >= col("prev_recall_e6"), lit(true))
+          .as("not_below_prev"),
+        (col("n_probe") =!= IvfIndex.defaultK.toLong ||
+          col("mean_recall_e6") === 1000000L).as("full_probe_exact"))
+      .orderBy(col("n_probe"))
+  }
+
+  val ivfProbeCurveSql: String =
+    s"""SELECT CAST(n_probe AS BIGINT) AS n_probe, true AS recall_bounded,
+       |  true AS not_below_prev, true AS full_probe_exact
+       |FROM (VALUES ${probeSweep.map(p => s"($p)").mkString(", ")}) t(n_probe)
+       |ORDER BY n_probe""".stripMargin
+
   def indexRecallEval(spark: SparkSession, dir: String): DataFrame = {
     val exactCos10 = exactTopK(spark, dir, 10, dot = false).localCheckpoint(true)
     val exactCos5 = exactTopK(spark, dir, 5, dot = false)

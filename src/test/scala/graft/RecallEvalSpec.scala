@@ -27,4 +27,27 @@ class RecallEvalSpec extends AnyFunSuite {
       assert(meets, s"$idx recall ${recall / 1e6} below bar ${bar / 1e6}")
     }
   }
+
+  test("ivf_probe_curve: recall non-decreasing in nProbe, exact at full probe, load-bearing spread") {
+    val rows = graft.index.RecallEval.ivfProbeCurve(spark, sf)
+      .collect().map(r => (r.getAs[Long]("n_probe"), r.getAs[Long]("mean_recall_e6")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      graft.index.RecallEval.probeSweep.map(_.toLong).sorted)
+    rows.sliding(2).foreach { case Array((pa, ra), (pb, rb)) =>
+      assert(ra <= rb, s"recall dropped from nProbe=$pa ($ra) to $pb ($rb)")
+    }
+    // probing every cluster IS the exact scan — identity, not a bar
+    assert(rows.last._2 == 1000000L, "full probe not exact")
+    // the curve genuinely discriminates: a single-probe search must
+    // lose recall vs the full scan on this near-uniform corpus
+    assert(rows.head._2 < 1000000L, "nProbe=1 already exact — curve inert")
+    // the checked grid the registry serves is all-true
+    val grid = graft.index.RecallEval.ivfProbeCurveChecked(spark, sf).collect()
+    assert(grid.length == rows.length)
+    grid.foreach { r =>
+      assert(r.getAs[Boolean]("recall_bounded") && r.getAs[Boolean]("not_below_prev") &&
+        r.getAs[Boolean]("full_probe_exact"))
+    }
+  }
 }
