@@ -296,10 +296,22 @@ object Media {
     }.toDF("doc_id", "phash")
   }
 
+  /** Degenerate-band population cap for [[mmPhashPairs]]. Uniform
+    * frames hash entire bands to 0x0000/0xFFFF; a band value shared
+    * by thousands of images identifies nothing and pairs
+    * quadratically (measured: 408M candidate pairs at 50k docs
+    * uncapped, a 55× scale blowup on the 10× replica) — the image
+    * analog of `dedup_substring`'s high-df boilerplate spans, and the
+    * same fix: buckets past the cap are excluded, bounding candidates
+    * at n·bands·cap at any corpus size. A pair whose ONLY agreement
+    * is a degenerate band is not evidence of duplication. */
+  private[graft] val phashBucketCap = 64L
+
   /** Perceptual near-dup pairs over the media corpus: phash-banded
     * candidates (4 × 16-bit bands — `dedup_simhash`'s discipline on
-    * the image hash) confirmed at hamming ≤ 6. Linear: per-band
-    * bucket equality joins, never n² — the image-dedup step of a
+    * the image hash), hot degenerate buckets df-capped, confirmed at
+    * hamming ≤ 6. Linear: per-band bucket equality joins bounded by
+    * [[phashBucketCap]], never n² — the image-dedup step of a
     * multimodal training pipeline, run entirely on 8-byte hashes. */
   private[graft] def mmPhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -308,7 +320,11 @@ object Media {
         explode(sequence(lit(0), lit(3))).as("b"))
       .select($"doc_id", $"phash", $"b",
         expr("shiftright(phash, cast(b * 16 AS int)) & 65535").as("bv"))
-    bands.as("x").join(bands.as("y"),
+    val keep = bands.groupBy($"b", $"bv")
+      .agg(count(lit(1)).as("pop"))
+      .filter($"pop" <= phashBucketCap).select($"b", $"bv")
+    val kept = bands.join(keep, Seq("b", "bv"))
+    kept.as("x").join(kept.as("y"),
         col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

@@ -17,11 +17,15 @@ class PhashSpec extends AnyFunSuite {
     assert(hashed.length == docs - 1, "corrupt row must drop from the hash frame")
     def bands(h: Long): Set[(Int, Long)] =
       (0 until 4).map(b => b -> ((h >>> (b * 16)) & 0xffffL)).toSet
+    // the same degenerate-band df-cap the operator applies
+    val pop = hashed.flatMap { case (_, h) => bands(h) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val live = (h: Long) => bands(h).filter(pop(_) <= Media.phashBucketCap)
     val expected = (for {
       i <- hashed.indices.iterator
       j <- (i + 1) until hashed.length
       (da, ha) = hashed(i); (db, hb) = hashed(j)
-      if bands(ha).intersect(bands(hb)).nonEmpty
+      if live(ha).intersect(live(hb)).nonEmpty
       ham = java.lang.Long.bitCount(ha ^ hb)
       if ham <= 6
     } yield (da, db, ham.toLong)).toSet
