@@ -629,20 +629,23 @@ object Collections {
     * non-increasing — all-true grid shared with the other checked
     * text queries. */
   def queryTextMaxsimChecked(spark: SparkSession, dir: String,
-      k: Int = 10): DataFrame =
-    maxsimGrid(spark, dir, queryTextMaxsim(spark, dir, k = k))
+      k: Int = 10, queryText: String = DemoQueryText): DataFrame =
+    maxsimGrid(spark, dir, queryTextMaxsim(spark, dir, queryText, k), queryText)
 
   /** Persisted-layout twin of [[queryTextMaxsimChecked]] (same
     * all-true grid; content equality is checked against the SOURCE
     * documents table, so a layout/doc drift would flip the hash). */
   def queryTextMaxsimPersistedChecked(spark: SparkSession, dir: String,
-      k: Int = 10): DataFrame =
-    maxsimGrid(spark, dir, queryTextMaxsimPersisted(spark, dir, k = k))
+      k: Int = 10, queryText: String = DemoQueryText): DataFrame =
+    maxsimGrid(spark, dir, queryTextMaxsimPersisted(spark, dir, queryText, k), queryText)
 
   private def maxsimGrid(spark: SparkSession, dir: String,
-      hits: DataFrame): DataFrame = {
+      hits: DataFrame, queryText: String): DataFrame = {
     import spark.implicits._
-    val nTerms = DemoQueryText.toLowerCase.split("[^a-z0-9]+")
+    // the score bound must come from the SAME query the hits were
+    // scored with — a custom query with more terms than the default
+    // would otherwise flip score_bounded on valid scores
+    val nTerms = queryText.toLowerCase.split("[^a-z0-9]+")
       .filter(_.nonEmpty).distinct.length.toLong
     val base = hits
       .select($"rank", $"doc_id".as("id"), $"content", $"confidence_e6")

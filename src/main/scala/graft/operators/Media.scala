@@ -313,9 +313,15 @@ object Media {
     * hamming ≤ 6. Linear: per-band bucket equality joins bounded by
     * [[phashBucketCap]], never n² — the image-dedup step of a
     * multimodal training pipeline, run entirely on 8-byte hashes. */
-  private[graft] def mmPhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val hashed = phashFrame(spark, dir).cache()
+  private[graft] def mmPhashPairs(spark: SparkSession, dir: String): DataFrame =
+    mmPhashPairsFrom(phashFrame(spark, dir).localCheckpoint(true))
+
+  /** [[mmPhashPairs]] over an already-materialized (doc_id, phash)
+    * frame — callers that also need the hash frame (mm_phash's
+    * summary) pass their checkpoint here so the corpus is decoded and
+    * hashed ONCE, not once per consumer. */
+  private[graft] def mmPhashPairsFrom(hashed: DataFrame): DataFrame = {
+    import hashed.sparkSession.implicits._
     val bands = hashed.select($"doc_id", $"phash",
         explode(sequence(lit(0), lit(3))).as("b"))
       .select($"doc_id", $"phash", $"b",
@@ -357,7 +363,7 @@ object Media {
   def mmPhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hashed = phashFrame(spark, dir).localCheckpoint(true)
-    val pairs = mmPhashPairs(spark, dir).localCheckpoint(true)
+    val pairs = mmPhashPairsFrom(hashed).localCheckpoint(true)
     val wellformed = pairs
       .join(hashed.select($"doc_id".as("doc_a")), Seq("doc_a"), "left_semi")
       .join(hashed.select($"doc_id".as("doc_b")), Seq("doc_b"), "left_semi")

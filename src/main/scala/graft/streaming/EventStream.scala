@@ -21,16 +21,27 @@ object EventStream {
     * to plain TIMESTAMP (value-exact under the UTC sessions this
     * library pins), keeping one `ts` type contract with the batch
     * loader `Tables.events`. */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
-  def readStream(spark: SparkSession, dir: String): DataFrame =
-    normalize(spark.readStream.schema(rawSchema).parquet(dir))
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    // pre-4.1 readers need the legacy conf (nanos surface as raw
+    // longs); 4.1+ ignores it and reads NTZ. The declared streaming
+    // schema must match whichever this BUILD does, so probe the
+    // column's batch-read type once (a footer read) instead of
+    // hardcoding either era's answer.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: Throwable => TimestampNTZType }
+    normalize(spark.readStream.schema(rawSchema(tsType)).parquet(dir))
+  }
 
   def normalize(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
     case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

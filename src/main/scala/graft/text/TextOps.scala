@@ -311,7 +311,12 @@ object TextOps {
           sum($"n_feats").as("tot_feats"), sum($"sum_lr_e6").as("tot_lr_e6"))
         perDoc.crossJoin(broadcast(corpus))
           .select($"doc_id", $"n_feats", $"sum_lr_e6",
-            ($"sum_lr_e6" * $"tot_feats" > $"n_feats" * $"tot_lr_e6").as("keep"))
+            // decimal(38) products: the long×long cross-multiplication
+            // overflows past ~1e9 docs × 1e3 feats (silently in Spark,
+            // not in DuckDB's HUGEINT) and would flip keep verdicts
+            // exactly at the scale the op claims to serve
+            ($"sum_lr_e6".cast("decimal(38,0)") * $"tot_feats" >
+              $"n_feats".cast("decimal(38,0)") * $"tot_lr_e6").as("keep"))
       }
       .orderBy($"doc_id")
   }
