@@ -66,4 +66,28 @@ object Stab {
   /** SQL fragments for the same ops (DuckDB side). */
   def sqlE6(expr: String): String = s"CAST(FLOOR(($expr) * 1000000.0 + 0.5) AS BIGINT)"
   def sqlE2(expr: String): String = s"CAST(FLOOR(($expr) * 100.0 + 0.5) AS BIGINT)"
+
+  /** FLOOR integer division (b > 0), matching DuckDB's `//` on
+    * NEGATIVE dividends where Spark's `div` truncates toward zero
+    * (−7 div 2 = −3 in Spark, −7 // 2 = −4 in DuckDB). Every ratio
+    * in the repo is non-negative today, where the two agree — use
+    * THIS the moment a ratio can go negative (e.g. a future signed
+    * log-score mean) or the engines will disagree off-by-one on every
+    * odd negative numerator. `a − pmod(a,b)` is exactly the largest
+    * multiple of b ≤ a (pmod is the non-negative remainder), so the
+    * division that follows is exact (done in decimal(38,0), not
+    * double — long `/` would round past 2^53). */
+  def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
+      .cast(LongType)
+
+  /** [[floorDiv]] of an e6-scaled numerator — the signed-safe form of
+    * the `x * 1000000 div y` share/mean convention. */
+  def floorDivE6(a: Column, b: Column): Column =
+    floorDiv(a * lit(1000000L), b)
+
+  /** DuckDB `//` already floors; fragment kept symmetric so oracles
+    * can cite one helper pair. */
+  def sqlFloorDiv(a: String, b: String): String =
+    s"CAST(($a) // ($b) AS BIGINT)"
 }

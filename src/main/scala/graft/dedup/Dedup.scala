@@ -178,7 +178,7 @@ object Dedup {
        |  FROM (SELECT doc_id, unnest(${TextOps.tokensSql}) AS word FROM documents)
        |), bits AS (
        |  SELECT doc_id, j,
-       |    CASE WHEN sum(((h >> j) & 1)*2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+       |    CASE WHEN CAST(sum(((h >> j) & 1)*2 - 1) AS BIGINT) > 0 THEN 1 ELSE 0 END AS bit
        |  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
        |  GROUP BY doc_id, j
        |), sh AS (
@@ -520,12 +520,19 @@ object Dedup {
       .select($"thresh_e6", explode(array($"doc_a", $"doc_b")).as("doc"))
       .distinct()
       .groupBy($"thresh_e6").agg(count(lit(1)).as("n_docs_touched"))
+    // max(nDocs, 1): on an EMPTY corpus Spark `div 0` yields NULL
+    // while DuckDB `//` raises — both engines agree on 0 with the
+    // guarded denominator (touched counts are 0 there anyway).
+    // decimal(38,0) before the ×1e6: LongType wraps silently past
+    // ~9.2e12 touched docs while DuckDB promotes.
+    val denom = math.max(nDocs, 1L)
     th.join(nPairs, Seq("thresh_e6"), "left")
       .join(touched, Seq("thresh_e6"), "left")
       .select($"thresh_e6",
         coalesce($"n_pairs", lit(0L)).as("n_pairs"),
         coalesce($"n_docs_touched", lit(0L)).as("n_docs_touched"),
-        expr(s"coalesce(n_docs_touched, 0) * 1000000 div $nDocs")
+        expr(s"cast(cast(coalesce(n_docs_touched, 0) as decimal(38,0))" +
+          s" * 1000000 div $denom as long)")
           .as("touched_share_e6"))
       .orderBy($"thresh_e6")
   }
@@ -534,7 +541,7 @@ object Dedup {
     val ths = sweepThresholds.mkString(", ")
     s"""WITH pairs AS (
        |  SELECT doc_a, doc_b, est_jaccard_e6 FROM ($minhashSql) t
-       |), th AS (SELECT unnest([$ths]) AS thresh_e6),
+       |), th AS (SELECT CAST(unnest([$ths]) AS BIGINT) AS thresh_e6),
        |at_th AS (
        |  SELECT thresh_e6, doc_a, doc_b FROM pairs CROSS JOIN th
        |  WHERE est_jaccard_e6 >= thresh_e6),
@@ -548,7 +555,8 @@ object Dedup {
        |SELECT thresh_e6,
        |  coalesce(n_pairs, 0) AS n_pairs,
        |  coalesce(n_docs_touched, 0) AS n_docs_touched,
-       |  coalesce(n_docs_touched, 0) * 1000000 // (SELECT count(*) FROM documents) AS touched_share_e6
+       |  CAST(CAST(coalesce(n_docs_touched, 0) AS HUGEINT) * 1000000
+       |    // greatest((SELECT count(*) FROM documents), 1) AS BIGINT) AS touched_share_e6
        |FROM th LEFT JOIN np USING (thresh_e6) LEFT JOIN nd USING (thresh_e6)
        |ORDER BY thresh_e6""".stripMargin
   }

@@ -121,7 +121,7 @@ object Hybrid {
 
   /** Oracle: the all-true grid over the workload × top-10 shape. */
   val hybridRrfCheckedSql: String = {
-    val qids = Bm25.queries.map(_._1).mkString(", ")
+    val qids = Bm25.queries.map(q => s"CAST(${q._1} AS BIGINT)").mkString(", ")
     s"""SELECT q.q_id, r.rank, true AS doc_in_corpus, true AS bm25_leg_ok,
        |  true AS vec_leg_ok, true AS rrf_consistent, true AS monotone_ok
        |FROM (SELECT unnest([$qids]) AS q_id) q

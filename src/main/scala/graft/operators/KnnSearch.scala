@@ -204,8 +204,8 @@ object KnnSearch {
         |    CAST(FLOOR(cosine_sim(e.embedding, q.q_vec) * 1000000.0 + 0.5) AS BIGINT) AS score_e6
         |  FROM graft_sql_embeddings e CROSS JOIN q)
         |SELECT q_id, neighbor_id, score_e6, rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY score_e6 DESC, neighbor_id ASC) AS rank
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score_e6 DESC, neighbor_id ASC) AS BIGINT) AS rank
         |  FROM scored) t
         |WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin)
@@ -260,22 +260,38 @@ object KnnSearch {
       .orderBy(col("q_id"))
   }
 
+  /** Eval-set row budget for [[labelKnnEval]]: the accuracy estimate
+    * converges at a few hundred points, so past the cap the eval set
+    * is a deterministic hash sample of ~evalCap rows — CONSTANT at
+    * any corpus size (the previous `vec_id % 10` predicate kept 10%
+    * of the corpus, which made the broadcast eval frame proportional
+    * to n — ~10 TB at the 100 TB target; the Whiten.fitCap pattern,
+    * Whiten.scala:49, is the fix). */
+  val evalCap = 128L
+
   /** `label_knn_eval`: leave-one-out kNN classification accuracy of
     * the embedding space — the standard "is this embedding any good"
-    * eval a training pipeline runs after every embedder change. Every
-    * 10th vector is an eval point; its label is predicted by majority
-    * vote of its k nearest OTHER vectors (tie → more votes first,
-    * then smaller label — fully deterministic), and accuracy is
-    * reported per true label plus an overall `label = -1` row.
+    * eval a training pipeline runs after every embedder change. A
+    * capped deterministic hash-sample of vectors (~[[evalCap]], see
+    * above) are eval points; each one's label is predicted by
+    * majority vote of its k nearest OTHER vectors (tie → more votes
+    * first, then smaller label — fully deterministic), and accuracy
+    * is reported per true label plus an overall `label = -1` row.
     *
-    * Scale shape: the eval set is a bounded deterministic sample
-    * (broadcast), the corpus is scanned once, the per-eval-point
-    * top-k rides the WindowGroupLimit heap cut, and everything after
-    * the k-row-per-point frame is label-cardinality-sized. Integer
-    * counts only — the accuracy ratio is an e6 floor division. */
+    * Scale shape: the eval set is CONSTANT-size bounded (broadcast ≈
+    * evalCap rows at any corpus), the corpus is scanned once, the
+    * per-eval-point top-k rides the WindowGroupLimit heap cut, and
+    * everything after the k-row-per-point frame is label-cardinality-
+    * sized. Integer counts only — the accuracy ratio is an e6 floor
+    * division. The md5-based [[graft.text.TextOps.hash60]] sample
+    * predicate is replicated verbatim in the DuckDB oracle. */
   def labelKnnEval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val q = emb.filter(col("vec_id") % 10 === 0)
+    val n = emb.count()
+    val m = n / evalCap + 1
+    val q = emb.filter(
+        pmod(graft.text.TextOps.hash60(col("vec_id").cast("string")),
+          lit(m)) === 0L)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         col("label").as("q_label"))
     val scored = emb.crossJoin(broadcast(q))
@@ -310,7 +326,9 @@ object KnnSearch {
 
   val labelKnnEvalSql: String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
-       |           FROM embeddings WHERE vec_id % 10 = 0),
+       |           FROM embeddings
+       |           WHERE ${graft.text.TextOps.hash60Sql("CAST(vec_id AS VARCHAR)")}
+       |             % (SELECT count(*) // $evalCap + 1 FROM embeddings) = 0),
        |scored AS (
        |  SELECT q.q_id, q.q_label, e.label AS n_label, e.vec_id AS neighbor_id,
        |    ${Stab.sqlE6(sqlCosine("e.embedding", "q.q_vec"))} AS score_e6

@@ -364,13 +364,13 @@ object Libraries {
        |  SELECT doc_id, lang, $toksLen AS n_tokens,
        |    ${graft.text.TextOps.hash60Sql("text")} % 1000000 AS u
        |  FROM documents
-       |), perlang AS (SELECT lang, sum(n_tokens) AS t_lang FROM toks GROUP BY lang),
-       |tot AS (SELECT sum(t_lang) AS t_total FROM perlang),
+       |), perlang AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t_lang FROM toks GROUP BY lang),
+       |tot AS (SELECT CAST(sum(t_lang) AS BIGINT) AS t_total FROM perlang),
        |q AS (
        |  SELECT lang, t_lang,
        |    ${Stab.sqlE6("sqrt(CAST(t_lang AS DOUBLE) / t_total)")} AS q_e6
        |  FROM perlang CROSS JOIN tot
-       |), den AS (SELECT sum(q_e6) AS q_denom FROM q),
+       |), den AS (SELECT CAST(sum(q_e6) AS BIGINT) AS q_denom FROM q),
        |rates AS (
        |  SELECT lang, t_lang,
        |    ${Stab.sqlE6("least(1.0, (CAST(t_total // 2 AS DOUBLE) * q_e6) / (CAST(q_denom AS DOUBLE) * t_lang))")} AS rate_e6
@@ -523,10 +523,11 @@ object Libraries {
   val mixturePlanSql: String =
     s"""WITH per AS (
        |  SELECT source, count(*) AS docs,
-       |    sum(CAST(len(${graft.text.TextOps.tokensSql}) AS BIGINT)) AS src_tokens
+       |    CAST(sum(CAST(len(${graft.text.TextOps.tokensSql}) AS BIGINT)) AS BIGINT) AS src_tokens
        |  FROM documents GROUP BY source
        |), tot AS (
-       |  SELECT sum(src_tokens) AS total_tokens, count(*) AS n_sources FROM per
+       |  SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+       |    count(*) AS n_sources FROM per
        |), shares AS (
        |  SELECT source, docs, src_tokens,
        |    src_tokens * 1000000 // total_tokens AS share_e6,

@@ -781,9 +781,10 @@ object Relational {
       |    CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS bal_e2
       |  FROM customer),
       |thresh AS (
-      |  SELECT sum(bal_e2) // count(*) AS avg_bal_e2
+      |  SELECT CAST(sum(bal_e2) AS BIGINT) // count(*) AS avg_bal_e2
       |  FROM cust WHERE bal_e2 > 0)
-      |SELECT c_mktsegment, count(*) AS n_custs, sum(bal_e2) AS total_bal_e2
+      |SELECT c_mktsegment, count(*) AS n_custs,
+      |  CAST(sum(bal_e2) AS BIGINT) AS total_bal_e2
       |FROM cust CROSS JOIN thresh
       |WHERE bal_e2 > avg_bal_e2
       |  AND NOT EXISTS (SELECT 1 FROM orders
@@ -815,13 +816,18 @@ object Relational {
         Stab.e2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
           .as("total_rev_e2"))
       .select($"ship_month", $"promo_rev_e2", $"total_rev_e2",
-        expr("promo_rev_e2 * 1000000 div total_rev_e2").as("promo_share_e6"))
+        // decimal(38,0) before the ×1e6: LongType would silently wrap
+        // past ~9.2e12 revenue cents while DuckDB promotes — the
+        // dsir_importance overflow convention (share stays exact at
+        // the 100 TB revenue volume this claims to serve)
+        expr("cast(cast(promo_rev_e2 as decimal(38,0)) * 1000000" +
+          " div total_rev_e2 as long)").as("promo_share_e6"))
       .orderBy($"ship_month")
   }
 
   val q14PromoSql: String =
     s"""SELECT ship_month, promo_rev_e2, total_rev_e2,
-       |  promo_rev_e2 * 1000000 // total_rev_e2 AS promo_share_e6
+       |  CAST(CAST(promo_rev_e2 AS HUGEINT) * 1000000 // total_rev_e2 AS BIGINT) AS promo_share_e6
        |FROM (
        |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
        |    ${Stab.sqlE2("sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)")} AS promo_rev_e2,
@@ -906,7 +912,7 @@ object Relational {
        |  FROM lineitem JOIN part ON l_partkey = p_partkey
        |  WHERE p_brand = 'Brand#23'),
        |avgq AS (
-       |  SELECT l_partkey, sum(qty_e2) // count(*) AS avg_qty_e2
+       |  SELECT l_partkey, CAST(sum(qty_e2) AS BIGINT) // count(*) AS avg_qty_e2
        |  FROM li GROUP BY l_partkey)
        |SELECT count(*) AS n_small_lines,
        |  ${Stab.sqlE2("sum(l_extendedprice)")} AS total_price_e2,

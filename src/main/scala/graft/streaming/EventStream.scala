@@ -37,9 +37,18 @@ object EventStream {
     // column's batch-read type once (a footer read) instead of
     // hardcoding either era's answer.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NonFatal only: a fatal JVM error must propagate, and a failed
+    // probe is WARNed (not swallowed) before defaulting to the 4.1+
+    // answer — on a pre-4.1 build that guess would mis-declare the
+    // nanosAsLong long column and the probe failure is the real story.
     val tsType =
       try spark.read.parquet(dir).schema("ts").dataType
-      catch { case _: Throwable => TimestampNTZType }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"ts-type probe failed for $dir; assuming TimestampNTZ (4.1+)", e)
+          TimestampNTZType
+      }
     normalize(spark.readStream.schema(rawSchema(tsType)).parquet(dir))
   }
 

@@ -126,7 +126,7 @@ object Bm25 {
     * stabilize-then-sum ordering. */
   val textBm25Sql: String = {
     val qvals = queryTerms
-      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }.mkString(", ")
     s"""WITH q(q_id, term) AS (VALUES $qvals),
        |toks AS (SELECT doc_id, ${TextOps.tokensSql} AS w FROM documents),
        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
@@ -146,7 +146,7 @@ object Bm25 {
        |  JOIN dfr d ON p.term = d.term
        |  JOIN q ON q.term = p.term
        |  CROSS JOIN stats s),
-       |total AS (SELECT q_id, doc_id, sum(score_term_e6) AS score_e6
+       |total AS (SELECT q_id, doc_id, CAST(sum(score_term_e6) AS BIGINT) AS score_e6
        |          FROM per_term GROUP BY q_id, doc_id)
        |SELECT q_id, doc_id, score_e6, rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id

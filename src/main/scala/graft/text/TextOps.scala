@@ -223,11 +223,11 @@ object TextOps {
        |  SELECT doc_id, term, count(*) AS tf
        |  FROM (SELECT doc_id, unnest(w) AS term FROM toks)
        |  GROUP BY doc_id, term),
-       |freq AS (SELECT term, sum(tf) AS cnt FROM posting GROUP BY term),
+       |freq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM posting GROUP BY term),
        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM freq),
        |perdoc AS (
-       |  SELECT p.doc_id, sum(p.tf) AS n_tokens,
-       |    sum(p.tf * ${Stab.sqlE6("ln(CAST(f.cnt AS DOUBLE) / t.t)")}) AS sum_lp_e6
+       |  SELECT p.doc_id, CAST(sum(p.tf) AS BIGINT) AS n_tokens,
+       |    CAST(sum(p.tf * ${Stab.sqlE6("ln(CAST(f.cnt AS DOUBLE) / t.t)")}) AS BIGINT) AS sum_lp_e6
        |  FROM posting p JOIN freq f USING (term) CROSS JOIN tot t
        |  GROUP BY p.doc_id)
        |SELECT doc_id, n_tokens, sum_lp_e6,
@@ -335,25 +335,26 @@ object TextOps {
        |posting AS (
        |  SELECT doc_id, is_target, b, count(*) AS tf
        |  FROM feats GROUP BY doc_id, is_target, b),
-       |tgt AS (SELECT b, sum(tf) AS tcnt FROM posting WHERE is_target GROUP BY b),
-       |raw AS (SELECT b, sum(tf) AS rcnt FROM posting GROUP BY b),
+       |tgt AS (SELECT b, CAST(sum(tf) AS BIGINT) AS tcnt FROM posting WHERE is_target GROUP BY b),
+       |raw AS (SELECT b, CAST(sum(tf) AS BIGINT) AS rcnt FROM posting GROUP BY b),
        |tots AS (
        |  SELECT CAST(sum(CASE WHEN is_target THEN tf ELSE 0 END) AS DOUBLE) AS tn,
        |    CAST(sum(tf) AS DOUBLE) AS rn
        |  FROM posting),
        |perdoc AS (
-       |  SELECT p.doc_id, sum(p.tf) AS n_feats,
-       |    sum(p.tf * (
+       |  SELECT p.doc_id, CAST(sum(p.tf) AS BIGINT) AS n_feats,
+       |    CAST(sum(p.tf * (
        |      ${Stab.sqlE6(s"ln((CAST(coalesce(t.tcnt, 0) AS DOUBLE) + 1.0) / (tots.tn + $B))")} -
        |      ${Stab.sqlE6(s"ln((CAST(r.rcnt AS DOUBLE) + 1.0) / (tots.rn + $B))")}
-       |    )) AS sum_lr_e6
+       |    )) AS BIGINT) AS sum_lr_e6
        |  FROM posting p
        |  LEFT JOIN tgt t USING (b)
        |  JOIN raw r USING (b)
        |  CROSS JOIN tots
        |  GROUP BY p.doc_id),
        |corpus AS (
-       |  SELECT sum(n_feats) AS tot_feats, sum(sum_lr_e6) AS tot_lr_e6
+       |  SELECT CAST(sum(n_feats) AS BIGINT) AS tot_feats,
+       |    CAST(sum(sum_lr_e6) AS BIGINT) AS tot_lr_e6
        |  FROM perdoc)
        |SELECT doc_id, n_feats, sum_lr_e6,
        |  sum_lr_e6 * tot_feats > n_feats * tot_lr_e6 AS keep

@@ -90,4 +90,28 @@ class PropertySpec extends AnyFunSuite {
       assert(sig.forall(v => v >= 0L && v < 2147483647L))
     }
   }
+
+  test("Stab.floorDiv floors on NEGATIVE dividends (DuckDB `//` parity)") {
+    // Spark `div` truncates toward zero; DuckDB `//` floors — they
+    // disagree on every odd negative numerator. Stab.floorDiv must
+    // match DuckDB, whose `//` semantics equal Java's Math.floorDiv
+    // for b > 0. Grid covers sign boundaries, exact multiples, and
+    // magnitudes past 2^53 (where a double round-trip would corrupt).
+    val pairs = for {
+      a <- Seq(-9007199254740993L, -1000000007L, -7L, -6L, -1L, 0L,
+        1L, 7L, 1000000007L, 9007199254740993L)
+      b <- Seq(1L, 2L, 3L, 7L, 1000000L)
+    } yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(graft.core.Stab.floorDiv($"a", $"b")).as[Long].collect()
+    pairs.zip(got).foreach { case ((a, b), g) =>
+      assert(g == Math.floorDiv(a, b),
+        s"floorDiv($a, $b) = $g, want ${Math.floorDiv(a, b)} " +
+          s"(spark div would give ${a / b})")
+    }
+    // and the e6 form on a signed mean: -7/2 per-mille style
+    val e6 = Seq((-7L, 2L)).toDF("a", "b")
+      .select(graft.core.Stab.floorDivE6($"a", $"b")).as[Long].head()
+    assert(e6 == -3500000L)
+  }
 }

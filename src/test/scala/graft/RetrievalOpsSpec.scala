@@ -343,7 +343,16 @@ class RetrievalOpsSpec extends AnyFunSuite {
       }
       if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val preds = vecs.filter(_._1 % 10 == 0).map { case (qid, qv, qlab) =>
+    // same capped hash-sample predicate as the operator (evalCap
+    // pattern — md5-60-bit of the id string, modulo n/cap+1)
+    val m = vecs.length.toLong / graft.operators.KnnSearch.evalCap + 1L
+    def hash60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val preds = vecs.filter(v => hash60(v._1.toString) % m == 0L)
+      .map { case (qid, qv, qlab) =>
       val top5 = vecs.filter(_._1 != qid)
         .map(v => (v._1, v._3, math.floor(cos(v._2, qv) * 1e6 + 0.5).toLong))
         .sortBy { case (id, _, s) => (-s, id) }.take(5)
