@@ -233,6 +233,9 @@ object SparkEntry {
     "index_recall_eval" -> (graft.index.RecallEval.indexRecallEval _),
     // recall@10 vs nProbe sweep from one cached build (checked grid)
     "ivf_probe_curve" -> (graft.index.RecallEval.ivfProbeCurveChecked _),
+    // recall@5 vs beam width from one cached graph (checked grid;
+    // exhaustive seed-everything point pinned exactly 1e6)
+    "nsw_beam_curve" -> (graft.index.RecallEval.nswBeamCurveChecked _),
     // composite cleaning pipeline
     "pipeline_clean" -> (Collections.pipelineClean _),
   )
@@ -637,6 +640,7 @@ object SparkEntry {
     "pq_build" -> IvfIndex.pqBuildSql,
     "ivf_search_pq" -> IvfIndex.ivfSearchPqSql,
     "ivf_probe_curve" -> graft.index.RecallEval.ivfProbeCurveSql,
+    "nsw_beam_curve" -> graft.index.RecallEval.nswBeamCurveSql,
     "sq_build" -> SqIndex.sqBuildSql,
     "knn_brute_sq" -> SqIndex.knnBruteSqSql,
     "nsw_add_delta" -> NswIndex.nswAddDeltaSql,

@@ -590,7 +590,8 @@ object NswIndex {
   def beamSearch(emb: DataFrame, edges: DataFrame, queries: DataFrame,
       k: Int = 5, singleQuery: Boolean = false,
       preExpandedEdges: Boolean = false, maxHops: Int = hops,
-      seedSampleMod: Int = entrySeedMod): DataFrame = {
+      seedSampleMod: Int = entrySeedMod,
+      beamW: Int = beamWidth): DataFrame = {
     if (singleQuery)
       return beamSearchSingle(emb, edges, queries, k, preExpandedEdges, maxHops,
         seedSampleMod)
@@ -642,7 +643,7 @@ object NswIndex {
     var frontier = visitedParts.head
       .withColumn("brank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)))
-      .filter(col("brank") <= beamWidth)
+      .filter(col("brank") <= beamW)
       .drop("brank")
     var hop = 1
     var exhausted = false
@@ -664,7 +665,7 @@ object NswIndex {
         visitedParts ::= scored
         frontier = scored.withColumn("brank", row_number().over(
             Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)))
-          .filter(col("brank") <= beamWidth)
+          .filter(col("brank") <= beamW)
           .drop("brank")
       }
       hop += 1

@@ -120,6 +120,111 @@ object RecallEval {
        |FROM (VALUES ${probeSweep.map(p => s"($p)").mkString(", ")}) t(n_probe)
        |ORDER BY n_probe""".stripMargin
 
+  /** `nsw_beam_curve`: recall@5 over a beamWidth × hops grid from ONE
+    * cached graph — the ivf_probe_curve pattern applied to the other
+    * index family. The NSW hop cap was re-tuned by hand twice (SURVEY
+    * §5 r6/r7); this makes the next re-tune a query instead of a
+    * hand-run experiment, where the reference's beam is a fixed
+    * constant it never measures (nsw_index.py:117-165).
+    *
+    * Grid: `beamSweep` widths at a STARVED one-hop cap (where width
+    * genuinely discriminates — at the production cap the multi-seed
+    * entry saturates small corpora) and at the production cap, plus
+    * the EXHAUSTIVE point `beam_width = exhaustiveBeam` (sentinel ∞)
+    * where the seed sample modulus drops to 1 — every node is scored
+    * at hop 0, so the "search" IS the exact scan and its recall is
+    * pinned to exactly 1e6: the end-to-end identity check on the beam
+    * machinery, exactly like ivf_probe_curve's full-probe point.
+    *
+    * The CHECKED grid asserts only PROVABLE invariants (they must
+    * hold at the driver's SF sight-unseen): bounded recall; at a
+    * fixed beam, hop-1 recall ≤ production-cap recall (extra
+    * supersteps only ever ADD to the visited set); at hop 1, recall
+    * non-decreasing in beam (with identical seeds the hop-1 frontier
+    * of a wider beam is a superset, so its scored set is too — deeper
+    * hops lose that superset property, which is why beam-monotonicity
+    * at the production cap is spec-measured, not oracle-asserted);
+    * and the exhaustive identity. RecallEvalSpec pins the measured
+    * values: full monotonicity on this corpus, the exact endpoint,
+    * and a required spread (the starved corner must lose recall).
+    *
+    * Scale shape: one exact brute baseline (broadcast scan), each
+    * grid point walks the SAME memoized edge table with the serve
+    * path's own BSP loop (early-exhaustion cut included), post-cut
+    * joins touch |queries|·k rows; output is |grid| rows at any
+    * corpus size. The exhaustive point scores the corpus once — an
+    * accountability job, not a serve path (same caveat ivf's full
+    * probe documents). */
+  val beamSweep: Seq[Int] = Seq(2, 8, 32)
+  val hopSweep: Seq[Int] = Seq(1, NswIndex.hops)
+  val exhaustiveBeam: Long = 1000000L
+
+  def nswBeamCurve(spark: SparkSession, dir: String): DataFrame = {
+    val exact = exactTopK(spark, dir, 5, dot = false).localCheckpoint(true)
+    val emb = Tables.embeddings(spark, dir)
+    val embSel = emb.select(col("vec_id"), col("embedding"))
+    val edges = NswIndex.edgesCached(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val measured = for (h <- hopSweep; b <- beamSweep) yield
+      recallRow("nsw", NswIndex.beamSearch(embSel, edges, queries,
+          maxHops = h, beamW = b), exact, 5, 0L)
+        .select(lit(b.toLong).as("beam_width"), lit(h.toLong).as("max_hops"),
+          col("n_queries"), col("k"), col("mean_recall_e6"))
+    val exhaustive =
+      recallRow("nsw", NswIndex.beamSearch(embSel, edges, queries,
+          seedSampleMod = 1, beamW = Int.MaxValue), exact, 5, 0L)
+        .select(lit(exhaustiveBeam).as("beam_width"),
+          lit(NswIndex.hops.toLong).as("max_hops"),
+          col("n_queries"), col("k"), col("mean_recall_e6"))
+    (measured :+ exhaustive).reduce(_ unionByName _)
+      .orderBy(col("max_hops"), col("beam_width"))
+  }
+
+  /** Invariant grid over [[nswBeamCurve]] — the PROVABLE subset (see
+    * the curve scaladoc); measured-value assertions live in
+    * RecallEvalSpec. */
+  def nswBeamCurveChecked(spark: SparkSession, dir: String): DataFrame = {
+    val curve = nswBeamCurve(spark, dir).localCheckpoint(true)
+    import spark.implicits._
+    // hop-1 row: recall at the previous (narrower) beam, same hops
+    val prevBeam = beamSweep.zip(beamSweep.drop(1))
+      .map { case (a, b) => (b.toLong, a.toLong) }.toDF("beam_width", "prev_width")
+    val h1 = curve.filter(col("max_hops") === 1L)
+      .select(col("beam_width").as("prev_width"),
+        col("mean_recall_e6").as("prev_recall_e6"))
+    // same beam at hop 1, for the cross-hops comparison
+    val h1ByBeam = curve.filter(col("max_hops") === 1L)
+      .select(col("beam_width"), col("mean_recall_e6").as("h1_recall_e6"))
+    curve
+      .join(broadcast(prevBeam), Seq("beam_width"), "left")
+      .join(broadcast(h1), Seq("prev_width"), "left")
+      .join(broadcast(h1ByBeam), Seq("beam_width"), "left")
+      .select(col("beam_width"), col("max_hops"),
+        col("mean_recall_e6").between(0L, 1000000L).as("recall_bounded"),
+        coalesce(col("max_hops") =!= 1L ||
+          col("mean_recall_e6") >= col("prev_recall_e6"), lit(true))
+          .as("hop1_beam_monotone"),
+        coalesce(col("max_hops") === 1L ||
+          col("mean_recall_e6") >= col("h1_recall_e6"), lit(true))
+          .as("not_below_hop1"),
+        (col("beam_width") =!= exhaustiveBeam ||
+          col("mean_recall_e6") === 1000000L).as("exhaustive_exact"))
+      .orderBy(col("max_hops"), col("beam_width"))
+  }
+
+  val nswBeamCurveSql: String = {
+    val rows = (for (h <- hopSweep; b <- beamSweep)
+        yield s"(${b.toLong}, ${h.toLong})") :+
+      s"($exhaustiveBeam, ${NswIndex.hops.toLong})"
+    s"""SELECT CAST(beam_width AS BIGINT) AS beam_width,
+       |  CAST(max_hops AS BIGINT) AS max_hops,
+       |  true AS recall_bounded, true AS hop1_beam_monotone,
+       |  true AS not_below_hop1, true AS exhaustive_exact
+       |FROM (VALUES ${rows.mkString(", ")}) t(beam_width, max_hops)
+       |ORDER BY max_hops, beam_width""".stripMargin
+  }
+
   def indexRecallEval(spark: SparkSession, dir: String): DataFrame = {
     val exactCos10 = exactTopK(spark, dir, 10, dot = false).localCheckpoint(true)
     val exactCos5 = exactTopK(spark, dir, 5, dot = false)

@@ -50,4 +50,45 @@ class RecallEvalSpec extends AnyFunSuite {
         r.getAs[Boolean]("full_probe_exact"))
     }
   }
+
+  test("nsw_beam_curve: grid monotone, exact at exhaustive point, load-bearing spread") {
+    val rows = graft.index.RecallEval.nswBeamCurve(spark, sf)
+      .collect().map(r => ((r.getAs[Long]("max_hops"), r.getAs[Long]("beam_width")),
+        r.getAs[Long]("mean_recall_e6"))).toMap
+    val hops = graft.index.RecallEval.hopSweep.map(_.toLong)
+    val beams = graft.index.RecallEval.beamSweep.map(_.toLong)
+    val exh = graft.index.RecallEval.exhaustiveBeam
+    val prodHops = graft.index.NswIndex.hops.toLong
+    assert(rows.keySet ==
+      (for (h <- hops; b <- beams) yield (h, b)).toSet + ((prodHops, exh)))
+    // measured monotone-in-beam within EVERY hops row (the hop-1 row
+    // is provable; the production row is pinned here as measured)
+    hops.foreach { h =>
+      beams.sliding(2).foreach { case Seq(ba, bb) =>
+        assert(rows((h, ba)) <= rows((h, bb)),
+          s"recall dropped from beam=$ba to $bb at hops=$h")
+      }
+    }
+    // monotone-in-hops at every beam (provable: supersteps only add)
+    beams.foreach { b =>
+      assert(rows((hops.head, b)) <= rows((prodHops, b)),
+        s"recall dropped from hops=${hops.head} to $prodHops at beam=$b")
+    }
+    // seeding EVERY node scores the whole corpus at hop 0 — identity
+    assert(rows((prodHops, exh)) == 1000000L, "exhaustive point not exact")
+    // the curve genuinely discriminates: the starved corner must lose
+    // recall vs the exhaustive scan, else the grid pins nothing
+    assert(rows((hops.head, beams.head)) < 1000000L,
+      "starved corner already exact — curve inert")
+    // production cap with in-range beam clears the family's 0.9 bar
+    assert(rows((prodHops, 32L)) >= 900000L, "recall@prod below 0.9 bar")
+    val grid = graft.index.RecallEval.nswBeamCurveChecked(spark, sf).collect()
+    assert(grid.length == rows.size)
+    grid.foreach { r =>
+      assert(r.getAs[Boolean]("recall_bounded") &&
+        r.getAs[Boolean]("hop1_beam_monotone") &&
+        r.getAs[Boolean]("not_below_hop1") &&
+        r.getAs[Boolean]("exhaustive_exact"))
+    }
+  }
 }
