@@ -128,6 +128,10 @@ object SparkEntry {
     // BPE ENCODE: segment the whole corpus with the trained merges —
     // golden-pinned doc rows + a corpus-total row forcing full encode
     "bpe_apply" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.bpeApply(s, d)),
+    // fasttext-style linear quality gate: integer perceptron over
+    // hashed uni+bigrams (golden-pinned train head + scored corpus)
+    "quality_train" -> ((s: SparkSession, d: String) => graft.text.Quality.qualityTrain(s, d)),
+    "quality_score" -> ((s: SparkSession, d: String) => graft.text.Quality.qualityScore(s, d)),
     // PII redaction + match counts (spec drives real PII through the
     // same expressions; this corpus is clean so the oracle pins the
     // no-match identity)
@@ -596,6 +600,66 @@ object SparkEntry {
         |(490, 50, 222, 156, 1423076, 'w in d ow q u er y a'),
         |(-1, 27165, 122509, 88559, 1383360, '')
         |) t(doc_id, n_words, n_chars, n_bpe_tokens, cpt_e6, head_toks)
+        |ORDER BY doc_id""".stripMargin,
+    // golden-pin oracle (the bpe_train pattern): the weight head from
+    // the INDEPENDENT Python perceptron (tools/golden_quality.py) on
+    // the driver's verify corpus — integer training makes the pin
+    // exact, not ulp-lucky
+    "quality_train" ->
+      """SELECT CAST(rank AS BIGINT) AS rank, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(weight AS BIGINT) AS weight, CAST(mistakes AS BIGINT) AS mistakes
+        |FROM (VALUES
+        |(0, -1, -11, 633),
+        |(1, 559, 25, -1),
+        |(2, 772, -23, -1),
+        |(3, 1124, -23, -1),
+        |(4, 1519, 23, -1),
+        |(5, 1954, 22, -1),
+        |(6, 1173, 21, -1),
+        |(7, 2160, 21, -1),
+        |(8, 220, -20, -1),
+        |(9, 1465, 20, -1),
+        |(10, 4071, 20, -1),
+        |(11, 247, -19, -1),
+        |(12, 577, 19, -1),
+        |(13, 1873, 19, -1),
+        |(14, 2606, 19, -1),
+        |(15, 2917, -19, -1),
+        |(16, 2928, 19, -1),
+        |(17, 3549, 19, -1),
+        |(18, 1950, -18, -1),
+        |(19, 3086, -18, -1),
+        |(20, 361, 17, -1),
+        |(21, 901, 17, -1),
+        |(22, 1175, -17, -1),
+        |(23, 1228, 17, -1),
+        |(24, 1741, 17, -1),
+        |(25, 2071, 17, -1),
+        |(26, 1749, -16, -1),
+        |(27, 2228, 16, -1),
+        |(28, 2380, 16, -1),
+        |(29, 2789, 16, -1),
+        |(30, 3960, -16, -1),
+        |(31, 233, 15, -1),
+        |(32, 539, -15, -1)
+        |) t(rank, bucket, weight, mistakes)
+        |ORDER BY rank""".stripMargin,
+    // golden-pinned head rows + the doc_id=-1 corpus-total row forcing
+    // the full scoring pass (the bpe_apply pattern)
+    "quality_score" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+        |  CAST(score AS BIGINT) AS score, keep
+        |FROM (VALUES
+        |(0, 63, 131, true),
+        |(1, 143, 221, true),
+        |(2, 89, 99, true),
+        |(3, 53, -6, false),
+        |(4, 89, 21, true),
+        |(5, 111, 80, true),
+        |(6, 29, -47, false),
+        |(7, 143, -11, false),
+        |(-1, 53830, 51960, true)
+        |) t(doc_id, n_feats, score, keep)
         |ORDER BY doc_id""".stripMargin,
     "chunk_documents" -> Collections.chunkDocumentsSql,
     "doc_embed_pool" -> Collections.docEmbedPoolSql,

@@ -35,7 +35,7 @@ object Collections {
 
   /** [[chunkDocuments]] without the presentation sort — the form every
     * internal consumer (embedding corpus, cascade joins) builds on. */
-  private def chunksRaw(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def chunksRaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nChunks = greatest(lit(1L),
       expr(s"1 + CAST(ceil(CAST(length(text) - $chunkSize AS DOUBLE) / $stride) AS BIGINT)"))
@@ -374,7 +374,7 @@ object Collections {
     * reference's actual /query granularity — chunks are embedded at
     * write time (main.py:228-244) and /query searches the `chunks`
     * collection (main.py:316-344). */
-  private def chunkEmbeddings(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def chunkEmbeddings(spark: SparkSession, dir: String): DataFrame =
     chunkEmbCache.get(spark, dir, dir) {
       import spark.implicits._
       chunksRaw(spark, dir)

@@ -116,6 +116,75 @@ class DataSelectionSpec extends AnyFunSuite {
       s"target keep rate $tgtKeepRate not above non-target $otherKeepRate — scoring inert")
   }
 
+  test("quality classifier equals an independent perceptron; model discriminates") {
+    val B = graft.text.Quality.buckets
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+      .sortBy(_._1)
+    def hash60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def features(t: String): Map[Long, Long] = {
+      val w = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val grams = w.toSeq ++
+        (if (w.length >= 2) w.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty)
+      grams.groupBy(g => hash60(g) % B).view.mapValues(_.size.toLong).toMap
+    }
+    val perDoc = docs.map { case (id, lang, t) =>
+      (id, if (lang == "en") 1L else -1L, features(t))
+    }
+    // independent perceptron (same documented conventions, own code)
+    val m = docs.length.toLong / graft.text.Quality.trainCap + 1L
+    val sample = perDoc.filter { case (id, _, _) => hash60(id.toString) % m == 0L }
+    val w = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+    var bias = 0L
+    var mistakes = 0L
+    (1 to graft.text.Quality.epochs).foreach { _ =>
+      sample.foreach { case (_, y, fs) =>
+        val s = bias + fs.iterator.map { case (b, tf) => w(b) * tf }.sum
+        if ((if (s > 0L) 1L else -1L) != y) {
+          mistakes += 1
+          fs.foreach { case (b, tf) => w(b) = w(b) + y * tf }
+          bias += y
+        }
+      }
+    }
+    val nz = w.filter(_._2 != 0L)
+    // quality_train head equals the independent model
+    val gotTrain = graft.text.Quality.qualityTrain(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val expTop = nz.toSeq.sortBy { case (b, wt) => (-math.abs(wt), b) }.take(32)
+    assert(gotTrain.head == ((0L, -1L, bias, mistakes)))
+    assert(gotTrain.tail.map(r => (r._2, r._3)).toSeq == expTop)
+    // quality_score equals the independent scorer on every pinned row
+    val expScores = perDoc.collect { case (id, _, fs) if fs.nonEmpty =>
+      val nf = fs.values.sum
+      val s = bias + fs.iterator.map { case (b, tf) => nz.getOrElse(b, 0L) * tf }.sum
+      (id, nf, s, s > 0L)
+    }
+    val expHead = expScores.filter(_._1 < 8).toSeq
+    val expTotal = (-1L, expScores.map(_._2).sum, expScores.map(_._3).sum,
+      expScores.count(_._4) * 2 > expScores.length)
+    val gotScore = graft.text.Quality.qualityScore(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(gotScore.toSeq == (expTotal +: expHead).sortBy(_._1).toSeq)
+    // the gate is load-bearing: a non-trivial model, both verdicts
+    // present, and the target slice keeps at a higher rate
+    assert(nz.size > 10, "degenerate model")
+    val keptByLang = docs.map { case (id, lang, t) =>
+      val fs = features(t)
+      val s = bias + fs.iterator.map { case (b, tf) => nz.getOrElse(b, 0L) * tf }.sum
+      (lang == "en", s > 0L)
+    }
+    assert(keptByLang.exists(_._2) && keptByLang.exists(!_._2), "gate inert")
+    val tRate = { val t = keptByLang.filter(_._1); t.count(_._2).toDouble / t.length }
+    val oRate = { val o = keptByLang.filterNot(_._1); o.count(_._2).toDouble / o.length }
+    assert(tRate > oRate,
+      s"target keep rate $tRate not above non-target $oRate — classifier inert")
+  }
+
   test("dedup_ensemble equals the per-method union; the methods genuinely disagree") {
     import graft.dedup.Dedup
     val mh = Dedup.minhash(spark, sf).filter($"est_jaccard_e6" >= 500000L)
