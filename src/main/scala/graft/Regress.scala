@@ -100,6 +100,40 @@ object Regress {
     time("nsw_build_lsh_run2") {
       graft.index.NswIndex.buildEdgesLsh(emb).count()
     }
+
+    // ---- E: persist_chunks_build phases (these summed to the
+    // pre-swap shape, which is how the official19/20 inflation was
+    // traced to host contention, not the engine — SURVEY §6 r8) ----
+    val base = java.nio.file.Files.createTempDirectory("graft-regress").toString
+    val chunkEmb = graft.operators.Collections.chunkEmbeddings(spark, sfDir)
+    time("phase_chunk_embed_memo") { chunkEmb.count() }
+    time("phase_bucketed_write_docs") {
+      graft.sources.Bucketed.write(
+        graft.core.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("source"), col("text")),
+        "graft_regress_docs", s"$base/documents", "doc_id", 32); 1L
+    }
+    time("phase_bucketed_write_chunks") {
+      graft.sources.Bucketed.write(
+        graft.operators.Collections.chunksRaw(spark, sfDir),
+        "graft_regress_chunks", s"$base/chunks", "doc_id", 32); 1L
+    }
+    time("phase_emb_parquet_write") {
+      chunkEmb.write.mode("overwrite").parquet(s"$base/chunk_embeddings"); 1L
+    }
+    val corpus = spark.read.parquet(s"$base/chunk_embeddings")
+    time("phase_ivf_build_persist") {
+      graft.index.IvfIndex.persist(
+        graft.index.IvfIndex.build(spark, corpus), s"$base/ivf"); 1L
+    }
+    time("phase_nsw_lsh_corpus_build") {
+      graft.index.NswIndex.buildEdgesLsh(corpus).count()
+    }
+    time("phase_nsw_persist_bucketed") {
+      graft.index.NswIndex.persistBucketed(spark, corpus,
+        graft.index.NswIndex.buildEdgesLsh(corpus), s"$base/nsw",
+        "graft_regress_nsw", 32); 1L
+    }
     spark.stop()
   }
 }
