@@ -4,7 +4,7 @@ import graft.core.Stab
 import graft.dedup.Dedup
 import graft.embed.Embedder
 import graft.functions.vectors
-import graft.index.{IvfIndex, LshIndex, NswIndex, SqIndex}
+import graft.index.{BqIndex, IvfIndex, LshIndex, NswIndex, SqIndex}
 import graft.operators._
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -43,6 +43,16 @@ object SparkEntry {
     "q15_topsupplier" -> (Relational.q15TopSupplier _),
     "q17_smallqty" -> (Relational.q17SmallQty _),
     "q19_disjunct" -> (Relational.q19Disjunct _),
+    // the remaining TPC-H shapes, schema-adapted (TpchExtra): star
+    // profit rollup (q9), global-scalar HAVING (q11), count-distinct
+    // + NOT-IN (q16), semi+anti self-join (q21), correlated argmin
+    // (q2), nested dominance rollup (q20)
+    "q9_profit" -> (TpchExtra.q9Profit _),
+    "q11_important" -> (TpchExtra.q11Important _),
+    "q16_suppcnt" -> (TpchExtra.q16SuppCnt _),
+    "q21_waiting" -> (TpchExtra.q21Waiting _),
+    "q2_mincost" -> (TpchExtra.q2MinCost _),
+    "q20_excess" -> (TpchExtra.q20Excess _),
     // TPC-H Q6-style scan-pushdown revenue filter (no join, no keys)
     "q6_filter" -> (Relational.q6Filter _),
     "window_topk" -> (Relational.windowTopK _),
@@ -231,6 +241,10 @@ object SparkEntry {
     // the compressed brute scan (integer-exact, fully SQL-oracled)
     "sq_build" -> (SqIndex.sqBuild _),
     "knn_brute_sq" -> ((s: SparkSession, d: String) => SqIndex.knnBruteSq(s, d)),
+    // binary (1-bit) quantization: packed sign-bit signatures, Hamming
+    // pre-rank + exact rerank — the tier below SQ8, fully hash-oracled
+    "bq_build" -> (BqIndex.bqBuild _),
+    "knn_brute_bq" -> ((s: SparkSession, d: String) => BqIndex.knnBruteBq(s, d)),
     // unified index accountability: recall@k of every approximate
     // family vs the exact scan, one servable table (rows-only check;
     // the per-family bars are the ScalaTest gate in RecallEvalSpec)
@@ -502,6 +516,12 @@ object SparkEntry {
     "q15_topsupplier" -> Relational.q15TopSupplierSql,
     "q17_smallqty" -> Relational.q17SmallQtySql,
     "q19_disjunct" -> Relational.q19DisjunctSql,
+    "q9_profit" -> TpchExtra.q9ProfitSql,
+    "q11_important" -> TpchExtra.q11ImportantSql,
+    "q16_suppcnt" -> TpchExtra.q16SuppCntSql,
+    "q21_waiting" -> TpchExtra.q21WaitingSql,
+    "q2_mincost" -> TpchExtra.q2MinCostSql,
+    "q20_excess" -> TpchExtra.q20ExcessSql,
     "q6_filter" -> Relational.q6FilterSql,
     "window_topk" -> Relational.windowTopKSql,
     "events_window_agg" -> Relational.eventsWindowAggSql,
@@ -707,6 +727,8 @@ object SparkEntry {
     "nsw_beam_curve" -> graft.index.RecallEval.nswBeamCurveSql,
     "sq_build" -> SqIndex.sqBuildSql,
     "knn_brute_sq" -> SqIndex.knnBruteSqSql,
+    "bq_build" -> BqIndex.bqBuildSql,
+    "knn_brute_bq" -> BqIndex.knnBruteBqSql,
     "nsw_add_delta" -> NswIndex.nswAddDeltaSql,
     // serve/build contract grids over the approximate indexes (the
     // all-true grid is SQL-exact; recall stays the ScalaTest bars)

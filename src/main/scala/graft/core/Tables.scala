@@ -67,16 +67,20 @@ object Stab {
   def sqlE6(expr: String): String = s"CAST(FLOOR(($expr) * 1000000.0 + 0.5) AS BIGINT)"
   def sqlE2(expr: String): String = s"CAST(FLOOR(($expr) * 100.0 + 0.5) AS BIGINT)"
 
-  /** FLOOR integer division (b > 0), matching DuckDB's `//` on
-    * NEGATIVE dividends where Spark's `div` truncates toward zero
-    * (−7 div 2 = −3 in Spark, −7 // 2 = −4 in DuckDB). Every ratio
-    * in the repo is non-negative today, where the two agree — use
-    * THIS the moment a ratio can go negative (e.g. a future signed
-    * log-score mean) or the engines will disagree off-by-one on every
-    * odd negative numerator. `a − pmod(a,b)` is exactly the largest
-    * multiple of b ≤ a (pmod is the non-negative remainder), so the
-    * division that follows is exact (done in decimal(38,0), not
-    * double — long `/` would round past 2^53). */
+  /** FLOOR integer division (b > 0): Java `Math.floorDiv` semantics
+    * (−7 → −4). MEASURED CORRECTION (round 8): DuckDB's BIGINT `//`
+    * does NOT floor — it truncates toward zero exactly like Spark's
+    * `div` (−7 // 2 = −3 in DuckDB 1.x; only the FLOAT `//` differs).
+    * So for a signed ratio the ENGINE-PARITY pairing is simply Spark
+    * `div` ↔ DuckDB `//` (both truncate), and THIS helper is for
+    * contracts that want mathematical floor on BOTH sides — its
+    * oracle twin is [[sqlFloorDiv]], which emulates floor explicitly
+    * (a bare `//` in the oracle would be off by one on every odd
+    * negative numerator — the exact bug bq_build shipped for one
+    * compare cycle before this correction). `a − pmod(a,b)` is the
+    * largest multiple of b ≤ a (pmod is the non-negative remainder),
+    * so the division that follows is exact (done in decimal(38,0),
+    * not double — long `/` would round past 2^53). */
   def floorDiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
       .cast(LongType)
@@ -86,8 +90,10 @@ object Stab {
   def floorDivE6(a: Column, b: Column): Column =
     floorDiv(a * lit(1000000L), b)
 
-  /** DuckDB `//` already floors; fragment kept symmetric so oracles
-    * can cite one helper pair. */
+  /** DuckDB twin of [[floorDiv]]: BIGINT `//` truncates, so floor is
+    * emulated — subtract 1 when the truncated quotient dropped a
+    * nonzero remainder on a negative dividend (b > 0 convention). */
   def sqlFloorDiv(a: String, b: String): String =
-    s"CAST(($a) // ($b) AS BIGINT)"
+    s"CAST((($a) // ($b)) - (CASE WHEN (($a) % ($b)) <> 0 AND ($a) < 0 " +
+      s"THEN 1 ELSE 0 END) AS BIGINT)"
 }

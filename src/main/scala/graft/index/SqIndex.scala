@@ -61,7 +61,7 @@ object SqIndex {
        |ORDER BY dim""".stripMargin
 
   /** (dim, mn, mx) per dimension, 1-based, exact floats. */
-  private def dimStats(emb: DataFrame): DataFrame = {
+  private[index] def dimStats(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
     emb.select(posexplode($"embedding").as(Seq("p", "v")))
       .groupBy(($"p" + 1).cast(LongType).as("dim"))

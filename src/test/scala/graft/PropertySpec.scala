@@ -91,12 +91,15 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("Stab.floorDiv floors on NEGATIVE dividends (DuckDB `//` parity)") {
-    // Spark `div` truncates toward zero; DuckDB `//` floors — they
-    // disagree on every odd negative numerator. Stab.floorDiv must
-    // match DuckDB, whose `//` semantics equal Java's Math.floorDiv
-    // for b > 0. Grid covers sign boundaries, exact multiples, and
-    // magnitudes past 2^53 (where a double round-trip would corrupt).
+  test("Stab.floorDiv floors on NEGATIVE dividends (Math.floorDiv semantics)") {
+    // MEASURED (round 8, bq_build compare cycle): DuckDB's BIGINT `//`
+    // TRUNCATES toward zero exactly like Spark `div` — the two engines
+    // already agree on signed integer division, and Stab.floorDiv is
+    // the MATHEMATICAL-floor variant whose oracle twin is
+    // Stab.sqlFloorDiv (explicit floor emulation over `//`). This
+    // pins floorDiv to Java's Math.floorDiv for b > 0. Grid covers
+    // sign boundaries, exact multiples, and magnitudes past 2^53
+    // (where a double round-trip would corrupt).
     val pairs = for {
       a <- Seq(-9007199254740993L, -1000000007L, -7L, -6L, -1L, 0L,
         1L, 7L, 1000000007L, 9007199254740993L)
