@@ -245,6 +245,10 @@ object SparkEntry {
     // pre-rank + exact rerank — the tier below SQ8, fully hash-oracled
     "bq_build" -> (BqIndex.bqBuild _),
     "knn_brute_bq" -> ((s: SparkSession, d: String) => BqIndex.knnBruteBq(s, d)),
+    // corpus cartography: deterministic exemplar assignment card +
+    // per-cluster distinguishing-term topics (integer ratio scoring)
+    "cluster_assign" -> (Clusters.clusterAssign _),
+    "cluster_topics" -> (Clusters.clusterTopics _),
     // unified index accountability: recall@k of every approximate
     // family vs the exact scan, one servable table (rows-only check;
     // the per-family bars are the ScalaTest gate in RecallEvalSpec)
@@ -729,6 +733,8 @@ object SparkEntry {
     "knn_brute_sq" -> SqIndex.knnBruteSqSql,
     "bq_build" -> BqIndex.bqBuildSql,
     "knn_brute_bq" -> BqIndex.knnBruteBqSql,
+    "cluster_assign" -> Clusters.clusterAssignSql,
+    "cluster_topics" -> Clusters.clusterTopicsSql,
     "nsw_add_delta" -> NswIndex.nswAddDeltaSql,
     // serve/build contract grids over the approximate indexes (the
     // all-true grid is SQL-exact; recall stays the ScalaTest bars)

@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.core.{Stab, Tables}
+import graft.functions.vectors._
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic exemplar clustering + per-cluster topic cards — the
+  * corpus-cartography ops a curation pipeline runs before deciding
+  * mixtures (what IS in this corpus, and what does each region talk
+  * about). K-means itself rides MLlib in [[graft.index.IvfIndex]] and
+  * can only be contract-checked; THESE ops pin the assignment to
+  * FIXED exemplars (the `vec_id < K` convention, K=8 — the same
+  * deterministic-workload convention as the `vec_id < 5` queries), so
+  * every step is stabilized-integer arithmetic and the WHOLE output
+  * hash-matches a DuckDB twin. Assignment-to-exemplars is exactly the
+  * E-step a k-medoids/k-means round runs; topic scoring is the
+  * smoothed relative-frequency ratio (monotone in the log-odds the
+  * literature quotes, but computed as ONE integer cross-multiply —
+  * no `log`, no float boundary risk).
+  *
+  * Scale shape: exemplars broadcast into the one corpus scan (scores
+  * materialize map-side); the argmax shuffles only (id, cluster,
+  * score) rows with WindowGroupLimit pre-pruning; topic counting is
+  * one postings shuffle onto (cluster, term) + one onto term, both
+  * partial-agged; cluster totals and the vocabulary scalar collapse
+  * to broadcast rows. The doc⋈assignment join is id-equi on the
+  * shared key space (at SFs where the embeddings table covers a
+  * PREFIX of the docs, both engines see the same inner-join subset —
+  * the contract is join-consistent, not coverage-complete).
+  */
+object Clusters {
+
+  val K = 8
+
+  /** (vec_id, cluster_id, cos_e6): nearest exemplar by stabilized
+    * cosine, ties to the LOWEST cluster id. */
+  private[operators] def exemplarAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val ex = emb.filter($"vec_id" < K)
+      .select($"vec_id".as("cluster_id"), $"embedding".as("c_vec"))
+    val scored = emb.crossJoin(broadcast(ex))
+      .select($"vec_id", $"cluster_id",
+        Stab.e6(cosineSim($"embedding", $"c_vec")).as("cos_e6"))
+    val w = Window.partitionBy($"vec_id")
+      .orderBy($"cos_e6".desc, $"cluster_id".asc)
+    scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"cluster_id", $"cos_e6")
+  }
+
+  private val assignSqlCte: String = {
+    val cos = Stab.sqlE6(KnnSearch.sqlCosine("e.embedding", "ex.c_vec"))
+    s"""ex AS (
+       |  SELECT vec_id AS cluster_id, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < $K),
+       |scored AS (
+       |  SELECT e.vec_id, ex.cluster_id, $cos AS cos_e6
+       |  FROM embeddings e CROSS JOIN ex),
+       |assign AS (
+       |  SELECT vec_id, cluster_id, cos_e6 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_e6 DESC, cluster_id ASC) AS rn
+       |    FROM scored) t
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** `cluster_assign`: the assignment card — per-cluster population
+    * and stabilized-cosine spread (mean by truncating integer
+    * division: Spark `div` ↔ DuckDB `//`, both truncate, and cluster
+    * cosine sums go negative for far-out regions). A dead exemplar
+    * (zero members beyond itself) or a collapsed one (everything in
+    * one cluster) is immediately visible. */
+  def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    exemplarAssign(spark, dir)
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(cos_e6) div count(1)").as("mean_cos_e6"),
+        min($"cos_e6").as("min_cos_e6"),
+        max($"cos_e6").as("max_cos_e6"))
+      .orderBy($"cluster_id")
+  }
+
+  val clusterAssignSql: String =
+    s"""WITH $assignSqlCte
+       |SELECT cluster_id, count(*) AS n_vecs,
+       |  CAST(sum(cos_e6) AS BIGINT) // count(*) AS mean_cos_e6,
+       |  min(cos_e6) AS min_cos_e6, max(cos_e6) AS max_cos_e6
+       |FROM assign GROUP BY cluster_id
+       |ORDER BY cluster_id""".stripMargin
+
+  /** `cluster_topics`: the top-5 DISTINGUISHING terms per cluster —
+    * for each (cluster, term), the add-one-smoothed relative
+    * frequency in the cluster vs the REST of the corpus,
+    *   score = ((tf_c+1)/(tot_c+V)) / ((tf_r+1)/(tot_r+V)),
+    * e6-scaled by one integer cross-multiply in decimal(38,0)/HUGEINT
+    * (the q14 overflow convention: tf·tot products pass 2⁶³ at 100 TB
+    * corpus token counts). A term every cluster uses scores ~1e6;
+    * a cluster-exclusive term scores ≫1e6 — the rank cut is integer-
+    * deterministic with ties to the lexicographically first term. */
+  def clusterTopics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assign = exemplarAssign(spark, dir)
+    val dt = Tables.documents(spark, dir)
+      .join(assign, $"doc_id" === $"vec_id")
+      .select($"cluster_id", TextOps.tokens($"text").as("w"))
+    // (cluster, term) counts feed three descendants — materialize once
+    val tf = dt.select($"cluster_id", explode($"w").as("term"))
+      .groupBy($"cluster_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val ctot = tf.groupBy($"cluster_id").agg(sum($"tf").as("tot_c"))
+    val gterm = tf.groupBy($"term").agg(sum($"tf").as("tf_g"))
+    val gl = gterm.agg(sum($"tf_g").as("tot_g"), count(lit(1)).as("v"))
+    val scored = tf
+      .join(broadcast(ctot), Seq("cluster_id"))
+      .join(gterm, Seq("term"))
+      .crossJoin(broadcast(gl))
+      .select($"cluster_id", $"term", $"tf",
+        expr("cast(cast(tf + 1 as decimal(38,0)) * ((tot_g - tot_c) + v) * 1000000" +
+          " div (cast((tf_g - tf) + 1 as decimal(38,0)) * (tot_c + v)) as long)")
+          .as("score_e6"))
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"score_e6".desc, $"term".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"cluster_id", $"term", $"tf", $"score_e6", $"rank")
+      .orderBy($"cluster_id", $"rank")
+  }
+
+  val clusterTopicsSql: String =
+    s"""WITH $assignSqlCte,
+       |dt AS (
+       |  SELECT a.cluster_id, ${TextOps.tokensSql} AS w
+       |  FROM documents d JOIN assign a ON d.doc_id = a.vec_id),
+       |tf AS (
+       |  SELECT cluster_id, unnest(w) AS term FROM dt),
+       |tfc AS (
+       |  SELECT cluster_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+       |ctot AS (
+       |  SELECT cluster_id, CAST(sum(tf) AS BIGINT) AS tot_c FROM tfc GROUP BY 1),
+       |gterm AS (
+       |  SELECT term, CAST(sum(tf) AS BIGINT) AS tf_g FROM tfc GROUP BY 1),
+       |gl AS (
+       |  SELECT CAST(sum(tf_g) AS BIGINT) AS tot_g, count(*) AS v FROM gterm),
+       |scored2 AS (
+       |  SELECT t.cluster_id, t.term, t.tf,
+       |    CAST(CAST(t.tf + 1 AS HUGEINT) * ((gl.tot_g - c.tot_c) + gl.v) * 1000000
+       |      // (CAST((g.tf_g - t.tf) + 1 AS HUGEINT) * (c.tot_c + gl.v)) AS BIGINT) AS score_e6
+       |  FROM tfc t
+       |  JOIN ctot c USING (cluster_id)
+       |  JOIN gterm g USING (term)
+       |  CROSS JOIN gl)
+       |SELECT cluster_id, term, tf, score_e6, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY score_e6 DESC, term ASC) AS rank
+       |  FROM scored2) t
+       |WHERE rank <= 5
+       |ORDER BY cluster_id, rank""".stripMargin
+}
