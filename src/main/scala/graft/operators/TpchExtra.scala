@@ -69,8 +69,11 @@ object TpchExtra {
        |ORDER BY n_name, o_year DESC""".stripMargin
 
   /** TPC-H Q11-style important-value parts: per-part revenue from ONE
-    * nation's suppliers, kept only where it exceeds 0.1% of that
-    * slice's total — the HAVING-over-global-scalar shape. The rollup
+    * region's suppliers (region, not nation: the sf0.001 corpus has
+    * 10 suppliers over 25 nations, so a single-nation slice can be
+    * EMPTY — a region covers ~1/5 of suppliers at every SF), kept
+    * only where it exceeds 0.1% of that slice's total — the
+    * HAVING-over-global-scalar shape. The rollup
     * is one partial-agged shuffle onto part cardinality; the total
     * COLLAPSES that frame to a single broadcast row (never a second
     * scan); the 0.1% cut cross-multiplies in decimal(38,0) (value_e2
@@ -81,8 +84,9 @@ object TpchExtra {
   def q11Important(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sup = Tables.supplier(spark, dir)
-      .join(Tables.nation(spark, dir).filter($"n_name" === "NATION_7"),
-        $"s_nationkey" === $"n_nationkey")
+      .join(Tables.nation(spark, dir), $"s_nationkey" === $"n_nationkey")
+      .join(Tables.region(spark, dir).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
       .select($"s_suppkey")
     val value = Tables.lineitem(spark, dir)
       .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
@@ -102,7 +106,8 @@ object TpchExtra {
        |    ${Stab.sqlE2("sum(l_extendedprice * (1.0 - l_discount))")} AS value_e2
        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        |  JOIN nation ON s_nationkey = n_nationkey
-       |  WHERE n_name = 'NATION_7'
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'ASIA'
        |  GROUP BY l_partkey),
        |tot AS (SELECT CAST(sum(value_e2) AS BIGINT) AS total_e2 FROM val)
        |SELECT p_key, value_e2 FROM val CROSS JOIN tot
