@@ -21,9 +21,9 @@ import org.apache.spark.sql.functions._
   * literature quotes, but computed as ONE integer cross-multiply —
   * no `log`, no float boundary risk).
   *
-  * Scale shape: exemplars broadcast into the one corpus scan (scores
-  * materialize map-side); the argmax shuffles only (id, cluster,
-  * score) rows with WindowGroupLimit pre-pruning; topic counting is
+  * Scale shape: exemplars broadcast into the one corpus scan as a
+  * SINGLE array row and the argmax is per-row struct-max algebra, so
+  * assignment is fully map-side (no rank shuffle); topic counting is
   * one postings shuffle onto (cluster, term) + one onto term, both
   * partial-agged; cluster totals and the vocabulary scalar collapse
   * to broadcast rows. The doc⋈assignment join is id-equi on the
@@ -36,19 +36,37 @@ object Clusters {
   val K = 8
 
   /** (vec_id, cluster_id, cos_e6): nearest exemplar by stabilized
-    * cosine, ties to the LOWEST cluster id. */
-  private[operators] def exemplarAssign(spark: SparkSession, dir: String): DataFrame = {
+    * cosine, ties to the LOWEST cluster id.
+    *
+    * WINDOW-FREE: the K exemplars collapse to ONE broadcast row
+    * holding an array of (cluster_id, c_vec) structs, and the argmax
+    * is a per-row `array_max` over (cos_e6, −cluster_id) structs —
+    * Spark's struct ordering compares fields left-to-right, so the
+    * max is the highest score with ties to the lowest id. The whole
+    * assignment therefore runs MAP-SIDE inside the one corpus scan
+    * (a window formulation would shuffle K·n rank rows); only the
+    * downstream rollups shuffle. Also the shape a STREAMING frame
+    * can run unchanged ([[graft.streaming.ClusterStream]]) — windows
+    * can't stream, per-row algebra can. */
+  private[graft] def assignColumns(emb: DataFrame, exemplars: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val exRow = exemplars
+      .agg(array_sort(collect_list(struct($"cluster_id", $"c_vec"))).as("exs"))
+    emb.crossJoin(broadcast(exRow))
+      .select($"vec_id",
+        array_max(transform($"exs", e => struct(
+          Stab.e6(cosineSim($"embedding", e("c_vec"))).as("cos_e6"),
+          (-e("cluster_id")).as("neg_cluster")))).as("best"))
+      .select($"vec_id", (-$"best.neg_cluster").as("cluster_id"),
+        $"best.cos_e6".as("cos_e6"))
+  }
+
+  private[graft] def exemplarAssign(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     val ex = emb.filter($"vec_id" < K)
       .select($"vec_id".as("cluster_id"), $"embedding".as("c_vec"))
-    val scored = emb.crossJoin(broadcast(ex))
-      .select($"vec_id", $"cluster_id",
-        Stab.e6(cosineSim($"embedding", $"c_vec")).as("cos_e6"))
-    val w = Window.partitionBy($"vec_id")
-      .orderBy($"cos_e6".desc, $"cluster_id".asc)
-    scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"vec_id", $"cluster_id", $"cos_e6")
+    assignColumns(emb.select($"vec_id", $"embedding"), ex)
   }
 
   private val assignSqlCte: String = {
