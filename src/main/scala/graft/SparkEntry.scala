@@ -68,6 +68,10 @@ object SparkEntry {
     "events_attribution" -> (graft.streaming.AttributionStream.eventsAttribution _),
     // daily-volume z-score outliers from integer aggregates
     "events_anomaly" -> (Relational.eventsAnomaly _),
+    // RANGE-frame 7-day moving volume; ROLLUP grouping sets; PIVOT
+    "events_rolling" -> (AnalyticsExtra.eventsRolling _),
+    "q1_rollup" -> (AnalyticsExtra.q1Rollup _),
+    "pivot_lang" -> (AnalyticsExtra.pivotLang _),
     // per-language token-length distribution, exact + sketch-attested
     "quality_quantiles" -> (TextOps.qualityQuantiles _),
     // brute-force kNN family
@@ -125,6 +129,8 @@ object SparkEntry {
     "dedup_threshold_sweep" -> (Dedup.thresholdSweep _),
     // text analysis family
     "text_tokens" -> (TextOps.textTokens _),
+    // unigram token entropy (integer-stabilized; diversity signal)
+    "text_entropy" -> (TextOps.textEntropy _),
     "text_quality" -> (TextOps.textQuality _),
     "text_lang_id" -> (TextOps.textLangId _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
@@ -207,6 +213,8 @@ object SparkEntry {
     "sample_stratified" -> ((s: SparkSession, d: String) => Libraries.sampleStratified(s, d)),
     // proportional mixing weights (the data-mixing knob, not a flat cap)
     "sample_weighted" -> ((s: SparkSession, d: String) => Libraries.sampleWeighted(s, d)),
+    // A-ES weighted sampling w/o replacement (per-doc weights)
+    "sample_reservoir" -> ((s: SparkSession, d: String) => Libraries.sampleReservoir(s, d)),
     "pack_token_budget" -> ((s: SparkSession, d: String) => Libraries.packTokenBudget(s, d)),
     // temperature-scaled (q ∝ p^0.5) multilingual sampling rates +
     // deterministic per-doc keep draws
@@ -536,6 +544,9 @@ object SparkEntry {
     "events_asof" -> Relational.eventsAsofSql,
     "events_attribution" -> graft.streaming.AttributionStream.eventsAttributionSql,
     "events_anomaly" -> Relational.eventsAnomalySql,
+    "events_rolling" -> AnalyticsExtra.eventsRollingSql,
+    "q1_rollup" -> AnalyticsExtra.q1RollupSql,
+    "pivot_lang" -> AnalyticsExtra.pivotLangSql,
     "quality_quantiles" -> TextOps.qualityQuantilesSql,
     "knn_brute_cosine" -> KnnSearch.bruteCosineSql,
     "knn_brute_dot" -> KnnSearch.bruteDotSql,
@@ -569,6 +580,7 @@ object SparkEntry {
     "dedup_ensemble" -> Dedup.ensembleSql,
     "dedup_threshold_sweep" -> Dedup.thresholdSweepSql,
     "text_tokens" -> TextOps.textTokensSql,
+    "text_entropy" -> TextOps.textEntropySql,
     "text_quality" -> TextOps.textQualitySql,
     "text_lang_id" -> TextOps.textLangIdSql,
     "text_fingerprint" -> TextOps.textFingerprintSql,
@@ -718,6 +730,7 @@ object SparkEntry {
     "meta_filter" -> Libraries.metaFilterSql,
     "sample_stratified" -> Libraries.sampleStratifiedSql,
     "sample_weighted" -> Libraries.sampleWeightedSql,
+    "sample_reservoir" -> Libraries.sampleReservoirSql,
     "pack_token_budget" -> Libraries.packTokenBudgetSql,
     "sample_temperature" -> Libraries.sampleTemperatureSql,
     "mixture_plan" -> Libraries.mixturePlanSql,

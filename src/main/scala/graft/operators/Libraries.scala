@@ -273,6 +273,41 @@ object Libraries {
       |WHERE rn <= quota
       |ORDER BY source, rn""".stripMargin
 
+  /** `sample_reservoir`: weighted sampling WITHOUT replacement via
+    * the exponential-keys method (Efraimidis–Spirakis A-ES,
+    * doi:10.1016/j.ipl.2005.11.003): each doc draws a deterministic
+    * uniform u from its md5 hash and ranks by `ln(u)/w` (equivalent
+    * to u^(1/w)); the global top-k under that key IS a weighted
+    * sample without replacement — the distributed-sampling primitive
+    * a mixture executor uses to materialize `sample_weighted`-style
+    * plans when weights are per-DOCUMENT (here w = n_chars), not
+    * per-source quotas. One scan, keys map-side, the cut is a
+    * deterministic `orderBy·limit` (TakeOrderedAndProject: per-
+    * partition k-row heaps + one k-row driver merge — no global sort
+    * at 100 TB); ties break on doc_id. u > 0 by construction
+    * ((hash60+1)/2^60 ∈ (0, 1]), w ≥ 1 by the greatest() guard. */
+  def sampleReservoir(spark: SparkSession, dir: String,
+      k: Int = 100): DataFrame = {
+    import spark.implicits._
+    val h = graft.text.TextOps.hash60(concat(lit("rsv:"), $"doc_id".cast("string")))
+    val u = (h.cast("double") + lit(1.0)) / lit(1152921504606846976.0) // 2^60
+    val w = greatest($"n_chars", lit(1L)).cast("double")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars", Stab.e6(log(u) / w).as("key_e6"))
+      .orderBy($"key_e6".desc, $"doc_id".asc)
+      .limit(k)
+  }
+
+  val sampleReservoirSql: String = {
+    val h = graft.text.TextOps.hash60Sql("'rsv:' || CAST(doc_id AS VARCHAR)")
+    val u = s"(CAST($h AS DOUBLE) + 1.0) / 1152921504606846976.0"
+    val key = s"ln($u) / CAST(greatest(n_chars, 1) AS DOUBLE)"
+    s"""SELECT doc_id, n_chars, ${Stab.sqlE6(key)} AS key_e6
+       |FROM documents
+       |ORDER BY key_e6 DESC, doc_id ASC
+       |LIMIT 100""".stripMargin
+  }
+
   /** `pack_token_budget`: greedy sequence packing — assign each
     * document (in deterministic order within its source) to the
     * training bin where its tokens land under a fixed per-bin budget,

@@ -118,6 +118,69 @@ object TextOps {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // ---- text_entropy ------------------------------------------------------
+
+  /** `text_entropy`: per-document unigram token entropy (nats) — the
+    * repetition/diversity signal quality filters threshold on
+    * (low-entropy ⇒ template/spam; complements `text_repetition`'s
+    * span coverage with a distributional view).
+    *
+    * H = ln(n) − (Σ c·ln c)/n, but NOT as float sums: each term's
+    * `c·ln c` is e6-stabilized to an integer FIRST, so the per-doc
+    * sum is exact in any aggregation order and the division is the
+    * truncating `div`↔`//` pair — the only doubles crossing engines
+    * are the per-value `ln` calls on identical integer inputs. The
+    * normalized ratio (H / ln n, 0..1e6) cross-multiplies in longs
+    * (entropy_e6 ≤ ~45e6, no overflow at any doc size). One postings
+    * shuffle onto (doc, term), one doc rollup, a broadcast-back join
+    * for the zero-token docs. */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("c"))
+    val ent = tf.groupBy($"doc_id")
+      .agg(sum($"c").as("n"), count(lit(1)).as("n_distinct"),
+        sum(Stab.e6($"c".cast("double") * log($"c".cast("double"))))
+          .as("sum_clnc_e6"))
+      .select($"doc_id", $"n".as("n_tokens"), $"n_distinct",
+        (Stab.e6(log($"n".cast("double"))) - expr("sum_clnc_e6 div n"))
+          .as("entropy_e6"),
+        Stab.e6(log($"n".cast("double"))).as("max_entropy_e6"))
+    docs.select($"doc_id").join(ent, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"n_distinct", lit(0L)).as("n_distinct"),
+        coalesce($"entropy_e6", lit(0L)).as("entropy_e6"),
+        when($"max_entropy_e6" > 0L,
+          expr("entropy_e6 * 1000000 div max_entropy_e6"))
+          .otherwise(lit(0L)).as("norm_entropy_e6"))
+      .orderBy($"doc_id")
+  }
+
+  val textEntropySql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS c FROM (
+       |    SELECT doc_id, unnest($tokensSql) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |ent AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_distinct,
+       |    CAST(sum(${Stab.sqlE6("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))")}) AS BIGINT) AS sum_clnc_e6
+       |  FROM tf GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_tokens, 0) AS n_tokens,
+       |  coalesce(n_distinct, 0) AS n_distinct,
+       |  coalesce(${Stab.sqlE6("ln(CAST(n_tokens AS DOUBLE))")} - (sum_clnc_e6 // n_tokens), 0) AS entropy_e6,
+       |  CASE WHEN coalesce(${Stab.sqlE6("ln(CAST(n_tokens AS DOUBLE))")}, 0) > 0
+       |    THEN (${Stab.sqlE6("ln(CAST(n_tokens AS DOUBLE))")} - (sum_clnc_e6 // n_tokens)) * 1000000
+       |      // ${Stab.sqlE6("ln(CAST(n_tokens AS DOUBLE))")}
+       |    ELSE 0 END AS norm_entropy_e6
+       |FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- text_lang_id ------------------------------------------------------
 
   /** Tiny stopword profiles; scored by membership count, argmax with
