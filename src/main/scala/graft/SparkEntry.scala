@@ -224,6 +224,8 @@ object SparkEntry {
     // GLOBAL sequence packing via two-pass distributed prefix sum —
     // no single-task window anywhere in the plan
     "pack_shards" -> ((s: SparkSession, d: String) => Libraries.packShards(s, d)),
+    // real shard EXPORT with a write-path-certifying manifest oracle
+    "export_manifest" -> ((s: SparkSession, d: String) => Libraries.exportManifest(s, d)),
     // ANN index family
     "ivf_build" -> (graft.index.ContractGrids.ivfBuildChecked _),
     "ivf_search" -> (graft.index.ContractGrids.ivfSearchChecked _),
@@ -253,6 +255,8 @@ object SparkEntry {
     // pre-rank + exact rerank — the tier below SQ8, fully hash-oracled
     "bq_build" -> (BqIndex.bqBuild _),
     "knn_brute_bq" -> ((s: SparkSession, d: String) => BqIndex.knnBruteBq(s, d)),
+    // BQ pre-rank composed inside the IVF probe (checked serve grid)
+    "ivf_search_bq" -> ((s: SparkSession, d: String) => BqIndex.ivfSearchBqChecked(s, d)),
     // corpus cartography: deterministic exemplar assignment card +
     // per-cluster distinguishing-term topics (integer ratio scoring)
     "cluster_assign" -> (Clusters.clusterAssign _),
@@ -735,6 +739,7 @@ object SparkEntry {
     "sample_temperature" -> Libraries.sampleTemperatureSql,
     "mixture_plan" -> Libraries.mixturePlanSql,
     "pack_shards" -> Libraries.packShardsSql,
+    "export_manifest" -> Libraries.exportManifestSql,
     "nsw_build" -> NswIndex.nswBuildSql,
     "nsw_graph_stats" -> NswIndex.nswGraphStatsSql,
     "ivf_add_delta" -> IvfIndex.ivfAddDeltaSql,
@@ -746,6 +751,7 @@ object SparkEntry {
     "knn_brute_sq" -> SqIndex.knnBruteSqSql,
     "bq_build" -> BqIndex.bqBuildSql,
     "knn_brute_bq" -> BqIndex.knnBruteBqSql,
+    "ivf_search_bq" -> BqIndex.ivfSearchBqCheckedSql,
     "cluster_assign" -> Clusters.clusterAssignSql,
     "cluster_topics" -> Clusters.clusterTopicsSql,
     "nsw_add_delta" -> NswIndex.nswAddDeltaSql,

@@ -149,6 +149,63 @@ object BqIndex {
       .select($"q_id", $"neighbor_id", $"hamming", $"score_e6", $"rank")
   }
 
+  /** `ivf_search_bq` serve: the BQ pre-rank composed INSIDE the IVF
+    * probe — the realistic 100 TB serve stack: centroids prune the
+    * corpus to nProbe clusters (partition-prunable on the persisted
+    * `cluster_id=` layout), the probed candidates rank by their
+    * 16-byte Hamming signatures (16× less data than the float
+    * vectors), and only the R survivors' full vectors are scored
+    * exactly. Same query workload / k / tie-break as [[IvfIndex
+    * .search]]; the query's own vector survives every stage
+    * structurally (own cluster probed at nProbe=11 — the property
+    * `ivf_search` has asserted since r4 — and self-Hamming 0 leads
+    * the pre-rank), so the checked grid keeps `top1_exact`. Recall
+    * vs the plain IVF probe is the BqSpec bar. */
+  def ivfSearchBq(spark: SparkSession, dir: String, nProbe: Int = 11,
+      r: Int = 100, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val built = IvfIndex.buildCached(spark, dir)
+    val thr = thresholdRow(emb)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val qsig = queries.crossJoin(broadcast(thr))
+      .select($"q_id", $"q_vec", packSignBits($"q_vec", $"thrs").as("q_sig"))
+    val wP = Window.partitionBy($"q_id")
+      .orderBy($"csim".desc, $"cluster_id".asc)
+    val probes = qsig.crossJoin(broadcast(built.centroids))
+      .withColumn("csim", cosineSim($"q_vec", $"centroid"))
+      .withColumn("crank", row_number().over(wP))
+      .filter($"crank" <= nProbe)
+      .select($"q_id", $"q_sig", $"cluster_id")
+    // signatures materialize map-side in the posting scan; at rest
+    // they would persist as a 2-long sidecar column of the layout
+    val sigAssigned = built.assigned.crossJoin(broadcast(thr))
+      .select($"cluster_id", $"vec_id",
+        packSignBits($"embedding", $"thrs").as("sig"))
+    val ham = sigAssigned.join(broadcast(probes), Seq("cluster_id"))
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        hammingWords($"sig", $"q_sig").as("hamming"))
+    val wH = Window.partitionBy($"q_id")
+      .orderBy($"hamming".asc, $"neighbor_id".asc)
+    val cand = ham.withColumn("hrank", row_number().over(wH))
+      .filter($"hrank" <= r).select($"q_id", $"neighbor_id")
+    val rer = emb.join(broadcast(cand), $"vec_id" === $"neighbor_id")
+      .join(broadcast(queries), Seq("q_id"))
+      .select($"q_id", $"neighbor_id",
+        Stab.e6(cosineSim($"embedding", $"q_vec")).as("score_e6"))
+    KnnSearch.topK(rer, k, asc = false)
+  }
+
+  /** `ivf_search_bq` through the shared serve grid (score-exactness,
+    * corpus membership, top-1 self, monotone ranks — SQL-exact). */
+  def ivfSearchBqChecked(spark: SparkSession, dir: String): DataFrame =
+    ContractGrids.annServeGrid(spark, dir, ivfSearchBq(spark, dir),
+      withTop1 = true)
+
+  /** Same grid contract as `ivf_search` (k=10, top1 structural). */
+  val ivfSearchBqCheckedSql: String = ContractGrids.ivfSearchCheckedSql
+
   val knnBruteBqSql: String = {
     val word =
       "CAST(list_sum(list_transform(generate_series(w*32 + 1, least(w*32 + 32, len(embedding))), i -> " +

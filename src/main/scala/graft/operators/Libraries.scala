@@ -487,6 +487,78 @@ object Libraries {
        |  FROM documents) t
        |ORDER BY doc_id""".stripMargin
 
+  /** `export_manifest`: the training-data EXPORT step — actually
+    * WRITE the packed shards (parquet `partitionBy(shard)`, the
+    * layout a trainer's data loader consumes) and serve the manifest
+    * recomputed FROM THE WRITTEN FILES: per shard the doc count,
+    * token sum, id range, and an order-independent content
+    * fingerprint (`bit_xor` of each doc's 60-bit text hash — XOR
+    * never overflows and commutes, so shard-internal file order
+    * can't move it). The oracle recomputes the same manifest from
+    * the SOURCE table + the shard assignment, so a hash match
+    * certifies the written shards carry exactly the right rows with
+    * exactly the right text — a dropped row, duplicated task output,
+    * or corrupted string anywhere in the write path flips it. The
+    * write is a one-shuffle job (doc-keyed join of docs with their
+    * assignment, then the partitioned sink); the manifest aggregation
+    * reads back only (shard, n_tokens, doc_id, text-hash) columns.
+    *
+    * Shard-count note for scale: shards = ⌈corpus tokens / budget⌉,
+    * and each shard is an output DIRECTORY — the test budget (2000
+    * tokens, matching pack_shards' oracle) deliberately produces
+    * many tiny shards; a 100 TB export sets budget to a real shard
+    * size (≳1e9 tokens ≈ a few GB) so the directory count stays in
+    * the thousands. The measured sf0.1→sf1 slope (3.8→27.6 s, 7.4×
+    * for 10× docs) is exactly this small-files channel, not the
+    * write volume. */
+  def exportManifest(spark: SparkSession, dir: String,
+      budget: Long = 2000L): DataFrame = {
+    import spark.implicits._
+    val assign = packShards(spark, dir, budget)
+      .select($"doc_id", $"n_tokens", $"shard")
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"lang", $"source")
+    val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+    docs.join(assign, Seq("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val manifest = spark.read.parquet(out)
+      .select($"shard".cast("long").as("shard"), $"n_tokens", $"doc_id",
+        graft.text.TextOps.hash60($"text").as("h"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        min($"doc_id").as("min_doc_id"),
+        max($"doc_id").as("max_doc_id"),
+        expr("bit_xor(h)").as("fp60"))
+      .orderBy($"shard")
+    // materialize before the export dir is reclaimed (the frame is
+    // lazy; deleting first would yank the files out from under it)
+    val pinned = manifest.localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    pinned
+  }
+
+  val exportManifestSql: String = {
+    val inner =
+      s"""SELECT doc_id,
+         |    CAST(len(${graft.text.TextOps.tokensSql}) AS BIGINT) AS n_tokens,
+         |    CAST(sum(len(${graft.text.TextOps.tokensSql})) OVER (
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM documents""".stripMargin
+    s"""WITH a AS (
+       |  SELECT doc_id, n_tokens,
+       |    greatest(CAST(0 AS BIGINT), CAST(floor((cum_tokens - 1) / 2000.0) AS BIGINT)) AS shard
+       |  FROM ($inner) t)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(d.doc_id) AS min_doc_id, max(d.doc_id) AS max_doc_id,
+       |  CAST(bit_xor(${graft.text.TextOps.hash60Sql("text")}) AS BIGINT) AS fp60
+       |FROM documents d JOIN a ON d.doc_id = a.doc_id
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+  }
+
   /** `meta_filter`: the reference's per-record `metadata` map
     * (datarecord.py:17) as a native `map<string,string>` column,
     * filtered and projected via `element_at`. The oracle states the

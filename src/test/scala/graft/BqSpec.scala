@@ -119,4 +119,22 @@ class BqSpec extends AnyFunSuite {
       assert(r.getLong(3) == 1000000L, s"self cosine not exact: $r")
     }
   }
+
+  test("ivf_search_bq: recall@10 vs exact brute cosine") {
+    val dir = SparkTestSession.sf
+    val exact = KnnSearch.bruteCosine(spark, dir)
+      .select($"q_id", $"neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = BqIndex.ivfSearchBq(spark, dir).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(got.keySet == exact.keySet)
+    val recalls = exact.map { case (q, ids) =>
+      (got(q) & ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.80, s"mean recall@10 $mean below the measured bar")
+    // every query returns exactly k ranked hits
+    assert(got.values.forall(_.size == 10))
+  }
 }
