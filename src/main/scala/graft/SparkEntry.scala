@@ -133,6 +133,8 @@ object SparkEntry {
     "text_entropy" -> (TextOps.textEntropy _),
     "text_quality" -> (TextOps.textQuality _),
     "text_lang_id" -> (TextOps.textLangId _),
+    // lang-id confusion matrix: the classifier measured, not asserted
+    "lang_id_eval" -> (TextOps.langIdEval _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
     // corpus n-gram stats: the high-df report boilerplate stop-lists
     // and contamination screens derive from
@@ -226,6 +228,8 @@ object SparkEntry {
     "pack_shards" -> ((s: SparkSession, d: String) => Libraries.packShards(s, d)),
     // real shard EXPORT with a write-path-certifying manifest oracle
     "export_manifest" -> ((s: SparkSession, d: String) => Libraries.exportManifest(s, d)),
+    // annealing-phase quality-upweighted mixture (Llama-3-style)
+    "mixture_anneal" -> (Libraries.mixtureAnneal _),
     // ANN index family
     "ivf_build" -> (graft.index.ContractGrids.ivfBuildChecked _),
     "ivf_search" -> (graft.index.ContractGrids.ivfSearchChecked _),
@@ -587,6 +591,7 @@ object SparkEntry {
     "text_entropy" -> TextOps.textEntropySql,
     "text_quality" -> TextOps.textQualitySql,
     "text_lang_id" -> TextOps.textLangIdSql,
+    "lang_id_eval" -> TextOps.langIdEvalSql,
     "text_fingerprint" -> TextOps.textFingerprintSql,
     "text_ngram_stats" -> TextOps.textNgramStatsSql,
     "text_repetition" -> TextOps.textRepetitionSql,
@@ -740,6 +745,7 @@ object SparkEntry {
     "mixture_plan" -> Libraries.mixturePlanSql,
     "pack_shards" -> Libraries.packShardsSql,
     "export_manifest" -> Libraries.exportManifestSql,
+    "mixture_anneal" -> Libraries.mixtureAnnealSql,
     "nsw_build" -> NswIndex.nswBuildSql,
     "nsw_graph_stats" -> NswIndex.nswGraphStatsSql,
     "ivf_add_delta" -> IvfIndex.ivfAddDeltaSql,

@@ -647,4 +647,75 @@ object Libraries {
        |  src_tokens * (target_share_e6 * 1000000 // greatest(share_e6, 1)) // 1000000 AS planned_tokens
        |FROM shares
        |ORDER BY source""".stripMargin
+
+  /** `mixture_anneal`: the ANNEALING-phase mixture — the end-of-run
+    * recipe that upweights high-quality sources for the final
+    * training stretch (the Llama-3-style anneal; [[mixturePlan]] is
+    * the base-phase table this composes with). Quality weight = the
+    * per-source mean distinct-token ratio (a fully SQL-exact quality
+    * signal — the trained classifier's margin would slot into the
+    * same column but its scores are golden-pinned, not
+    * oracle-recomputable corpus-wide), annealed share ∝ tokens ×
+    * quality, boost = anneal/natural. All integer: per-doc ratios
+    * e6-stabilize map-side, the source mean is a truncating integer
+    * division, and every share cross-multiplies in
+    * decimal(38,0)/HUGEINT (tokens×quality×1e6 passes 2⁶³ at real
+    * corpus sizes). Same scale shape as mixturePlan: one scan, one
+    * partial-agged shuffle onto source cardinality, totals broadcast
+    * back, |sources| output rows. */
+  def mixtureAnneal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = graft.text.TextOps.tokens($"text")
+    val per = Tables.documents(spark, dir)
+      .select($"source", w.as("w"))
+      .select($"source", size($"w").cast("long").as("n_tokens"),
+        size(array_distinct($"w")).cast("long").as("n_distinct"))
+      .select($"source", $"n_tokens",
+        Stab.e6(when($"n_tokens" > 0,
+          $"n_distinct".cast("double") / $"n_tokens").otherwise(0.0))
+          .as("dr_e6"))
+    val src = per.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tokens"),
+        expr("sum(dr_e6) div count(1)").as("qual_e6"))
+    val tot = src.agg(sum($"tokens").as("total_tokens"),
+      sum(expr("cast(tokens as decimal(38,0)) * qual_e6")).as("total_w"))
+    src.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"tokens", $"qual_e6",
+        expr("cast(cast(tokens as decimal(38,0)) * 1000000 div total_tokens as long)")
+          .as("natural_share_e6"),
+        expr("cast(cast(tokens as decimal(38,0)) * qual_e6 * 1000000 div total_w as long)")
+          .as("anneal_share_e6"))
+      .select($"source", $"n_docs", $"tokens", $"qual_e6",
+        $"natural_share_e6", $"anneal_share_e6",
+        when($"natural_share_e6" > 0,
+          expr("cast(cast(anneal_share_e6 as decimal(38,0)) * 1000000 div natural_share_e6 as long)"))
+          .otherwise(0L).as("boost_e6"))
+      .orderBy($"source")
+  }
+
+  val mixtureAnnealSql: String =
+    s"""WITH per AS (
+       |  SELECT source, CAST(len(w) AS BIGINT) AS n_tokens,
+       |    ${Stab.sqlE6("CASE WHEN len(w) > 0 THEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) ELSE 0.0 END")} AS dr_e6
+       |  FROM (SELECT source, ${graft.text.TextOps.tokensSql} AS w FROM documents)
+       |), src AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |    CAST(sum(dr_e6) AS BIGINT) // count(*) AS qual_e6
+       |  FROM per GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       |    sum(CAST(tokens AS HUGEINT) * qual_e6) AS total_w FROM src
+       |), shares AS (
+       |  SELECT source, n_docs, tokens, qual_e6,
+       |    CAST(CAST(tokens AS HUGEINT) * 1000000 // total_tokens AS BIGINT) AS natural_share_e6,
+       |    CAST(CAST(tokens AS HUGEINT) * qual_e6 * 1000000 // total_w AS BIGINT) AS anneal_share_e6
+       |  FROM src CROSS JOIN tot)
+       |SELECT source, n_docs, tokens, qual_e6, natural_share_e6,
+       |  anneal_share_e6,
+       |  CASE WHEN natural_share_e6 > 0
+       |    THEN CAST(CAST(anneal_share_e6 AS HUGEINT) * 1000000 // natural_share_e6 AS BIGINT)
+       |    ELSE 0 END AS boost_e6
+       |FROM shares
+       |ORDER BY source""".stripMargin
 }

@@ -237,6 +237,39 @@ object TextOps {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** `lang_id_eval`: the language identifier held accountable as a
+    * query — the full confusion matrix of `text_lang_id` (actual ×
+    * predicted counts, plus each cell's share of its actual-language
+    * row, e6 by integer division). The `index_recall_eval` pattern
+    * applied to the text side: the classifier's quality is a
+    * MEASURED table, not a prose claim. Derived entirely from the
+    * already-oracled per-doc prediction frame — two tiny rollups on
+    * |langs|² cells. */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = textLangId(spark, dir)
+      .groupBy($"lang_actual", $"lang_pred")
+      .agg(count(lit(1)).as("n"))
+    val totals = per.groupBy($"lang_actual").agg(sum($"n").as("n_actual"))
+    per.join(broadcast(totals), Seq("lang_actual"))
+      .select($"lang_actual", $"lang_pred", $"n",
+        expr("n * 1000000 div n_actual").as("share_e6"))
+      .orderBy($"lang_actual", $"lang_pred")
+  }
+
+  val langIdEvalSql: String =
+    s"""WITH p AS (
+       |$textLangIdSql
+       |), per AS (
+       |  SELECT lang_actual, lang_pred, count(*) AS n
+       |  FROM p GROUP BY lang_actual, lang_pred
+       |), t2 AS (
+       |  SELECT lang_actual, CAST(sum(n) AS BIGINT) AS n_actual
+       |  FROM per GROUP BY lang_actual)
+       |SELECT lang_actual, lang_pred, n, n * 1000000 // n_actual AS share_e6
+       |FROM per JOIN t2 USING (lang_actual)
+       |ORDER BY lang_actual, lang_pred""".stripMargin
+
   // ---- text_unigram_ll ---------------------------------------------------
 
   /** Unigram-LM log-likelihood quality score — the perplexity-style
