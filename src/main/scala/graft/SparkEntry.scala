@@ -53,6 +53,8 @@ object SparkEntry {
     "q21_waiting" -> (TpchExtra.q21Waiting _),
     "q2_mincost" -> (TpchExtra.q2MinCost _),
     "q20_excess" -> (TpchExtra.q20Excess _),
+    // fact⋈fact date-span filter + CASE priority split (the last shape)
+    "q12_shipmode" -> (TpchExtra.q12Shipmode _),
     // TPC-H Q6-style scan-pushdown revenue filter (no join, no keys)
     "q6_filter" -> (Relational.q6Filter _),
     "window_topk" -> (Relational.windowTopK _),
@@ -72,6 +74,8 @@ object SparkEntry {
     "events_rolling" -> (AnalyticsExtra.eventsRolling _),
     "q1_rollup" -> (AnalyticsExtra.q1Rollup _),
     "pivot_lang" -> (AnalyticsExtra.pivotLang _),
+    // one-pass Pearson moments over per-doc integer features
+    "stats_corr" -> (AnalyticsExtra.statsCorr _),
     // per-language token-length distribution, exact + sketch-attested
     "quality_quantiles" -> (TextOps.qualityQuantiles _),
     // brute-force kNN family
@@ -110,6 +114,10 @@ object SparkEntry {
     "dedup_minhash" -> (Dedup.minhash _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    // asymmetric containment (quote/subset detection, directional)
+    "dedup_containment" -> (Dedup.containment _),
+    // PageRank hub scores over the near-dup candidate graph
+    "graph_pagerank" -> (GraphOps.graphPagerank _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
     "dedup_embedding_lsh" -> (Dedup.embeddingNearDupLshChecked _),
     "dedup_components" -> ((s: SparkSession, d: String) => Dedup.components(s, d)),
@@ -542,6 +550,7 @@ object SparkEntry {
     "q21_waiting" -> TpchExtra.q21WaitingSql,
     "q2_mincost" -> TpchExtra.q2MinCostSql,
     "q20_excess" -> TpchExtra.q20ExcessSql,
+    "q12_shipmode" -> TpchExtra.q12ShipmodeSql,
     "q6_filter" -> Relational.q6FilterSql,
     "window_topk" -> Relational.windowTopKSql,
     "events_window_agg" -> Relational.eventsWindowAggSql,
@@ -555,6 +564,7 @@ object SparkEntry {
     "events_rolling" -> AnalyticsExtra.eventsRollingSql,
     "q1_rollup" -> AnalyticsExtra.q1RollupSql,
     "pivot_lang" -> AnalyticsExtra.pivotLangSql,
+    "stats_corr" -> AnalyticsExtra.statsCorrSql,
     "quality_quantiles" -> TextOps.qualityQuantilesSql,
     "knn_brute_cosine" -> KnnSearch.bruteCosineSql,
     "knn_brute_dot" -> KnnSearch.bruteDotSql,
@@ -577,6 +587,8 @@ object SparkEntry {
     "dedup_minhash" -> Dedup.minhashSql,
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dedup_containment" -> Dedup.containmentSql,
+    "graph_pagerank" -> GraphOps.graphPagerankSql,
     "dedup_embedding" -> Dedup.embeddingNearDupSql,
     "dedup_components" -> Dedup.componentsSql,
     "dedup_keep_best" -> Dedup.keepBestSql,

@@ -244,6 +244,86 @@ object Dedup {
        |WHERE ${Stab.sqlE6("CAST(shared AS DOUBLE) / (sq.n + sd.n - shared)")} >= 10000
        |ORDER BY q_id, d_id""".stripMargin
 
+  /** `dedup_containment`: ASYMMETRIC n-gram containment — the
+    * quote/subset detector Jaccard misses. A short doc fully quoted
+    * inside a long one scores near-zero Jaccard (the union is
+    * dominated by the long doc) but containment(q→d) =
+    * |shingles(q) ∩ shingles(d)| / |shingles(q)| ≈ 1, and the
+    * DIRECTION tells which side is the quote: contain_q high +
+    * contain_d low ⇒ q is (mostly) inside d. The standard measure
+    * for partial-overlap dedup decisions (remove the contained doc,
+    * keep the superset) that `dedup_ngram_jaccard`'s symmetric score
+    * cannot express.
+    *
+    * Same linear postings-join shape as ngramJaccard (shared
+    * shingles counted via one equality join over the posting list —
+    * never n² text comparison; the bounded 1% query side
+    * broadcasts, corpus postings scanned once; per-doc sizes join by
+    * key so nothing corpus-proportional broadcasts). Contract is
+    * RANK-based, not threshold-based: the top 5 candidates per query
+    * doc by containment(q→d) — a fixed absolute threshold is either
+    * trivially empty at small SF or corpus-dependent at large SF,
+    * while top-k is non-empty and bounded (|queries|·5 rows) at ANY
+    * scale. The per-query window partitions on the bounded query
+    * set; ties break on (contain_d, d_id) so both engines rank
+    * identically. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shd = Tables.documents(spark, dir)
+      .select($"doc_id", explode(graft.functions.hashes.wordShingles($"text", 3)).as("s"))
+      .distinct()
+      .cache() // reused: postings join + sizes + query side
+    val sizes = shd.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val q = shd.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("q_id"), $"s".as("q_s"))
+    val shared = broadcast(q)
+      .join(shd, col("q_s") === col("s") && col("q_id") =!= col("doc_id"))
+      .groupBy($"q_id", col("doc_id").as("d_id"))
+      .agg(count(lit(1)).as("shared"))
+    val scored = shared
+      .join(sizes.select($"doc_id".as("q_id"), $"n".as("n_q")), "q_id")
+      .join(sizes.select($"doc_id".as("d_id"), $"n".as("n_d")), "d_id")
+      .select($"q_id", $"d_id", $"shared", $"n_q", $"n_d",
+        Stab.e6($"shared".cast("double") / $"n_q").as("contain_q_e6"),
+        Stab.e6($"shared".cast("double") / $"n_d").as("contain_d_e6"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
+      .orderBy($"contain_q_e6".desc, $"contain_d_e6".desc, $"d_id")
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"rk".cast(LongType).as("rk"), $"d_id",
+        $"shared", $"n_q", $"n_d", $"contain_q_e6", $"contain_d_e6")
+      .orderBy($"q_id", $"rk")
+  }
+
+  val containmentSql: String =
+    s"""WITH shd AS (
+       |  SELECT DISTINCT doc_id, s
+       |  FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("w", 3)}) AS s
+       |        FROM (SELECT doc_id, ${TextOps.tokensSql} AS w FROM documents))
+       |), sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |q AS (SELECT doc_id AS q_id, s FROM shd WHERE doc_id % 100 = 0),
+       |shared AS (
+       |  SELECT q.q_id, shd.doc_id AS d_id, count(*) AS shared
+       |  FROM q JOIN shd ON q.s = shd.s AND q.q_id <> shd.doc_id
+       |  GROUP BY q.q_id, shd.doc_id
+       |)
+       |, scored AS (
+       |  SELECT q_id, d_id, shared, sq.n AS n_q, sd.n AS n_d,
+       |    ${Stab.sqlE6("CAST(shared AS DOUBLE) / sq.n")} AS contain_q_e6,
+       |    ${Stab.sqlE6("CAST(shared AS DOUBLE) / sd.n")} AS contain_d_e6
+       |  FROM shared
+       |  JOIN sizes sq ON sq.doc_id = q_id
+       |  JOIN sizes sd ON sd.doc_id = d_id
+       |)
+       |SELECT q_id, rk, d_id, shared, n_q, n_d, contain_q_e6, contain_d_e6
+       |FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY contain_q_e6 DESC, contain_d_e6 DESC, d_id) AS BIGINT) AS rk
+       |  FROM scored)
+       |WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs within `label` blocks
     * (the blocking key stands in for an LSH bucket — the 100 TB path
     * swaps it for `ann_lsh_bucketed`'s hyperplane bucket with the

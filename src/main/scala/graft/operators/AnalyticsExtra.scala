@@ -122,4 +122,87 @@ object AnalyticsExtra {
        |FROM documents GROUP BY source)
        |ORDER BY source""".stripMargin
   }
+
+  private val corrFeatures = Seq("chars", "tokens", "types")
+  private val corrPairs: Seq[(String, String)] =
+    for { i <- corrFeatures.indices; j <- i + 1 until corrFeatures.size }
+      yield (corrFeatures(i), corrFeatures(j))
+
+  /** `stats_corr`: Pearson correlation matrix over per-document
+    * integer features (n_chars, token count, distinct-token count) —
+    * the corpus-profiling step before any length-based quality
+    * filter (a near-1 chars↔tokens correlation says one of the two
+    * thresholds is redundant). ONE pass: per-row features are
+    * codegen'd string ops, then a single partial-agged global
+    * aggregation collects every moment (Σx, Σx², Σxy for each pair)
+    * — |features|² scalars, no per-pair scans, no shuffle beyond the
+    * one global agg. The moment sums stay exact BIGINTs (per-row
+    * products ≤ 1e5 ⇒ Σ < 2^63 even at 1e11 docs); the n·Σxy − Σx·Σy
+    * cross-terms are where 100 TB overflows, so THOSE go through
+    * decimal(38,0) (Spark) / HUGEINT (DuckDB) before the one double
+    * division — the q14/dsir overflow convention. corr is e6-floored
+    * from identically-shaped double expressions in both engines. */
+  def statsCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = graft.text.TextOps.tokens($"text")
+    val feats = Tables.documents(spark, dir).select(
+      $"n_chars".cast(LongType).as("f_chars"),
+      size(toks).cast(LongType).as("f_tokens"),
+      size(array_distinct(toks)).cast(LongType).as("f_types"))
+    val sumCols = corrFeatures.flatMap { f =>
+      Seq(sum(col(s"f_$f")).as(s"s_$f"),
+        sum(col(s"f_$f") * col(s"f_$f")).as(s"ss_$f"))
+    }
+    val prodCols = corrPairs.map { case (a, b) =>
+      sum(col(s"f_$a") * col(s"f_$b")).as(s"sp_${a}_$b")
+    }
+    val g = feats.agg(count(lit(1)).as("n"), (sumCols ++ prodCols): _*)
+    def corrExpr(a: String, b: String): String = {
+      val num = s"cast(cast(n as decimal(38,0)) * sp_${a}_$b" +
+        s" - cast(s_$a as decimal(38,0)) * s_$b as double)"
+      val va = s"cast(cast(n as decimal(38,0)) * ss_$a" +
+        s" - cast(s_$a as decimal(38,0)) * s_$a as double)"
+      val vb = s"cast(cast(n as decimal(38,0)) * ss_$b" +
+        s" - cast(s_$b as decimal(38,0)) * s_$b as double)"
+      s"cast(floor(($num / (sqrt($va) * sqrt($vb))) * 1000000.0 + 0.5) as long)"
+    }
+    val stackArgs = corrPairs
+      .map { case (a, b) => s"'$a', '$b', ${corrExpr(a, b)}" }.mkString(", ")
+    g.selectExpr("n",
+        s"stack(${corrPairs.size}, $stackArgs) as (feature_a, feature_b, corr_e6)")
+      .select($"feature_a", $"feature_b", $"n", $"corr_e6")
+      .orderBy($"feature_a", $"feature_b")
+  }
+
+  val statsCorrSql: String = {
+    val moments = corrFeatures.flatMap { f =>
+      Seq(s"CAST(sum(f_$f) AS BIGINT) AS s_$f",
+        s"CAST(sum(f_$f * f_$f) AS BIGINT) AS ss_$f")
+    } ++ corrPairs.map { case (a, b) =>
+      s"CAST(sum(f_$a * f_$b) AS BIGINT) AS sp_${a}_$b"
+    }
+    def corr(a: String, b: String): String = {
+      val num = s"CAST(CAST(n AS HUGEINT) * sp_${a}_$b" +
+        s" - CAST(s_$a AS HUGEINT) * s_$b AS DOUBLE)"
+      val va = s"CAST(CAST(n AS HUGEINT) * ss_$a" +
+        s" - CAST(s_$a AS HUGEINT) * s_$a AS DOUBLE)"
+      val vb = s"CAST(CAST(n AS HUGEINT) * ss_$b" +
+        s" - CAST(s_$b AS HUGEINT) * s_$b AS DOUBLE)"
+      s"CAST(FLOOR(($num / (sqrt($va) * sqrt($vb))) * 1000000.0 + 0.5) AS BIGINT)"
+    }
+    val rows = corrPairs.map { case (a, b) =>
+      s"SELECT '$a' AS feature_a, '$b' AS feature_b, n, ${corr(a, b)} AS corr_e6 FROM g"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH f AS (
+       |  SELECT n_chars AS f_chars,
+       |    CAST(len(w) AS BIGINT) AS f_tokens,
+       |    CAST(len(list_distinct(w)) AS BIGINT) AS f_types
+       |  FROM (SELECT n_chars, ${graft.text.TextOps.tokensSql} AS w FROM documents)
+       |), g AS (
+       |  SELECT count(*) AS n, ${moments.mkString(",\n    ")}
+       |  FROM f)
+       |SELECT feature_a, feature_b, n, corr_e6 FROM (
+       |  ${rows}
+       |) ORDER BY feature_a, feature_b""".stripMargin
+  }
 }

@@ -313,4 +313,47 @@ object TpchExtra {
        |WHERE 8 * supp_qty_e2 > part_qty_e2
        |GROUP BY s_suppkey, s_name
        |ORDER BY n_parts_dominated DESC, s_suppkey""".stripMargin
+
+  /** TPC-H Q12-style late-shipment priority split — the LAST missing
+    * shape: fact⋈fact join whose FILTER spans both sides' date
+    * columns (l_shipdate vs o_orderdate + 60 days), conditional
+    * counting split by a CASE over the dim from the OTHER side of
+    * the join. Schema adaptation: `l_shipmode IN ('MAIL','SHIP')` →
+    * `l_returnflag IN ('A','R')`, the commit/receipt lateness chain
+    * → shipped more than 60 days after the order date. Plan shape
+    * (the 100 TB contract): the returnflag+year predicate prunes the
+    * lineitem SCAN (PushedFilters), the join is a key-pruned shuffle
+    * on the order key (both sides fact — never broadcast), and the
+    * CASE counts ride ONE partial-agged shuffle onto a 2-row group
+    * frame. Counts are exact longs — no stabilization needed. */
+  def q12Shipmode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val hi = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter($"l_returnflag".isin("A", "R") &&
+        $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_returnflag", $"l_shipdate")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q12ShipmodeSql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_returnflag IN ('A','R')
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 }
