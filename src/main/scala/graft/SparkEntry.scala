@@ -70,6 +70,8 @@ object SparkEntry {
     "events_attribution" -> (graft.streaming.AttributionStream.eventsAttribution _),
     // daily-volume z-score outliers from integer aggregates
     "events_anomaly" -> (Relational.eventsAnomaly _),
+    // salted-join skew rewrite certified as an identity by the oracle
+    "join_salted" -> (SkewJoin.joinSalted _),
     // RANGE-frame 7-day moving volume; ROLLUP grouping sets; PIVOT
     "events_rolling" -> (AnalyticsExtra.eventsRolling _),
     "q1_rollup" -> (AnalyticsExtra.q1Rollup _),
@@ -158,6 +160,8 @@ object SparkEntry {
     // hashed uni+bigrams (golden-pinned train head + scored corpus)
     "quality_train" -> ((s: SparkSession, d: String) => graft.text.Quality.qualityTrain(s, d)),
     "quality_score" -> ((s: SparkSession, d: String) => graft.text.Quality.qualityScore(s, d)),
+    // the gate's operating points measured (golden-pinned P/R sweep)
+    "quality_pr_curve" -> ((s: SparkSession, d: String) => graft.text.Quality.qualityPrCurve(s, d)),
     // PII redaction + match counts (spec drives real PII through the
     // same expressions; this corpus is clean so the oracle pins the
     // no-match identity)
@@ -279,6 +283,8 @@ object SparkEntry {
     "index_recall_eval" -> (graft.index.RecallEval.indexRecallEval _),
     // recall@10 vs nProbe sweep from one cached build (checked grid)
     "ivf_probe_curve" -> (graft.index.RecallEval.ivfProbeCurveChecked _),
+    // filtered-ANN recall vs selectivity (checked grid; values in spec)
+    "ann_filtered_curve" -> (graft.index.RecallEval.annFilteredCurveChecked _),
     // recall@5 vs beam width from one cached graph (checked grid;
     // exhaustive seed-everything point pinned exactly 1e6)
     "nsw_beam_curve" -> (graft.index.RecallEval.nswBeamCurveChecked _),
@@ -561,6 +567,7 @@ object SparkEntry {
     "events_asof" -> Relational.eventsAsofSql,
     "events_attribution" -> graft.streaming.AttributionStream.eventsAttributionSql,
     "events_anomaly" -> Relational.eventsAnomalySql,
+    "join_salted" -> SkewJoin.joinSaltedSql,
     "events_rolling" -> AnalyticsExtra.eventsRollingSql,
     "q1_rollup" -> AnalyticsExtra.q1RollupSql,
     "pivot_lang" -> AnalyticsExtra.pivotLangSql,
@@ -718,6 +725,23 @@ object SparkEntry {
         |(-1, 53830, 51960, true)
         |) t(doc_id, n_feats, score, keep)
         |ORDER BY doc_id""".stripMargin,
+    // golden-pin oracle (the quality_train pattern): the full P/R
+    // sweep from the INDEPENDENT Python scorer
+    // (tools/golden_quality.py pr) on the driver's verify corpus —
+    // integer scores and truncating cross-multiplies make it exact
+    "quality_pr_curve" ->
+      """SELECT CAST(thresh AS BIGINT) AS thresh, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+        |  CAST(precision_e6 AS BIGINT) AS precision_e6,
+        |  CAST(recall_e6 AS BIGINT) AS recall_e6
+        |FROM (VALUES
+        |(-40, 215, 240, 3, 472527, 986238),
+        |(-20, 210, 213, 8, 496453, 963302),
+        |(0, 204, 186, 14, 523076, 935779),
+        |(20, 195, 164, 23, 543175, 894495),
+        |(40, 184, 142, 34, 564417, 844036)
+        |) t(thresh, tp, fp, fn, precision_e6, recall_e6)
+        |ORDER BY thresh""".stripMargin,
     "chunk_documents" -> Collections.chunkDocumentsSql,
     "doc_embed_pool" -> Collections.docEmbedPoolSql,
     "crud_upsert" -> Collections.crudUpsertSql,
@@ -764,6 +788,7 @@ object SparkEntry {
     "pq_build" -> IvfIndex.pqBuildSql,
     "ivf_search_pq" -> IvfIndex.ivfSearchPqSql,
     "ivf_probe_curve" -> graft.index.RecallEval.ivfProbeCurveSql,
+    "ann_filtered_curve" -> graft.index.RecallEval.annFilteredCurveSql,
     "nsw_beam_curve" -> graft.index.RecallEval.nswBeamCurveSql,
     "sq_build" -> SqIndex.sqBuildSql,
     "knn_brute_sq" -> SqIndex.knnBruteSqSql,

@@ -225,6 +225,86 @@ object RecallEval {
        |ORDER BY max_hops, beam_width""".stripMargin
   }
 
+  /** `ann_filtered_curve`: filtered-ANN recall vs filter SELECTIVITY
+    * — the known hard case of approximate search (a pre-filter
+    * starves the probed candidate set: at 5% selectivity a fixed
+    * nProbe sees ~5% of the candidates an unfiltered probe does, so
+    * recall degrades exactly where users add metadata filters). The
+    * curve measures it instead of asserting it, the
+    * ivf_probe_curve/nsw_beam_curve convention applied to
+    * `ivf_search_filtered`'s serve path.
+    *
+    * Grid: selectivity 1/m for m ∈ [[filterMods]] (the mod-m
+    * predicate `vec_id % m = 0` — deterministic, nested, and
+    * expressible identically in both engines), each at the
+    * production nProbe (measured) and at the FULL probe, where
+    * probing every cluster + pre-filter IS the exact filtered scan —
+    * recall pinned to exactly 1e6 per selectivity: the end-to-end
+    * identity check on the filtered-probe machinery. Recall
+    * denominator is the per-m exact result count (NOT k·|queries|:
+    * a tight filter can leave < k legal neighbours and a fixed-k
+    * denominator would misreport that as index loss).
+    *
+    * Scale shape: ONE cached build serves every grid point; each
+    * exact baseline is one brute scan of the FILTERED corpus (the
+    * filter prunes the scan); post-cut joins touch |queries|·k rows;
+    * output is 2·|mods| rows at any corpus size. */
+  val filterMods: Seq[Long] = Seq(1L, 2L, 5L, 20L)
+
+  def annFilteredCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val built = IvfIndex.buildCached(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val legs = for (m <- filterMods) yield {
+      val exact = KnnSearch.topK(
+        emb.filter(pmod(col("vec_id"), lit(m)) === 0L)
+          .crossJoin(broadcast(queries))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6")),
+        10, asc = false).localCheckpoint(true)
+      val exactN = exact.agg(count(lit(1)).as("n_exact"))
+      for (full <- Seq(false, true)) yield {
+        val nProbe = if (full) IvfIndex.defaultK else IvfIndex.defaultNProbe
+        val approx = IvfIndex.searchFiltered(built, queries,
+          pmod(col("vec_id"), lit(m)) === 0L, nProbe = nProbe)
+        val hits = approx.select(col("q_id"), col("neighbor_id"))
+          .join(exact.select(col("q_id"), col("neighbor_id")),
+            Seq("q_id", "neighbor_id"))
+        hits.agg(count(lit(1)).as("n_hits")).crossJoin(exactN)
+          .select(lit(m).as("sel_mod"), lit(full).as("full_probe"),
+            col("n_exact"),
+            floor(col("n_hits") * lit(1000000L) / greatest(col("n_exact"), lit(1L)))
+              .cast("long").as("mean_recall_e6"))
+      }
+    }
+    legs.flatten.reduce(_ unionByName _)
+      .orderBy(col("sel_mod"), col("full_probe"))
+  }
+
+  /** Invariant grid over [[annFilteredCurve]] — the provable subset:
+    * bounded recall everywhere, and the full-probe identity per
+    * selectivity. Production-probe measured values (incl. the
+    * degradation spread across selectivities) are spec-pinned in
+    * RecallEvalSpec, not oracle-asserted. */
+  def annFilteredCurveChecked(spark: SparkSession, dir: String): DataFrame = {
+    annFilteredCurve(spark, dir)
+      .select(col("sel_mod"), col("full_probe"),
+        col("mean_recall_e6").between(0L, 1000000L).as("recall_bounded"),
+        (!col("full_probe") || col("mean_recall_e6") === 1000000L)
+          .as("full_probe_exact"))
+      .orderBy(col("sel_mod"), col("full_probe"))
+  }
+
+  val annFilteredCurveSql: String = {
+    val rows = for (m <- filterMods; full <- Seq(false, true))
+      yield s"($m, $full)"
+    s"""SELECT CAST(sel_mod AS BIGINT) AS sel_mod, full_probe,
+       |  true AS recall_bounded, true AS full_probe_exact
+       |FROM (VALUES ${rows.mkString(", ")}) t(sel_mod, full_probe)
+       |ORDER BY sel_mod, full_probe""".stripMargin
+  }
+
   def indexRecallEval(spark: SparkSession, dir: String): DataFrame = {
     val exactCos10 = exactTopK(spark, dir, 10, dot = false).localCheckpoint(true)
     val exactCos5 = exactTopK(spark, dir, 5, dot = false)

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.core.{Stab, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Salted equi-join for skewed keys — the manual fallback when AQE's
@@ -32,4 +33,48 @@ object SkewJoin {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(exploded, Seq(key, salt)).drop(salt)
   }
+
+  /** Salt sub-keys for [[joinSalted]] — enough to split a hot key
+    * across every core of a 32-way stage without multiplying the
+    * small side past broadcast range (8 × |dims|). */
+  val saltBuckets = 8
+
+  /** `join_salted`: the salted rewrite SERVED as an oracled query —
+    * events (5 hot keys carry the whole table: the worst shuffle
+    * skew shape, one straggler task per key) joined to a per-type
+    * weight dim through [[saltedJoin]], then rolled up. The DuckDB
+    * oracle computes the PLAIN join: salting is semantics-preserving
+    * by construction, so the hash-exact compare certifies the
+    * rewrite is an identity — the property a skew mitigation must
+    * prove before anyone trusts it at 100 TB. The salt is a
+    * deterministic per-row hash (event_id), never rand(): task
+    * retries and both engines must agree.
+    *
+    * Scale shape: each hot key splits into [[saltBuckets]] shuffle
+    * sub-partitions (the straggler becomes 8 parallel tasks); the
+    * dim side multiplies only 8×|types| rows; the rollup re-merges
+    * sub-keys in the same partial-agged shuffle. Weighted measure
+    * stabilizes per-row (e6 · integer weight) so the sum is exact
+    * cross-engine in any order. */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("weight", length(col("event_type")).cast("long"))
+    saltedJoin(ev, dim, "event_type", col("event_id"), saltBuckets)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(Stab.e6(col("value")) * col("weight")).as("weighted_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  val joinSaltedSql: String =
+    s"""WITH dim AS (
+       |  SELECT DISTINCT event_type,
+       |    CAST(len(event_type) AS BIGINT) AS weight
+       |  FROM events)
+       |SELECT e.event_type, count(*) AS n,
+       |  CAST(sum(${Stab.sqlE6("e.value")} * weight) AS BIGINT) AS weighted_e6
+       |FROM events e JOIN dim USING (event_type)
+       |GROUP BY e.event_type
+       |ORDER BY e.event_type""".stripMargin
 }

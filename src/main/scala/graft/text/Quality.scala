@@ -147,4 +147,42 @@ object Quality {
       .select(lit(-1L).as("doc_id"), $"n_feats", $"score", $"keep")
     head.unionByName(total).orderBy($"doc_id")
   }
+
+  /** Decision thresholds swept by [[qualityPrCurve]]. */
+  val prThresholds: Seq[Long] = Seq(-40L, -20L, 0L, 20L, 40L)
+
+  /** `quality_pr_curve`: the quality gate MEASURED, not asserted —
+    * precision/recall of `score > t` against the true `lang == en`
+    * label at five thresholds (the lang_id_eval convention applied
+    * to the trained classifier: a filter whose operating point was
+    * never measured is a guess). Everything is integer (scores are
+    * integer perceptron sums, P/R are truncating cross-multiplies),
+    * so the whole curve is value-exact and golden-pinned against the
+    * INDEPENDENT Python scorer (tools/golden_quality.py pr), the
+    * quality_train convention.
+    *
+    * Scale shape: per-doc scores ride the same broadcast-weights
+    * postings rollup as quality_score (no new scan shape); the
+    * 5-row threshold frame cross-joins BROADCAST onto the per-doc
+    * frame, one partial-agged shuffle onto |thresholds| groups. */
+  def qualityPrCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = fit(spark, dir)
+    val wdf = broadcast(model.w.toSeq.toDF("b", "wt"))
+    val perDoc = postings(spark, dir)
+      .join(wdf, Seq("b"), "left")
+      .groupBy($"doc_id", $"is_target")
+      .agg((sum($"tf" * coalesce($"wt", lit(0L))) + model.bias).as("score"))
+    val th = prThresholds.toDF("thresh")
+    perDoc.crossJoin(broadcast(th))
+      .groupBy($"thresh")
+      .agg(
+        sum(when($"score" > $"thresh" && $"is_target", 1L).otherwise(0L)).as("tp"),
+        sum(when($"score" > $"thresh" && !$"is_target", 1L).otherwise(0L)).as("fp"),
+        sum(when($"score" <= $"thresh" && $"is_target", 1L).otherwise(0L)).as("fn"))
+      .select($"thresh", $"tp", $"fp", $"fn",
+        expr("tp * 1000000 div greatest(tp + fp, 1)").as("precision_e6"),
+        expr("tp * 1000000 div greatest(tp + fn, 1)").as("recall_e6"))
+      .orderBy($"thresh")
+  }
 }

@@ -80,6 +80,19 @@ def main():
         top = sorted(w.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:32]
         for i, (b, v) in enumerate(top):
             print(f"({i + 1}, {b}, {v}, -1),")
+    elif mode == "pr":
+        # quality_pr_curve rows: (thresh, tp, fp, fn, precision_e6,
+        # recall_e6) vs the TRUE lang=='en' label at each threshold;
+        # truncating integer division, zero-denominator guarded to 1
+        scores = [(y, bias + sum(w.get(b, 0) * c for b, c in tf.items()))
+                  for _, y, tf in docs if tf]
+        for t in (-40, -20, 0, 20, 40):
+            tp = sum(1 for y, s in scores if s > t and y == 1)
+            fp = sum(1 for y, s in scores if s > t and y == -1)
+            fn = sum(1 for y, s in scores if s <= t and y == 1)
+            prec = tp * 1000000 // max(tp + fp, 1)
+            rec = tp * 1000000 // max(tp + fn, 1)
+            print(f"({t}, {tp}, {fp}, {fn}, {prec}, {rec}),")
     else:
         tot_f = tot_s = n_keep = n_docs = 0
         for d, _, tf in docs:
