@@ -247,6 +247,9 @@ object SparkEntry {
     "ivf_search" -> (graft.index.ContractGrids.ivfSearchChecked _),
     // SparkSessionExtensions optimizer rule: brute cosine top-k → IVF probe
     "ann_rewrite" -> (graft.plans.AnnRewrite.annRewriteChecked _),
+    // filtered shape through the same rule: WHERE pred + top-k →
+    // pre-filtered probe of the meta build
+    "ann_rewrite_filtered" -> (graft.plans.AnnRewrite.annRewriteFilteredChecked _),
     // injected-SQL surface: same semantics as knn_brute_cosine, via spark.sql
     "sql_knn_cosine" -> (KnnSearch.sqlKnnCosine _),
     // incremental maintenance: delta add/remove against a built index
@@ -803,6 +806,7 @@ object SparkEntry {
     "ivf_build" -> graft.index.ContractGrids.ivfBuildCheckedSql,
     "ivf_search" -> graft.index.ContractGrids.ivfSearchCheckedSql,
     "ann_rewrite" -> graft.plans.AnnRewrite.annRewriteCheckedSql,
+    "ann_rewrite_filtered" -> graft.plans.AnnRewrite.annRewriteFilteredCheckedSql,
     "sql_knn_cosine" -> KnnSearch.sqlKnnCosineSql,
     "nsw_search" -> graft.index.ContractGrids.nswSearchCheckedSql,
     "nsw_build_lsh" -> graft.index.ContractGrids.nswBuildLshCheckedSql,

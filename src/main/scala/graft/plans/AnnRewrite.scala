@@ -75,7 +75,24 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   private def rewrite(k: Int, s: Sort): Option[LogicalPlan] = s.child match {
-    case p @ Project(projList, lr: LogicalRelation) =>
+    case Project(projList, lr: LogicalRelation) =>
+      rewriteScan(k, s, projList, None, lr)
+    // filtered variant: `WHERE pred ORDER BY cosine LIMIT k` becomes a
+    // PRE-FILTERED probe (the filter runs inside the posting scan,
+    // before the top-k cut — post-filtering the k approximate hits
+    // would return < k rows and lose recall exactly when the filter
+    // is tight; see ann_filtered_curve for the measured behavior)
+    case Project(projList, Filter(cond, lr: LogicalRelation)) =>
+      rewriteScan(k, s, projList, Some(cond), lr)
+    case _ => None
+  }
+
+  /** Metadata columns the filtered rewrite may reference: the probe
+    * swaps to the meta build (attribute storage) that carries them. */
+  private val metaCols = Seq("label")
+
+  private def rewriteScan(k: Int, s: Sort, projList: Seq[NamedExpression],
+      cond: Option[Expression], lr: LogicalRelation): Option[LogicalPlan] =
       for {
         scoreAttr <- s.order.headOption.collect {
           case SortOrder(a: Attribute, Descending, _, _) => a
@@ -93,13 +110,31 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if (others.nonEmpty && others.forall(_.isInstanceOf[AttributeReference]))
             Some(others.map(_.asInstanceOf[AttributeReference])) else None
         }
-        built = graft.index.IvfIndex.buildCached(spark, dir)
+        // a filter must be deterministic (it re-evaluates inside the
+        // probe) and touch only id/meta columns the posting rows carry
+        _ <- if (cond.forall(c => c.deterministic &&
+            c.references.forall(a => a.name == "vec_id" || metaCols.contains(a.name))))
+          Some(()) else None
+        built = if (cond.isEmpty) graft.index.IvfIndex.buildCached(spark, dir)
+          else graft.index.IvfIndex.buildCachedFor(s"ivf_meta:$dir", spark,
+            Tables.embeddings(spark, dir)
+              .select((Seq("vec_id", "embedding") ++ metaCols).map(col): _*),
+            dir, metaCols = metaCols)
         _ <- if (passthrough.forall(a => built.assigned.columns.contains(a.name)))
           Some(()) else None
       } yield {
         val probeIds = topClusters(built.centroids, queryVec, nProbe)
-        val probed = built.assigned
+        val scanned = built.assigned
           .filter(col("cluster_id").isin(probeIds: _*))
+        // replay the pushed-down predicate against the posting rows
+        // (same column names; resolution re-binds by name)
+        val filtered = cond.map { c =>
+          scanned.filter(org.apache.spark.sql.graft.Bridge.column(c.transform {
+            case a: AttributeReference =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
+          }))
+        }.getOrElse(scanned)
+        val probed = filtered
           .select(passthrough.map(a => col(a.name)) :+
             cosineSim(col("embedding"), typedlit(queryVec)).as("score"): _*)
           .orderBy(col("score").desc, col(passthrough.head.name).asc)
@@ -116,8 +151,6 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           },
           inner)
       }
-    case _ => None
-  }
 
   private def constVector(e: Expression): Option[Array[Float]] = e match {
     case Literal(v: ArrayData, ArrayType(FloatType, _)) => Some(v.toFloatArray())
@@ -234,6 +267,93 @@ object AnnRewrite {
     """SELECT q.q_id, CAST(r.rank AS BIGINT) AS rank, true AS id_in_corpus,
       |  true AS score_exact, true AS top1_exact, true AS monotone,
       |  true AS served_by_index
+      |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 5) q
+      |CROSS JOIN generate_series(1, 10) r(rank)
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** The filtered brute plan the extended rule targets — a metadata
+    * predicate + cosine top-k, written exactly as a user would. */
+  def bruteFilteredPlan(spark: SparkSession, dir: String, q: Array[Float],
+      label: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .filter($"label" === label)
+      .select($"vec_id",
+        cosineSim($"embedding", typedlit(q)).as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(k)
+  }
+
+  /** `ann_rewrite_filtered`: the FILTERED workload (each query
+    * restricted to its own label block) under the rewrite flag —
+    * the rule must swap the filtered full-corpus sort for a
+    * pre-filtered probe of the meta build. Graded through the shared
+    * serve grid plus `passes_filter` (every hit satisfies the
+    * predicate — a post-filter bug or a meta-column misjoin cannot
+    * survive it) and the `served_by_index` attestation (false → hash
+    * mismatch if the rule silently stops firing on filtered shapes). */
+  def annRewriteFilteredChecked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 10
+    val queries = Tables.embeddings(spark, dir)
+      .filter($"vec_id" < 5).select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        r.getAs[Int]("label")))
+    val prev = spark.conf.getOption("spark.graft.ann.rewrite")
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      var allServed = true
+      val hits = queries.flatMap { case (qid, qv, lbl) =>
+        val df = bruteFilteredPlan(spark, dir, qv, lbl, k)
+        allServed &&= servedByIndex(df)
+        df.collect().zipWithIndex.map { case (r, i) =>
+          (qid, r.getAs[Long]("vec_id"),
+            math.floor(r.getAs[Double]("score") * 1000000.0 + 0.5).toLong,
+            (i + 1).toLong, lbl)
+        }
+      }.toSeq
+      val hitsDf = spark.createDataFrame(
+        hits.map(h => Row(h._1, h._2, h._3, h._4, h._5)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score_e6", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("q_label", org.apache.spark.sql.types.IntegerType))))
+        .localCheckpoint(true)
+      val grid = graft.index.ContractGrids.annServeGrid(spark, dir,
+        hitsDf, withTop1 = true)
+      // every hit must satisfy the predicate it was filtered by
+      val nbrLabels = Tables.embeddings(spark, dir)
+        .select($"vec_id".as("neighbor_id"), $"label".as("n_label"))
+        .join(org.apache.spark.sql.functions.broadcast(
+          hitsDf.select($"neighbor_id").distinct()), Seq("neighbor_id"), "left_semi")
+      val passes = hitsDf
+        .join(org.apache.spark.sql.functions.broadcast(nbrLabels),
+          Seq("neighbor_id"), "left")
+        .select($"q_id", $"rank",
+          org.apache.spark.sql.functions.coalesce(
+            $"n_label" === $"q_label",
+            org.apache.spark.sql.functions.lit(false)).as("passes_filter"))
+      grid.join(passes, Seq("q_id", "rank"))
+        .withColumn("served_by_index", org.apache.spark.sql.functions.lit(allServed))
+        .select(col("q_id"), col("rank"), col("id_in_corpus"),
+          col("score_exact"), col("top1_exact"), col("monotone"),
+          col("passes_filter"), col("served_by_index"))
+        .orderBy(col("q_id"), col("rank"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.ann.rewrite", v)
+        case None => spark.conf.unset("spark.graft.ann.rewrite")
+      }
+    }
+  }
+
+  val annRewriteFilteredCheckedSql: String =
+    """SELECT q.q_id, CAST(r.rank AS BIGINT) AS rank, true AS id_in_corpus,
+      |  true AS score_exact, true AS top1_exact, true AS monotone,
+      |  true AS passes_filter, true AS served_by_index
       |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 5) q
       |CROSS JOIN generate_series(1, 10) r(rank)
       |ORDER BY q_id, rank""".stripMargin

@@ -68,18 +68,69 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ann.rewrite")
   }
 
-  test("guarded: a non-matching plan (extra filter) stays exact under the flag") {
+  test("guarded: a filter on a non-meta column stays exact under the flag") {
     import spark.implicits._
     spark.conf.set("spark.graft.ann.rewrite", "true")
     try {
       val qv = queryVecs.head._2
+      // references `embedding`, which the meta posting rows can't
+      // replay as a metadata predicate — the rule must keep the
+      // exact plan (meta-column filters like `label >= 0` DO rewrite
+      // now; see the filtered tests below)
       val df = graft.core.Tables.embeddings(spark, sf)
-        .filter($"label" >= 0)
+        .filter(size($"embedding") === 64)
         .select($"vec_id", cosineSim($"embedding", typedlit(qv)).as("score"))
         .orderBy($"score".desc, $"vec_id".asc)
         .limit(10)
-      assert(scansParquetCorpus(df), "rule fired on a guarded (filtered) plan")
+      assert(scansParquetCorpus(df), "rule fired on a guarded (non-meta filter) plan")
     } finally spark.conf.unset("spark.graft.ann.rewrite")
+  }
+
+  test("filtered rewrite: meta predicate fires, results match the exact filtered top-k") {
+    import spark.implicits._
+    val queries = graft.core.Tables.embeddings(spark, sf)
+      .filter($"vec_id" < 5).select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        r.getAs[Int]("label")))
+    // exact filtered baseline, computed flag-OFF (a join-shaped plan
+    // would also dodge the rule, but flag-off is unambiguous)
+    spark.conf.unset("spark.graft.ann.rewrite")
+    val exact = queries.map { case (qid, qv, lbl) =>
+      qid -> AnnRewrite.bruteFilteredPlan(spark, sf, qv, lbl, 10).collect()
+        .map(r => (r.getAs[Long]("vec_id"),
+          math.floor(r.getAs[Double]("score") * 1000000.0 + 0.5).toLong)).toSeq
+    }.toMap
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      var hits = 0
+      var total = 0
+      queries.foreach { case (qid, qv, lbl) =>
+        val df = AnnRewrite.bruteFilteredPlan(spark, sf, qv, lbl, 10)
+        assert(!scansParquetCorpus(df), s"filtered rule did not fire for q=$qid")
+        val got = df.collect().map(r => (r.getAs[Long]("vec_id"),
+          math.floor(r.getAs[Double]("score") * 1000000.0 + 0.5).toLong)).toSeq
+        // approximate serve: the IVF family's recall bar, with the
+        // self-hit pinned (the query passes its own filter and
+        // nProbe covers its own cluster)
+        assert(got.head == exact(qid).head, s"top-1 diverged for q=$qid")
+        hits += got.map(_._1).toSet.intersect(exact(qid).map(_._1).toSet).size
+        total += exact(qid).size
+      }
+      assert(hits.toDouble / total >= 0.8,
+        s"filtered rewrite recall ${hits.toDouble / total} below 0.8")
+    } finally spark.conf.unset("spark.graft.ann.rewrite")
+  }
+
+  test("filtered registry grid is all-true including passes_filter") {
+    val rows = AnnRewrite.annRewriteFilteredChecked(spark, sf).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      Seq("id_in_corpus", "score_exact", "top1_exact", "monotone",
+        "passes_filter", "served_by_index").foreach { c =>
+        assert(r.getAs[Boolean](c), s"$c failed at q=${r.getAs[Long]("q_id")} rank=${r.getAs[Long]("rank")}")
+      }
+    }
   }
 
   test("registry contract grid is all-true including the served_by_index attestation") {
