@@ -78,6 +78,8 @@ object SparkEntry {
     "pivot_lang" -> (AnalyticsExtra.pivotLang _),
     // one-pass Pearson moments over per-doc integer features
     "stats_corr" -> (AnalyticsExtra.statsCorr _),
+    // fixed-width length histogram with cumulative shares
+    "doc_len_hist" -> (AnalyticsExtra.docLenHist _),
     // per-language token-length distribution, exact + sketch-attested
     "quality_quantiles" -> (TextOps.qualityQuantiles _),
     // brute-force kNN family
@@ -100,6 +102,9 @@ object SparkEntry {
     "label_knn_eval" -> ((s: SparkSession, d: String) => KnnSearch.labelKnnEval(s, d)),
     // per-dimension embedding distribution table (dead dims, scale
     // drift, SQ8 ranges) — exact integer stats, one partial-agged pass
+    // slice-vs-slice per-dim drift (Welch z on exact integer moments)
+    "embedding_drift" -> ((s: SparkSession, d: String) =>
+      graft.operators.EmbeddingStats.embeddingDrift(s, d)),
     "embedding_dim_stats" -> ((s: SparkSession, d: String) =>
       graft.operators.EmbeddingStats.embeddingDimStats(s, d)),
     // PCA whitening (16 of 64 dims) served as its contract grid
@@ -107,6 +112,8 @@ object SparkEntry {
     "ivf_search_filtered" -> (IvfIndex.ivfSearchFiltered _),
     "text_bm25" -> (graft.text.Bm25.textBm25 _),
     "text_unigram_ll" -> (TextOps.textUnigramLl _),
+    // bigram-LM fluency (word ORDER, which a unigram bag can't see)
+    "text_bigram_ll" -> (TextOps.textBigramLl _),
     // DSIR-style hashed-ngram importance weights vs a target domain
     "dsir_importance" -> (TextOps.dsirImportance _),
     "hybrid_rrf" -> (Hybrid.hybridRrfChecked _),
@@ -575,6 +582,7 @@ object SparkEntry {
     "q1_rollup" -> AnalyticsExtra.q1RollupSql,
     "pivot_lang" -> AnalyticsExtra.pivotLangSql,
     "stats_corr" -> AnalyticsExtra.statsCorrSql,
+    "doc_len_hist" -> AnalyticsExtra.docLenHistSql,
     "quality_quantiles" -> TextOps.qualityQuantilesSql,
     "knn_brute_cosine" -> KnnSearch.bruteCosineSql,
     "knn_brute_dot" -> KnnSearch.bruteDotSql,
@@ -586,10 +594,12 @@ object SparkEntry {
     "mine_triplets" -> KnnSearch.mineTripletsSql,
     "label_knn_eval" -> KnnSearch.labelKnnEvalSql,
     "embedding_dim_stats" -> graft.operators.EmbeddingStats.embeddingDimStatsSql,
+    "embedding_drift" -> graft.operators.EmbeddingStats.embeddingDriftSql,
     "embedding_whiten" -> graft.operators.Whiten.embeddingWhitenSql,
     "ivf_search_filtered" -> IvfIndex.ivfSearchFilteredSql,
     "text_bm25" -> graft.text.Bm25.textBm25Sql,
     "text_unigram_ll" -> TextOps.textUnigramLlSql,
+    "text_bigram_ll" -> TextOps.textBigramLlSql,
     "dsir_importance" -> TextOps.dsirImportanceSql,
     "hybrid_rrf" -> Hybrid.hybridRrfCheckedSql,
     "mmr_rerank" -> Rerank.mmrRerankSql,

@@ -205,4 +205,52 @@ object AnalyticsExtra {
        |  ${rows}
        |) ORDER BY feature_a, feature_b""".stripMargin
   }
+
+  /** Histogram bucket width (chars) for [[docLenHist]]. */
+  val histBucketChars = 50L
+
+  /** `doc_len_hist`: the document-length histogram with cumulative
+    * shares — the first chart of every dataset card, and the evidence
+    * behind any min/max-length filter threshold (quality_quantiles
+    * gives exact quantiles per language; the histogram gives the
+    * whole shape at a glance). Fixed-width buckets (`n_chars div
+    * 50`), per-bucket count, corpus share, and the running cumulative
+    * share — all integer (`·1e6 div total`).
+    *
+    * Scale shape: one partial-agged shuffle onto the bucket frame
+    * (bounded by max doc length / width, corpus-size independent),
+    * then the cumulative window runs over that TINY aggregated frame
+    * only — the events_rolling discipline: a window is fine when its
+    * input is already dimension-sized. */
+  def docLenHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val buckets = Tables.documents(spark, dir)
+      .select(expr(s"n_chars div $histBucketChars").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+    // single-partition window is FINE here: its input is the already-
+    // aggregated bucket frame (≤ maxlen/width rows at any corpus)
+    val w = Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, 0)
+    buckets
+      .crossJoin(broadcast(buckets.agg(sum($"n").as("total"))))
+      .withColumn("cum_n", sum($"n").over(w))
+      .select($"bucket", ($"bucket" * histBucketChars).as("lo_chars"),
+        $"n", expr("n * 1000000 div total").as("share_e6"),
+        $"cum_n", expr("cum_n * 1000000 div total").as("cum_share_e6"))
+      .orderBy($"bucket")
+  }
+
+  val docLenHistSql: String =
+    s"""WITH b AS (
+       |  SELECT n_chars // $histBucketChars AS bucket, count(*) AS n
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM b)
+       |SELECT bucket, bucket * $histBucketChars AS lo_chars, n,
+       |  CAST(n * 1000000 // total AS BIGINT) AS share_e6,
+       |  CAST(sum(n) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+       |  CAST(CAST(sum(n) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    * 1000000 // total AS BIGINT) AS cum_share_e6
+       |FROM b CROSS JOIN t
+       |ORDER BY bucket""".stripMargin
 }

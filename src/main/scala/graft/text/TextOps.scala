@@ -330,6 +330,85 @@ object TextOps {
        |  sum_lp_e6 >= -3450000 * n_tokens AS keep
        |FROM perdoc ORDER BY doc_id""".stripMargin
 
+  /** `text_bigram_ll`: bigram-LM fluency scoring — the next model up
+    * from [[textUnigramLl]]'s bag-of-words (a unigram LL cannot see
+    * scrambled word ORDER; a bigram conditional can, and word-order
+    * degeneracy is exactly what template spam and shuffled scrapes
+    * look like). Per doc: Σ tf·ln P(w₂|w₁) with add-1 smoothing,
+    * P = (c(w₁w₂)+1)/(c(w₁·)+V) — the context count is the exact
+    * PREFIX total (Σ bigrams starting w₁, not the unigram count:
+    * the conditional then normalizes exactly), V = distinct
+    * unigrams. keep ⇔ the doc's mean bigram LL is at least the
+    * corpus mean, compared by integer cross-multiplication through
+    * decimal(38,0)/HUGEINT (sums are negative: multipliers — both
+    * token counts — are positive, so the inequality direction
+    * survives the cross-multiply; the q14/dsir overflow convention).
+    *
+    * Scale shape: one tokenize+shingle scan into (doc, bigram, tf)
+    * postings, bigram/prefix count tables join by KEY (corpus-sized
+    * — never broadcast), V and the corpus mean are one-row broadcast
+    * frames, one per-doc partial-agged rollup. */
+  def textBigramLl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("w"))
+    val bg = toks.select($"doc_id", explode(shingles($"w", 2)).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val bfreq = bg.groupBy($"bg").agg(sum($"tf").as("bc"))
+      .withColumn("prefix", substring_index($"bg", " ", 1))
+    val ctx = bfreq.groupBy($"prefix").agg(sum($"bc").as("cc"))
+    val vocab = toks.select(explode($"w").as("t"))
+      .agg(countDistinct($"t").cast("double").as("v"))
+    val perDoc = bg
+      .join(bfreq, Seq("bg"))
+      .join(ctx, Seq("prefix"))
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id", $"tf",
+        ($"tf" * Stab.e6(log(($"bc" + 1).cast("double") / ($"cc" + $"v"))))
+          .as("lp_e6"))
+      .groupBy($"doc_id").agg(
+        sum($"tf").as("n_bigrams"),
+        sum($"lp_e6").as("sum_lp_e6"))
+      .localCheckpoint(true)
+    val corpus = perDoc.agg(sum($"n_bigrams").as("g_n"),
+      sum($"sum_lp_e6").as("g_sum"))
+    perDoc.crossJoin(broadcast(corpus))
+      .select($"doc_id", $"n_bigrams", $"sum_lp_e6",
+        (expr("cast(sum_lp_e6 as decimal(38,0)) * g_n") >=
+          expr("cast(g_sum as decimal(38,0)) * n_bigrams")).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val textBigramLlSql: String =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS w FROM documents),
+       |posting AS (
+       |  SELECT doc_id, bg, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${shinglesSql("w", 2)}) AS bg FROM toks)
+       |  GROUP BY doc_id, bg),
+       |bfreq AS (
+       |  SELECT bg, CAST(sum(tf) AS BIGINT) AS bc,
+       |    split_part(bg, ' ', 1) AS prefix
+       |  FROM posting GROUP BY bg),
+       |ctx AS (SELECT prefix, CAST(sum(bc) AS BIGINT) AS cc FROM bfreq GROUP BY prefix),
+       |vocab AS (
+       |  SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+       |  FROM (SELECT unnest(w) AS t FROM toks)),
+       |perdoc AS (
+       |  SELECT p.doc_id, CAST(sum(p.tf) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(p.tf * ${Stab.sqlE6("ln(CAST(f.bc + 1 AS DOUBLE) / (c.cc + vocab.v))")}) AS BIGINT) AS sum_lp_e6
+       |  FROM posting p JOIN bfreq f USING (bg)
+       |  JOIN ctx c ON c.prefix = f.prefix
+       |  CROSS JOIN vocab
+       |  GROUP BY p.doc_id),
+       |corpus AS (
+       |  SELECT CAST(sum(n_bigrams) AS BIGINT) AS g_n,
+       |    CAST(sum(sum_lp_e6) AS BIGINT) AS g_sum FROM perdoc)
+       |SELECT doc_id, n_bigrams, sum_lp_e6,
+       |  CAST(sum_lp_e6 AS HUGEINT) * g_n >= CAST(g_sum AS HUGEINT) * n_bigrams AS keep
+       |FROM perdoc CROSS JOIN corpus
+       |ORDER BY doc_id""".stripMargin
+
   // ---- dsir_importance (hashed n-gram importance resampling) -------------
 
   /** Hashed feature buckets for [[dsirImportance]]. DSIR's bag-of-

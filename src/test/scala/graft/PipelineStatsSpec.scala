@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.AnalyticsExtra
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wave-8 ops vs independent plain-Scala recomputations at sf0.001:
+  * embedding_drift (Welch z from raw floats), doc_len_hist (bucket
+  * counts + cumulative shares), text_bigram_ll (add-1 bigram LM from
+  * raw text with exact prefix totals).
+  */
+class PipelineStatsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val dir = SparkTestSession.sf
+
+  private def e6(x: Double): Long = math.floor(x * 1000000.0 + 0.5).toLong
+
+  test("embedding_drift matches a raw-float Welch-z recomputation") {
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val d = embs.head._2.length
+    val want = (1 to d).map { dim =>
+      def moments(slice: Long) = {
+        val qs = embs.filter(_._1 % 2 == slice)
+          .map(e => e6(e._2(dim - 1).toDouble))
+        val n = qs.length.toLong
+        val s = qs.sum
+        val ss = qs.map(q => q * q).sum
+        (n, s, n * ss - s * s)
+      }
+      val (na, sa, va) = moments(0L)
+      val (nb, sb, vb) = moments(1L)
+      val z = (sa.toDouble / na - sb.toDouble / nb) /
+        math.sqrt(va.toDouble / (na.toDouble * na * na) +
+          vb.toDouble / (nb.toDouble * nb * nb))
+      (dim.toLong, na, nb, sa, sb, va, vb, e6(z), math.abs(e6(z)) >= 3000000L)
+    }
+    val got = graft.operators.EmbeddingStats.embeddingDrift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8)))
+      .toSeq
+    assert(got == want)
+    // random halves of one generator must NOT read as drifted
+    assert(got.count(_._9) == 0)
+  }
+
+  test("doc_len_hist matches bucket recomputation; cumulative ends at 1") {
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"n_chars").collect().map(_.getLong(0))
+    val total = lens.length.toLong
+    val byBucket = lens.groupBy(_ / AnalyticsExtra.histBucketChars)
+      .view.mapValues(_.length.toLong).toMap
+    var cum = 0L
+    val want = byBucket.keys.toSeq.sorted.map { b =>
+      val n = byBucket(b)
+      cum += n
+      (b, b * AnalyticsExtra.histBucketChars, n, n * 1000000L / total,
+        cum, cum * 1000000L / total)
+    }
+    val got = AnalyticsExtra.docLenHist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    assert(got.last._5 == total && got.last._6 == 1000000L)
+  }
+
+  test("text_bigram_ll matches an add-1 bigram LM recomputation") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+    val perDocBg = docs.map { case (id, w) =>
+      id -> w.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val bc = perDocBg.values.flatten
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val cc = bc.toSeq.groupBy(_._1.split(" ")(0))
+      .view.mapValues(_.map(_._2).sum).toMap
+    val v = docs.flatMap(_._2).distinct.length.toDouble
+    val want = perDocBg.toSeq.filter(_._2.nonEmpty).map { case (id, tfs) =>
+      val n = tfs.values.sum
+      val lp = tfs.iterator.map { case (bg, tf) =>
+        tf * e6(math.log((bc(bg) + 1).toDouble /
+          (cc(bg.split(" ")(0)) + v)))
+      }.sum
+      (id, n, lp)
+    }.sortBy(_._1)
+    val gN = want.map(_._2).sum
+    val gSum = want.map(_._3).sum
+    val wantKeep = want.map { case (id, n, lp) =>
+      (id, n, lp, BigInt(lp) * gN >= BigInt(gSum) * n)
+    }
+    val got = graft.text.TextOps.textBigramLl(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == wantKeep)
+    // the gate genuinely splits the corpus
+    assert(got.exists(_._4) && got.exists(!_._4))
+  }
+}
