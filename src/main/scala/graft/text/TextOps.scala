@@ -347,22 +347,36 @@ object TextOps {
     * Scale shape: one tokenize+shingle scan into (doc, bigram, tf)
     * postings, bigram/prefix count tables join by KEY (corpus-sized
     * — never broadcast), V and the corpus mean are one-row broadcast
-    * frames, one per-doc partial-agged rollup. */
+    * frames, one per-doc partial-agged rollup. Bigram and prefix
+    * KEYS are hash60 LONGS, not strings (the dsir convention):
+    * string-keyed joins went 12.9× for 10× data on the replica
+    * curve (vocabulary explosion widens every shuffle row);
+    * fixed-width keys keep the shuffles linear at any vocabulary,
+    * and a 60-bit md5 collision merging two bigrams' counts is
+    * identical in both engines. */
   def textBigramLl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", tokens($"text").as("w"))
-    val bg = toks.select($"doc_id", explode(shingles($"w", 2)).as("bg"))
-      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("tf"))
+    val bg = toks.select($"doc_id", explode(shingles($"w", 2)).as("s"))
+      .select($"doc_id", hash60($"s").as("bg"),
+        hash60(substring_index($"s", " ", 1)).as("prefix"))
+      .groupBy($"doc_id", $"bg", $"prefix").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    val bfreq = bg.groupBy($"bg").agg(sum($"tf").as("bc"))
-      .withColumn("prefix", substring_index($"bg", " ", 1))
+    // bfreq keeps the prefix so ctx aggregates the ALREADY-small
+    // model table (not the corpus postings), and cc attaches to
+    // bfreq model-side — the corpus postings then ride ONE join on
+    // bg instead of two full-volume reshuffles
+    val bfreq = bg.groupBy($"bg", $"prefix").agg(sum($"tf").as("bc"))
     val ctx = bfreq.groupBy($"prefix").agg(sum($"bc").as("cc"))
+    val model = bfreq.join(ctx, Seq("prefix"))
+      .select($"bg", $"prefix", $"bc", $"cc")
     val vocab = toks.select(explode($"w").as("t"))
-      .agg(countDistinct($"t").cast("double").as("v"))
+      .agg(countDistinct(hash60($"t")).cast("double").as("v"))
+    // join on BOTH keys: a bg-hash collision across different
+    // prefixes must not multiply posting rows
     val perDoc = bg
-      .join(bfreq, Seq("bg"))
-      .join(ctx, Seq("prefix"))
+      .join(model, Seq("bg", "prefix"))
       .crossJoin(broadcast(vocab))
       .select($"doc_id", $"tf",
         ($"tf" * Stab.e6(log(($"bc" + 1).cast("double") / ($"cc" + $"v"))))
@@ -383,22 +397,22 @@ object TextOps {
   val textBigramLlSql: String =
     s"""WITH toks AS (SELECT doc_id, $tokensSql AS w FROM documents),
        |posting AS (
-       |  SELECT doc_id, bg, count(*) AS tf
-       |  FROM (SELECT doc_id, unnest(${shinglesSql("w", 2)}) AS bg FROM toks)
-       |  GROUP BY doc_id, bg),
+       |  SELECT doc_id, ${hash60Sql("s")} AS bg,
+       |    ${hash60Sql("split_part(s, ' ', 1)")} AS prefix, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${shinglesSql("w", 2)}) AS s FROM toks)
+       |  GROUP BY 1, 2, 3),
        |bfreq AS (
-       |  SELECT bg, CAST(sum(tf) AS BIGINT) AS bc,
-       |    split_part(bg, ' ', 1) AS prefix
-       |  FROM posting GROUP BY bg),
+       |  SELECT bg, prefix, CAST(sum(tf) AS BIGINT) AS bc
+       |  FROM posting GROUP BY bg, prefix),
        |ctx AS (SELECT prefix, CAST(sum(bc) AS BIGINT) AS cc FROM bfreq GROUP BY prefix),
        |vocab AS (
-       |  SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+       |  SELECT CAST(count(DISTINCT ${hash60Sql("t")}) AS DOUBLE) AS v
        |  FROM (SELECT unnest(w) AS t FROM toks)),
        |perdoc AS (
        |  SELECT p.doc_id, CAST(sum(p.tf) AS BIGINT) AS n_bigrams,
        |    CAST(sum(p.tf * ${Stab.sqlE6("ln(CAST(f.bc + 1 AS DOUBLE) / (c.cc + vocab.v))")}) AS BIGINT) AS sum_lp_e6
-       |  FROM posting p JOIN bfreq f USING (bg)
-       |  JOIN ctx c ON c.prefix = f.prefix
+       |  FROM posting p JOIN bfreq f USING (bg, prefix)
+       |  JOIN ctx c ON c.prefix = p.prefix
        |  CROSS JOIN vocab
        |  GROUP BY p.doc_id),
        |corpus AS (

@@ -68,24 +68,31 @@ class PipelineStatsSpec extends AnyFunSuite {
   }
 
   test("text_bigram_ll matches an add-1 bigram LM recomputation") {
+    // keys are hash60 longs, matching the op's fixed-width join keys
+    def hash60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"text").collect()
       .map(r => r.getLong(0) ->
         r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
     val perDocBg = docs.map { case (id, w) =>
-      id -> w.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      id -> w.sliding(2).filter(_.size == 2)
+        .map(p => (hash60(p.mkString(" ")), hash60(p.head))).toSeq
         .groupBy(identity).view.mapValues(_.size.toLong).toMap
     }.toMap
+    // counts keyed on the (bg, prefix) hash PAIR — the op's join key
     val bc = perDocBg.values.flatten
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-    val cc = bc.toSeq.groupBy(_._1.split(" ")(0))
-      .view.mapValues(_.map(_._2).sum).toMap
-    val v = docs.flatMap(_._2).distinct.length.toDouble
+    val cc = perDocBg.values.flatten
+      .groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val v = docs.flatMap(_._2).map(hash60).distinct.length.toDouble
     val want = perDocBg.toSeq.filter(_._2.nonEmpty).map { case (id, tfs) =>
       val n = tfs.values.sum
-      val lp = tfs.iterator.map { case (bg, tf) =>
-        tf * e6(math.log((bc(bg) + 1).toDouble /
-          (cc(bg.split(" ")(0)) + v)))
+      val lp = tfs.iterator.map { case (k @ (_, pfx), tf) =>
+        tf * e6(math.log((bc(k) + 1).toDouble / (cc(pfx) + v)))
       }.sum
       (id, n, lp)
     }.sortBy(_._1)
