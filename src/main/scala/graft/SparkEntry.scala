@@ -222,6 +222,8 @@ object SparkEntry {
     "mm_dedup" -> (Media.mmDedup _),
     // perceptual-hash (aHash) image near-dup summary, simhash-banded
     "mm_phash" -> (Media.mmPhash _),
+    // per-frame hash steps → scene boundaries (golden-pinned)
+    "mm_scene_cuts" -> (Media.mmSceneCuts _),
     "embed_text" -> (embedText _),
     "embed_text_golden" -> (embedTextGolden _),
     // libraries level + write-path invariants
@@ -781,6 +783,7 @@ object SparkEntry {
     "mm_features_golden" -> Media.mmFeaturesGoldenSql,
     "mm_dedup" -> Media.mmDedupSql,
     "mm_phash" -> Media.mmPhashSql,
+    "mm_scene_cuts" -> Media.mmSceneCutsSql,
     "crud_library" -> Libraries.crudLibrarySql,
     "crud_integrity" -> Libraries.crudIntegritySql,
     "crud_library_cascade" -> Libraries.crudLibraryCascadeSql,

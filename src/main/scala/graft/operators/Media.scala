@@ -77,8 +77,13 @@ object MediaCodec {
     * hash both sides of a comparison). Equal frame-0 pixels ⇒ equal
     * hash; small pixel perturbations flip few bits, which is the
     * property the hamming-banded near-dup join exploits. */
-  def phash64(d: Decoded): Long = {
+  def phash64(d: Decoded): Long = phash64Frame(d, 0)
+
+  /** The same average-hash over frame `f` — [[phash64]] generalized
+    * to any frame offset (scene-cut detection hashes EVERY frame). */
+  def phash64Frame(d: Decoded, frame: Int): Long = {
     val w = d.width; val h = d.height
+    val base = frame * w * h
     val sums = new Array[Long](64); val counts = new Array[Long](64)
     var y = 0
     while (y < h) {
@@ -86,7 +91,7 @@ object MediaCodec {
       var x = 0
       while (x < w) {
         val c = cy * 8 + (x * 8 / w)
-        sums(c) += d.pixels(y * w + x) & 0xff
+        sums(c) += d.pixels(base + y * w + x) & 0xff
         counts(c) += 1
         x += 1
       }
@@ -391,6 +396,73 @@ object Media {
        |  (SELECT count(*) - 1 FROM documents) AS phash
        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
        |UNION ALL $pins
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-frame step threshold for [[mmSceneCuts]]: the measured
+    * inter-frame hamming distribution on this codec is bimodal
+    * (0–5 for near-identical successive frames, ≥ 11 for the
+    * frame-index remix) — 8 sits in the anti-mode gap. */
+  private[graft] val sceneCutHamming = 8L
+
+  /** Per-doc scene table: every frame average-hashed, successive
+    * steps measured, a step ≥ [[sceneCutHamming]] is a cut. */
+  private[graft] def sceneFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaRecords(spark, dir).map { r =>
+      MediaCodec.decode(r.payload) match {
+        case Some(d) =>
+          val ph = (0 until d.frames).map(f => MediaCodec.phash64Frame(d, f))
+          val steps = ph.sliding(2).filter(_.size == 2)
+            .map(p => java.lang.Long.bitCount(p(0) ^ p(1)).toLong).toSeq
+          (r.doc_id, true, d.frames.toLong,
+            steps.count(_ >= sceneCutHamming).toLong,
+            if (steps.isEmpty) 0L else steps.max)
+        case None => (r.doc_id, false, 0L, 0L, 0L)
+      }
+    }.toDF("doc_id", "valid", "n_frames", "n_cuts", "max_step")
+  }
+
+  /** Scene-cut pins from the INDEPENDENT Python reimplementation
+    * (tools/golden_phash.py scenes on sf0.01): (doc_id, n_frames,
+    * n_cuts, max_step). */
+  private val scenePins: Seq[(Long, Long, Long, Long)] = Seq(
+    (1L, 2L, 1L, 20L), (6L, 3L, 2L, 36L), (123L, 4L, 3L, 18L))
+
+  /** `mm_scene_cuts`: video scene-boundary detection — the frame-
+    * dedup preamble of a video training pipeline (sampling one frame
+    * per SCENE beats sampling every near-identical frame of one):
+    * every frame of every payload average-hashed, successive-frame
+    * hamming steps, cut ⇔ step ≥ [[sceneCutHamming]] (measured
+    * bimodal gap). Served as the mm_phash convention: golden-pinned
+    * per-doc rows (independent Python over the whole
+    * encode→decode→per-frame-hash→step path) plus the doc_id = −1
+    * corpus-total row (Σ frames, Σ cuts, corpus max step) that
+    * forces the full pass.
+    *
+    * Scale shape: one decode scan, per-row bounded work (frames ≤ 4
+    * here; a real video corpus bounds frames per payload by
+    * chunking), one tiny rollup — no joins, no shuffle beyond the
+    * total row. */
+  def mmSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = sceneFrame(spark, dir).filter($"valid").localCheckpoint(true)
+    val total = per.agg(sum($"n_frames").as("n_frames"),
+        sum($"n_cuts").as("n_cuts"), max($"max_step").as("max_step"))
+      .select(lit(-1L).as("doc_id"), $"n_frames", $"n_cuts", $"max_step")
+    val pins = per.filter($"doc_id".isin(scenePins.map(_._1): _*))
+      .select($"doc_id", $"n_frames", $"n_cuts", $"max_step")
+    pins.unionByName(total).orderBy($"doc_id")
+  }
+
+  val mmSceneCutsSql: String = {
+    val rows = (scenePins.map { case (d, f, c, m) => s"($d, $f, $c, $m)" } :+
+      "(-1, 1248, 578, 45)").mkString(", ")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(n_frames AS BIGINT) AS n_frames,
+       |  CAST(n_cuts AS BIGINT) AS n_cuts,
+       |  CAST(max_step AS BIGINT) AS max_step
+       |FROM (VALUES $rows) t(doc_id, n_frames, n_cuts, max_step)
        |ORDER BY doc_id""".stripMargin
   }
 

@@ -9,17 +9,70 @@ empty cells = 0). Prints doc_id, phash for the pinned doc ids on
 sf0.01 — the literals in Media.mmPhashSql.
 
 Usage: python3 tools/golden_phash.py [sf_dir] [doc_id...]
+       python3 tools/golden_phash.py scenes [sf_dir]   # mm_scene_cuts pins
 """
 import sys
 
 import duckdb
 
-sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ids = [int(x) for x in sys.argv[2:]] or [0, 7, 123]
+SCENES = len(sys.argv) > 1 and sys.argv[1] == "scenes"
+if SCENES:
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+else:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ids = [] if SCENES else ([int(x) for x in sys.argv[2:]] or [0, 7, 123])
 
 rows = duckdb.connect().execute(
-    f"SELECT doc_id, text FROM '{sf}/documents.parquet' WHERE doc_id IN ({','.join(map(str, ids))})"
+    f"SELECT doc_id, text FROM '{sf}/documents.parquet'" +
+    ("" if SCENES else f" WHERE doc_id IN ({','.join(map(str, ids))})")
 ).fetchall()
+
+
+def frame_phash(b, w, h, f):
+    """Average-hash of frame f: pixel = (textbyte + 31*f + i) % 256."""
+    px = [((b[i % len(b)] if b else 0) + 31 * f + i) % 256
+          for i in range(w * h)]
+    sums = [0] * 64
+    counts = [0] * 64
+    for y in range(h):
+        cy = y * 8 // h
+        for x in range(w):
+            c = cy * 8 + x * 8 // w
+            sums[c] += px[y * w + x]
+            counts[c] += 1
+    means = [sums[i] / counts[i] if counts[i] else 0.0 for i in range(64)]
+    mean = sum(means) / 64.0
+    hv = 0
+    for i in range(64):
+        if means[i] > mean:
+            hv |= 1 << i
+    return hv
+
+
+if SCENES:
+    # mm_scene_cuts: per-frame hashes, successive steps, cut >= 8
+    tot_f = tot_c = mx = 0
+    pins = {}
+    for d, t in sorted(rows):
+        if d == 13:   # the corrupt payload
+            continue
+        frames = 1 + d % 4
+        b = t.encode("utf-8")
+        w = 8 + len(b) % 24
+        h = 4 + len(b) % 12
+        ph = [frame_phash(b, w, h, f) for f in range(frames)]
+        steps = [bin(ph[f] ^ ph[f + 1]).count("1") for f in range(frames - 1)]
+        cuts = sum(1 for s in steps if s >= 8)
+        m = max(steps) if steps else 0
+        tot_f += frames
+        tot_c += cuts
+        mx = max(mx, m)
+        if d in (1, 6, 123):
+            pins[d] = (frames, cuts, m)
+    for d, v in sorted(pins.items()):
+        print(f"({d}, {v[0]}, {v[1]}, {v[2]}),")
+    print(f"(-1, {tot_f}, {tot_c}, {mx}),")
+    sys.exit(0)
 
 
 def phash(text: str) -> int:
