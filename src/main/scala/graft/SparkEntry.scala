@@ -183,6 +183,8 @@ object SparkEntry {
     // the same contract driven through a REAL CollectionStore mutation
     // round-trip (temp dir), sharing crud_upsert's oracle verbatim
     "crud_upsert_store" -> (Collections.crudUpsertStore _),
+    // MVCC snapshot-as-of reconstruction from a change log
+    "crud_asof" -> (Collections.crudAsof _),
     "crud_delete_cascade" -> (Collections.crudDeleteCascade _),
     "crud_read" -> (Collections.crudRead _),
     "crud_list" -> (Collections.crudList _),
@@ -761,6 +763,7 @@ object SparkEntry {
     "doc_embed_pool" -> Collections.docEmbedPoolSql,
     "crud_upsert" -> Collections.crudUpsertSql,
     "crud_upsert_store" -> Collections.crudUpsertSql,
+    "crud_asof" -> Collections.crudAsofSql,
     "crud_delete_cascade" -> Collections.crudDeleteCascadeSql,
     "crud_read" -> Collections.crudReadSql,
     "crud_list" -> Collections.crudListSql,

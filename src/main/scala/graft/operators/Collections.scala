@@ -123,6 +123,72 @@ object Collections {
       .orderBy($"doc_id")
   }
 
+  /** `crud_asof`: SNAPSHOT-AS-OF reconstruction from a change log —
+    * the MVCC read path every table format (Delta/Iceberg-style
+    * merge-on-read) serves: given (key, payload, ts, op) change
+    * events, the state as-of T is each key's LATEST event with
+    * ts ≤ T, kept iff that event is an upsert (a tombstone hides the
+    * key until a later upsert revives it). The log is deterministic:
+    * full insert at t=1000, `%10` updates at t=2000, `%7` DELETES at
+    * t=2100, `%7` revivals (text+'!') at t=3000 — so the three
+    * snapshots (1500/2500/3500) exercise plain state, tombstones in
+    * effect, and tombstone-override. Each snapshot row carries
+    * `n_live` AND a content checksum (md5 over the sorted per-row
+    * md5s), so the oracle certifies the reconstructed CONTENT, not
+    * just counts.
+    *
+    * Scale shape: the per-key argmax windows on (asof, key) — the
+    * standard log-compaction shuffle, linear in |log|·|asofs|; the
+    * checksum is one partial-agged rollup per snapshot. At 100 TB
+    * the asof frame stays 3 rows and the window key carries the full
+    * cardinality — exactly how a merge-on-read scan shards. */
+  def crudAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val log = docs
+      .select($"doc_id", $"text", lit(1000L).as("ts"), lit("U").as("op"))
+      .unionByName(docs.filter($"doc_id" % 10 === 0)
+        .select($"doc_id", upper($"text").as("text"), lit(2000L).as("ts"),
+          lit("U").as("op")))
+      .unionByName(docs.filter($"doc_id" % 7 === 0)
+        .select($"doc_id", lit("").as("text"), lit(2100L).as("ts"),
+          lit("D").as("op")))
+      .unionByName(docs.filter($"doc_id" % 7 === 0)
+        .select($"doc_id", concat($"text", lit("!")).as("text"),
+          lit(3000L).as("ts"), lit("U").as("op")))
+    val asofs = Seq(1500L, 2500L, 3500L).toDF("asof_ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"asof_ts", $"doc_id").orderBy($"ts".desc)
+    log.crossJoin(broadcast(asofs))
+      .filter($"ts" <= $"asof_ts")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1 && $"op" === "U")
+      .groupBy($"asof_ts")
+      .agg(count(lit(1)).as("n_live"),
+        md5(array_join(array_sort(collect_list(md5($"text"))), ""))
+          .as("content_md5"))
+      .orderBy($"asof_ts")
+  }
+
+  val crudAsofSql: String =
+    """WITH log AS (
+      |  SELECT doc_id, text, 1000 AS ts, 'U' AS op FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, upper(text), 2000, 'U' FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id, '', 2100, 'D' FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, text || '!', 3000, 'U' FROM documents WHERE doc_id % 7 = 0
+      |), snap AS (
+      |  SELECT asof_ts, doc_id, text, op,
+      |    row_number() OVER (PARTITION BY asof_ts, doc_id ORDER BY ts DESC) AS rk
+      |  FROM log CROSS JOIN (SELECT unnest([1500, 2500, 3500]) AS asof_ts) a
+      |  WHERE ts <= asof_ts)
+      |SELECT CAST(asof_ts AS BIGINT) AS asof_ts, count(*) AS n_live,
+      |  md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_md5
+      |FROM snap WHERE rk = 1 AND op = 'U'
+      |GROUP BY asof_ts ORDER BY asof_ts""".stripMargin
+
   /** Cascade delete: removing every `source = 'src0'` document also
     * removes its chunks — one left-anti join against the deleted key
     * set (the reference loops chunk files, main.py:203-210). Output:

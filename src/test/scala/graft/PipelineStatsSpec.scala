@@ -67,6 +67,35 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(got.last._5 == total && got.last._6 == 1000000L)
   }
 
+  test("crud_asof reconstructs each snapshot's exact content") {
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    // replay the documented log by hand per as-of point
+    def snapshot(asof: Long): Map[Long, String] = {
+      var st = Map.empty[Long, String]
+      if (asof >= 1000) st = docs
+      if (asof >= 2000) st = st ++ docs.collect {
+        case (id, t) if id % 10 == 0 => id -> t.toUpperCase }
+      if (asof >= 2100) st = st -- docs.keys.filter(_ % 7 == 0)
+      if (asof >= 3000) st = st ++ docs.collect {
+        case (id, t) if id % 7 == 0 => id -> (t + "!") }
+      st
+    }
+    val want = Seq(1500L, 2500L, 3500L).map { a =>
+      val st = snapshot(a)
+      (a, st.size.toLong, md5(st.values.map(md5).toSeq.sorted.mkString))
+    }
+    val got = graft.operators.Collections.crudAsof(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == want)
+    // the three snapshots genuinely differ in CONTENT (the revival
+    // restores the count to 500 but with '!'-suffixed texts)
+    assert(want.map(_._3).distinct.size == 3)
+  }
+
   test("text_bigram_ll matches an add-1 bigram LM recomputation") {
     // keys are hash60 longs, matching the op's fixed-width join keys
     def hash60(s: String): Long = {
