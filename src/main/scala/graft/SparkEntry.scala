@@ -80,6 +80,8 @@ object SparkEntry {
     "stats_corr" -> (AnalyticsExtra.statsCorr _),
     // fixed-width length histogram with cumulative shares
     "doc_len_hist" -> (AnalyticsExtra.docLenHist _),
+    // rolling distinct users via dedup-then-scatter (no window distinct)
+    "events_dau_wau" -> (AnalyticsExtra.eventsDauWau _),
     // per-language token-length distribution, exact + sketch-attested
     "quality_quantiles" -> (TextOps.qualityQuantiles _),
     // brute-force kNN family
@@ -587,6 +589,7 @@ object SparkEntry {
     "pivot_lang" -> AnalyticsExtra.pivotLangSql,
     "stats_corr" -> AnalyticsExtra.statsCorrSql,
     "doc_len_hist" -> AnalyticsExtra.docLenHistSql,
+    "events_dau_wau" -> AnalyticsExtra.eventsDauWauSql,
     "quality_quantiles" -> TextOps.qualityQuantilesSql,
     "knn_brute_cosine" -> KnnSearch.bruteCosineSql,
     "knn_brute_dot" -> KnnSearch.bruteDotSql,

@@ -206,6 +206,58 @@ object AnalyticsExtra {
        |) ORDER BY feature_a, feature_b""".stripMargin
   }
 
+  /** `events_dau_wau`: rolling distinct users — DAU, trailing-7-day
+    * WAU, and the DAU/WAU stickiness ratio per day. Distinct-count
+    * over a SLIDING window can't ride a window frame (count(DISTINCT)
+    * isn't a window aggregate in either engine); the scalable shape
+    * is dedup-then-scatter: collapse events to the distinct
+    * (day, user) frame FIRST (one partial-agged shuffle — the only
+    * corpus-volume op), then scatter each active-day row onto the ≤ 7
+    * trailing report days it supports (a bounded ×7 explode of the
+    * already-small frame) and count distinct users per report day.
+    * Report days are restricted to those with ≥ 7 days of history
+    * (a partial leading window would understate WAU). All integer;
+    * stickiness = DAU·1e6 div WAU. */
+  def eventsDauWau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dayUser = Tables.events(spark, dir)
+      .select(expr("unix_timestamp(date_trunc('day', ts)) div 86400").as("day_idx"),
+        $"user_id")
+      .distinct()
+      .localCheckpoint(true)
+    val bounds = dayUser.agg(min($"day_idx").as("d0"), max($"day_idx").as("d1"))
+    val dau = dayUser.groupBy($"day_idx").agg(count(lit(1)).as("dau"))
+    val wau = dayUser
+      .select($"user_id", explode(sequence($"day_idx", $"day_idx" + 6)).as("day_idx"))
+      .distinct()
+      .groupBy($"day_idx").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day_idx"))
+      .crossJoin(broadcast(bounds))
+      .filter($"day_idx" >= $"d0" + 6 && $"day_idx" <= $"d1")
+      .select($"day_idx", $"dau", $"wau",
+        expr("dau * 1000000 div wau").as("stickiness_e6"))
+      .orderBy($"day_idx")
+  }
+
+  val eventsDauWauSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day_idx,
+      |    user_id
+      |  FROM events),
+      |bounds AS (SELECT min(day_idx) AS d0, max(day_idx) AS d1 FROM du),
+      |dau AS (SELECT day_idx, count(*) AS dau FROM du GROUP BY day_idx),
+      |wau AS (
+      |  SELECT day_idx, count(*) AS wau FROM (
+      |    SELECT DISTINCT user_id, unnest(generate_series(day_idx, day_idx + 6)) AS day_idx
+      |    FROM du) s
+      |  GROUP BY day_idx)
+      |SELECT dau.day_idx AS day_idx, dau.dau AS dau, wau.wau AS wau,
+      |  CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_e6
+      |FROM dau JOIN wau ON dau.day_idx = wau.day_idx
+      |CROSS JOIN bounds
+      |WHERE dau.day_idx >= bounds.d0 + 6 AND dau.day_idx <= bounds.d1
+      |ORDER BY day_idx""".stripMargin
+
   /** Histogram bucket width (chars) for [[docLenHist]]. */
   val histBucketChars = 50L
 

@@ -67,6 +67,25 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(got.last._5 == total && got.last._6 == 1000000L)
   }
 
+  test("events_dau_wau matches a set-based recomputation; WAU bounds DAU") {
+    val du = graft.core.Tables.events(spark, dir)
+      .select(expr("unix_timestamp(date_trunc('day', ts)) div 86400"), $"user_id")
+      .distinct().as[(Long, Long)].collect()
+    val byDay = du.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val d0 = byDay.keys.min; val d1 = byDay.keys.max
+    val want = ((d0 + 6) to d1).map { day =>
+      val dau = byDay.getOrElse(day, Set.empty).size.toLong
+      val wau = (day - 6 to day)
+        .flatMap(d => byDay.getOrElse(d, Set.empty)).toSet.size.toLong
+      (day, dau, wau, dau * 1000000L / wau)
+    }.filter(_._2 > 0)
+    val got = graft.operators.AnalyticsExtra.eventsDauWau(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.forall { case (_, dau, wau, s) =>
+      wau >= dau && s <= 1000000L })
+  }
+
   test("crud_asof reconstructs each snapshot's exact content") {
     def md5(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
