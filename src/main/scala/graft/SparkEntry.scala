@@ -82,6 +82,10 @@ object SparkEntry {
     "doc_len_hist" -> (AnalyticsExtra.docLenHist _),
     // rolling distinct users via dedup-then-scatter (no window distinct)
     "events_dau_wau" -> (AnalyticsExtra.eventsDauWau _),
+    // first-order Markov journey matrix (all observed next-steps)
+    "events_transitions" -> (AnalyticsExtra.eventsTransitions _),
+    // per-doc top-3 TF-IDF keywords (integer score contract)
+    "text_keywords" -> (AnalyticsExtra.textKeywords _),
     // per-language token-length distribution, exact + sketch-attested
     "quality_quantiles" -> (TextOps.qualityQuantiles _),
     // brute-force kNN family
@@ -590,6 +594,8 @@ object SparkEntry {
     "stats_corr" -> AnalyticsExtra.statsCorrSql,
     "doc_len_hist" -> AnalyticsExtra.docLenHistSql,
     "events_dau_wau" -> AnalyticsExtra.eventsDauWauSql,
+    "events_transitions" -> AnalyticsExtra.eventsTransitionsSql,
+    "text_keywords" -> AnalyticsExtra.textKeywordsSql,
     "quality_quantiles" -> TextOps.qualityQuantilesSql,
     "knn_brute_cosine" -> KnnSearch.bruteCosineSql,
     "knn_brute_dot" -> KnnSearch.bruteDotSql,

@@ -258,6 +258,99 @@ object AnalyticsExtra {
       |WHERE dau.day_idx >= bounds.d0 + 6 AND dau.day_idx <= bounds.d1
       |ORDER BY day_idx""".stripMargin
 
+  /** `events_transitions`: the user-journey transition matrix —
+    * counts of consecutive (from_type → to_type) steps within each
+    * user's time-ordered event stream, with the step share per
+    * from_type (the first-order Markov model behind funnel design:
+    * `events_funnel` checks ONE hypothesized path, this table ranks
+    * ALL observed next-steps). Per-user ordering rides a lag window
+    * PARTITIONED BY user (the sessionize discipline: state per key,
+    * never a global sort); ties inside one timestamp break on
+    * event_id in both engines; the rollup is one partial-agged
+    * shuffle onto the |types|² frame. Share = exact integer
+    * cross-multiply against the from_type's total outgoing steps. */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val steps = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = steps.groupBy($"from_type").agg(sum($"n").as("out_n"))
+    steps.join(outTotals, Seq("from_type"))
+      .select($"from_type", $"to_type", $"n",
+        expr("n * 1000000 div out_n").as("share_e6"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val eventsTransitionsSql: String =
+    """WITH steps AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |t AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM steps WHERE to_type IS NOT NULL
+      |  GROUP BY from_type, to_type),
+      |o AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS out_n FROM t GROUP BY from_type)
+      |SELECT t.from_type AS from_type, t.to_type AS to_type, t.n AS n,
+      |  CAST(t.n * 1000000 // o.out_n AS BIGINT) AS share_e6
+      |FROM t JOIN o ON t.from_type = o.from_type
+      |ORDER BY from_type, to_type""".stripMargin
+
+  /** `text_keywords`: per-document top-3 TF-IDF terms — the keyword
+    * extraction step of a corpus card / search-facet build. IDF from
+    * exact integer document frequencies; the score ranks by the
+    * integer cross-multiply tf·1e6·N vs df (monotone in tf·ln(N/df)
+    * only within a tf level, so the CONTRACT is the score itself:
+    * score_e6 = tf · e6(ln(N/df)) — integer-exact in both engines,
+    * no float ranking). Postings + a broadcast N + one df join keyed
+    * on term, top-3 via a per-doc window over the already-small
+    * scored postings. */
+  def textKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val postings = Tables.documents(spark, dir)
+      .select($"doc_id", explode(graft.text.TextOps.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val df = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = postings.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"term", $"tf", $"df",
+        ($"tf" * Stab.e6(log($"n_docs".cast("double") / $"df"))).as("score_e6"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score_e6".desc, $"term")
+    scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk".cast(LongType).as("rk"), $"term", $"tf",
+        $"df", $"score_e6")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val textKeywordsSql: String = {
+    val lnTerm = graft.core.Stab.sqlE6("ln(CAST(n.n_docs AS DOUBLE) / df.df)")
+    s"""WITH posting AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${graft.text.TextOps.tokensSql}) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT p.doc_id, p.term, p.tf, df.df,
+       |    p.tf * $lnTerm AS score_e6
+       |  FROM posting p JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, rk, term, tf, df, score_e6
+       |FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score_e6 DESC, term) AS BIGINT) AS rk
+       |  FROM scored)
+       |WHERE rk <= 3
+       |ORDER BY doc_id, rk""".stripMargin
+  }
+
   /** Histogram bucket width (chars) for [[docLenHist]]. */
   val histBucketChars = 50L
 

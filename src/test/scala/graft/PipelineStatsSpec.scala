@@ -86,6 +86,55 @@ class PipelineStatsSpec extends AnyFunSuite {
       wau >= dau && s <= 1000000L })
   }
 
+  test("events_transitions matches a per-user replay; shares sum to ~1 per from_type") {
+    val ev = graft.core.Tables.events(spark, dir)
+      .select($"user_id", unix_millis($"ts".cast("timestamp")), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val steps = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      ordered.zip(ordered.drop(1))
+    }
+    val counts = steps.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = counts.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = counts.toSeq.map { case ((f, t), n) =>
+      (f, t, n, n * 1000000L / out(f))
+    }.sortBy(x => (x._1, x._2))
+    val got = graft.operators.AnalyticsExtra.eventsTransitions(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want)
+    // per from_type the shares account for (within rounding) all steps
+    got.groupBy(_._1).values.foreach { rows =>
+      val s = rows.map(_._4).sum
+      assert(s >= 1000000L - rows.size && s <= 1000000L)
+    }
+  }
+
+  test("text_keywords matches a TF-IDF recomputation; top terms are doc-specific") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq }
+    val tf = docs.map { case (id, w) =>
+      id -> w.groupBy(identity).view.mapValues(_.size.toLong).toMap }.toMap
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val n = docs.length.toDouble
+    val want = tf.toSeq.flatMap { case (id, tfs) =>
+      tfs.toSeq.map { case (term, c) =>
+        (term, c, dfm(term), c * e6(math.log(n / dfm(term))))
+      }.sortBy { case (term, _, _, s) => (-s, term) }
+        .take(3).zipWithIndex.map { case ((term, c, d, s), i) =>
+          (id, (i + 1).toLong, term, c, d, s) }
+    }.sortBy(x => (x._1, x._2))
+    val got = graft.operators.AnalyticsExtra.textKeywords(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // keywords discriminate: not every doc shares one global top term
+    assert(got.filter(_._2 == 1L).map(_._3).distinct.size > 1)
+  }
+
   test("crud_asof reconstructs each snapshot's exact content") {
     def md5(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
