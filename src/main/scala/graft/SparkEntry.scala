@@ -296,6 +296,8 @@ object SparkEntry {
     // corpus cartography: deterministic exemplar assignment card +
     // per-cluster distinguishing-term topics (integer ratio scoring)
     "cluster_assign" -> (Clusters.clusterAssign _),
+    // greedy k-center coreset (diverse-subset data pruning)
+    "sample_kcenter" -> (Coreset.sampleKcenter _),
     "cluster_topics" -> (Clusters.clusterTopics _),
     // unified index accountability: recall@k of every approximate
     // family vs the exact scan, one servable table (rows-only check;
@@ -824,6 +826,7 @@ object SparkEntry {
     "knn_brute_bq" -> BqIndex.knnBruteBqSql,
     "ivf_search_bq" -> BqIndex.ivfSearchBqCheckedSql,
     "cluster_assign" -> Clusters.clusterAssignSql,
+    "sample_kcenter" -> Coreset.sampleKcenterSql,
     "cluster_topics" -> Clusters.clusterTopicsSql,
     "nsw_add_delta" -> NswIndex.nswAddDeltaSql,
     // serve/build contract grids over the approximate indexes (the

@@ -179,3 +179,73 @@ object Clusters {
        |WHERE rank <= 5
        |ORDER BY cluster_id, rank""".stripMargin
 }
+
+/** Greedy k-center coreset selection (`sample_kcenter`) — the
+  * diverse-subset / data-pruning primitive (Sener & Savarese's
+  * core-set active learning; 2-approximation to the optimal k-center
+  * cover): start from a fixed seed, repeatedly pick the vector
+  * FARTHEST from the selected set (minimal max-cosine), emitting the
+  * coverage radius at each pick. The emitted max-cos sequence is the
+  * coverage curve — it must be non-decreasing (each new center can
+  * only improve the worst-covered point), and where it plateaus is
+  * the natural coreset size.
+  *
+  * Scale shape: the per-vector "max cosine to selected" column
+  * updates INCREMENTALLY — adding a center is one narrow map
+  * (`greatest(old, cos(v, new_center))`) over the corpus, so k
+  * centers cost k linear passes and one TakeOrdered argmin each;
+  * nothing pairwise ever materializes, and the selected set (k rows)
+  * is the only driver state. Exactness: scores e6-floored at every
+  * comparison, ties on vec_id — the Python twin replays bit-equal.
+  */
+object Coreset {
+
+  val k = 8
+
+  def sampleKcenter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").localCheckpoint(true)
+    def embOf(id: Long): Array[Float] =
+      emb.filter($"vec_id" === id).collect()
+        .head.getSeq[Float](1).toArray
+    val seedVec = embOf(0L)
+    var picks = List((1L, 0L, 1000000L))
+    var cov = emb
+      .select($"vec_id", $"embedding",
+        Stab.e6(cosineSim($"embedding", typedlit(seedVec))).as("maxcos"))
+      .localCheckpoint(true)
+    (2 to k).foreach { rank =>
+      val far = cov.orderBy($"maxcos".asc, $"vec_id".asc).limit(1)
+        .select($"vec_id", $"maxcos").collect().head
+      val (fid, fcos) = (far.getLong(0), far.getLong(1))
+      picks = picks :+ ((rank.toLong, fid, fcos))
+      if (rank < k) {
+        val cVec = embOf(fid)
+        cov = cov.select($"vec_id", $"embedding",
+            greatest($"maxcos",
+              Stab.e6(cosineSim($"embedding", typedlit(cVec)))).as("maxcos"))
+          .localCheckpoint(true)
+      }
+    }
+    picks.toDF("rank", "vec_id", "maxcos_e6").orderBy($"rank")
+  }
+
+  /** Golden pins from the INDEPENDENT Python recompute (inline
+    * replay of the documented greedy recurrence on the sf0.01 verify
+    * corpus — same convention as quality_train/mm_phash). */
+  val sampleKcenterSql: String =
+    """SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+      |  CAST(maxcos_e6 AS BIGINT) AS maxcos_e6
+      |FROM (VALUES
+      |(1, 0, 1000000),
+      |(2, 188, -337095),
+      |(3, 291, -167423),
+      |(4, 152, -90724),
+      |(5, 366, -39573),
+      |(6, 49, -13149),
+      |(7, 11, -945),
+      |(8, 132, 22148)
+      |) t(rank, vec_id, maxcos_e6)
+      |ORDER BY rank""".stripMargin
+}

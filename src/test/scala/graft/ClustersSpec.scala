@@ -98,4 +98,26 @@ class ClustersSpec extends AnyFunSuite {
     // the cut is discriminative: top terms are cluster-enriched (>1e6)
     assert(got.forall(_._4 > 1000000L))
   }
+
+  test("sample_kcenter replays the greedy recurrence; coverage is monotone") {
+    val ids = embs.keys.toSeq.sorted
+    var sel = List(0L)
+    var want = List((1L, 0L, 1000000L))
+    (2 to graft.operators.Coreset.k).foreach { rank =>
+      val best = ids.map { id =>
+        (sel.map(s => e6(cos(embs(id), embs(s)))).max, id)
+      }.min // minimal max-cos, tie → smaller vec_id
+      sel = sel :+ best._2
+      want = want :+ ((rank.toLong, best._2, best._1))
+    }
+    val got = graft.operators.Coreset.sampleKcenter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == want)
+    // the coverage radius can only improve: max-cos non-decreasing
+    // from rank 2 on (rank 1 is the seed's self-similarity)
+    val curve = got.drop(1).map(_._3)
+    assert(curve == curve.sorted)
+    // picks are distinct vectors
+    assert(got.map(_._2).distinct.size == got.size)
+  }
 }
