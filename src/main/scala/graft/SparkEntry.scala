@@ -169,6 +169,8 @@ object SparkEntry {
     // BPE ENCODE: segment the whole corpus with the trained merges —
     // golden-pinned doc rows + a corpus-total row forcing full encode
     "bpe_apply" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.bpeApply(s, d)),
+    // per-language fertility under the trained tokenizer
+    "tok_fertility" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.tokFertility(s, d)),
     // fasttext-style linear quality gate: integer perceptron over
     // hashed uni+bigrams (golden-pinned train head + scored corpus)
     "quality_train" -> ((s: SparkSession, d: String) => graft.text.Quality.qualityTrain(s, d)),
@@ -648,6 +650,7 @@ object SparkEntry {
     // table from the INDEPENDENT Python BPE (tools/golden_bpe.py) on
     // the driver's verify corpus, pinned as literals — DuckDB cannot
     // express the iterative merge loop itself
+    "tok_fertility" -> graft.text.BpeTrain.tokFertilitySql,
     "bpe_train" ->
       """SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, merged,
         |  CAST(pair_count AS BIGINT) AS pair_count

@@ -166,4 +166,50 @@ object BpeTrain {
         cpt, lit("").as("head_toks"))
     pinnedRows.unionByName(total).orderBy($"doc_id")
   }
+
+  /** `tok_fertility`: per-LANGUAGE tokenizer fertility under the
+    * trained BPE — tokens-per-word and chars-per-token by language,
+    * THE tokenizer-equity metric (a tokenizer trained on one
+    * language's corpus fragments the others into more tokens per
+    * word; high fertility = that language pays more compute per word
+    * and fits less text per context window). Derived from the SAME
+    * per-doc encode frame as bpe_apply, rolled onto the language dim
+    * via one broadcast-joined lang column + one partial-agged
+    * shuffle onto |langs| keys; both ratios truncating integer
+    * cross-multiplies. Golden-pinned against the independent Python
+    * BPE (tools/golden_bpe.py fertility), the bpe_apply convention —
+    * value-exact because training, encoding, and the ratios are all
+    * integer/deterministic. */
+  def tokFertility(spark: SparkSession, dir: String,
+      numMerges: Int = 20): DataFrame = {
+    import spark.implicits._
+    val merges = bpeTrain(spark, dir, numMerges)
+      .select($"lhs", $"rhs").as[(String, String)].collect().toSeq
+    val langs = Tables.documents(spark, dir).select($"doc_id", $"lang")
+    encodePerDoc(spark, dir, merges)
+      .join(langs, "doc_id")
+      .groupBy($"lang")
+      .agg(sum($"n_words").as("n_words"), sum($"n_chars").as("n_chars"),
+        sum($"n_bpe_tokens").as("n_bpe_tokens"))
+      .select($"lang", $"n_words", $"n_chars", $"n_bpe_tokens",
+        expr("n_bpe_tokens * 1000000 div n_words").as("fertility_e6"),
+        expr("n_chars * 1000000 div n_bpe_tokens").as("cpt_e6"))
+      .orderBy($"lang")
+  }
+
+  /** Pins from `python3 tools/golden_bpe.py fertility` on sf0.01. */
+  val tokFertilitySql: String =
+    """SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+      |  CAST(fertility_e6 AS BIGINT) AS fertility_e6,
+      |  CAST(cpt_e6 AS BIGINT) AS cpt_e6
+      |FROM (VALUES
+      |('de', 3549, 16046, 11506, 3242040, 1394576),
+      |('en', 11757, 52898, 38241, 3252615, 1383279),
+      |('es', 3958, 17871, 12924, 3265285, 1382776),
+      |('fr', 3758, 16929, 12287, 3269558, 1377797),
+      |('zh', 4143, 18765, 13601, 3282886, 1379677)
+      |) t(lang, n_words, n_chars, n_bpe_tokens, fertility_e6, cpt_e6)
+      |ORDER BY lang""".stripMargin
 }

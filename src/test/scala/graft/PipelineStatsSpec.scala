@@ -67,6 +67,26 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(got.last._5 == total && got.last._6 == 1000000L)
   }
 
+  test("tok_fertility rolls up exactly to bpe_apply's corpus total") {
+    val fert = graft.text.BpeTrain.tokFertility(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val total = graft.text.BpeTrain.bpeApply(spark, dir).collect()
+      .find(_.getLong(0) == -1L).get
+    // per-lang partition of the same encode: sums must match the
+    // corpus-total row field-for-field
+    assert(fert.map(_._2).sum == total.getLong(1))
+    assert(fert.map(_._3).sum == total.getLong(2))
+    assert(fert.map(_._4).sum == total.getLong(3))
+    // fertility ≥ 1 (a word is at least one token) and every ratio
+    // consistent with its own integer definition
+    fert.foreach { case (_, w, c, t, f, cpt) =>
+      assert(f >= 1000000L && f == t * 1000000L / w)
+      assert(cpt == c * 1000000L / t)
+    }
+    assert(fert.map(_._1).toSeq == fert.map(_._1).toSeq.sorted)
+  }
+
   test("events_dau_wau matches a set-based recomputation; WAU bounds DAU") {
     val du = graft.core.Tables.events(spark, dir)
       .select(expr("unix_timestamp(date_trunc('day', ts)) div 86400"), $"user_id")

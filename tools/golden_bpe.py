@@ -92,11 +92,34 @@ def apply_mode(sf_dir, num_merges):
         print(f"({r[0]}, {r[1]}, {r[2]}, {r[3]}, {r[4]}, '{r[5]}'),")
 
 
+def fertility_mode(sf_dir, num_merges):
+    """tok_fertility oracle: per-language BPE fertility (tokens per
+    whitespace word) and chars-per-token, truncating integer e6."""
+    _, vocab = train(sf_dir, num_merges)
+    rows = duckdb.sql(
+        f"SELECT lang, text FROM '{sf_dir}/documents.parquet'").fetchall()
+    agg = {}
+    for lang, text in rows:
+        words = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        if not words:
+            continue
+        w, c, t = agg.get(lang, (0, 0, 0))
+        agg[lang] = (w + len(words),
+                     c + sum(len(x) for x in words),
+                     t + sum(len(vocab[x]) for x in words))
+    for lang in sorted(agg):
+        w, c, t = agg[lang]
+        print(f"('{lang}', {w}, {c}, {t}, {t * 1000000 // w}, {c * 1000000 // t}),")
+
+
 def main():
-    if len(sys.argv) > 1 and sys.argv[1] == "apply":
+    if len(sys.argv) > 1 and sys.argv[1] in ("apply", "fertility"):
         sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
         num_merges = int(sys.argv[3]) if len(sys.argv) > 3 else 20
-        apply_mode(sf_dir, num_merges)
+        if sys.argv[1] == "apply":
+            apply_mode(sf_dir, num_merges)
+        else:
+            fertility_mode(sf_dir, num_merges)
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     num_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 20
