@@ -82,6 +82,8 @@ object SparkEntry {
     "doc_len_hist" -> (AnalyticsExtra.docLenHist _),
     // rolling distinct users via dedup-then-scatter (no window distinct)
     "events_dau_wau" -> (AnalyticsExtra.eventsDauWau _),
+    // dataset-card composition: source × lang token volumes + shares
+    "corpus_mix" -> (AnalyticsExtra.corpusMix _),
     // first-order Markov journey matrix (all observed next-steps)
     "events_transitions" -> (AnalyticsExtra.eventsTransitions _),
     // per-doc top-3 TF-IDF keywords (integer score contract)
@@ -598,6 +600,7 @@ object SparkEntry {
     "stats_corr" -> AnalyticsExtra.statsCorrSql,
     "doc_len_hist" -> AnalyticsExtra.docLenHistSql,
     "events_dau_wau" -> AnalyticsExtra.eventsDauWauSql,
+    "corpus_mix" -> AnalyticsExtra.corpusMixSql,
     "events_transitions" -> AnalyticsExtra.eventsTransitionsSql,
     "text_keywords" -> AnalyticsExtra.textKeywordsSql,
     "quality_quantiles" -> TextOps.qualityQuantilesSql,

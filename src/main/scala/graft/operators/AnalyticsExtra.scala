@@ -351,6 +351,44 @@ object AnalyticsExtra {
        |ORDER BY doc_id, rk""".stripMargin
   }
 
+  /** `corpus_mix`: the dataset-card composition table — documents
+    * AND token volume by source × language, with each cell's share
+    * of corpus tokens (docs alone mislead: a source of few long
+    * documents dominates training compute while looking small by
+    * count — `corpus_card` reports global totals, this is the
+    * breakdown mixture planning actually reads). One tokenize scan
+    * into per-doc token counts, one partial-agged shuffle onto the
+    * |sources|×|langs| frame, shares by integer cross-multiply
+    * against the broadcast corpus total. */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = Tables.documents(spark, dir)
+      .select($"source", $"lang",
+        size(graft.text.TextOps.tokens($"text")).cast(LongType).as("n_toks"))
+    val cells = perDoc.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+    cells
+      .crossJoin(broadcast(cells.agg(sum($"n_tokens").as("total_tokens"))))
+      .select($"source", $"lang", $"n_docs", $"n_tokens",
+        expr("n_tokens * 1000000 div total_tokens").as("token_share_e6"))
+      .orderBy($"source", $"lang")
+  }
+
+  val corpusMixSql: String =
+    s"""WITH perdoc AS (
+       |  SELECT source, lang,
+       |    CAST(len(${graft.text.TextOps.tokensSql}) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |cells AS (
+       |  SELECT source, lang, count(*) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |  FROM perdoc GROUP BY source, lang),
+       |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM cells)
+       |SELECT source, lang, n_docs, n_tokens,
+       |  CAST(n_tokens * 1000000 // total_tokens AS BIGINT) AS token_share_e6
+       |FROM cells CROSS JOIN t
+       |ORDER BY source, lang""".stripMargin
+
   /** Histogram bucket width (chars) for [[docLenHist]]. */
   val histBucketChars = 50L
 

@@ -67,6 +67,25 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(got.last._5 == total && got.last._6 == 1000000L)
   }
 
+  test("corpus_mix matches a collected recomputation; shares sum to ~1") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", $"lang", $"text").as[(String, String, String)].collect()
+      .map { case (s, l, t) =>
+        ((s, l), t.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty).toLong) }
+    val cells = docs.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val total = cells.values.map(_._2).sum
+    val want = cells.toSeq.map { case ((s, l), (nd, nt)) =>
+      (s, l, nd, nt, nt * 1000000L / total)
+    }.sortBy(x => (x._1, x._2))
+    val got = graft.operators.AnalyticsExtra.corpusMix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    val shareSum = got.map(_._5).sum
+    assert(shareSum >= 1000000L - got.size && shareSum <= 1000000L)
+  }
+
   test("tok_fertility rolls up exactly to bpe_apply's corpus total") {
     val fert = graft.text.BpeTrain.tokFertility(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
