@@ -168,6 +168,7 @@ object SparkEntry {
     "text_repetition" -> (TextOps.textRepetition _),
     // distributed BPE merge training over the word-frequency table
     "bpe_train" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.bpeTrain(s, d)),
+    "bpe_train_batched" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.bpeTrainBatched(s, d)),
     // BPE ENCODE: segment the whole corpus with the trained merges —
     // golden-pinned doc rows + a corpus-total row forcing full encode
     "bpe_apply" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.bpeApply(s, d)),
@@ -654,6 +655,79 @@ object SparkEntry {
     // the driver's verify corpus, pinned as literals — DuckDB cannot
     // express the iterative merge loop itself
     "tok_fertility" -> graft.text.BpeTrain.tokFertilitySql,
+    // golden-pin oracle: the BATCHED trainer's merge table from the
+    // independent Python BPE run with the identical conflict-filtered
+    // selection rule (tools/golden_bpe.py batched <dir> 64 8)
+    "bpe_train_batched" ->
+      """SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, merged,
+        |  CAST(pair_count AS BIGINT) AS pair_count
+        |FROM (VALUES
+        |(1, 'e', 'r', 'er', 4568),
+        |(2, 'i', 'n', 'in', 2760),
+        |(3, 'o', 'w', 'ow', 2747),
+        |(4, 's', 't', 'st', 2676),
+        |(5, 'l', 'u', 'lu', 1831),
+        |(6, 'p', 'a', 'pa', 1758),
+        |(7, 'c', 'h', 'ch', 937),
+        |(8, 'g', 'g', 'gg', 901),
+        |(9, 'o', 'r', 'or', 2696),
+        |(10, 'm', 'er', 'mer', 1852),
+        |(11, 'a', 't', 'at', 1845),
+        |(12, 's', 'h', 'sh', 947),
+        |(13, 'c', 'u', 'cu', 934),
+        |(14, 'f', 'i', 'fi', 933),
+        |(15, 'l', 'l', 'll', 928),
+        |(16, 'g', 'e', 'ge', 918),
+        |(17, 'pa', 'r', 'par', 1758),
+        |(18, 'j', 'o', 'jo', 964),
+        |(19, 'a', 'sh', 'ash', 947),
+        |(20, 'at', 'ch', 'atch', 937),
+        |(21, 's', 'c', 'sc', 936),
+        |(22, 'cu', 'st', 'cust', 934),
+        |(23, 'lu', 'm', 'lum', 934),
+        |(24, 'fi', 'l', 'fil', 933),
+        |(25, 'jo', 'in', 'join', 964),
+        |(26, 'h', 'ash', 'hash', 947),
+        |(27, 'r', 'ow', 'row', 943),
+        |(28, 'b', 'atch', 'batch', 937),
+        |(29, 'a', 'n', 'an', 936),
+        |(30, 'c', 'o', 'co', 934),
+        |(31, 'fil', 't', 'filt', 933),
+        |(32, 's', 'm', 'sm', 928),
+        |(33, 'sc', 'an', 'scan', 936),
+        |(34, 'co', 'lum', 'colum', 934),
+        |(35, 'cust', 'o', 'custo', 934),
+        |(36, 'filt', 'er', 'filter', 933),
+        |(37, 'a', 'll', 'all', 928),
+        |(38, 'l', 'ow', 'low', 918),
+        |(39, 'mer', 'ge', 'merge', 918),
+        |(40, 'c', 't', 'ct', 912),
+        |(41, 'colum', 'n', 'column', 934),
+        |(42, 'custo', 'mer', 'customer', 934),
+        |(43, 'sm', 'all', 'small', 928),
+        |(44, 's', 'low', 'slow', 918),
+        |(45, 'ct', 'or', 'ctor', 912),
+        |(46, 'd', 'er', 'der', 912),
+        |(47, 'v', 'e', 've', 912),
+        |(48, 'l', 'in', 'lin', 910),
+        |(49, 'or', 'der', 'order', 912),
+        |(50, 've', 'ctor', 'vector', 912),
+        |(51, 'lin', 'e', 'line', 910),
+        |(52, 'a', 'b', 'ab', 908),
+        |(53, 'd', 'at', 'dat', 908),
+        |(54, 'u', 'p', 'up', 904),
+        |(55, 'st', 'r', 'str', 888),
+        |(56, 'w', 'in', 'win', 886),
+        |(57, 'ab', 'l', 'abl', 908),
+        |(58, 'dat', 'a', 'data', 908),
+        |(59, 'lu', 'e', 'lue', 897),
+        |(60, 'd', 'ow', 'dow', 886),
+        |(61, 'par', 'k', 'park', 880),
+        |(62, 'g', 'r', 'gr', 878),
+        |(63, 'o', 'up', 'oup', 878),
+        |(64, 'b', 'i', 'bi', 876)
+        |) t(rank, lhs, rhs, merged, pair_count)
+        |ORDER BY rank""".stripMargin,
     "bpe_train" ->
       """SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, merged,
         |  CAST(pair_count AS BIGINT) AS pair_count

@@ -164,7 +164,12 @@ object AnalyticsExtra {
         s" - cast(s_$a as decimal(38,0)) * s_$a as double)"
       val vb = s"cast(cast(n as decimal(38,0)) * ss_$b" +
         s" - cast(s_$b as decimal(38,0)) * s_$b as double)"
-      s"cast(floor(($num / (sqrt($va) * sqrt($vb))) * 1000000.0 + 0.5) as long)"
+      // degenerate-corpus guard: a constant feature has variance
+      // numerator 0 ⇒ the ratio is NaN/Inf, and the two engines'
+      // casts diverge (Spark non-ANSI maps NaN → 0, DuckDB errors).
+      // Emit a defined NULL identically in both engines instead.
+      s"case when $va * $vb = 0.0D then cast(null as long) " +
+        s"else cast(floor(($num / (sqrt($va) * sqrt($vb))) * 1000000.0 + 0.5) as long) end"
     }
     val stackArgs = corrPairs
       .map { case (a, b) => s"'$a', '$b', ${corrExpr(a, b)}" }.mkString(", ")
@@ -188,7 +193,8 @@ object AnalyticsExtra {
         s" - CAST(s_$a AS HUGEINT) * s_$a AS DOUBLE)"
       val vb = s"CAST(CAST(n AS HUGEINT) * ss_$b" +
         s" - CAST(s_$b AS HUGEINT) * s_$b AS DOUBLE)"
-      s"CAST(FLOOR(($num / (sqrt($va) * sqrt($vb))) * 1000000.0 + 0.5) AS BIGINT)"
+      s"CASE WHEN $va * $vb = 0 THEN NULL " +
+        s"ELSE CAST(FLOOR(($num / (sqrt($va) * sqrt($vb))) * 1000000.0 + 0.5) AS BIGINT) END"
     }
     val rows = corrPairs.map { case (a, b) =>
       s"SELECT '$a' AS feature_a, '$b' AS feature_b, n, ${corr(a, b)} AS corr_e6 FROM g"
@@ -216,8 +222,13 @@ object AnalyticsExtra {
     * trailing report days it supports (a bounded ×7 explode of the
     * already-small frame) and count distinct users per report day.
     * Report days are restricted to those with ≥ 7 days of history
-    * (a partial leading window would understate WAU). All integer;
-    * stickiness = DAU·1e6 div WAU. */
+    * (a partial leading window would understate WAU), but the report
+    * frame is driven from the FULL day range (`sequence(d0+6, d1)`),
+    * not from the days that happen to have events: a zero-DAU day —
+    * exactly what a monitoring table most wants to surface — appears
+    * with dau 0 (and stickiness 0) instead of silently vanishing from
+    * an inner join. All integer; stickiness = DAU·1e6 div WAU
+    * (0 when WAU is 0). */
   def eventsDauWau(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dayUser = Tables.events(spark, dir)
@@ -226,16 +237,20 @@ object AnalyticsExtra {
       .distinct()
       .localCheckpoint(true)
     val bounds = dayUser.agg(min($"day_idx").as("d0"), max($"day_idx").as("d1"))
+    val days = bounds
+      .select(explode(sequence($"d0" + 6, $"d1")).as("day_idx"))
     val dau = dayUser.groupBy($"day_idx").agg(count(lit(1)).as("dau"))
     val wau = dayUser
       .select($"user_id", explode(sequence($"day_idx", $"day_idx" + 6)).as("day_idx"))
       .distinct()
       .groupBy($"day_idx").agg(count(lit(1)).as("wau"))
-    dau.join(wau, Seq("day_idx"))
-      .crossJoin(broadcast(bounds))
-      .filter($"day_idx" >= $"d0" + 6 && $"day_idx" <= $"d1")
+    days.join(dau, Seq("day_idx"), "left")
+      .join(wau, Seq("day_idx"), "left")
+      .select($"day_idx", coalesce($"dau", lit(0L)).as("dau"),
+        coalesce($"wau", lit(0L)).as("wau"))
       .select($"day_idx", $"dau", $"wau",
-        expr("dau * 1000000 div wau").as("stickiness_e6"))
+        when($"wau" === 0L, 0L)
+          .otherwise(expr("dau * 1000000 div wau")).as("stickiness_e6"))
       .orderBy($"day_idx")
   }
 
@@ -245,17 +260,21 @@ object AnalyticsExtra {
       |    user_id
       |  FROM events),
       |bounds AS (SELECT min(day_idx) AS d0, max(day_idx) AS d1 FROM du),
+      |days AS (SELECT unnest(generate_series(d0 + 6, d1)) AS day_idx FROM bounds),
       |dau AS (SELECT day_idx, count(*) AS dau FROM du GROUP BY day_idx),
       |wau AS (
       |  SELECT day_idx, count(*) AS wau FROM (
       |    SELECT DISTINCT user_id, unnest(generate_series(day_idx, day_idx + 6)) AS day_idx
       |    FROM du) s
       |  GROUP BY day_idx)
-      |SELECT dau.day_idx AS day_idx, dau.dau AS dau, wau.wau AS wau,
-      |  CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_e6
-      |FROM dau JOIN wau ON dau.day_idx = wau.day_idx
-      |CROSS JOIN bounds
-      |WHERE dau.day_idx >= bounds.d0 + 6 AND dau.day_idx <= bounds.d1
+      |SELECT days.day_idx AS day_idx,
+      |  CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+      |  CAST(coalesce(wau.wau, 0) AS BIGINT) AS wau,
+      |  CAST(CASE WHEN coalesce(wau.wau, 0) = 0 THEN 0
+      |    ELSE coalesce(dau.dau, 0) * 1000000 // wau.wau END AS BIGINT) AS stickiness_e6
+      |FROM days
+      |LEFT JOIN dau ON days.day_idx = dau.day_idx
+      |LEFT JOIN wau ON days.day_idx = wau.day_idx
       |ORDER BY day_idx""".stripMargin
 
   /** `events_transitions`: the user-journey transition matrix —

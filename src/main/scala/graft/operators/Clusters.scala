@@ -216,18 +216,35 @@ object Coreset {
         Stab.e6(cosineSim($"embedding", typedlit(seedVec))).as("maxcos"))
       .localCheckpoint(true)
     (2 to k).foreach { rank =>
-      val far = cov.orderBy($"maxcos".asc, $"vec_id".asc).limit(1)
-        .select($"vec_id", $"maxcos").collect().head
+      // exclude the ≤k already-picked centers from the argmin: on a
+      // degenerate corpus where every vector coincides with a center
+      // (all maxcos = 1e6) the unfiltered tie-break would re-pick the
+      // smallest vec_id — picks are distinct by construction instead.
+      // Non-degenerate results are unchanged (a picked center's
+      // maxcos is 1e6, never the minimum while any point is uncovered).
+      val pickedIds = picks.map(_._2)
+      val far = cov.filter(!$"vec_id".isin(pickedIds: _*))
+        .orderBy($"maxcos".asc, $"vec_id".asc).limit(1)
+        .select($"vec_id", $"maxcos").collect()
+        .headOption.getOrElse(sys.error(
+          s"sample_kcenter: corpus has fewer than $k distinct vectors"))
       val (fid, fcos) = (far.getLong(0), far.getLong(1))
       picks = picks :+ ((rank.toLong, fid, fcos))
       if (rank < k) {
         val cVec = embOf(fid)
+        // free the superseded coverage checkpoint (the bpeTrain
+        // discipline) — without this, k corpus-width copies stay
+        // pinned until the ContextCleaner happens to collect them
+        val prev = cov
         cov = cov.select($"vec_id", $"embedding",
             greatest($"maxcos",
               Stab.e6(cosineSim($"embedding", typedlit(cVec)))).as("maxcos"))
           .localCheckpoint(true)
+        graft.core.Checkpoints.free(prev)
       }
     }
+    graft.core.Checkpoints.free(cov)
+    graft.core.Checkpoints.free(emb)
     picks.toDF("rank", "vec_id", "maxcos_e6").orderBy($"rank")
   }
 

@@ -133,15 +133,19 @@ object Collections {
     * t=2100, `%7` revivals (text+'!') at t=3000 — so the three
     * snapshots (1500/2500/3500) exercise plain state, tombstones in
     * effect, and tombstone-override. Each snapshot row carries
-    * `n_live` AND a content checksum (md5 over the sorted per-row
-    * md5s), so the oracle certifies the reconstructed CONTENT, not
-    * just counts.
+    * `n_live` AND an order-independent content fingerprint (`bit_xor`
+    * of each live row's 60-bit text hash — the `export_manifest`
+    * contract), so the oracle certifies the reconstructed CONTENT,
+    * not just counts.
     *
     * Scale shape: the per-key argmax windows on (asof, key) — the
     * standard log-compaction shuffle, linear in |log|·|asofs|; the
-    * checksum is one partial-agged rollup per snapshot. At 100 TB
-    * the asof frame stays 3 rows and the window key carries the full
-    * cardinality — exactly how a merge-on-read scan shards. */
+    * fingerprint is a partial-agged rollup with CONSTANT per-group
+    * state (one long per snapshot — XOR commutes and never grows),
+    * unlike a collect_list checksum whose single aggregation buffer
+    * would hold the whole corpus at 100 TB. The asof frame stays 3
+    * rows and the window key carries the full cardinality — exactly
+    * how a merge-on-read scan shards. */
   def crudAsof(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
@@ -163,15 +167,14 @@ object Collections {
       .filter($"ts" <= $"asof_ts")
       .withColumn("rk", row_number().over(w))
       .filter($"rk" === 1 && $"op" === "U")
+      .withColumn("h", graft.text.TextOps.hash60($"text"))
       .groupBy($"asof_ts")
-      .agg(count(lit(1)).as("n_live"),
-        md5(array_join(array_sort(collect_list(md5($"text"))), ""))
-          .as("content_md5"))
+      .agg(count(lit(1)).as("n_live"), expr("bit_xor(h)").as("fp60"))
       .orderBy($"asof_ts")
   }
 
   val crudAsofSql: String =
-    """WITH log AS (
+    s"""WITH log AS (
       |  SELECT doc_id, text, 1000 AS ts, 'U' AS op FROM documents
       |  UNION ALL
       |  SELECT doc_id, upper(text), 2000, 'U' FROM documents WHERE doc_id % 10 = 0
@@ -185,7 +188,7 @@ object Collections {
       |  FROM log CROSS JOIN (SELECT unnest([1500, 2500, 3500]) AS asof_ts) a
       |  WHERE ts <= asof_ts)
       |SELECT CAST(asof_ts AS BIGINT) AS asof_ts, count(*) AS n_live,
-      |  md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_md5
+      |  CAST(bit_xor(${graft.text.TextOps.hash60Sql("text")}) AS BIGINT) AS fp60
       |FROM snap WHERE rk = 1 AND op = 'U'
       |GROUP BY asof_ts ORDER BY asof_ts""".stripMargin
 

@@ -109,13 +109,18 @@ object EmbeddingStats {
     * streaming twin's parity is by construction, not by duplication. */
   def driftVerdict(j: DataFrame): DataFrame =
     j.withColumn("z_e6", expr(
-        """cast(floor(((cast(sum_a_e6 as double) / n_a - cast(sum_b_e6 as double) / n_b)
+        // degenerate guard: a dim constant in BOTH slices has variance
+        // numerators 0 (they are ≥ 0 by Cauchy–Schwarz, so the sum is 0
+        // iff both are) ⇒ the z denominator is 0 and the engines'
+        // NaN/Inf casts diverge — emit a defined NULL z instead
+        """case when var_num_a + var_num_b = 0 then cast(null as long)
+          | else cast(floor(((cast(sum_a_e6 as double) / n_a - cast(sum_b_e6 as double) / n_b)
           | / sqrt(cast(var_num_a as double) / (cast(n_a as double) * n_a * n_a)
           |      + cast(var_num_b as double) / (cast(n_b as double) * n_b * n_b)))
-          | * 1000000.0 + 0.5) as long)""".stripMargin.replace("\n", " ")))
+          | * 1000000.0 + 0.5) as long) end""".stripMargin.replace("\n", " ")))
       .select(col("dim"), col("n_a"), col("n_b"), col("sum_a_e6"),
         col("sum_b_e6"), col("var_num_a"), col("var_num_b"), col("z_e6"),
-        (abs(col("z_e6")) >= 3000000L).as("drifted"))
+        coalesce(abs(col("z_e6")) >= 3000000L, lit(false)).as("drifted"))
 
   def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -144,14 +149,16 @@ object EmbeddingStats {
        |  FROM by_slice a JOIN by_slice b
        |    ON a.dim = b.dim AND a.slice = 0 AND b.slice = 1)
        |SELECT dim, n_a, n_b, sum_a_e6, sum_b_e6, var_num_a, var_num_b,
-       |  CAST(FLOOR(((CAST(sum_a_e6 AS DOUBLE) / n_a - CAST(sum_b_e6 AS DOUBLE) / n_b)
+       |  CASE WHEN var_num_a + var_num_b = 0 THEN NULL
+       |    ELSE CAST(FLOOR(((CAST(sum_a_e6 AS DOUBLE) / n_a - CAST(sum_b_e6 AS DOUBLE) / n_b)
        |    / sqrt(CAST(var_num_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_a * n_a)
        |         + CAST(var_num_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * n_b * n_b)))
-       |    * 1000000.0 + 0.5) AS BIGINT) AS z_e6,
-       |  abs(CAST(FLOOR(((CAST(sum_a_e6 AS DOUBLE) / n_a - CAST(sum_b_e6 AS DOUBLE) / n_b)
+       |    * 1000000.0 + 0.5) AS BIGINT) END AS z_e6,
+       |  coalesce(abs(CASE WHEN var_num_a + var_num_b = 0 THEN NULL
+       |    ELSE CAST(FLOOR(((CAST(sum_a_e6 AS DOUBLE) / n_a - CAST(sum_b_e6 AS DOUBLE) / n_b)
        |    / sqrt(CAST(var_num_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_a * n_a)
        |         + CAST(var_num_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * n_b * n_b)))
-       |    * 1000000.0 + 0.5) AS BIGINT)) >= 3000000 AS drifted
+       |    * 1000000.0 + 0.5) AS BIGINT) END) >= 3000000, false) AS drifted
        |FROM j ORDER BY dim""".stripMargin
   }
 }

@@ -113,7 +113,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // a filter must be deterministic (it re-evaluates inside the
         // probe) and touch only id/meta columns the posting rows carry
         _ <- if (cond.forall(c => c.deterministic &&
-            c.references.forall(a => a.name == "vec_id" || metaCols.contains(a.name))))
+            c.references.forall(a => a.name == "vec_id" || metaCols.contains(a.name)) &&
+            !starvesProbe(c)))
           Some(()) else None
         built = if (cond.isEmpty) graft.index.IvfIndex.buildCached(spark, dir)
           else graft.index.IvfIndex.buildCachedFor(s"ivf_meta:$dir", spark,
@@ -151,6 +152,23 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           },
           inner)
       }
+
+  /** Point predicates on the id starve the probe pool: under a fixed
+    * nProbe, `vec_id = c ORDER BY cosine LIMIT k` returns empty/short
+    * results whenever the target's cluster isn't probed — a sharper
+    * failure than the bounded recall loss the unfiltered rewrite
+    * accepts (ann_filtered_curve measures the shape). Keep the EXACT
+    * plan for id-equality/IN shapes; label-block predicates (the
+    * selectivity the meta build is laid out for) still rewrite. */
+  private def starvesProbe(c: Expression): Boolean = c.exists {
+    case EqualTo(a: AttributeReference, _) => a.name == "vec_id"
+    case EqualTo(_, a: AttributeReference) => a.name == "vec_id"
+    case EqualNullSafe(a: AttributeReference, _) => a.name == "vec_id"
+    case EqualNullSafe(_, a: AttributeReference) => a.name == "vec_id"
+    case In(a: AttributeReference, _) => a.name == "vec_id"
+    case InSet(a: AttributeReference, _) => a.name == "vec_id"
+    case _ => false
+  }
 
   private def constVector(e: Expression): Option[Array[Float]] = e match {
     case Literal(v: ArrayData, ArrayType(FloatType, _)) => Some(v.toFloatArray())

@@ -45,7 +45,39 @@ object BpeTrain {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
 
-  def bpeTrain(spark: SparkSession, dir: String, numMerges: Int = 20): DataFrame = {
+  /** Session-scoped memo for trained merge tables, keyed on
+    * (dir, numMerges, batch) and invalidated by store writes under the
+    * dir — `bpe_train`, `bpe_apply`, and `tok_fertility` all consume
+    * the SAME training run instead of each re-running the full
+    * driver-coordinated loop (3× training cost per bench pass before
+    * this; the Dedup.signatures pattern). The value is a ≤numMerges-row
+    * driver-side Seq — no executor memory to evict. */
+  private val mergeCache =
+    new graft.store.VersionedMemo[Seq[(Long, String, String, String, Long)]]()
+
+  /** Memoized merge-table training. `batchSize = 1` is the exact
+    * sequential Sennrich loop; `batchSize = m > 1` selects up to m
+    * non-interacting pairs per driver round (see [[bpeTrainBatched]]). */
+  def trainedMerges(spark: SparkSession, dir: String, numMerges: Int,
+      batchSize: Int = 1): Seq[(Long, String, String, String, Long)] =
+    mergeCache.get(spark, s"bpe:$dir:$numMerges:$batchSize", dir) {
+      trainLoop(spark, dir, numMerges, batchSize)
+    }
+
+  /** The training loop proper. One corpus scan builds the
+    * word-frequency table; each round computes the pair-count frame,
+    * gathers a BOUNDED top slice (8·batch rows — TakeOrdered heaps,
+    * same ≤k-row driver-collect discipline as the IVF centroid path),
+    * greedily keeps up to `batchSize` mutually NON-INTERACTING pairs
+    * (no shared symbol and no pair consuming another's merged token —
+    * for such pairs the old counts are exact, so the batch selects
+    * precisely what sequential rounds would), applies them in rank
+    * order in ONE pass over the vocab frame, and checkpoints once.
+    * M merges therefore cost ~M/m driver rounds — the path to the
+    * thousands-of-merges vocabularies a 100 TB tokenizer needs, where
+    * one driver round per merge cannot. */
+  private def trainLoop(spark: SparkSession, dir: String, numMerges: Int,
+      batchSize: Int): Seq[(Long, String, String, String, Long)] = {
     import spark.implicits._
     var words = Tables.documents(spark, dir)
       .select(explode(TextOps.tokens($"text")).as("word"))
@@ -67,21 +99,60 @@ object BpeTrain {
           .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
         .groupBy($"p.a", $"p.b").agg(sum($"cnt").as("n"))
         .orderBy($"n".desc, $"a".asc, $"b".asc)
-        .limit(1).collect()
+        .limit(math.max(1, 8 * batchSize)).collect()
       if (top.isEmpty) dry = true
       else {
-        val (a, b, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        merges += ((rank.toLong, a, b, a + b, n))
+        // greedy conflict-filtered batch: a candidate interacts with an
+        // already-selected pair if it shares a symbol (b==c changes
+        // (c,d)'s counts and vice versa) or touches its merged token
+        // (the merge creates/consumes occurrences the old counts don't
+        // reflect). Non-interacting ⇒ old counts stay exact for every
+        // selected pair ⇒ the batch equals that many sequential rounds.
+        val budget = math.min(batchSize, numMerges - rank + 1)
+        val touched = scala.collection.mutable.Set.empty[String]
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        top.iterator
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .foreach { case (a, b, n) =>
+            if (picked.size < budget &&
+                !Seq(a, b, a + b).exists(touched.contains)) {
+              picked += ((a, b, n))
+              touched ++= Seq(a, b, a + b)
+            }
+          }
+        picked.foreach { case (a, b, n) =>
+          merges += ((rank.toLong, a, b, a + b, n)); rank += 1
+        }
         val prev = words
         words = words
-          .select($"word", $"cnt", applyMerge($"syms", a, b).as("syms"))
+          .select($"word", $"cnt",
+            encodeSyms(picked.toSeq.map(p => (p._1, p._2)))($"syms").as("syms"))
           .localCheckpoint(true)
         graft.core.Checkpoints.free(prev)
-        rank += 1
       }
     }
     graft.core.Checkpoints.free(words)
-    merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+    merges.toSeq
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String, numMerges: Int = 20): DataFrame = {
+    import spark.implicits._
+    trainedMerges(spark, dir, numMerges)
+      .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy($"rank")
+  }
+
+  /** `bpe_train_batched`: the batched trainer surfaced as its own
+    * oracled entry — 64 merges, 8 per driver round, golden-pinned
+    * against `tools/golden_bpe.py batched` (the independent Python
+    * trainer run with the identical selection rule). Where consecutive
+    * picks don't interact, the table is identical to the sequential
+    * trainer's (BpeBatchSpec asserts the prefix agreement directly). */
+  def bpeTrainBatched(spark: SparkSession, dir: String, numMerges: Int = 64,
+      batchSize: Int = 8): DataFrame = {
+    import spark.implicits._
+    trainedMerges(spark, dir, numMerges, batchSize)
+      .toDF("rank", "lhs", "rhs", "merged", "pair_count")
       .orderBy($"rank")
   }
 
@@ -123,6 +194,19 @@ object BpeTrain {
         sum($"cnt" * $"n_toks").as("n_bpe_tokens"))
   }
 
+  /** Session-scoped memo for the per-doc encode frame — `bpe_apply`
+    * and `tok_fertility` share ONE corpus-wide encode (checkpointed)
+    * instead of each re-encoding; invalidated by store writes. */
+  private val encodeCache =
+    new graft.store.VersionedMemo[DataFrame](graft.core.Checkpoints.free)
+
+  def encodePerDocCached(spark: SparkSession, dir: String,
+      numMerges: Int): DataFrame =
+    encodeCache.get(spark, s"bpe-encode:$dir:$numMerges", dir) {
+      val merges = trainedMerges(spark, dir, numMerges).map(t => (t._2, t._3))
+      encodePerDoc(spark, dir, merges).localCheckpoint(true)
+    }
+
   /** BPE application (`bpe_apply`) — the encode half of the tokenizer
     * loop: train the merge table (`bpeTrain`), then segment the WHOLE
     * corpus with it and report per-document token counts under the
@@ -142,9 +226,8 @@ object BpeTrain {
   def bpeApply(spark: SparkSession, dir: String, numMerges: Int = 20,
                pinned: Seq[Long] = Seq(7L, 58L, 123L, 250L, 487L, 490L)): DataFrame = {
     import spark.implicits._
-    val merges = bpeTrain(spark, dir, numMerges)
-      .select($"lhs", $"rhs").as[(String, String)].collect().toSeq
-    val perDoc = encodePerDoc(spark, dir, merges)
+    val merges = trainedMerges(spark, dir, numMerges).map(t => (t._2, t._3))
+    val perDoc = encodePerDocCached(spark, dir, numMerges)
     val cpt = (floor($"n_chars" * lit(1000000L) / $"n_bpe_tokens")).cast("long").as("cpt_e6")
     // first three words' segmentation, token order preserved via pos
     val head = Tables.documents(spark, dir)
@@ -183,10 +266,8 @@ object BpeTrain {
   def tokFertility(spark: SparkSession, dir: String,
       numMerges: Int = 20): DataFrame = {
     import spark.implicits._
-    val merges = bpeTrain(spark, dir, numMerges)
-      .select($"lhs", $"rhs").as[(String, String)].collect().toSeq
     val langs = Tables.documents(spark, dir).select($"doc_id", $"lang")
-    encodePerDoc(spark, dir, merges)
+    encodePerDocCached(spark, dir, numMerges)
       .join(langs, "doc_id")
       .groupBy($"lang")
       .agg(sum($"n_words").as("n_words"), sum($"n_chars").as("n_chars"),

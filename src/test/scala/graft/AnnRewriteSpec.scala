@@ -86,6 +86,34 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ann.rewrite")
   }
 
+  test("guarded: an id-equality predicate stays exact under the flag") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val qv = queryVecs.head._2
+      // `vec_id = 42` is a point predicate: under a fixed nProbe the
+      // probe returns EMPTY whenever vector 42's cluster isn't probed
+      // — the rule must decline and keep the exact plan, which always
+      // returns exactly the one matching row
+      val df = graft.core.Tables.embeddings(spark, sf)
+        .filter($"vec_id" === 42L)
+        .select($"vec_id", cosineSim($"embedding", typedlit(qv)).as("score"))
+        .orderBy($"score".desc, $"vec_id".asc)
+        .limit(10)
+      assert(scansParquetCorpus(df), "rule fired on an id-equality plan")
+      val got = df.collect()
+      assert(got.length == 1 && got.head.getLong(0) == 42L)
+      // IN-list shape declines identically
+      val dfIn = graft.core.Tables.embeddings(spark, sf)
+        .filter($"vec_id".isin(7L, 42L, 99L))
+        .select($"vec_id", cosineSim($"embedding", typedlit(qv)).as("score"))
+        .orderBy($"score".desc, $"vec_id".asc)
+        .limit(10)
+      assert(scansParquetCorpus(dfIn), "rule fired on an id-IN plan")
+      assert(dfIn.collect().map(_.getLong(0)).toSet == Set(7L, 42L, 99L))
+    } finally spark.conf.unset("spark.graft.ann.rewrite")
+  }
+
   test("filtered rewrite: meta predicate fires, results match the exact filtered top-k") {
     import spark.implicits._
     val queries = graft.core.Tables.embeddings(spark, sf)

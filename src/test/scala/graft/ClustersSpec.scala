@@ -110,8 +110,14 @@ class ClustersSpec extends AnyFunSuite {
       sel = sel :+ best._2
       want = want :+ ((rank.toLong, best._2, best._1))
     }
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val got = graft.operators.Coreset.sampleKcenter(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // every intermediate coverage checkpoint was freed (the bpeTrain
+    // discipline): the op leaves NO new persistent RDDs behind
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"sample_kcenter leaked checkpoints: ${after -- before}")
     assert(got == want)
     // the coverage radius can only improve: max-cos non-decreasing
     // from rank 2 on (rank 1 is the seed's self-similarity)

@@ -175,9 +175,13 @@ class PipelineStatsSpec extends AnyFunSuite {
   }
 
   test("crud_asof reconstructs each snapshot's exact content") {
-    def md5(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the op's order-independent fingerprint: bit_xor of 60-bit text
+    // hashes (constant per-group aggregation state — no collect_list)
+    def hash60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"text").as[(Long, String)].collect().toMap
     // replay the documented log by hand per as-of point
@@ -193,10 +197,10 @@ class PipelineStatsSpec extends AnyFunSuite {
     }
     val want = Seq(1500L, 2500L, 3500L).map { a =>
       val st = snapshot(a)
-      (a, st.size.toLong, md5(st.values.map(md5).toSeq.sorted.mkString))
+      (a, st.size.toLong, st.values.map(hash60).fold(0L)(_ ^ _))
     }
     val got = graft.operators.Collections.crudAsof(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == want)
     // the three snapshots genuinely differ in CONTENT (the revival
     // restores the count to 500 but with '!'-suffixed texts)

@@ -67,6 +67,60 @@ def train(sf_dir, num_merges):
     return out, vocab
 
 
+def train_batched(sf_dir, num_merges, batch):
+    """Batched merge selection (`bpe_train_batched` oracle): per round,
+    rank pairs by (-count, a, b) and greedily keep up to `batch`
+    mutually non-interacting pairs (no shared symbol, no pair touching
+    another's merged token), then apply them in rank order. Where picks
+    don't interact the old counts are exact, so each batch equals that
+    many sequential rounds."""
+    rows = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'").fetchall()
+    freq = collections.Counter()
+    for (text,) in rows:
+        for w in re.split(r"[^a-z0-9]+", text.lower()):
+            if w:
+                freq[w] += 1
+    vocab = {w: list(w) for w in freq}
+    out = []
+    rank = 1
+    while rank <= num_merges:
+        pairs = collections.Counter()
+        for w, c in freq.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        ranked = ranked[:max(1, 8 * batch)]
+        budget = min(batch, num_merges - rank + 1)
+        touched, picked = set(), []
+        for (a, b), n in ranked:
+            if len(picked) >= budget:
+                break
+            if {a, b, a + b} & touched:
+                continue
+            picked.append((a, b, n))
+            touched |= {a, b, a + b}
+        for a, b, n in picked:
+            out.append((rank, a, b, a + b, n))
+            rank += 1
+            merged = a + b
+            for w in vocab:
+                syms = vocab[w]
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                vocab[w] = res
+    return out
+
+
 def apply_mode(sf_dir, num_merges):
     _, vocab = train(sf_dir, num_merges)
     rows = duckdb.sql(
@@ -113,6 +167,13 @@ def fertility_mode(sf_dir, num_merges):
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "batched":
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+        num_merges = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+        batch = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+        for rank, a, b, merged, cnt in train_batched(sf_dir, num_merges, batch):
+            print(f"({rank}, '{a}', '{b}', '{merged}', {cnt}),")
+        return
     if len(sys.argv) > 1 and sys.argv[1] in ("apply", "fertility"):
         sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
         num_merges = int(sys.argv[3]) if len(sys.argv) > 3 else 20
