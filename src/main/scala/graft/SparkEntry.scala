@@ -118,6 +118,9 @@ object SparkEntry {
     // PCA whitening (16 of 64 dims) served as its contract grid
     "embedding_whiten" -> (graft.operators.Whiten.embeddingWhitenGrid _),
     "ivf_search_filtered" -> (IvfIndex.ivfSearchFiltered _),
+    // filtered NSW: the graph index's metadata path — pre-filter
+    // semantics threaded through the beam walk (accepted-set top-k)
+    "nsw_search_filtered" -> (NswIndex.nswSearchFiltered _),
     "text_bm25" -> (graft.text.Bm25.textBm25 _),
     "text_unigram_ll" -> (TextOps.textUnigramLl _),
     // bigram-LM fluency (word ORDER, which a unigram bag can't see)
@@ -618,6 +621,7 @@ object SparkEntry {
     "embedding_drift" -> graft.operators.EmbeddingStats.embeddingDriftSql,
     "embedding_whiten" -> graft.operators.Whiten.embeddingWhitenSql,
     "ivf_search_filtered" -> IvfIndex.ivfSearchFilteredSql,
+    "nsw_search_filtered" -> NswIndex.nswSearchFilteredSql,
     "text_bm25" -> graft.text.Bm25.textBm25Sql,
     "text_unigram_ll" -> TextOps.textUnigramLlSql,
     "text_bigram_ll" -> TextOps.textBigramLlSql,

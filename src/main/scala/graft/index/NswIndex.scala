@@ -147,6 +147,21 @@ object NswIndex {
     edgeCache.get(spark, dir, dir)(
       buildEdges(Tables.embeddings(spark, dir)).cache())
 
+  /** The graph layout's own VECTORS table, materialized in-session —
+    * the memo analog of [[persist]]'s `vectors` parquet: serving reads
+    * the index's tables, never the source corpus scan (the
+    * served-by-index attestation the ANN rewrite rests on). Keyed per
+    * meta-column set, invalidated by store writes under the dir. */
+  private val vecCache =
+    new graft.store.VersionedMemo[DataFrame](graft.core.Checkpoints.free)
+
+  def vectorsCached(spark: SparkSession, dir: String,
+      metaCols: Seq[String] = Nil): DataFrame =
+    vecCache.get(spark, s"nsw_vecs:$dir:${metaCols.mkString(",")}", dir)(
+      Tables.embeddings(spark, dir)
+        .select((Seq("vec_id", "embedding") ++ metaCols).map(col): _*)
+        .localCheckpoint(true))
+
   /** Memoized edge table over an arbitrary corpus (e.g.
     * document-content embeddings) under an explicit cache key — uses
     * the LSH+NN-descent build (the scale path), not the exact n²
@@ -591,7 +606,9 @@ object NswIndex {
       k: Int = 5, singleQuery: Boolean = false,
       preExpandedEdges: Boolean = false, maxHops: Int = hops,
       seedSampleMod: Int = entrySeedMod,
-      beamW: Int = beamWidth): DataFrame = {
+      beamW: Int = beamWidth,
+      metaCols: Seq[String] = Nil,
+      acceptPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     if (singleQuery)
       return beamSearchSingle(emb, edges, queries, k, preExpandedEdges, maxHops,
         seedSampleMod)
@@ -601,8 +618,24 @@ object NswIndex {
     // caching them here would just trade bucket-aligned scans for an
     // InMemoryRelation that loses the co-location, so the bucketed
     // path scans the files in place.)
-    val embSel0 = emb.select(col("vec_id").as("node"), col("embedding"))
+    // Filtered mode (`acceptPred`): the predicate constrains which
+    // visited nodes may be SERVED, never which nodes may be WALKED —
+    // filtering the traversal itself would disconnect the graph
+    // exactly when the filter is tight (the filtered-ANN correctness
+    // trap ivf's searchFiltered documents from the probe side). The
+    // walk navigates the full graph; node metadata (`metaCols`) and
+    // the query frame's own columns ride the scored rows so the
+    // predicate evaluates per (query, node); the top-k cut runs over
+    // the ACCEPTED visited set — pre-filter semantics, all k rows
+    // satisfy the predicate. Callers compensate the thinner accepted
+    // pool with a wider beam (filteredBeamWidth), the nProbe=13
+    // discipline.
+    val embSel0 = emb.select(
+      (Seq(col("vec_id").as("node"), col("embedding")) ++ metaCols.map(col)): _*)
     val embSel = if (preExpandedEdges) embSel0 else embSel0.cache()
+    // query-side columns beyond (q_id, q_vec) — e.g. q_label — that
+    // the accept predicate may reference; carried through every hop
+    val qExtra = queries.columns.toSeq.filterNot(Seq("q_id", "q_vec").contains)
     // Traverse the UNDIRECTED graph: the reference inserts
     // bidirectional links (nsw_index.py:36-52), so a node is reachable
     // through its own out-edges reversed even when no other node ranks
@@ -615,9 +648,9 @@ object NswIndex {
         .cache()
     val scoreAgainst = (nodes: DataFrame) =>
       nodes.join(embSel, Seq("node"))
-        .select(col("q_id"), col("node"),
+        .select((Seq(col("q_id"), col("node"),
           Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"),
-          col("q_vec"))
+          col("q_vec")) ++ metaCols.map(col) ++ qExtra.map(col)): _*)
     // Multi-seed entry (the flattened two-layer idea): a deterministic
     // coarse SAMPLE of nodes (vec_id ≡ 0 mod seedSampleMod) is scored
     // per query and the best seeds start the beam — descending from a
@@ -650,7 +683,8 @@ object NswIndex {
     while (hop <= maxHops && !exhausted) {
       val expanded = frontier
         .join(edgeSel, Seq("node"))
-        .select(col("q_id"), col("dst").as("node"), col("q_vec"))
+        .select((Seq(col("q_id"), col("dst").as("node"), col("q_vec")) ++
+          qExtra.map(col)): _*)
         .distinct()
         .join(visited.select(col("q_id"), col("node")), Seq("q_id", "node"), "left_anti")
       // the exhaustion probe rides the checkpoint action (one job, as
@@ -670,7 +704,9 @@ object NswIndex {
       }
       hop += 1
     }
-    val visitedAll = visited
+    // filtered mode: the accepted-set cut — predicate BEFORE the
+    // top-k, so all k served rows satisfy it (pre-filter semantics)
+    val visitedAll = acceptPred.map(visited.filter).getOrElse(visited)
     // the final ranking reads only the checkpointed visited parts —
     // the loop-scratch caches must not pile up across beam invocations
     if (!preExpandedEdges) { embSel.unpersist(); edgeSel.unpersist() }
@@ -773,4 +809,68 @@ object NswIndex {
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
     beamSearch(emb, edges, queries)
   }
+
+  /** Beam width for FILTERED serves — the nProbe=13 discipline on the
+    * graph side: a label filter keeping ~1/10 of the corpus thins the
+    * accepted pool to ~visited/10, so the walk must visit more to
+    * serve k accepted rows. Doubling the beam (16 → 32) widens every
+    * superstep's surviving frontier — measured at sf0.001/sf0.01
+    * (FilteredSearchSpec): filtered recall@10 vs the brute filtered
+    * oracle ≥ 0.9 and every query serves exactly k accepted rows. */
+  val filteredBeamWidth = 32
+
+  /** Filtered beam search: metadata predicate with PRE-filter
+    * semantics threaded through the walk ([[beamSearch]]'s
+    * `acceptPred` — navigation unfiltered, accepted-set top-k), the
+    * graph twin of `IvfIndex.searchFiltered`. The graph itself is
+    * label-independent, so the SAME cached edge table serves filtered
+    * and unfiltered queries — only the vector frame carries the meta
+    * columns. Reference contract: nsw_index.py:117-165 (the walk) +
+    * the ivf filtered precedent. */
+  def searchFiltered(emb: DataFrame, edges: DataFrame, queries: DataFrame,
+      pred: org.apache.spark.sql.Column, metaCols: Seq[String],
+      k: Int = 10, beamW: Int = filteredBeamWidth): DataFrame =
+    beamSearch(emb, edges, queries, k = k, beamW = beamW,
+      metaCols = metaCols, acceptPred = Some(pred))
+
+  /** `nsw_search_filtered`: label-constrained beam search (each query
+    * returns only neighbors sharing its label) pushed through the
+    * same invariant grid as `ivf_search_filtered`:
+    *  - `k_results`: exactly k rows (pre-filter semantics — a
+    *    post-filtered top-k would come up short);
+    *  - `all_match_label`: every neighbor satisfies the predicate;
+    *  - `self_found` / `top1_exact`: the query's own vector (which
+    *    trivially matches its own label) leads at score 1.0;
+    *  - `monotone`: scores non-increasing in rank. */
+  def nswSearchFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val edges = edgesCached(spark, dir)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"label".as("q_label"))
+    val hits = searchFiltered(emb, edges, queries,
+        col("label") === col("q_label"), metaCols = Seq("label"))
+      .localCheckpoint(true)
+    val labels = emb.select($"vec_id".as("neighbor_id"), $"label".as("n_label"))
+      .join(broadcast(hits.select($"neighbor_id").distinct()), Seq("neighbor_id"), "left_semi")
+    val qLabels = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"))
+    val next = hits.select($"q_id", ($"rank" - 1).as("rank"), $"score_e6".as("next_score"))
+    hits
+      .join(broadcast(labels), Seq("neighbor_id"))
+      .join(broadcast(qLabels), Seq("q_id"))
+      .join(broadcast(next), Seq("q_id", "rank"), "left")
+      .groupBy($"q_id").agg(
+        (count(lit(1)) === 10L).as("k_results"),
+        (min(($"n_label" === $"q_label").cast("int")) === 1).as("all_match_label"),
+        (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
+        (max(when($"rank" === 1L, $"score_e6")) === 1000000L).as("top1_exact"),
+        (min(coalesce($"next_score" <= $"score_e6", lit(true)).cast("int")) === 1).as("monotone"))
+      .orderBy($"q_id")
+  }
+
+  val nswSearchFilteredSql: String =
+    """SELECT vec_id AS q_id, true AS k_results, true AS all_match_label,
+      |  true AS self_found, true AS top1_exact, true AS monotone
+      |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin
 }

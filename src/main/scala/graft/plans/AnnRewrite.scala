@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, typedlit}
+import org.apache.spark.sql.functions.{broadcast, col, lit, typedlit}
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
 /** Catalyst extension: transparent ANN serving for brute-force
@@ -67,6 +67,15 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     spark.conf.getOption("spark.graft.ann.rewrite.nProbe")
       .map(_.toInt).getOrElse(graft.index.IvfIndex.defaultNProbe)
 
+  /** Which index layout serves rewritten FILTERED shapes: `ivf`
+    * (default — the partition-pruned posting probe) or `nsw` (the
+    * graph walk with the accept predicate threaded through the beam,
+    * NswIndex.searchFiltered) for sessions whose corpus layout is the
+    * graph. Unfiltered shapes always serve from the IVF probe — the
+    * layout choice only matters where the metadata path diverges. */
+  private def layout: String =
+    spark.conf.getOption("spark.graft.ann.rewrite.layout").getOrElse("ivf")
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformDown {
@@ -116,30 +125,11 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             c.references.forall(a => a.name == "vec_id" || metaCols.contains(a.name)) &&
             !starvesProbe(c)))
           Some(()) else None
-        built = if (cond.isEmpty) graft.index.IvfIndex.buildCached(spark, dir)
-          else graft.index.IvfIndex.buildCachedFor(s"ivf_meta:$dir", spark,
-            Tables.embeddings(spark, dir)
-              .select((Seq("vec_id", "embedding") ++ metaCols).map(col): _*),
-            dir, metaCols = metaCols)
-        _ <- if (passthrough.forall(a => built.assigned.columns.contains(a.name)))
-          Some(()) else None
+        probed <-
+          if (cond.nonEmpty && layout == "nsw")
+            nswFilteredProbe(dir, queryVec, cond.get, k, passthrough)
+          else ivfProbe(dir, queryVec, cond, k, passthrough)
       } yield {
-        val probeIds = topClusters(built.centroids, queryVec, nProbe)
-        val scanned = built.assigned
-          .filter(col("cluster_id").isin(probeIds: _*))
-        // replay the pushed-down predicate against the posting rows
-        // (same column names; resolution re-binds by name)
-        val filtered = cond.map { c =>
-          scanned.filter(org.apache.spark.sql.graft.Bridge.column(c.transform {
-            case a: AttributeReference =>
-              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
-          }))
-        }.getOrElse(scanned)
-        val probed = filtered
-          .select(passthrough.map(a => col(a.name)) :+
-            cosineSim(col("embedding"), typedlit(queryVec)).as("score"): _*)
-          .orderBy(col("score").desc, col(passthrough.head.name).asc)
-          .limit(k)
         // splice with the ORIGINAL attribute ids so parents resolve
         val inner = probed.queryExecution.optimizedPlan
         val byName = inner.output.map(a => a.name -> a).toMap
@@ -152,6 +142,71 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           },
           inner)
       }
+
+  /** The IVF posting probe serving a (possibly filtered) rewritten
+    * shape: centroids ranked driver-side, nProbe posting lists
+    * scanned, the predicate replayed in-scan before the top-k cut. */
+  private def ivfProbe(dir: String, queryVec: Array[Float],
+      cond: Option[Expression], k: Int,
+      passthrough: Seq[AttributeReference]): Option[DataFrame] = {
+    val built = if (cond.isEmpty) graft.index.IvfIndex.buildCached(spark, dir)
+      else graft.index.IvfIndex.buildCachedFor(s"ivf_meta:$dir", spark,
+        Tables.embeddings(spark, dir)
+          .select((Seq("vec_id", "embedding") ++ metaCols).map(col): _*),
+        dir, metaCols = metaCols)
+    if (!passthrough.forall(a => built.assigned.columns.contains(a.name))) None
+    else {
+      val probeIds = topClusters(built.centroids, queryVec, nProbe)
+      val scanned = built.assigned
+        .filter(col("cluster_id").isin(probeIds: _*))
+      // replay the pushed-down predicate against the posting rows
+      // (same column names; resolution re-binds by name)
+      val filtered = cond.map(c => scanned.filter(replayPred(c))).getOrElse(scanned)
+      Some(filtered
+        .select(passthrough.map(a => col(a.name)) :+
+          cosineSim(col("embedding"), typedlit(queryVec)).as("score"): _*)
+        .orderBy(col("score").desc, col(passthrough.head.name).asc)
+        .limit(k))
+    }
+  }
+
+  /** The NSW graph probe for rewritten FILTERED shapes under
+    * `spark.graft.ann.rewrite.layout=nsw`: the session's memoized
+    * edge table walked with the predicate threaded through the beam
+    * (accept-set top-k — NswIndex.searchFiltered's pre-filter
+    * contract, beam width already filter-compensated). The k hit ids
+    * then rescore against the corpus row (a k-row join) so the spliced
+    * plan serves the caller's double-typed score column. */
+  private def nswFilteredProbe(dir: String, queryVec: Array[Float],
+      cond: Expression, k: Int,
+      passthrough: Seq[AttributeReference]): Option[DataFrame] = {
+    // the layout's OWN vectors table (checkpointed memo) — the spliced
+    // plan must read index tables, not the source corpus scan, or the
+    // served-by-index attestation would be false by construction
+    val emb = graft.index.NswIndex.vectorsCached(spark, dir, metaCols)
+    if (!passthrough.forall(a => emb.columns.contains(a.name))) None
+    else {
+      val edges = graft.index.NswIndex.edgesCached(spark, dir)
+      val queries = spark.range(1)
+        .select(lit(0L).as("q_id"), typedlit(queryVec).as("q_vec"))
+      val hits = graft.index.NswIndex.searchFiltered(
+          emb, edges, queries, replayPred(cond), metaCols = metaCols, k = k)
+        .select(col("neighbor_id").as("vec_id"))
+      Some(emb.join(broadcast(hits), Seq("vec_id"))
+        .select(passthrough.map(a => col(a.name)) :+
+          cosineSim(col("embedding"), typedlit(queryVec)).as("score"): _*)
+        .orderBy(col("score").desc, col(passthrough.head.name).asc)
+        .limit(k))
+    }
+  }
+
+  /** Re-bind a plan predicate's attributes by NAME so it can replay
+    * against a probe frame carrying the same column names. */
+  private def replayPred(c: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.Bridge.column(c.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
+    })
 
   /** Point predicates on the id starve the probe pool: under a fixed
     * nProbe, `vec_id = c ORDER BY cosine LIMIT k` returns empty/short

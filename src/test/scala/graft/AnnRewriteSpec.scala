@@ -150,6 +150,47 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ann.rewrite")
   }
 
+  test("layout=nsw: filtered shape serves from the graph walk, all hits pass the filter") {
+    import spark.implicits._
+    val qs = graft.core.Tables.embeddings(spark, sf)
+      .filter($"vec_id" < 5).select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        r.getAs[Int]("label")))
+    val labels = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    // exact filtered baselines, flag off
+    spark.conf.unset("spark.graft.ann.rewrite")
+    val exact = qs.map { case (qid, qv, lbl) =>
+      qid -> AnnRewrite.bruteFilteredPlan(spark, sf, qv, lbl, 10)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+    }.toMap
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    spark.conf.set("spark.graft.ann.rewrite.layout", "nsw")
+    try {
+      var hit = 0; var total = 0
+      qs.foreach { case (qid, qv, lbl) =>
+        val df = AnnRewrite.bruteFilteredPlan(spark, sf, qv, lbl, 10)
+        assert(!scansParquetCorpus(df),
+          s"filtered shape not rewritten under layout=nsw for q=$qid")
+        val got = df.collect().map(_.getAs[Long]("vec_id"))
+        assert(got.length == 10, s"q=$qid served ${got.length} rows")
+        got.foreach(id => assert(labels(id) == lbl,
+          s"q=$qid hit $id violates the label predicate"))
+        hit += (got.toSet & exact(qid)).size; total += 10
+      }
+      assert(hit.toDouble / total >= 0.8,
+        s"nsw-layout filtered recall ${hit.toDouble / total} below 0.8")
+      // unfiltered shapes still serve from the IVF probe (10 rows, no scan)
+      val un = AnnRewrite.brutePlan(spark, sf, qs.head._2, 10)
+      assert(!scansParquetCorpus(un))
+      assert(un.count() == 10)
+    } finally {
+      spark.conf.unset("spark.graft.ann.rewrite")
+      spark.conf.unset("spark.graft.ann.rewrite.layout")
+    }
+  }
+
   test("filtered registry grid is all-true including passes_filter") {
     val rows = AnnRewrite.annRewriteFilteredChecked(spark, sf).collect()
     assert(rows.length == 50)

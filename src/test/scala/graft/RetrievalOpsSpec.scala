@@ -152,6 +152,40 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(mean >= 0.9, f"mean filtered recall $mean%.3f below bar")
   }
 
+  test("nsw_search_filtered: grid all-true and recall@10 >= 0.9 vs brute filtered") {
+    val grid = graft.index.NswIndex.nswSearchFiltered(spark, sf).collect()
+    assert(grid.length == 5)
+    Seq("k_results", "all_match_label", "self_found", "top1_exact", "monotone")
+      .foreach { c =>
+        assert(grid.forall(_.getAs[Boolean](c)), s"grid column $c not all-true")
+      }
+    val brute = KnnSearch.knnFiltered(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val edges = graft.index.NswIndex.edgesCached(spark, sf)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"label".as("q_label"))
+    val nsw = graft.index.NswIndex.searchFiltered(emb, edges, queries,
+      col("label") === col("q_label"), metaCols = Seq("label")).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls = brute.keys.toSeq.sorted.map { q =>
+      nsw(q).intersect(brute(q)).size.toDouble / brute(q).size
+    }
+    info(f"filtered NSW recall@10 per query: ${recalls.map(r => f"$r%.2f").mkString(", ")}")
+    val mean = recalls.sum / recalls.size
+    info(f"mean filtered NSW recall@10 = $mean%.3f")
+    assert(mean >= 0.9, f"mean filtered NSW recall $mean%.3f below bar")
+    // the unfiltered beam (same walk, no predicate) would serve
+    // other-label rows for these queries — the filter is load-bearing
+    val unfiltered = graft.index.NswIndex.beamSearch(emb, edges,
+        queries.drop("q_label"), k = 10).collect()
+    val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    assert(unfiltered.exists(r =>
+      labels(r.getAs[Long]("neighbor_id")) != labels(r.getAs[Long]("q_id"))))
+  }
+
   test("text_unigram_ll: keep flag exact, discriminative, consistent with token counts") {
     val out = graft.text.TextOps.textUnigramLl(spark, sf).collect()
     assert(out.length == 500)
