@@ -121,6 +121,9 @@ object SparkEntry {
     // filtered NSW: the graph index's metadata path — pre-filter
     // semantics threaded through the beam walk (accepted-set top-k)
     "nsw_search_filtered" -> (NswIndex.nswSearchFiltered _),
+    // versioned posting layout: serve "as of batch B" + rollback —
+    // crud_asof's discipline composed with the persisted IVF layout
+    "ivf_search_asof" -> (graft.index.SnapshotLayout.ivfSearchAsof _),
     "text_bm25" -> (graft.text.Bm25.textBm25 _),
     "text_unigram_ll" -> (TextOps.textUnigramLl _),
     // bigram-LM fluency (word ORDER, which a unigram bag can't see)
@@ -622,6 +625,7 @@ object SparkEntry {
     "embedding_whiten" -> graft.operators.Whiten.embeddingWhitenSql,
     "ivf_search_filtered" -> IvfIndex.ivfSearchFilteredSql,
     "nsw_search_filtered" -> NswIndex.nswSearchFilteredSql,
+    "ivf_search_asof" -> graft.index.SnapshotLayout.ivfSearchAsofSql,
     "text_bm25" -> graft.text.Bm25.textBm25Sql,
     "text_unigram_ll" -> TextOps.textUnigramLlSql,
     "text_bigram_ll" -> TextOps.textBigramLlSql,

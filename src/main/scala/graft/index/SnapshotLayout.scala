@@ -1,0 +1,281 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+
+import graft.core.Tables
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Versioned IVF posting layout: `crud_asof`'s change-log discipline
+  * composed with [[IvfIndex.persist]]'s partitioned layout — the
+  * operational story a 100 TB index needs. The plain persisted layout
+  * applies deltas IN PLACE, so a bad maintenance batch (corrupt
+  * embeddings, a runaway delete) is unrecoverable short of a full
+  * rebuild. Here every maintenance batch is APPEND-ONLY and versioned:
+  *
+  *  - upserts append under `vectors/cluster_id=C/batch_id=B/` — the
+  *    batch id is a second PARTITION level, so "as of B" prunes at the
+  *    directory listing and rollback is a directory delete, never a
+  *    rewrite;
+  *  - deletes append tombstone id-lists under `tombstones/batch_id=B/`
+  *    (no posting file is ever rewritten);
+  *  - a per-batch snapshot manifest `_snapshots/batch-<B>.json`
+  *    records the drift sidecar state after the batch — the audit
+  *    trail, and what rollback restores.
+  *
+  * SERVE AS OF B is exactly the `crud_asof` reconstruction keyed on
+  * batch id instead of timestamp: per vec_id the latest event with
+  * batch_id ≤ B wins — live iff that event is an upsert (a tombstone
+  * hides the id until a later upsert revives it; within one batch
+  * deletes apply before upserts, the IndexStream convention, so an
+  * upsert wins the tie). The reconstruction is one window over the
+  * pruned partitions — linear in the live+delta rows ≤ B, with the
+  * same probe search on top ([[IvfIndex.search]], centroids fixed at
+  * the base fit, the incremental-add contract).
+  *
+  * ROLLBACK TO B deletes every `batch_id>B` directory (vectors and
+  * tombstones) and restores the sidecar from B's manifest. Files of
+  * batches ≤ B were never touched by later batches (append-only), so
+  * the post-rollback layout is BYTE-identical to the as-of-B layout —
+  * SnapshotSpec drives apply → snapshot → corrupt → rollback and
+  * asserts serve identity.
+  *
+  * Scale notes: an applied batch touches only the directories its
+  * rows land in; serving latest pays one argmax window over the
+  * posting rows (the standard merge-on-read cost — periodic compaction
+  * into a new BASE batch folds it away, exactly like any log-
+  * structured table format); the batch_id partition level adds one
+  * directory per (touched cluster, batch) — bounded by maintenance
+  * cadence, compacted with the same policy as the small-file channel.
+  */
+object SnapshotLayout {
+
+  /** Initialize the layout: the base fit persisted as batch 0. */
+  def init(built: IvfIndex.Built, path: String): Unit = {
+    val spark = built.assigned.sparkSession
+    built.assigned.withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("cluster_id", "batch_id")
+      .parquet(s"$path/vectors")
+    built.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val n = spark.read.parquet(s"$path/vectors").count()
+    IndexMeta.write(spark, path, IndexMeta.Meta(n, 0L))
+    writeManifest(spark, path, 0L, IndexMeta.Meta(n, 0L))
+  }
+
+  /** Apply one maintenance batch append-only: tombstones for the
+    * deletes, centroid-assigned posting rows for the upserts, then
+    * the drift sidecar bump and the batch's snapshot manifest (the
+    * manifest write is LAST — the IndexStream crash-window
+    * discipline: a batch with no manifest is incomplete and the next
+    * rollback target is the previous batch). */
+  def applyBatch(spark: SparkSession, path: String, batchId: Long,
+      upserts: DataFrame, deletes: DataFrame): Unit = {
+    if (!deletes.isEmpty)
+      deletes.select(col("vec_id")).withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("batch_id")
+        .parquet(s"$path/tombstones")
+    if (!upserts.isEmpty) {
+      val centroids = spark.read.parquet(s"$path/centroids")
+      IvfIndex.assignToCentroids(
+          upserts.select(col("vec_id"), col("embedding")), centroids)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("cluster_id", "batch_id")
+        .parquet(s"$path/vectors")
+    }
+    val drift = upserts.count() + deletes.count()
+    IndexMeta.bumpDelta(spark, path, drift)
+    val meta = IndexMeta.read(spark, path).getOrElse(IndexMeta.Meta(0L, 0L))
+    writeManifest(spark, path, batchId, meta)
+  }
+
+  /** The live posting set AS OF `batchId` — the crud_asof argmax
+    * window on (vec_id, batch_id) over upsert and tombstone events,
+    * returning (vec_id, embedding, cluster_id) ready for
+    * [[IvfIndex.search]]. */
+  def asOfAssigned(spark: SparkSession, path: String, batchId: Long): DataFrame = {
+    val ups = spark.read.parquet(s"$path/vectors")
+      .filter(col("batch_id") <= batchId)
+      .select(col("vec_id"), col("embedding"), col("cluster_id"),
+        col("batch_id"), lit(1).as("is_upsert"))
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombs =
+      if (!fs.exists(new Path(s"$path/tombstones"))) ups.limit(0)
+      else spark.read.parquet(s"$path/tombstones")
+        .filter(col("batch_id") <= batchId)
+        .select(col("vec_id"), lit(null).cast("array<float>").as("embedding"),
+          lit(-1).as("cluster_id"), col("batch_id"), lit(0).as("is_upsert"))
+    val w = Window.partitionBy(col("vec_id"))
+      // within a batch deletes apply before upserts → upsert wins the
+      // tie (is_upsert desc); across batches the latest batch wins
+      .orderBy(col("batch_id").desc, col("is_upsert").desc)
+    ups.unionByName(tombs)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("is_upsert") === 1)
+      .select(col("vec_id"), col("embedding"), col("cluster_id"))
+  }
+
+  /** Probe search served from the as-of posting set (centroids are
+    * the base fit — the incremental-add serving contract). */
+  def searchAsOf(spark: SparkSession, path: String, batchId: Long,
+      queries: DataFrame, nProbe: Int = IvfIndex.defaultNProbe,
+      k: Int = 10): DataFrame =
+    IvfIndex.search(
+      IvfIndex.Built(asOfAssigned(spark, path, batchId),
+        spark.read.parquet(s"$path/centroids")),
+      queries, nProbe, k)
+
+  /** Roll back to `batchId`: delete every later batch's directories
+    * (vectors and tombstones) and restore the sidecar from the
+    * target's manifest. No rebuild, no rewrite of surviving files. */
+  def rollback(spark: SparkSession, path: String, batchId: Long): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // vectors/cluster_id=C/batch_id=B
+    val vecRoot = new Path(s"$path/vectors")
+    if (fs.exists(vecRoot))
+      fs.listStatus(vecRoot).filter(_.isDirectory).foreach { c =>
+        fs.listStatus(c.getPath).filter(_.isDirectory)
+          .filter(_.getPath.getName.stripPrefix("batch_id=").toLong > batchId)
+          .foreach(d => fs.delete(d.getPath, true))
+        // a cluster dir emptied of every batch dir disappears too
+        if (fs.listStatus(c.getPath).isEmpty) fs.delete(c.getPath, true)
+      }
+    val tombRoot = new Path(s"$path/tombstones")
+    if (fs.exists(tombRoot))
+      fs.listStatus(tombRoot).filter(_.isDirectory)
+        .filter(_.getPath.getName.stripPrefix("batch_id=").toLong > batchId)
+        .foreach(d => fs.delete(d.getPath, true))
+    // drop later manifests; restore the sidecar from the target's
+    manifestIds(spark, path).filter(_ > batchId).foreach { id =>
+      fs.delete(new Path(s"$path/_snapshots/batch-$id.json"), false)
+    }
+    readManifest(spark, path, batchId).foreach(m =>
+      IndexMeta.write(spark, path, m))
+    graft.store.IndexVersions.bump(path)
+  }
+
+  /** Snapshot ids present under `_snapshots/`, ascending. */
+  def manifestIds(spark: SparkSession, path: String): Seq[Long] = {
+    val dir = new Path(s"$path/_snapshots")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch-") && s.endsWith(".json") =>
+        s.stripPrefix("batch-").stripSuffix(".json").toLong }
+      .toSeq.sorted
+  }
+
+  private def writeManifest(spark: SparkSession, path: String, batchId: Long,
+      meta: IndexMeta.Meta): Unit = {
+    val p = new Path(s"$path/_snapshots/batch-$batchId.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"batch_id":$batchId,"fitted_n":${meta.fittedN},"delta_since_fit":${meta.deltaSinceFit}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private val ManifestPattern =
+    """\{"batch_id":(\d+),"fitted_n":(\d+),"delta_since_fit":(\d+)\}""".r
+
+  def readManifest(spark: SparkSession, path: String,
+      batchId: Long): Option[IndexMeta.Meta] = {
+    val p = new Path(s"$path/_snapshots/batch-$batchId.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      body.trim match {
+        case ManifestPattern(_, n, d) => Some(IndexMeta.Meta(n.toLong, d.toLong))
+        case _ => None
+      }
+    }
+  }
+
+  /** `ivf_search_asof`: the versioned layout's serve path pushed
+    * through an invariant grid over a deterministic batch history on
+    * the embeddings table (the nsw_add_delta scenario discipline):
+    * base fit over `vec_id >= 50` (batch 0), upsert the `< 25` slice
+    * (batch 1), delete its `% 7 = 0` ids and upsert the `25..49`
+    * slice (batch 2), then a CORRUPT batch 3 (zero-vector upserts for
+    * the `< 10` ids — the bad delta the rollback story exists for).
+    * Grid per probe (`vec_id < 5`, served AS OF batch 2):
+    *  - `self_found` / `top1_exact`: the probe finds its own batch-1/2
+    *    vector at score 1.0 — as-of-2 serves the GOOD embeddings even
+    *    though batch 3 has already overwritten them at head;
+    *  - `tombstone_hides`: as of batch 2 none of the deleted
+    *    (`% 7 = 0`, `< 25`) ids serve;
+    *  - `asof1_predates`: as of batch 1 the `25..49` slice is absent
+    *    (earlier snapshots don't see later upserts);
+    *  - `rollback_identical`: after `rollback(2)`, serving HEAD
+    *    returns row-identical results to the pre-rollback as-of-2
+    *    serve (the byte-identity contract);
+    *  - `sidecar_restored`: the drift sidecar equals batch 2's
+    *    manifest after rollback. */
+  def ivfSearchAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
+      s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/ivf"
+    // rebuild the scenario from scratch each invocation (Verify/Bench
+    // repeat; stale batches from a previous run must not leak in)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    val base = all.filter($"vec_id" >= 50)
+    init(IvfIndex.build(spark, base), path)
+    applyBatch(spark, path, 1L,
+      upserts = all.filter($"vec_id" < 25), deletes = all.limit(0).select($"vec_id"))
+    applyBatch(spark, path, 2L,
+      upserts = all.filter($"vec_id" >= 25 && $"vec_id" < 50),
+      deletes = all.filter($"vec_id" < 25 && $"vec_id" % 7 === 0).select($"vec_id"))
+    applyBatch(spark, path, 3L,
+      upserts = all.filter($"vec_id" < 10)
+        .select($"vec_id", transform($"embedding", _ => lit(0.0f)).as("embedding")),
+      deletes = all.limit(0).select($"vec_id"))
+    val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val asof2 = searchAsOf(spark, path, 2L, queries).localCheckpoint(true)
+    val perProbe = asof2.groupBy($"q_id").agg(
+      (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
+      (max($"score_e6") === 1000000L).as("top1_exact"))
+    val live2 = asOfAssigned(spark, path, 2L)
+    val tombOk = live2.filter($"vec_id" < 25 && $"vec_id" % 7 === 0)
+      .agg(count(lit(1)).as("n_deleted_live"))
+    val live1 = asOfAssigned(spark, path, 1L)
+    val asof1Ok = live1.agg(
+      count(when($"vec_id" >= 25 && $"vec_id" < 50, 1)).as("n_future_live"))
+    rollback(spark, path, 2L)
+    val headAfter = searchAsOf(spark, path, Long.MaxValue, queries)
+    val identical = asof2.unionByName(headAfter)
+      .groupBy($"q_id", $"rank", $"neighbor_id", $"score_e6")
+      .agg(count(lit(1)).as("c"))
+      .agg(count(when($"c" =!= 2L, 1)).as("n_diff"))
+    val meta = IndexMeta.read(spark, path).getOrElse(IndexMeta.Meta(-1L, -1L))
+    val manifest = readManifest(spark, path, 2L).getOrElse(IndexMeta.Meta(-2L, -2L))
+    val globals = tombOk.crossJoin(asof1Ok).crossJoin(identical)
+      .select(
+        ($"n_deleted_live" === 0L).as("tombstone_hides"),
+        ($"n_future_live" === 0L).as("asof1_predates"),
+        ($"n_diff" === 0L).as("rollback_identical"),
+        lit(meta == manifest).as("sidecar_restored"))
+    perProbe.crossJoin(broadcast(globals))
+      .select($"q_id", $"self_found", $"top1_exact", $"tombstone_hides",
+        $"asof1_predates", $"rollback_identical", $"sidecar_restored")
+      .orderBy($"q_id")
+  }
+
+  val ivfSearchAsofSql: String =
+    """SELECT vec_id AS q_id, true AS self_found, true AS top1_exact,
+      |  true AS tombstone_hides, true AS asof1_predates,
+      |  true AS rollback_identical, true AS sidecar_restored
+      |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
+      |ORDER BY q_id""".stripMargin
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.index.{IndexMeta, IvfIndex, SnapshotLayout}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The versioned IVF layout: apply → snapshot → corrupt → rollback →
+  * byte-identical serve, plus the append-only guarantees the rollback
+  * story rests on (no file of a surviving batch is ever touched).
+  */
+class SnapshotSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def listFiles(path: String): Map[String, Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Map.empty
+    else {
+      val it = fs.listFiles(root, true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet"))
+          b += (s.getPath.toString.stripPrefix("file:") -> s.getLen)
+      }
+      b.result()
+    }
+  }
+
+  test("apply -> snapshot -> corrupt -> rollback -> byte-identical serve") {
+    val all = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-snaptest").toString + "/ivf"
+    SnapshotLayout.init(IvfIndex.build(spark, all.filter($"vec_id" >= 50)), path)
+    SnapshotLayout.applyBatch(spark, path, 1L,
+      upserts = all.filter($"vec_id" < 25),
+      deletes = all.limit(0).select($"vec_id"))
+    SnapshotLayout.applyBatch(spark, path, 2L,
+      upserts = all.filter($"vec_id" >= 25 && $"vec_id" < 50),
+      deletes = all.filter($"vec_id" < 25 && $"vec_id" % 7 === 0).select($"vec_id"))
+    assert(SnapshotLayout.manifestIds(spark, path) == Seq(0L, 1L, 2L))
+    val meta2 = IndexMeta.read(spark, path).get
+    val files2 = listFiles(path)
+    val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    def serveHead() = SnapshotLayout
+      .searchAsOf(spark, path, Long.MaxValue, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val goodServe = serveHead()
+
+    // corrupt: a bad delta zeroes the < 10 embeddings at batch 3
+    SnapshotLayout.applyBatch(spark, path, 3L,
+      upserts = all.filter($"vec_id" < 10)
+        .select($"vec_id", transform($"embedding", _ => lit(0.0f)).as("embedding")),
+      deletes = all.limit(0).select($"vec_id"))
+    val corrupted = serveHead()
+    assert(corrupted != goodServe, "the corrupt batch must change head serves")
+    // ...but batches <= 2 are untouched on disk: append-only means the
+    // corrupt batch added files without rewriting any surviving one
+    val files3 = listFiles(path)
+    files2.foreach { case (f, len) =>
+      assert(files3.get(f).contains(len), s"batch<=2 file rewritten: $f")
+    }
+    // as-of-2 still serves the good results while batch 3 is at head
+    val asof2 = SnapshotLayout.searchAsOf(spark, path, 2L, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(asof2 == goodServe)
+
+    // rollback: head serves return byte-identical to pre-corruption
+    SnapshotLayout.rollback(spark, path, 2L)
+    assert(serveHead() == goodServe)
+    assert(listFiles(path).keySet == files2.keySet,
+      "rollback must restore exactly the batch<=2 file set")
+    assert(IndexMeta.read(spark, path).get == meta2, "sidecar not restored")
+    assert(SnapshotLayout.manifestIds(spark, path) == Seq(0L, 1L, 2L))
+
+    // the registry grid is all-true end-to-end
+    val grid = SnapshotLayout.ivfSearchAsof(spark, sf).collect()
+    assert(grid.nonEmpty)
+    Seq("self_found", "top1_exact", "tombstone_hides", "asof1_predates",
+      "rollback_identical", "sidecar_restored").foreach { c =>
+      assert(grid.forall(_.getAs[Boolean](c)), s"grid column $c not all-true")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(path).getParentFile)
+  }
+
+  test("tombstone then revive: a deleted id comes back with a later upsert") {
+    val all = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-snaptest2").toString + "/ivf"
+    SnapshotLayout.init(IvfIndex.build(spark, all.filter($"vec_id" >= 10)), path)
+    SnapshotLayout.applyBatch(spark, path, 1L,
+      upserts = all.limit(0), deletes = all.filter($"vec_id" === 20).select($"vec_id"))
+    SnapshotLayout.applyBatch(spark, path, 2L,
+      upserts = all.filter($"vec_id" === 20), deletes = all.limit(0).select($"vec_id"))
+    def liveAt(b: Long) = SnapshotLayout.asOfAssigned(spark, path, b)
+      .filter($"vec_id" === 20).count()
+    assert(liveAt(0L) == 1L) // in the base
+    assert(liveAt(1L) == 0L) // tombstoned
+    assert(liveAt(2L) == 1L) // revived
+    // same-batch delete+upsert converges to present (deletes first)
+    SnapshotLayout.applyBatch(spark, path, 3L,
+      upserts = all.filter($"vec_id" === 20),
+      deletes = all.filter($"vec_id" === 20).select($"vec_id"))
+    assert(liveAt(3L) == 1L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(path).getParentFile)
+  }
+}
