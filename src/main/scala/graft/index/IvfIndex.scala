@@ -697,29 +697,59 @@ object IvfIndex {
     * (ivf_index.py:139-185). */
   def persistPq(spark: SparkSession, path: String,
       m: Int = PqCodebooks.defaultM, codes: Int = PqCodebooks.defaultCodes,
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L, rotate: Boolean = false, sub: String = "pq"): Unit = {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$path/vectors")
-    val books = PqCodebooks.train(vecs, m, codes, seed)
+    // OPQ-style rotated tier (`rotate=true`): fit the PCA basis with
+    // balanced eigenvalue allocation on the same bounded sample
+    // (PqCodebooks.fitRotation), persist it next to the codebooks, and
+    // both train and encode in the ROTATED space — the codebook fit
+    // itself is unchanged, it just sees decorrelated, energy-balanced
+    // subspaces. The exact rerank still reads raw vectors, so rotation
+    // only moves the ADC pre-rank's quality (measured head-to-head in
+    // index_recall_eval's pq vs pq_opq rows).
+    val rot = if (rotate) Some(PqCodebooks.fitRotation(vecs, m)) else None
+    rot.foreach { r =>
+      r.zipWithIndex.map { case (row, i) => (i, row) }.toSeq
+        .toDF("row_idx", "row_vec")
+        .write.mode("overwrite").parquet(s"$path/$sub/rotation")
+    }
+    val trainVecs = rot.map(r => vecs.select(col("vec_id"),
+        PqCodebooks.rotateCol(col("embedding"), r).as("embedding")))
+      .getOrElse(vecs)
+    val books = PqCodebooks.train(trainVecs, m, codes, seed)
     val bookRows = for {
       s <- books.indices; c <- books(s).indices
     } yield (s, c, books(s)(c))
     bookRows.toDF("sub", "code", "centroid")
-      .write.mode("overwrite").parquet(s"$path/pq/codebooks")
+      .write.mode("overwrite").parquet(s"$path/$sub/codebooks")
     val bc = spark.sparkContext.broadcast(books)
+    val encodeInput = rot.map(r =>
+        PqCodebooks.rotateCol(col("embedding"), r)).getOrElse(col("embedding"))
     try vecs.select(col("vec_id"), col("cluster_id"),
-        graft.functions.pq.pqEncode(col("embedding"), bc).as("code"))
-      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/pq/codes")
+        graft.functions.pq.pqEncode(encodeInput, bc).as("code"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/$sub/codes")
     finally bc.unpersist()
   }
 
-  private def readCodebooks(spark: SparkSession, path: String): Array[Array[Array[Float]]] = {
-    val rows = spark.read.parquet(s"$path/pq/codebooks").collect()
+  private def readCodebooks(spark: SparkSession, path: String,
+      sub: String = "pq"): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(s"$path/$sub/codebooks").collect()
       .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
         r.getSeq[Float](r.fieldIndex("centroid")).toArray))
       .sortBy(t => (t._1, t._2))
     rows.groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3)).toArray
+  }
+
+  private def readRotation(spark: SparkSession, path: String,
+      sub: String): Option[Array[Array[Float]]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$sub/rotation")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$path/$sub/rotation").collect()
+      .map(r => (r.getAs[Int]("row_idx"), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2))
   }
 
   /** ADC probe search against a persisted IVF-PQ layout: rank
@@ -732,15 +762,24 @@ object IvfIndex {
     * corpus-sized sides never shuffle; the only windows run over
     * probe-bounded candidate sets. */
   def searchPersistedPq(spark: SparkSession, path: String, queries: DataFrame,
-      nProbe: Int = defaultNProbe, k: Int = 10, rerank: Int = 200): DataFrame = {
+      nProbe: Int = defaultNProbe, k: Int = 10, rerank: Int = 200,
+      sub: String = "pq"): DataFrame = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
-    val books = readCodebooks(spark, path)
+    val books = readCodebooks(spark, path, sub)
+    // a rotated tier stores its basis next to the codebooks — the
+    // query enters the same rotated space before the LUT build
+    // (driver-side matvec over the bounded query batch)
+    val rotation = readRotation(spark, path, sub)
     // queries are the bounded side (an interactive batch, not a
     // table): collect once for the LUTs the ADC expression needs
     val qRows = queries.select(col("q_id"), col("q_vec")).collect()
       .sortBy(_.getLong(0))
-    val luts = qRows.map(r => PqCodebooks.lut(r.getSeq[Float](1).toArray, books))
+    val luts = qRows.map { r =>
+      val qv = r.getSeq[Float](1).toArray
+      val rq = rotation.map(PqCodebooks.rotateVec(qv, _)).getOrElse(qv)
+      PqCodebooks.lut(rq, books)
+    }
     val lutBc = spark.sparkContext.broadcast(luts)
     val qIdx = qRows.zipWithIndex
       .map { case (r, i) => (r.getLong(0), i) }.toSeq.toDF("q_id", "q_idx")
@@ -751,7 +790,7 @@ object IvfIndex {
       .filter(col("crank") <= nProbe)
       .select(col("q_id"), col("cluster_id"))
       .join(broadcast(qIdx), Seq("q_id"))
-    val codes = spark.read.parquet(s"$path/pq/codes")
+    val codes = spark.read.parquet(s"$path/$sub/codes")
     // ADC pass over the probed partitions: m byte-indexed adds per row
     val adc = codes.join(broadcast(probes), Seq("cluster_id"))
       .select(col("q_id"), col("cluster_id"), col("vec_id"),
@@ -785,6 +824,10 @@ object IvfIndex {
       val base = java.nio.file.Files.createTempDirectory("graft-ivf-pq").toString
       persist(build(spark, Tables.embeddings(spark, dir)), base)
       persistPq(spark, base)
+      // the OPQ-rotated sidecar rides the same base layout under its
+      // own subdir — one extra bounded fit + one extra encode pass,
+      // serving index_recall_eval's pq vs pq_opq head-to-head row
+      persistPq(spark, base, rotate = true, sub = "pqr")
       base
     }
 

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Product-quantization codebook training and query LUT construction
@@ -160,6 +160,164 @@ object PqCodebooks {
     while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
     d
   }
+
+  // ---- OPQ-style rotation (parametric, Ge et al. CVPR'13) ---------------
+
+  /** Fit a d×d orthonormal rotation on the SAME bounded deterministic
+    * sample the codebook fit uses: PCA basis (driver-side covariance +
+    * cyclic Jacobi eigendecomposition — no MLlib, fully deterministic
+    * for any partition layout, the codebook fit's own discipline),
+    * with eigen-dimensions allocated to the m subspaces by BALANCED
+    * variance product (greedy: next-largest eigenvalue goes to the
+    * subspace with the smallest log-eigenvalue sum and free capacity).
+    * Rotating into this basis decorrelates the subspaces and balances
+    * their energy — the standard fix for PQ's independent-subspace
+    * assumption; plain PCA order would instead pile all the variance
+    * into subspace 0. Returns R with `out = R · v̂` (rows are the
+    * reordered eigenvectors). */
+  def fitRotation(emb: DataFrame, m: Int = defaultM,
+      cap: Int = trainSampleCap): Array[Array[Float]] = {
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(cap)
+      .collect()
+      .sortBy(_.getLong(0))
+    require(rows.nonEmpty, "opq fit: empty corpus")
+    val d = rows.head.getSeq[Float](1).length
+    // normalized sample (rotation preserves norms, so fitting on unit
+    // vectors matches the encode expression's normalize-then-quantize)
+    val data = rows.map { r =>
+      val v = r.getSeq[Float](1)
+      var norm = 0.0
+      v.foreach(x => norm += x.toDouble * x.toDouble)
+      val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+      Array.tabulate(d)(i => v(i) * inv)
+    }
+    val n = data.length
+    // mean + covariance, driver-side doubles in fixed vec_id order
+    val mean = new Array[Double](d)
+    data.foreach { v => var i = 0; while (i < d) { mean(i) += v(i); i += 1 } }
+    var i = 0
+    while (i < d) { mean(i) /= n; i += 1 }
+    val cov = Array.ofDim[Double](d, d)
+    data.foreach { v =>
+      var a = 0
+      while (a < d) {
+        val va = v(a) - mean(a)
+        var b = a
+        while (b < d) { cov(a)(b) += va * (v(b) - mean(b)); b += 1 }
+        a += 1
+      }
+    }
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) { cov(i)(j) /= n; cov(j)(i) = cov(i)(j); j += 1 }
+      i += 1
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    // eigenpairs descending by eigenvalue (ties by original index —
+    // deterministic)
+    val order = eigVals.indices.sortBy(k => (-eigVals(k), k))
+    val subDim = (d + m - 1) / m
+    // balanced allocation: subspace with the smallest log-λ product
+    // (and free slots) takes the next-largest eigen-dimension
+    val sums = new Array[Double](m)
+    val slots = Array.fill(m)(0)
+    val assigned = Array.fill(m)(List.empty[Int])
+    order.foreach { k =>
+      val s = (0 until m).filter(slots(_) < subDim)
+        .minBy(s => (sums(s), s))
+      assigned(s) = assigned(s) :+ k
+      slots(s) += 1
+      sums(s) += math.log(math.max(eigVals(k), 1e-12))
+    }
+    // R's row (s·subDim + slot) = the eigenvector assigned there;
+    // unfilled tail rows (m·subDim > d) stay zero, matching the
+    // encode expression's zero-pad
+    val rot = Array.ofDim[Float](m * subDim, d)
+    (0 until m).foreach { s =>
+      assigned(s).zipWithIndex.foreach { case (k, slot) =>
+        var j = 0
+        while (j < d) { rot(s * subDim + slot)(j) = eigVecs(j)(k).toFloat; j += 1 }
+      }
+    }
+    rot
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * deterministic sweep order, ~1e-10 off-diagonal convergence.
+    * Returns (eigenvalues, eigenvectors as COLUMNS of V). */
+  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-10) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          off += 2.0 * a(p)(q) * a(p)(q)
+          if (math.abs(a(p)(q)) > 1e-14) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case x => x
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Matrix-vector rotation as a column expression: `out[i] = Σ_j
+    * R[i][j]·v[j]` via zip_with/aggregate — built-ins only, codegen'd,
+    * one pass per row in the encode job. */
+  def rotateCol(v: Column, rot: Array[Array[Float]]): Column = {
+    val rows = array(rot.map(r => array(r.map(lit): _*)): _*)
+    transform(rows, row =>
+      aggregate(zip_with(row, v, (a, b) => a * b), lit(0.0f), (acc, x) => acc + x))
+  }
+
+  /** Driver-side rotation of one vector (the query path). */
+  def rotateVec(q: Array[Float], rot: Array[Array[Float]]): Array[Float] =
+    rot.map { row =>
+      var s = 0.0
+      var j = 0
+      val n = math.min(row.length, q.length)
+      while (j < n) { s += row(j).toDouble * q(j).toDouble; j += 1 }
+      s.toFloat
+    }
 
   /** Per-query ADC lookup table against trained codebooks:
     * `lut(s)(c)` = squared L2 distance between the NORMALIZED query's

@@ -319,6 +319,11 @@ object RecallEval {
     val sq8 = SqIndex.knnBruteSq(spark, dir)
     val pq = IvfIndex.searchPersistedPq(spark,
       IvfIndex.pqLayoutFor(spark, dir), queries)
+    // the OPQ-rotated tier, measured head-to-head against the
+    // unrotated pq row from the SAME base layout — the rotation's
+    // recall effect is a served number, not an assertion
+    val pqOpq = IvfIndex.searchPersistedPq(spark,
+      IvfIndex.pqLayoutFor(spark, dir), queries, sub = "pqr")
     // pca16: brute cosine in the 16-of-64 PCA projection vs the exact
     // 64-d scan — not an index but the REDUCTION fidelity row: what a
     // 4× cheaper scan/store/shuffle costs in recall on THIS corpus.
@@ -343,6 +348,7 @@ object RecallEval {
       .unionByName(recallRow("nsw", nsw, exactCos5, 5, 900000L))
       .unionByName(recallRow("pca16", pca, exactCos10, 10, 200000L))
       .unionByName(recallRow("pq", pq, exactCos10, 10, 850000L))
+      .unionByName(recallRow("pq_opq", pqOpq, exactCos10, 10, 850000L))
       .unionByName(recallRow("sq8", sq8, exactDot10, 10, 900000L))
       .orderBy(col("index"))
   }

@@ -181,4 +181,34 @@ class PqSpec extends AnyFunSuite {
         s"q=${r.getAs[Long]("q_id")} top1 not exact self")
     }
   }
+
+  test("OPQ rotation: orthonormal basis, norm-preserving, deterministic") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val rot = graft.index.PqCodebooks.fitRotation(emb)
+    val d = emb.select(org.apache.spark.sql.functions.size($"embedding"))
+      .head().getInt(0)
+    assert(rot.length == d && rot.forall(_.length == d))
+    // rows are an orthonormal set: unit norms, pairwise-orthogonal
+    rot.foreach { r =>
+      val n = r.map(x => x.toDouble * x.toDouble).sum
+      assert(math.abs(n - 1.0) < 1e-4, s"row norm $n != 1")
+    }
+    for (i <- 0 until d; j <- (i + 1) until math.min(i + 5, d)) {
+      val dot = (0 until d).map(t => rot(i)(t).toDouble * rot(j)(t).toDouble).sum
+      assert(math.abs(dot) < 1e-4, s"rows $i,$j not orthogonal: $dot")
+    }
+    // norm preservation on a real corpus vector (driver + column path agree)
+    val v = emb.filter($"vec_id" === 3L).head().getSeq[Float](1).toArray
+    val rv = graft.index.PqCodebooks.rotateVec(v, rot)
+    def norm(a: Array[Float]) = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(norm(rv) - norm(v)) < 1e-3)
+    val colRv = emb.filter($"vec_id" === 3L)
+      .select(graft.index.PqCodebooks.rotateCol($"embedding", rot))
+      .head().getSeq[Float](0).toArray
+    colRv.zip(rv).foreach { case (a, b) => assert(math.abs(a - b) < 1e-3) }
+    // refit is bit-identical (deterministic sample + driver math)
+    val rot2 = graft.index.PqCodebooks.fitRotation(emb)
+    assert(rot.zip(rot2).forall { case (a, b) => a.sameElements(b) })
+  }
 }

@@ -14,8 +14,18 @@ class RecallEvalSpec extends AnyFunSuite {
   test("every index family meets its recall bar and the table shape is exact") {
     val rows = graft.index.RecallEval.indexRecallEval(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("ivf", "lsh", "nsw", "pca16", "pq", "sq8"),
+      Seq("ivf", "lsh", "nsw", "pca16", "pq", "pq_opq", "sq8"),
       "one row per family, sorted")
+    // the rotated tier serves at the family bar and within noise of
+    // the unrotated build: this synthetic corpus is near-isotropic
+    // (the pca16 row documents the same property), so the OPQ lift is
+    // ~0 here and quantization-boundary noise of ±1-2 neighbors out
+    // of 50 is expected — a LARGER gap would mean the rotation
+    // plumbing (fit/encode/query) is broken. Orthonormality of the
+    // fitted basis is pinned exactly in PqSpec.
+    val byIdx = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(byIdx("pq_opq") >= byIdx("pq") - 40000L,
+      s"OPQ rotation lost recall beyond noise: ${byIdx("pq_opq")} vs ${byIdx("pq")}")
     rows.foreach { r =>
       val (idx, nq, k, recall, bar, meets) =
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
