@@ -611,7 +611,7 @@ object NswIndex {
       acceptPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     if (singleQuery)
       return beamSearchSingle(emb, edges, queries, k, preExpandedEdges, maxHops,
-        seedSampleMod)
+        seedSampleMod, metaCols, acceptPred, beamW)
     // The graph and vectors are the persisted index: materialize once.
     // Without this every superstep re-derives the whole kNN build.
     // (In the bucketed-layout mode the tables ARE materialized files —
@@ -735,13 +735,24 @@ object NswIndex {
     * Exchange disappears too). */
   private def beamSearchSingle(emb: DataFrame, edges: DataFrame,
       queries: DataFrame, k: Int, preExpandedEdges: Boolean,
-      maxHops: Int = hops, seedSampleMod: Int = entrySeedMod): DataFrame = {
+      maxHops: Int = hops, seedSampleMod: Int = entrySeedMod,
+      metaCols: Seq[String] = Nil,
+      acceptPred: Option[org.apache.spark.sql.Column] = None,
+      beamW: Int = beamWidth): DataFrame = {
     val spark = emb.sparkSession
     val q = queries.select(col("q_id"), col("q_vec")).collect()
     require(q.length == 1, s"single-query beam got ${q.length} query rows")
     val qId = q(0).getLong(0)
     val qLit = typedlit(q(0).getSeq[Float](1).toArray)
-    val embSel = emb.select(col("vec_id").as("node"), col("embedding"))
+    val embSel = emb.select(
+      (Seq(col("vec_id").as("node"), col("embedding")) ++ metaCols.map(col)): _*)
+    // Filtered mode: the predicate may reference node metadata only
+    // (a single query's own columns fold into the predicate as
+    // literals caller-side). As in the batch walk, it constrains what
+    // is SERVED, never what is WALKED — each scoring job just carries
+    // an `ok` flag per node, and the driver keeps the accepted set
+    // separately for the k-th-best bar and the final cut.
+    val okCol = acceptPred.getOrElse(lit(true)).as("ok")
     val edgeSel =
       if (preExpandedEdges) edges.select(col("node"), col("dst"))
       else edges.select(col("src").as("node"), col("dst"))
@@ -755,15 +766,19 @@ object NswIndex {
       .unionByName(emb.agg(min(col("vec_id")).as("node")))
       .distinct()
     val seedScored = embSel.join(broadcast(seedsDf), Seq("node"))
-      .select(col("node"), Stab.e6(cosineSim(col("embedding"), qLit)).as("score_e6"))
+      .select(col("node"), Stab.e6(cosineSim(col("embedding"), qLit)).as("score_e6"),
+        okCol)
       .orderBy(col("score_e6").desc, col("node").asc)
-      .limit(math.max(k, beamWidth))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .limit(math.max(k, beamW))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     val visited = scala.collection.mutable.LongMap.empty[Long] // node -> score_e6
+    val accepted = scala.collection.mutable.LongMap.empty[Long] // pred-passing subset
     if (seedScored.nonEmpty) {
-      seedScored.foreach { case (n, s) => visited.update(n, s) }
-      var frontier = seedScored.sortBy { case (n, s) => (-s, n) }
-        .take(beamWidth).map(_._1)
+      seedScored.foreach { case (n, s, ok) =>
+        visited.update(n, s); if (ok) accepted.update(n, s)
+      }
+      var frontier = seedScored.sortBy { case (n, s, _) => (-s, n) }
+        .take(beamW).map(_._1)
       var hop = 0
       var converged = false
       while (hop < maxHops && !converged && frontier.nonEmpty) {
@@ -774,25 +789,29 @@ object NswIndex {
             edgeSel.join(broadcast(fDf), Seq("node")).select(col("dst").as("node")))
           .distinct()
         val scoredRows = embSel.join(broadcast(candidates), Seq("node"))
-          .select(col("node"), Stab.e6(cosineSim(col("embedding"), qLit)).as("score_e6"))
+          .select(col("node"), Stab.e6(cosineSim(col("embedding"), qLit)).as("score_e6"),
+            okCol)
           .collect()
         val fresh = scoredRows
-          .map(r => (r.getLong(0), r.getLong(1)))
-          .filter { case (n, _) => !visited.contains(n) }
-        // the bar is the k-th best BEFORE this hop's nodes land: "this
-        // superstep added nothing that improves the answer" → stop
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+          .filter { case (n, _, _) => !visited.contains(n) }
+        // the bar is the k-th best ACCEPTED node BEFORE this hop's
+        // nodes land: "this superstep added nothing that improves the
+        // answer" → stop. (Unfiltered mode: accepted == visited.)
         val bar = {
-          val top = visited.values.toArray.sorted(Ordering.Long.reverse)
+          val top = accepted.values.toArray.sorted(Ordering.Long.reverse)
           if (top.length < k) Long.MinValue else top(k - 1)
         }
-        fresh.foreach { case (n, s) => visited.update(n, s) }
+        fresh.foreach { case (n, s, ok) =>
+          visited.update(n, s); if (ok) accepted.update(n, s)
+        }
         if (fresh.isEmpty || !fresh.exists(_._2 > bar)) converged = true
-        else frontier = fresh.sortBy { case (n, s) => (-s, n) }
-          .take(beamWidth).map(_._1)
+        else frontier = fresh.sortBy { case (n, s, _) => (-s, n) }
+          .take(beamW).map(_._1)
         hop += 1
       }
     }
-    val top = visited.toArray.sortBy { case (n, s) => (-s, n) }.take(k)
+    val top = accepted.toArray.sortBy { case (n, s) => (-s, n) }.take(k)
     spark.createDataFrame(
         top.zipWithIndex.toSeq.map { case ((n, s), i) => (qId, n, s, (i + 1).toLong) })
       .toDF("q_id", "neighbor_id", "score_e6", "rank")

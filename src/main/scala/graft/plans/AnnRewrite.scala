@@ -189,8 +189,15 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val edges = graft.index.NswIndex.edgesCached(spark, dir)
       val queries = spark.range(1)
         .select(lit(0L).as("q_id"), typedlit(queryVec).as("q_vec"))
-      val hits = graft.index.NswIndex.searchFiltered(
-          emb, edges, queries, replayPred(cond), metaCols = metaCols, k = k)
+      // the DRIVER-RESIDENT single-query walk (the interactive serve
+      // path): per hop one job over the broadcast frontier, the accept
+      // flag riding the scoring select, k-th-best bar over the
+      // accepted set — vs the BSP loop's ~3 scheduled jobs per
+      // superstep, which exists for unbounded query batches
+      val hits = graft.index.NswIndex.beamSearch(
+          emb, edges, queries, k = k, singleQuery = true,
+          metaCols = metaCols, acceptPred = Some(replayPred(cond)),
+          beamW = graft.index.NswIndex.filteredBeamWidth)
         .select(col("neighbor_id").as("vec_id"))
       Some(emb.join(broadcast(hits), Seq("vec_id"))
         .select(passthrough.map(a => col(a.name)) :+
