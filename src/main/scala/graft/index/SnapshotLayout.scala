@@ -101,8 +101,13 @@ object SnapshotLayout {
         col("batch_id"), lit(1).as("is_upsert"))
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the tombstone table may be absent OR empty (compaction removes
+    // every ≤-upTo list; an empty dir has no readable schema)
+    val tombRoot = new Path(s"$path/tombstones")
+    val hasTombs = fs.exists(tombRoot) &&
+      fs.listStatus(tombRoot).exists(_.isDirectory)
     val tombs =
-      if (!fs.exists(new Path(s"$path/tombstones"))) ups.limit(0)
+      if (!hasTombs) ups.limit(0)
       else spark.read.parquet(s"$path/tombstones")
         .filter(col("batch_id") <= batchId)
         .select(col("vec_id"), lit(null).cast("array<float>").as("embedding"),
@@ -154,6 +159,57 @@ object SnapshotLayout {
     }
     readManifest(spark, path, batchId).foreach(m =>
       IndexMeta.write(spark, path, m))
+    graft.store.IndexVersions.bump(path)
+  }
+
+  /** Compact history ≤ `upTo` into one consolidated base batch — the
+    * periodic maintenance job that folds the merge-on-read argmax cost
+    * away (every log-structured table format's compaction): the live
+    * set AS OF `upTo` is materialized once, every `batch_id ≤ upTo`
+    * vector directory and `≤ upTo` tombstone list is deleted, and the
+    * consolidated rows are rewritten under `batch_id = upTo` (one file
+    * set per cluster). Batches AFTER `upTo` are untouched, so every
+    * serve at `B ≥ upTo` is IDENTICAL before/after (spec-pinned) and
+    * rollback to any `B ≥ upTo` keeps working; history BELOW `upTo` is
+    * deliberately truncated (its manifests are removed — as-of serves
+    * below the compaction point are no longer answerable, the standard
+    * retention trade). Cost: one reconstruction + one partitioned
+    * write of the live set, bounded by live rows ≤ upTo — never the
+    * full batch history. */
+  def compact(spark: SparkSession, path: String, upTo: Long): Unit = {
+    // materialize BEFORE deleting the directories the plan reads
+    val live = asOfAssigned(spark, path, upTo)
+      .withColumn("batch_id", lit(upTo))
+      .localCheckpoint(true)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vecRoot = new Path(s"$path/vectors")
+    if (fs.exists(vecRoot))
+      fs.listStatus(vecRoot).filter(_.isDirectory).foreach { c =>
+        fs.listStatus(c.getPath).filter(_.isDirectory)
+          .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upTo)
+          .foreach(d => fs.delete(d.getPath, true))
+      }
+    val tombRoot = new Path(s"$path/tombstones")
+    if (fs.exists(tombRoot)) {
+      fs.listStatus(tombRoot).filter(_.isDirectory)
+        .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upTo)
+        .foreach(d => fs.delete(d.getPath, true))
+      if (!fs.listStatus(tombRoot).exists(_.isDirectory))
+        fs.delete(tombRoot, true)
+    }
+    live.write.mode("append").partitionBy("cluster_id", "batch_id")
+      .parquet(s"$path/vectors")
+    graft.core.Checkpoints.free(live)
+    // empty cluster dirs left by the deletes disappear
+    if (fs.exists(vecRoot))
+      fs.listStatus(vecRoot).filter(_.isDirectory)
+        .filter(c => fs.listStatus(c.getPath).isEmpty)
+        .foreach(c => fs.delete(c.getPath, true))
+    // history below the compaction point is gone — so are its manifests
+    manifestIds(spark, path).filter(_ < upTo).foreach { id =>
+      fs.delete(new Path(s"$path/_snapshots/batch-$id.json"), false)
+    }
     graft.store.IndexVersions.bump(path)
   }
 

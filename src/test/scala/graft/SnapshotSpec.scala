@@ -86,6 +86,53 @@ class SnapshotSpec extends AnyFunSuite {
       new java.io.File(path).getParentFile)
   }
 
+  test("compact folds history <= upTo: serves at/after identical, below truncated") {
+    val all = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-snapcomp").toString + "/ivf"
+    SnapshotLayout.init(IvfIndex.build(spark, all.filter($"vec_id" >= 50)), path)
+    SnapshotLayout.applyBatch(spark, path, 1L,
+      upserts = all.filter($"vec_id" < 25), deletes = all.limit(0).select($"vec_id"))
+    SnapshotLayout.applyBatch(spark, path, 2L,
+      upserts = all.filter($"vec_id" >= 25 && $"vec_id" < 50),
+      deletes = all.filter($"vec_id" < 25 && $"vec_id" % 7 === 0).select($"vec_id"))
+    SnapshotLayout.applyBatch(spark, path, 3L,
+      upserts = all.filter($"vec_id" < 3), deletes = all.limit(0).select($"vec_id"))
+    val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    def serve(b: Long) = SnapshotLayout.searchAsOf(spark, path, b, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val asof2Before = serve(2L)
+    val headBefore = serve(Long.MaxValue)
+
+    SnapshotLayout.compact(spark, path, 2L)
+    // serves at and after the compaction point are identical
+    assert(serve(2L) == asof2Before)
+    assert(serve(Long.MaxValue) == headBefore)
+    // the directory structure collapsed: vector batches are {2, 3},
+    // tombstones <= 2 are gone, manifests below 2 truncated
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/vectors"))
+      .filter(_.isDirectory)
+      .flatMap(c => fs.listStatus(c.getPath).filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong))
+      .toSet
+    assert(batchDirs == Set(2L, 3L), s"unexpected batch dirs: $batchDirs")
+    val tombDirs =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones"))) Set.empty[Long]
+      else fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/tombstones"))
+        .filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
+    assert(tombDirs.forall(_ > 2L), s"stale tombstones survive: $tombDirs")
+    assert(SnapshotLayout.manifestIds(spark, path) == Seq(2L, 3L))
+    // rollback to the compaction point still works afterwards
+    SnapshotLayout.rollback(spark, path, 2L)
+    assert(serve(Long.MaxValue) == asof2Before)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(path).getParentFile)
+  }
+
   test("tombstone then revive: a deleted id comes back with a later upsert") {
     val all = graft.core.Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding")
