@@ -91,6 +91,44 @@ object IndexStream {
       targetFiles = math.max(1, compactFileBound / 4))
   }
 
+  /** Mutation stream → the VERSIONED IVF layout
+    * ([[graft.index.SnapshotLayout]]'s contract at `path`): every
+    * micro-batch lands APPEND-ONLY as layout batch `streamBatchId + 1`
+    * (layout batch 0 is the base fit), with a snapshot manifest per
+    * batch — so a live stream gets as-of serving for free and a bad
+    * batch rolls back with `SnapshotLayout.rollback` instead of the
+    * full rebuild the in-place layout would need.
+    *
+    * Exactly-once WITHOUT a separate applied-batch sidecar: the
+    * manifest IS the marker (applyBatch writes it LAST). A replayed
+    * id whose manifest exists is skipped outright; a crash mid-apply
+    * leaves a batch with NO manifest, and the repair step purges its
+    * partial directories by rolling back to the last manifested batch
+    * before re-applying — the rollback machinery doubling as the
+    * stream's crash recovery. */
+  def maintainIvfVersioned(mutations: DataFrame, path: String): DataStreamWriter[Row] =
+    mutations.writeStream.foreachBatch(
+      (b: DataFrame, id: Long) => applyVersionedBatch(b, id, path))
+
+  private[graft] def applyVersionedBatch(batch: DataFrame, streamBatchId: Long,
+      path: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val layoutId = streamBatchId + 1
+    val applied = graft.index.SnapshotLayout.manifestIds(spark, path)
+    if (applied.contains(layoutId)) return // replay of a completed batch
+    // crash repair: anything on disk beyond the last manifested batch
+    // is a partial apply — purge it before re-applying
+    applied.lastOption.filter(_ < layoutId).foreach { last =>
+      graft.index.SnapshotLayout.rollback(spark, path, last)
+    }
+    val b = batch.localCheckpoint(true)
+    graft.index.SnapshotLayout.applyBatch(spark, path, layoutId,
+      upserts = b.filter(col("op") === "upsert")
+        .select(col("vec_id"), col("embedding")),
+      deletes = b.filter(col("op") === "delete").select(col("vec_id")))
+  }
+
   /** Split one micro-batch into its delete and upsert sides and apply
     * each through the index's policy entry point — unless the batch
     * id is already recorded as fully applied, in which case the whole

@@ -218,4 +218,55 @@ class IndexStreamSpec extends AnyFunSuite {
         .filter($"src" === 0 || $"dst" === 0).count() == 0)
     } finally q.stop()
   }
+
+  test("versioned IVF stream: manifests per batch, as-of serving, replay skip, crash repair") {
+    val dir = tmp("graft-ivf-vstream")
+    graft.index.SnapshotLayout.init(IvfIndex.build(spark, base), dir)
+    val stream = MemoryStream[Mutation](spark)
+    val q = IndexStream.maintainIvfVersioned(
+        stream.toDF().toDF("vec_id", "embedding", "op"), dir)
+      .option("checkpointLocation", tmp("graft-ivf-vstream-ckpt"))
+      .start()
+    def live(b: Long): Set[Long] =
+      graft.index.SnapshotLayout.asOfAssigned(spark, dir, b)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+    try {
+      // stream batch 0 -> layout batch 1: three upserts
+      stream.addData(up(0L), up(1L), up(2L))
+      q.processAllAvailable()
+      assert(graft.index.SnapshotLayout.manifestIds(spark, dir) == Seq(0L, 1L))
+      assert(Seq(0L, 1L, 2L).forall(live(1L).contains))
+
+      // stream batch 1 -> layout batch 2: delete(2), delete+upsert(1)
+      stream.addData(del(2L), del(1L), up(1L))
+      q.processAllAvailable()
+      assert(graft.index.SnapshotLayout.manifestIds(spark, dir) == Seq(0L, 1L, 2L))
+      val head = live(Long.MaxValue)
+      assert(!head.contains(2L), "deleted id still live at head")
+      assert(head.contains(1L), "same-batch delete+upsert did not converge to present")
+      // AS-OF batch 1 still serves the pre-delete state — the whole
+      // point of streaming into the versioned layout
+      assert(live(1L).contains(2L))
+    } finally q.stop()
+
+    // replay of a completed batch: manifest marker skips it whole
+    val replay = Seq(up(0L), up(1L)).toDF("vec_id", "embedding", "op")
+    val before = live(Long.MaxValue)
+    IndexStream.applyVersionedBatch(replay, streamBatchId = 1L, dir)
+    assert(live(Long.MaxValue) == before)
+    assert(graft.index.SnapshotLayout.manifestIds(spark, dir) == Seq(0L, 1L, 2L))
+
+    // crash repair: a partial batch-3 apply (files on disk, NO
+    // manifest) must be purged by the rollback step and re-applied
+    Seq((5L, vecs(5L)) ).toDF("vec_id", "embedding")
+      .withColumn("cluster_id", lit(0)).withColumn("batch_id", lit(3L))
+      .write.mode("append").partitionBy("cluster_id", "batch_id")
+      .parquet(s"$dir/vectors")
+    IndexStream.applyVersionedBatch(
+      Seq(up(7L)).toDF("vec_id", "embedding", "op"), streamBatchId = 2L, dir)
+    val after = live(Long.MaxValue)
+    assert(after.contains(7L), "repaired batch 3 not applied")
+    assert(!after.contains(5L), "partial pre-crash rows survived the repair")
+    assert(graft.index.SnapshotLayout.manifestIds(spark, dir) == Seq(0L, 1L, 2L, 3L))
+  }
 }
