@@ -266,6 +266,9 @@ object SparkEntry {
     // GLOBAL sequence packing via two-pass distributed prefix sum —
     // no single-task window anywhere in the plan
     "pack_shards" -> ((s: SparkSession, d: String) => Libraries.packShards(s, d)),
+    // curriculum ordering: length-bucketed easy->hard with per-bucket
+    // source round-robin (the key is emitted, not a global rank)
+    "curriculum_order" -> ((s: SparkSession, d: String) => Libraries.curriculumOrder(s, d)),
     // real shard EXPORT with a write-path-certifying manifest oracle
     "export_manifest" -> ((s: SparkSession, d: String) => Libraries.exportManifest(s, d)),
     // annealing-phase quality-upweighted mixture (Llama-3-style)
@@ -898,6 +901,7 @@ object SparkEntry {
     "sample_temperature" -> Libraries.sampleTemperatureSql,
     "mixture_plan" -> Libraries.mixturePlanSql,
     "pack_shards" -> Libraries.packShardsSql,
+    "curriculum_order" -> Libraries.curriculumOrderSql,
     "export_manifest" -> Libraries.exportManifestSql,
     "mixture_anneal" -> Libraries.mixtureAnnealSql,
     "nsw_build" -> NswIndex.nswBuildSql,

@@ -487,6 +487,49 @@ object Libraries {
        |  FROM documents) t
        |ORDER BY doc_id""".stripMargin
 
+  /** `curriculum_order`: the training-data ORDERING step — length-
+    * based curriculum (shortest documents first, the classic
+    * easy→hard proxy) with per-bucket SOURCE interleaving so
+    * consecutive examples rotate across sources (batch diversity —
+    * a run of same-source examples biases each optimizer step).
+    * The training order is the lexicographic key (bucket, rr, source,
+    * doc_id), and the op EMITS the key rather than a global sequence
+    * number:
+    *  - `bucket` = n_tokens div 16 — exact integer equal-width
+    *    difficulty bands, map-side, no global statistic;
+    *  - `rr` = the doc's round-robin round within (bucket, source) —
+    *    a PARTITIONED window; at position (bucket, rr) every source
+    *    still holding docs contributes exactly one before any source
+    *    contributes its (rr+1)-th.
+    * Emitting the key instead of a dense global rank is deliberate
+    * 100 TB shape: a global row_number is a single-task window, and
+    * a consumer sorts/ranges on the key anyway (the pack_shards
+    * prefix-sum exists where a dense global number is truly needed).
+    * One scan, one partitioned window, |corpus| rows out. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(graft.text.TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr("n_tokens div 16"))
+    t.withColumn("rr", row_number().over(
+        Window.partitionBy($"bucket", $"source").orderBy($"doc_id")).cast("long"))
+      .select($"doc_id", $"source", $"n_tokens", $"bucket", $"rr")
+      .orderBy($"bucket", $"rr", $"source", $"doc_id")
+  }
+
+  val curriculumOrderSql: String =
+    s"""SELECT doc_id, source, n_tokens,
+       |  CAST(n_tokens // 16 AS BIGINT) AS bucket,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY n_tokens // 16, source ORDER BY doc_id) AS BIGINT) AS rr
+       |FROM (
+       |  SELECT doc_id, source,
+       |    CAST(len(${graft.text.TextOps.tokensSql}) AS BIGINT) AS n_tokens
+       |  FROM documents) t
+       |ORDER BY bucket, rr, source, doc_id""".stripMargin
+
   /** `export_manifest`: the training-data EXPORT step — actually
     * WRITE the packed shards (parquet `partitionBy(shard)`, the
     * layout a trainer's data loader consumes) and serve the manifest

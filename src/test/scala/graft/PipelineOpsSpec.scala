@@ -434,4 +434,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byTop > 0 && byDup > 0 && kept > 0,
       s"degenerate verdict split: byTop=$byTop byDup=$byDup kept=$kept")
   }
+
+  test("curriculum_order: buckets are difficulty bands and sources round-robin within each") {
+    val rows = graft.operators.Libraries.curriculumOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // independent recompute of the full table
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty).toLong))
+    val want = docs.map { case (id, src, nt) => (id, src, nt, nt / 16) }
+      .groupBy(t => (t._4, t._2)).toSeq
+      .flatMap { case (_, grp) =>
+        grp.sortBy(_._1).zipWithIndex.map { case ((id, src, nt, b), i) =>
+          (id, src, nt, b, (i + 1).toLong) }
+      }.sortBy(t => (t._4, t._5, t._2, t._1))
+    assert(rows.toSeq.sortBy(t => (t._4, t._5, t._2, t._1)) == want)
+    // bucket IS the difficulty band: every bucket-b row has
+    // n_tokens in [16b, 16b+16)
+    rows.foreach { case (_, _, nt, b, _) => assert(nt / 16 == b) }
+    // round-robin property: at training position (bucket, rr), every
+    // source with >= rr docs in the bucket contributes EXACTLY one —
+    // no source repeats before the others are exhausted
+    rows.groupBy(_._4).foreach { case (b, grp) =>
+      val perSource = grp.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      grp.groupBy(_._5).foreach { case (rr, atRound) =>
+        val expected = perSource.count(_._2 >= rr)
+        assert(atRound.map(_._2).distinct.length == atRound.length,
+          s"source repeated within round $rr of bucket $b")
+        assert(atRound.length == expected,
+          s"round $rr of bucket $b has ${atRound.length} sources, expected $expected")
+      }
+    }
+    // interleaving is load-bearing: some bucket holds multiple sources
+    assert(rows.groupBy(_._4).exists(_._2.map(_._2).distinct.length > 1))
+  }
 }
