@@ -156,7 +156,13 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         dir, metaCols = metaCols)
     if (!passthrough.forall(a => built.assigned.columns.contains(a.name))) None
     else {
-      val probeIds = topClusters(built.centroids, queryVec, nProbe)
+      // filtered shapes probe WIDER (the ivf_search_filtered nProbe=13
+      // discipline): the predicate thins each probed cluster, so the
+      // filtered candidate pool at the production nProbe is measurably
+      // starved (ann_filtered_curve) — compensate instead of serving
+      // short results
+      val n = if (cond.isEmpty) nProbe else nProbe + 2
+      val probeIds = topClusters(built.centroids, queryVec, n)
       val scanned = built.assigned
         .filter(col("cluster_id").isin(probeIds: _*))
       // replay the pushed-down predicate against the posting rows
