@@ -124,6 +124,7 @@ object SparkEntry {
     // versioned posting layout: serve "as of batch B" + rollback —
     // crud_asof's discipline composed with the persisted IVF layout
     "ivf_search_asof" -> (graft.index.SnapshotLayout.ivfSearchAsof _),
+    "nsw_search_asof" -> (graft.index.NswSnapshotLayout.nswSearchAsof _),
     "text_bm25" -> (graft.text.Bm25.textBm25 _),
     "text_unigram_ll" -> (TextOps.textUnigramLl _),
     // bigram-LM fluency (word ORDER, which a unigram bag can't see)
@@ -629,6 +630,7 @@ object SparkEntry {
     "ivf_search_filtered" -> IvfIndex.ivfSearchFilteredSql,
     "nsw_search_filtered" -> NswIndex.nswSearchFilteredSql,
     "ivf_search_asof" -> graft.index.SnapshotLayout.ivfSearchAsofSql,
+    "nsw_search_asof" -> graft.index.NswSnapshotLayout.nswSearchAsofSql,
     "text_bm25" -> graft.text.Bm25.textBm25Sql,
     "text_unigram_ll" -> TextOps.textUnigramLlSql,
     "text_bigram_ll" -> TextOps.textBigramLlSql,

@@ -1,0 +1,234 @@
+package graft.index
+
+import graft.core.Tables
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Versioned NSW graph layout — [[SnapshotLayout]]'s append-only
+  * batch discipline applied to the graph family, so BOTH persisted
+  * index families carry the as-of/rollback operational story:
+  *
+  *  - `vectors/batch_id=B/` — (vec_id, embedding) appended per batch
+  *    (batch 0 = the base corpus slice under the base graph build);
+  *  - `edges/batch_id=B/` — (src, dst): batch 0 is the full kNN
+  *    graph; batch B > 0 holds the beam-linked FORWARD edges of that
+  *    batch's upserts against the then-current head graph (the
+  *    addDelta contract — reverse reachability comes from the
+  *    traversal's undirected expansion, so appending forward edges
+  *    suffices);
+  *  - `tombstones/batch_id=B/` — deleted ids; SHARED manifest /
+  *    rollback machinery ([[SnapshotLayout]]'s helpers — the manifest
+  *    written last is the applied marker, replays skip whole).
+  *
+  * AS-OF B: vectors reconstruct by the latest-event-wins window
+  * (tombstones hide until a later upsert revives); edges are every
+  * row with `batch_id ≤ B` whose BOTH endpoints are live at B (two
+  * semi-joins against the live set — a tombstoned node's edges
+  * disappear from survivors' adjacency without any file rewrite,
+  * the removeDelta semantics expressed as reconstruction instead of
+  * mutation). Append-only honesty note: a RE-ADDED id's pre-move
+  * edges remain in older batches and reappear at reconstruction —
+  * they reference live endpoints at stale positions, a bounded
+  * navigability (recall) effect identical in kind to the delta-drift
+  * the [[IndexMeta]] envelope already meters, never a correctness
+  * one (every visited node exact-rescored). Self-links from re-adds
+  * are filtered at link time.
+  *
+  * ROLLBACK = delete `batch_id > B` directories + restore the
+  * sidecar from B's manifest, exactly as the IVF twin — byte-
+  * identical serves afterwards (spec-pinned). */
+object NswSnapshotLayout {
+
+  /** Initialize: base vectors + the base graph as batch 0. */
+  def init(emb: DataFrame, edges: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(s"$path/vectors")
+    edges.select(col("src"), col("dst"))
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(s"$path/edges")
+    val n = spark.read.parquet(s"$path/vectors").count()
+    IndexMeta.write(spark, path, IndexMeta.Meta(n, 0L))
+    SnapshotLayout.writeManifest(spark, path, 0L, IndexMeta.Meta(n, 0L))
+  }
+
+  /** Apply one batch append-only: tombstones, then beam-link the
+    * upserts against the current HEAD graph (deletes-before-upserts:
+    * the tombstones land first, so links never target just-deleted
+    * nodes), then vectors + forward edges under `batch_id`, sidecar
+    * bump, manifest LAST. Idempotent per batch id via the manifest
+    * marker. */
+  def applyBatch(spark: SparkSession, path: String, batchId: Long,
+      upserts: DataFrame, deletes: DataFrame): Unit = {
+    if (SnapshotLayout.readManifest(spark, path, batchId).isDefined) return
+    if (!deletes.isEmpty)
+      deletes.select(col("vec_id")).withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("batch_id")
+        .parquet(s"$path/tombstones")
+    if (!upserts.isEmpty) {
+      val (headVecs, headEdges) = asOfGraph(spark, path, Long.MaxValue)
+      val queries = upserts
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val linked = NswIndex.beamSearch(headVecs, headEdges, queries,
+          k = NswIndex.graphDegree)
+        .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
+        // a re-added id finds its own still-live old row — never
+        // self-link
+        .filter(col("src") =!= col("dst"))
+        .localCheckpoint(true)
+      linked.withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("batch_id").parquet(s"$path/edges")
+      upserts.select(col("vec_id"), col("embedding"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("batch_id").parquet(s"$path/vectors")
+      graft.core.Checkpoints.free(linked)
+    }
+    val drift = upserts.count() + deletes.count()
+    IndexMeta.bumpDelta(spark, path, drift)
+    val meta = IndexMeta.read(spark, path).getOrElse(IndexMeta.Meta(0L, 0L))
+    SnapshotLayout.writeManifest(spark, path, batchId, meta)
+  }
+
+  /** Live (vec_id, embedding) as of `batchId` — the latest-event
+    * window over upsert rows and tombstones. */
+  def asOfVectors(spark: SparkSession, path: String, batchId: Long): DataFrame = {
+    val ups = spark.read.parquet(s"$path/vectors")
+      .filter(col("batch_id") <= batchId)
+      .select(col("vec_id"), col("embedding"), col("batch_id"),
+        lit(1).as("is_upsert"))
+    val tombRoot = new Path(s"$path/tombstones")
+    val fs = tombRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasTombs = fs.exists(tombRoot) &&
+      fs.listStatus(tombRoot).exists(_.isDirectory)
+    val tombs =
+      if (!hasTombs) ups.limit(0)
+      else spark.read.parquet(s"$path/tombstones")
+        .filter(col("batch_id") <= batchId)
+        .select(col("vec_id"), lit(null).cast("array<float>").as("embedding"),
+          col("batch_id"), lit(0).as("is_upsert"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("batch_id").desc, col("is_upsert").desc)
+    ups.unionByName(tombs)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("is_upsert") === 1)
+      .select(col("vec_id"), col("embedding"))
+  }
+
+  /** (live vectors, live edges) as of `batchId`: edges of batches
+    * ≤ B restricted to live endpoints on both sides. The live set is
+    * checkpointed once — three consumers (two semi-joins + the beam's
+    * vector side) must not each replay the reconstruction window. */
+  def asOfGraph(spark: SparkSession, path: String,
+      batchId: Long): (DataFrame, DataFrame) = {
+    val live = asOfVectors(spark, path, batchId).localCheckpoint(true)
+    val edges = spark.read.parquet(s"$path/edges")
+      .filter(col("batch_id") <= batchId)
+      .select(col("src"), col("dst"))
+      .join(live.select(col("vec_id").as("src")), Seq("src"), "left_semi")
+      .join(live.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+    (live, edges)
+  }
+
+  /** Beam serve from the as-of graph. */
+  def searchAsOf(spark: SparkSession, path: String, batchId: Long,
+      queries: DataFrame, k: Int = 5): DataFrame = {
+    val (vecs, edges) = asOfGraph(spark, path, batchId)
+    NswIndex.beamSearch(vecs, edges, queries, k)
+  }
+
+  /** Roll back to `batchId` — the IVF twin's contract: later batch
+    * directories deleted (vectors, edges, tombstones), sidecar
+    * restored from the target's manifest. */
+  def rollback(spark: SparkSession, path: String, batchId: Long): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("vectors", "edges", "tombstones").foreach { sub =>
+      val root = new Path(s"$path/$sub")
+      if (fs.exists(root))
+        fs.listStatus(root).filter(_.isDirectory)
+          .filter(_.getPath.getName.stripPrefix("batch_id=").toLong > batchId)
+          .foreach(d => fs.delete(d.getPath, true))
+    }
+    SnapshotLayout.manifestIds(spark, path).filter(_ > batchId).foreach { id =>
+      fs.delete(new Path(s"$path/_snapshots/batch-$id.json"), false)
+    }
+    SnapshotLayout.readManifest(spark, path, batchId).foreach(m =>
+      IndexMeta.write(spark, path, m))
+    graft.store.IndexVersions.bump(path)
+  }
+
+  /** `nsw_search_asof`: the graph layout's as-of/rollback contract as
+    * the same deterministic four-batch grid as `ivf_search_asof` —
+    * base graph over `vec_id >= 50` (batch 0), upsert `< 25` (batch
+    * 1), delete its `% 7 = 0` ids + upsert `25..49` (batch 2), a
+    * corrupt zero-vector batch 3; serve AS OF batch 2, then roll back
+    * and re-serve head. Columns: `self_found`/`top1_exact` per probe
+    * (the beam-linked delta genuinely serves at the good snapshot),
+    * `tombstone_hides` (deleted ids and their edges are gone at 2 —
+    * including from SURVIVORS' adjacency), `asof1_predates`,
+    * `rollback_identical`, `sidecar_restored`. */
+  def nswSearchAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
+      s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/nsw"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    val base = all.filter($"vec_id" >= 50).localCheckpoint(true)
+    init(base, NswIndex.buildEdgesLsh(base), path)
+    applyBatch(spark, path, 1L,
+      upserts = all.filter($"vec_id" < 25), deletes = all.limit(0).select($"vec_id"))
+    applyBatch(spark, path, 2L,
+      upserts = all.filter($"vec_id" >= 25 && $"vec_id" < 50),
+      deletes = all.filter($"vec_id" < 25 && $"vec_id" % 7 === 0).select($"vec_id"))
+    applyBatch(spark, path, 3L,
+      upserts = all.filter($"vec_id" < 10)
+        .select($"vec_id", transform($"embedding", _ => lit(0.0f)).as("embedding")),
+      deletes = all.limit(0).select($"vec_id"))
+    val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val asof2 = searchAsOf(spark, path, 2L, queries).localCheckpoint(true)
+    val perProbe = asof2.groupBy($"q_id").agg(
+      (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
+      (max($"score_e6") === 1000000L).as("top1_exact"))
+    val (live2, edges2) = asOfGraph(spark, path, 2L)
+    val deadAt2 = ($"vec_id" < 25 && $"vec_id" % 7 === 0)
+    val tombOk = live2.filter(deadAt2).agg(count(lit(1)).as("n_dead_live"))
+      .crossJoin(edges2
+        .filter(($"src" < 25 && $"src" % 7 === 0) ||
+          ($"dst" < 25 && $"dst" % 7 === 0))
+        .agg(count(lit(1)).as("n_dead_edges")))
+    val live1 = asOfVectors(spark, path, 1L)
+    val asof1Ok = live1.agg(
+      count(when($"vec_id" >= 25 && $"vec_id" < 50, 1)).as("n_future_live"))
+    rollback(spark, path, 2L)
+    val headAfter = searchAsOf(spark, path, Long.MaxValue, queries)
+    val identical = asof2.unionByName(headAfter)
+      .groupBy($"q_id", $"rank", $"neighbor_id", $"score_e6")
+      .agg(count(lit(1)).as("c"))
+      .agg(count(when($"c" =!= 2L, 1)).as("n_diff"))
+    val meta = IndexMeta.read(spark, path).getOrElse(IndexMeta.Meta(-1L, -1L))
+    val manifest = SnapshotLayout.readManifest(spark, path, 2L)
+      .getOrElse(IndexMeta.Meta(-2L, -2L))
+    val globals = tombOk.crossJoin(asof1Ok).crossJoin(identical)
+      .select(
+        ($"n_dead_live" === 0L && $"n_dead_edges" === 0L).as("tombstone_hides"),
+        ($"n_future_live" === 0L).as("asof1_predates"),
+        ($"n_diff" === 0L).as("rollback_identical"),
+        lit(meta == manifest).as("sidecar_restored"))
+    perProbe.crossJoin(broadcast(globals))
+      .select($"q_id", $"self_found", $"top1_exact", $"tombstone_hides",
+        $"asof1_predates", $"rollback_identical", $"sidecar_restored")
+      .orderBy($"q_id")
+  }
+
+  val nswSearchAsofSql: String =
+    """SELECT vec_id AS q_id, true AS self_found, true AS top1_exact,
+      |  true AS tombstone_hides, true AS asof1_predates,
+      |  true AS rollback_identical, true AS sidecar_restored
+      |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
+      |ORDER BY q_id""".stripMargin
+}

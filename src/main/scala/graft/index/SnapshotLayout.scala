@@ -72,6 +72,10 @@ object SnapshotLayout {
     * rollback target is the previous batch). */
   def applyBatch(spark: SparkSession, path: String, batchId: Long,
       upserts: DataFrame, deletes: DataFrame): Unit = {
+    // the manifest is the applied marker (written last): a batch id
+    // that already carries one is complete, and re-appending it would
+    // duplicate its partition rows and double-bump the drift sidecar
+    if (readManifest(spark, path, batchId).isDefined) return
     if (!deletes.isEmpty)
       deletes.select(col("vec_id")).withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("batch_id")
@@ -224,7 +228,7 @@ object SnapshotLayout {
       .toSeq.sorted
   }
 
-  private def writeManifest(spark: SparkSession, path: String, batchId: Long,
+  private[index] def writeManifest(spark: SparkSession, path: String, batchId: Long,
       meta: IndexMeta.Meta): Unit = {
     val p = new Path(s"$path/_snapshots/batch-$batchId.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

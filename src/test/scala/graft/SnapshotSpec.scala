@@ -133,6 +133,51 @@ class SnapshotSpec extends AnyFunSuite {
       new java.io.File(path).getParentFile)
   }
 
+  test("NSW versioned layout: corrupt batch -> rollback -> byte-identical serve; grid all-true") {
+    val all = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-nswsnap").toString + "/nsw"
+    val base = all.filter($"vec_id" >= 50).localCheckpoint(true)
+    graft.index.NswSnapshotLayout.init(
+      base, graft.index.NswIndex.buildEdgesLsh(base), path)
+    graft.index.NswSnapshotLayout.applyBatch(spark, path, 1L,
+      upserts = all.filter($"vec_id" < 25),
+      deletes = all.limit(0).select($"vec_id"))
+    val files1 = listFiles(path)
+    val queries = all.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    def serveHead() = graft.index.NswSnapshotLayout
+      .searchAsOf(spark, path, Long.MaxValue, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val good = serveHead()
+    // every probe finds itself at 1.0 through its beam links
+    assert(good.count { case (q, n, s, _) => q == n && s == 1000000L } == 5)
+
+    // corrupt batch 2, then roll back
+    graft.index.NswSnapshotLayout.applyBatch(spark, path, 2L,
+      upserts = all.filter($"vec_id" < 5)
+        .select($"vec_id", transform($"embedding", _ => lit(0.0f)).as("embedding")),
+      deletes = all.limit(0).select($"vec_id"))
+    assert(serveHead() != good, "corrupt batch must change head serves")
+    val files2 = listFiles(path)
+    files1.foreach { case (f, len) =>
+      assert(files2.get(f).contains(len), s"batch<=1 file rewritten: $f")
+    }
+    graft.index.NswSnapshotLayout.rollback(spark, path, 1L)
+    assert(serveHead() == good)
+    assert(listFiles(path).keySet == files1.keySet)
+
+    // the registry grid end-to-end
+    val grid = graft.index.NswSnapshotLayout.nswSearchAsof(spark, sf).collect()
+    assert(grid.nonEmpty)
+    Seq("self_found", "top1_exact", "tombstone_hides", "asof1_predates",
+      "rollback_identical", "sidecar_restored").foreach { c =>
+      assert(grid.forall(_.getAs[Boolean](c)), s"grid column $c not all-true")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(path).getParentFile)
+  }
+
   test("tombstone then revive: a deleted id comes back with a later upsert") {
     val all = graft.core.Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding")
@@ -152,6 +197,15 @@ class SnapshotSpec extends AnyFunSuite {
       upserts = all.filter($"vec_id" === 20),
       deletes = all.filter($"vec_id" === 20).select($"vec_id"))
     assert(liveAt(3L) == 1L)
+    // a direct replay of a completed batch id is a whole-batch no-op
+    // (the manifest is the applied marker): rows and sidecar frozen
+    val metaBefore = IndexMeta.read(spark, path).get
+    val rowsBefore = spark.read.parquet(s"$path/vectors").count()
+    SnapshotLayout.applyBatch(spark, path, 3L,
+      upserts = all.filter($"vec_id" === 21),
+      deletes = all.limit(0).select($"vec_id"))
+    assert(spark.read.parquet(s"$path/vectors").count() == rowsBefore)
+    assert(IndexMeta.read(spark, path).get == metaBefore)
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(path).getParentFile)
   }
