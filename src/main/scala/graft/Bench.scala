@@ -69,7 +69,10 @@ object Bench {
       // the BPE trainers are memoized (round 9): without a build-first
       // cold label, bpe_apply (alphabetically first) would pay the
       // training and everyone's take-min would hide it under the memo
-      "bpe_train", "bpe_train_batched")
+      "bpe_train", "bpe_train_batched",
+      // the as-of scenario ops memoize their BASE index (the
+      // ivf/nsw_add_delta treatment): report the cold first run
+      "ivf_search_asof", "nsw_search_asof")
 
   /** Serve entries whose layout is built by a `buildQueries` member:
     * reported as their cold FIRST run (an honest serve-from-disk

@@ -177,8 +177,9 @@ object NswSnapshotLayout {
       s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/nsw"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(path), true)
+    // base graph session-memoized (the nsw_add_delta base discipline)
     val base = all.filter($"vec_id" >= 50).localCheckpoint(true)
-    init(base, NswIndex.buildEdgesLsh(base), path)
+    init(base, NswIndex.edgesCachedFor(s"nsw_asof_base:$dir", base, dir), path)
     applyBatch(spark, path, 1L,
       upserts = all.filter($"vec_id" < 25), deletes = all.limit(0).select($"vec_id"))
     applyBatch(spark, path, 2L,
