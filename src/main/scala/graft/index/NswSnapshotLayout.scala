@@ -79,6 +79,10 @@ object NswSnapshotLayout {
         // self-link
         .filter(col("src") =!= col("dst"))
         .localCheckpoint(true)
+      // the walk materialized its own hop checkpoints and `linked` is
+      // pinned — the head reconstruction checkpoint is now garbage
+      // (the sample_kcenter free discipline)
+      graft.core.Checkpoints.free(headVecs)
       linked.withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("batch_id").parquet(s"$path/edges")
       upserts.select(col("vec_id"), col("embedding"))
@@ -132,11 +136,15 @@ object NswSnapshotLayout {
     (live, edges)
   }
 
-  /** Beam serve from the as-of graph. */
+  /** Beam serve from the as-of graph. The walk runs eagerly (its
+    * hops checkpoint as they go) and its result reads only those hop
+    * checkpoints — the reconstruction checkpoint frees on return. */
   def searchAsOf(spark: SparkSession, path: String, batchId: Long,
       queries: DataFrame, k: Int = 5): DataFrame = {
     val (vecs, edges) = asOfGraph(spark, path, batchId)
-    NswIndex.beamSearch(vecs, edges, queries, k)
+    val out = NswIndex.beamSearch(vecs, edges, queries, k)
+    graft.core.Checkpoints.free(vecs)
+    out
   }
 
   /** Roll back to `batchId` — the IVF twin's contract: later batch
