@@ -111,7 +111,29 @@ object IndexStream {
       (b: DataFrame, id: Long) => applyVersionedBatch(b, id, path))
 
   private[graft] def applyVersionedBatch(batch: DataFrame, streamBatchId: Long,
-      path: String): Unit = {
+      path: String): Unit =
+    versionedSink(batch, streamBatchId, path,
+      (spark, id, ups, dels) =>
+        graft.index.SnapshotLayout.applyBatch(spark, path, id, ups, dels),
+      (spark, last) => graft.index.SnapshotLayout.rollback(spark, path, last))
+
+  /** The NSW twin: mutation stream → the versioned GRAPH layout
+    * ([[graft.index.NswSnapshotLayout]]'s contract) — same manifest-
+    * keyed exactly-once and rollback-as-crash-repair. */
+  def maintainNswVersioned(mutations: DataFrame, path: String): DataStreamWriter[Row] =
+    mutations.writeStream.foreachBatch(
+      (b: DataFrame, id: Long) => applyNswVersionedBatch(b, id, path))
+
+  private[graft] def applyNswVersionedBatch(batch: DataFrame, streamBatchId: Long,
+      path: String): Unit =
+    versionedSink(batch, streamBatchId, path,
+      (spark, id, ups, dels) =>
+        graft.index.NswSnapshotLayout.applyBatch(spark, path, id, ups, dels),
+      (spark, last) => graft.index.NswSnapshotLayout.rollback(spark, path, last))
+
+  private def versionedSink(batch: DataFrame, streamBatchId: Long, path: String,
+      apply: (org.apache.spark.sql.SparkSession, Long, DataFrame, DataFrame) => Unit,
+      repair: (org.apache.spark.sql.SparkSession, Long) => Unit): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val layoutId = streamBatchId + 1
@@ -119,14 +141,11 @@ object IndexStream {
     if (applied.contains(layoutId)) return // replay of a completed batch
     // crash repair: anything on disk beyond the last manifested batch
     // is a partial apply — purge it before re-applying
-    applied.lastOption.filter(_ < layoutId).foreach { last =>
-      graft.index.SnapshotLayout.rollback(spark, path, last)
-    }
+    applied.lastOption.filter(_ < layoutId).foreach(last => repair(spark, last))
     val b = batch.localCheckpoint(true)
-    graft.index.SnapshotLayout.applyBatch(spark, path, layoutId,
-      upserts = b.filter(col("op") === "upsert")
-        .select(col("vec_id"), col("embedding")),
-      deletes = b.filter(col("op") === "delete").select(col("vec_id")))
+    apply(spark, layoutId,
+      b.filter(col("op") === "upsert").select(col("vec_id"), col("embedding")),
+      b.filter(col("op") === "delete").select(col("vec_id")))
   }
 
   /** Split one micro-batch into its delete and upsert sides and apply

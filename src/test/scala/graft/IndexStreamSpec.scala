@@ -269,4 +269,45 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(!after.contains(5L), "partial pre-crash rows survived the repair")
     assert(graft.index.SnapshotLayout.manifestIds(spark, dir) == Seq(0L, 1L, 2L, 3L))
   }
+
+  test("versioned NSW stream: manifests per batch, as-of serving, deletes drop edges live") {
+    val dir = tmp("graft-nsw-vstream")
+    val baseCp = base.localCheckpoint(true)
+    graft.index.NswSnapshotLayout.init(
+      baseCp, NswIndex.buildEdgesLsh(baseCp), dir)
+    val stream = MemoryStream[Mutation](spark)
+    val q = IndexStream.maintainNswVersioned(
+        stream.toDF().toDF("vec_id", "embedding", "op"), dir)
+      .option("checkpointLocation", tmp("graft-nsw-vstream-ckpt"))
+      .start()
+    def liveIds(b: Long): Set[Long] =
+      graft.index.NswSnapshotLayout.asOfVectors(spark, dir, b)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+    try {
+      stream.addData(up(0L), up(1L), up(2L))
+      q.processAllAvailable()
+      assert(graft.index.SnapshotLayout.manifestIds(spark, dir) == Seq(0L, 1L))
+      assert(Seq(0L, 1L, 2L).forall(liveIds(1L).contains))
+      // the streamed-in vector serves from the as-of graph at 1.0
+      val probe = emb.filter($"vec_id" === 0)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val hit = graft.index.NswSnapshotLayout
+        .searchAsOf(spark, dir, Long.MaxValue, probe, k = 3)
+        .filter($"q_id" === $"neighbor_id").collect()
+      assert(hit.length == 1 && hit.head.getAs[Long]("score_e6") == 1000000L)
+
+      stream.addData(del(2L))
+      q.processAllAvailable()
+      assert(!liveIds(Long.MaxValue).contains(2L))
+      assert(liveIds(1L).contains(2L), "as-of 1 must still see the later-deleted id")
+      // the deleted node's edges left survivors' adjacency
+      val (_, edges) = graft.index.NswSnapshotLayout.asOfGraph(spark, dir, Long.MaxValue)
+      assert(edges.filter($"src" === 2L || $"dst" === 2L).count() == 0L)
+    } finally q.stop()
+    // replay of a completed stream batch is a whole no-op
+    val before = liveIds(Long.MaxValue)
+    IndexStream.applyNswVersionedBatch(
+      Seq(up(5L)).toDF("vec_id", "embedding", "op"), streamBatchId = 1L, dir)
+    assert(liveIds(Long.MaxValue) == before)
+  }
 }
