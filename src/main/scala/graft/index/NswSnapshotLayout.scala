@@ -147,6 +147,43 @@ object NswSnapshotLayout {
     out
   }
 
+  /** Compact history ≤ `upTo` into one consolidated base — the IVF
+    * twin's contract on the graph: the as-of live VECTORS and live
+    * EDGES (both endpoints alive) are materialized once and rewritten
+    * under `batch_id = upTo`; older vector/edge/tombstone directories
+    * and manifests below the point are removed. Serves and rollbacks
+    * at ≥ upTo are identical before/after (the edge restriction is
+    * idempotent: re-restricting the already-live edge set changes
+    * nothing); as a bonus a tombstoned-then-compacted node's stale
+    * edges are PHYSICALLY gone, so compaction also heals the
+    * append-only re-add navigability wart for everything ≤ upTo. */
+  def compact(spark: SparkSession, path: String, upTo: Long): Unit = {
+    val (live, liveEdges) = asOfGraph(spark, path, upTo)
+    val liveV = live.withColumn("batch_id", lit(upTo)).localCheckpoint(true)
+    val liveE = liveEdges.withColumn("batch_id", lit(upTo)).localCheckpoint(true)
+    graft.core.Checkpoints.free(live)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("vectors", "edges", "tombstones").foreach { sub =>
+      val root = new Path(s"$path/$sub")
+      if (fs.exists(root)) {
+        fs.listStatus(root).filter(_.isDirectory)
+          .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upTo)
+          .foreach(d => fs.delete(d.getPath, true))
+        if (sub == "tombstones" && !fs.listStatus(root).exists(_.isDirectory))
+          fs.delete(root, true)
+      }
+    }
+    liveV.write.mode("append").partitionBy("batch_id").parquet(s"$path/vectors")
+    liveE.write.mode("append").partitionBy("batch_id").parquet(s"$path/edges")
+    graft.core.Checkpoints.free(liveV)
+    graft.core.Checkpoints.free(liveE)
+    SnapshotLayout.manifestIds(spark, path).filter(_ < upTo).foreach { id =>
+      fs.delete(new Path(s"$path/_snapshots/batch-$id.json"), false)
+    }
+    graft.store.IndexVersions.bump(path)
+  }
+
   /** Roll back to `batchId` — the IVF twin's contract: later batch
     * directories deleted (vectors, edges, tombstones), sidecar
     * restored from the target's manifest. */

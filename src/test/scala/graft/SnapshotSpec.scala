@@ -167,6 +167,25 @@ class SnapshotSpec extends AnyFunSuite {
     assert(serveHead() == good)
     assert(listFiles(path).keySet == files1.keySet)
 
+    // compaction on the graph: apply one more batch, compact at 2,
+    // serves at/after identical, structure collapsed
+    graft.index.NswSnapshotLayout.applyBatch(spark, path, 2L,
+      upserts = all.filter($"vec_id" >= 25 && $"vec_id" < 30),
+      deletes = all.filter($"vec_id" === 10).select($"vec_id"))
+    val head2 = serveHead()
+    graft.index.NswSnapshotLayout.compact(spark, path, 2L)
+    assert(serveHead() == head2, "compacted head serve changed")
+    val fsN = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("vectors", "edges").foreach { sub =>
+      val dirs = fsN.listStatus(new org.apache.hadoop.fs.Path(s"$path/$sub"))
+        .filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
+      assert(dirs == Set(2L), s"$sub batch dirs after compact: $dirs")
+    }
+    assert(graft.index.NswSnapshotLayout.asOfVectors(spark, path, Long.MaxValue)
+      .filter($"vec_id" === 10).count() == 0L, "compacted tombstone resurrected")
+
     // the registry grid end-to-end
     val grid = graft.index.NswSnapshotLayout.nswSearchAsof(spark, sf).collect()
     assert(grid.nonEmpty)
