@@ -69,10 +69,14 @@ object Bench {
       // the BPE trainers are memoized (round 9): without a build-first
       // cold label, bpe_apply (alphabetically first) would pay the
       // training and everyone's take-min would hide it under the memo
-      "bpe_train", "bpe_train_batched",
-      // the as-of scenario ops memoize their BASE index (the
-      // ivf/nsw_add_delta treatment): report the cold first run
-      "ivf_search_asof", "nsw_search_asof")
+      "bpe_train", "bpe_train_batched")
+      // round 10: ivf/nsw_search_asof left this set — the whole
+      // four-batch scenario layout is now session-memoized
+      // (SnapshotLayout.pristineScenario) and each invocation serves
+      // from a filesystem copy, so under repeat mode take-min reports
+      // the recurring copy+serve+grid cost; the one-time scenario
+      // build lands on the alphabetically-first scenario entry's cold
+      // run (ivf_compact / nsw_compact, which share the memo)
 
   /** Serve entries whose layout is built by a `buildQueries` member:
     * reported as their cold FIRST run (an honest serve-from-disk

@@ -125,6 +125,11 @@ object SparkEntry {
     // crud_asof's discipline composed with the persisted IVF layout
     "ivf_search_asof" -> (graft.index.SnapshotLayout.ivfSearchAsof _),
     "nsw_search_asof" -> (graft.index.NswSnapshotLayout.nswSearchAsof _),
+    // compaction invariance, driver-checked per round for both index
+    // families: serve-identical at >= upTo, history truncated below,
+    // rollback guard refuses unrestorable targets
+    "ivf_compact" -> (graft.index.SnapshotLayout.ivfCompactChecked _),
+    "nsw_compact" -> (graft.index.NswSnapshotLayout.nswCompactChecked _),
     "text_bm25" -> (graft.text.Bm25.textBm25 _),
     "text_unigram_ll" -> (TextOps.textUnigramLl _),
     // bigram-LM fluency (word ORDER, which a unigram bag can't see)
@@ -631,6 +636,8 @@ object SparkEntry {
     "nsw_search_filtered" -> NswIndex.nswSearchFilteredSql,
     "ivf_search_asof" -> graft.index.SnapshotLayout.ivfSearchAsofSql,
     "nsw_search_asof" -> graft.index.NswSnapshotLayout.nswSearchAsofSql,
+    "ivf_compact" -> graft.index.SnapshotLayout.ivfCompactCheckedSql,
+    "nsw_compact" -> graft.index.NswSnapshotLayout.nswCompactCheckedSql,
     "text_bm25" -> graft.text.Bm25.textBm25Sql,
     "text_unigram_ll" -> TextOps.textUnigramLlSql,
     "text_bigram_ll" -> TextOps.textBigramLlSql,

@@ -288,9 +288,49 @@ object IvfIndex {
   private def addDeltaRows(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
     removeRows(spark, path, newVecs.select(col("vec_id")))
     val centroids = spark.read.parquet(s"$path/centroids")
-    assignToCentroids(newVecs, centroids)
-      .write.mode("append").partitionBy("cluster_id").parquet(s"$path/vectors")
+    val assigned = assignToCentroids(newVecs, centroids).localCheckpoint(true)
+    try {
+      assigned.write.mode("append").partitionBy("cluster_id").parquet(s"$path/vectors")
+      encodeDeltaPq(spark, path, assigned)
+    } finally graft.core.Checkpoints.free(assigned)
   }
+
+  /** PQ sidecars present under a persisted layout: any subdirectory
+    * carrying a `codebooks` table (the `pq`/`pqr` layout
+    * [[persistPq]] writes). A layout without sidecars returns empty —
+    * the common case pays one directory listing, no job. */
+  private def pqSubdirs(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d/codebooks")))
+      .toSeq.sorted
+  }
+
+  /** Encode a delta batch into every PQ sidecar with the FROZEN
+    * codebooks (and rotation, for an OPQ sidecar) — the compressed
+    * tier's analog of [[assignToCentroids]]' frozen-centroid
+    * discipline (reference contract ivf_index.py:90-137 applied to
+    * the codes). Without this, every maintained batch would be
+    * invisible to [[searchPersistedPq]]: the ADC pre-rank scans only
+    * the codes table, so a delta row with no code CANNOT reach the
+    * rerank no matter how close it is. One codegen'd `PqEncode` pass
+    * over the delta per sidecar, appended into the same `cluster_id=`
+    * partition scheme as the raw rows. */
+  private def encodeDeltaPq(spark: SparkSession, path: String,
+      assigned: DataFrame): Unit =
+    pqSubdirs(spark, path).foreach { sub =>
+      val books = readCodebooks(spark, path, sub)
+      val rot = readRotation(spark, path, sub)
+      val bc = spark.sparkContext.broadcast(books)
+      val encodeInput = rot.map(r =>
+        PqCodebooks.rotateCol(col("embedding"), r)).getOrElse(col("embedding"))
+      try assigned.select(col("vec_id"), col("cluster_id"),
+          graft.functions.pq.pqEncode(encodeInput, bc).as("code"))
+        .write.mode("append").partitionBy("cluster_id").parquet(s"$path/$sub/codes")
+      finally bc.unpersist()
+    }
 
   /** Drift contribution of an upsert batch: delta rows NOT already in
     * the stored layout byte-for-byte. A retried batch re-adding
@@ -340,26 +380,41 @@ object IvfIndex {
   }
 
   private def removeRows(spark: SparkSession, path: String, removeIds: DataFrame): Unit = {
-    val vecs = spark.read.parquet(s"$path/vectors")
+    removeRowsUnder(spark, s"$path/vectors", removeIds)
+    // PQ sidecars mirror the posting rows id-for-id: a removed (or
+    // re-upserted) id's stale CODE must go with its raw row, or the
+    // ADC pre-rank would keep surfacing the old position
+    pqSubdirs(spark, path).foreach(sub =>
+      removeRowsUnder(spark, s"$path/$sub/codes", removeIds))
+  }
+
+  /** Remove ids from one `cluster_id=`-partitioned table (the raw
+    * posting rows or a PQ codes sidecar — the algorithm is
+    * schema-agnostic): rewrite ONLY the affected partitions via
+    * dynamic overwrite, delete emptied directories explicitly. */
+  private def removeRowsUnder(spark: SparkSession, root: String,
+      removeIds: DataFrame): Unit = {
+    val rows = spark.read.parquet(root)
     val ids = removeIds.select(col("vec_id"))
-    val affected = vecs.join(ids, Seq("vec_id"), "left_semi")
+    val affected = rows.join(ids, Seq("vec_id"), "left_semi")
       .select(col("cluster_id")).distinct()
       .collect().map(_.getAs[Int]("cluster_id"))
     if (affected.nonEmpty) {
       val affectedDf = broadcast(
         spark.createDataFrame(affected.toSeq.map(Tuple1(_))).toDF("cluster_id"))
-      val rewritten = vecs.join(affectedDf, Seq("cluster_id"), "left_semi")
+      val rewritten = rows.join(affectedDf, Seq("cluster_id"), "left_semi")
         .join(ids, Seq("vec_id"), "left_anti")
         .localCheckpoint(true)
       rewritten.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cluster_id").parquet(s"$path/vectors")
+        .partitionBy("cluster_id").parquet(root)
       val survivors = rewritten.select(col("cluster_id")).distinct()
         .collect().map(_.getAs[Int]("cluster_id")).toSet
-      val fs = new org.apache.hadoop.fs.Path(path)
+      graft.core.Checkpoints.free(rewritten)
+      val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       affected.filterNot(survivors).foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors/cluster_id=$c"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/cluster_id=$c"), true)
       }
     }
   }
@@ -457,6 +512,7 @@ object IvfIndex {
         .unionByName(newVecs.select(col("vec_id"), col("embedding")))
         .localCheckpoint(true)
       persist(build(spark, all), path)
+      refreshPqSidecars(spark, path)
       true
     } else {
       addDeltaRows(spark, path, newVecs)
@@ -484,6 +540,7 @@ object IvfIndex {
         .join(removeIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
         .localCheckpoint(true)
       persist(build(spark, survivors), path)
+      refreshPqSidecars(spark, path)
       true
     } else {
       removeRows(spark, path, removeIds)
@@ -492,6 +549,19 @@ object IvfIndex {
       false
     }
   }
+
+  /** Re-train + re-encode every PQ sidecar after a FULL rebuild: the
+    * old codebooks were fit on the pre-rebuild corpus and the old
+    * codes reference pre-rebuild assignments, so keeping them would
+    * serve stale positions under fresh centroids. A rebuild is the
+    * expensive path by definition; one extra bounded codebook fit +
+    * one encode pass per sidecar rides it. The OPQ flag is inferred
+    * from the sidecar's persisted rotation. */
+  private def refreshPqSidecars(spark: SparkSession, path: String): Unit =
+    pqSubdirs(spark, path).foreach { sub =>
+      persistPq(spark, path,
+        rotate = readRotation(spark, path, sub).isDefined, sub = sub)
+    }
 
   /** Probe search against a persisted layout. The probe pairs are
     * broadcast into a join on the partition column, so Spark's

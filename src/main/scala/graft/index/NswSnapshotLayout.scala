@@ -154,9 +154,18 @@ object NswSnapshotLayout {
     * and manifests below the point are removed. Serves and rollbacks
     * at ≥ upTo are identical before/after (the edge restriction is
     * idempotent: re-restricting the already-live edge set changes
-    * nothing); as a bonus a tombstoned-then-compacted node's stale
-    * edges are PHYSICALLY gone, so compaction also heals the
-    * append-only re-add navigability wart for everything ≤ upTo. */
+    * nothing) — EXCEPT for an id dead at `upTo` that a LATER batch
+    * re-adds: pre-compaction its pre-delete edges reappear at
+    * reconstruction once the re-add revives the id (the documented
+    * append-only wart), post-compaction they are physically gone, so
+    * an as-of serve past the re-add batch can navigate differently.
+    * That divergence is the HEALED direction — stale-position edges
+    * removed, every visited node still exact-rescored, a bounded
+    * recall effect and never a score error — but it does mean the
+    * identical-serve claim holds unconditionally only for histories
+    * with no post-upTo re-add of an id tombstoned at ≤ upTo
+    * (SnapshotSpec pins both the identity and the healed re-add
+    * case). */
   def compact(spark: SparkSession, path: String, upTo: Long): Unit = {
     val (live, liveEdges) = asOfGraph(spark, path, upTo)
     val liveV = live.withColumn("batch_id", lit(upTo)).localCheckpoint(true)
@@ -188,6 +197,12 @@ object NswSnapshotLayout {
     * directories deleted (vectors, edges, tombstones), sidecar
     * restored from the target's manifest. */
   def rollback(spark: SparkSession, path: String, batchId: Long): Unit = {
+    // same guard as the IVF twin: no manifest → nothing restorable →
+    // deleting later batches would destroy the index, not roll it back
+    require(SnapshotLayout.readManifest(spark, path, batchId).isDefined,
+      s"rollback target batch $batchId has no manifest under $path/_snapshots " +
+        "(compacted away, never applied, or crashed mid-apply) — refusing to " +
+        "delete newer batches with no restorable target")
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq("vectors", "edges", "tombstones").foreach { sub =>
@@ -215,25 +230,50 @@ object NswSnapshotLayout {
     * `tombstone_hides` (deleted ids and their edges are gone at 2 —
     * including from SURVIVORS' adjacency), `asof1_predates`,
     * `rollback_identical`, `sidecar_restored`. */
+  /** Session memo of the pristine four-batch graph scenario — the
+    * [[SnapshotLayout.pristineScenario]] twin: built once per
+    * (session, dir), served from per-invocation filesystem copies so
+    * the destructive steps (rollback, compaction) never touch the
+    * original, invalidated by store writes under `dir`. The three
+    * beam-linking applyBatch calls — a 10-hop BSP loop each, the
+    * dominant cost of the old rebuild-per-invocation shape — now run
+    * once per session. */
+  private val scenarioCache = new graft.store.VersionedMemo[String](p =>
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(p).getParentFile))
+
+  private[index] def pristineScenario(spark: SparkSession, dir: String): String =
+    scenarioCache.get(spark, s"nsw_asof_scenario:$dir", dir) {
+      import spark.implicits._
+      val all = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-asof-nsw").toString + "/pristine"
+      val base = all.filter($"vec_id" >= 50).localCheckpoint(true)
+      // the base graph builds directly from the pinned slice; init
+      // persists both, so the checkpoint is garbage once the batches
+      // are applied (everything after reconstructs from the layout) —
+      // free it instead of pinning one copy per scenario build
+      init(base, NswIndex.buildEdgesLsh(base), path)
+      applyBatch(spark, path, 1L,
+        upserts = all.filter($"vec_id" < 25),
+        deletes = all.limit(0).select($"vec_id"))
+      applyBatch(spark, path, 2L,
+        upserts = all.filter($"vec_id" >= 25 && $"vec_id" < 50),
+        deletes = all.filter($"vec_id" < 25 && $"vec_id" % 7 === 0).select($"vec_id"))
+      applyBatch(spark, path, 3L,
+        upserts = all.filter($"vec_id" < 10)
+          .select($"vec_id", transform($"embedding", _ => lit(0.0f)).as("embedding")),
+        deletes = all.limit(0).select($"vec_id"))
+      graft.core.Checkpoints.free(base)
+      path
+    }
+
   def nswSearchAsof(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
       s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/nsw"
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(path), true)
-    // base graph session-memoized (the nsw_add_delta base discipline)
-    val base = all.filter($"vec_id" >= 50).localCheckpoint(true)
-    init(base, NswIndex.edgesCachedFor(s"nsw_asof_base:$dir", base, dir), path)
-    applyBatch(spark, path, 1L,
-      upserts = all.filter($"vec_id" < 25), deletes = all.limit(0).select($"vec_id"))
-    applyBatch(spark, path, 2L,
-      upserts = all.filter($"vec_id" >= 25 && $"vec_id" < 50),
-      deletes = all.filter($"vec_id" < 25 && $"vec_id" % 7 === 0).select($"vec_id"))
-    applyBatch(spark, path, 3L,
-      upserts = all.filter($"vec_id" < 10)
-        .select($"vec_id", transform($"embedding", _ => lit(0.0f)).as("embedding")),
-      deletes = all.limit(0).select($"vec_id"))
+    SnapshotLayout.copyLayout(spark, pristineScenario(spark, dir), path)
     val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
     val asof2 = searchAsOf(spark, path, 2L, queries).localCheckpoint(true)
@@ -275,6 +315,89 @@ object NswSnapshotLayout {
     """SELECT vec_id AS q_id, true AS self_found, true AS top1_exact,
       |  true AS tombstone_hides, true AS asof1_predates,
       |  true AS rollback_identical, true AS sidecar_restored
+      |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
+      |ORDER BY q_id""".stripMargin
+
+  /** `nsw_compact`: the graph family's compaction contract as a
+    * driver-checked grid over a copy of [[pristineScenario]],
+    * `compact(upTo = 2)`. The scenario deliberately CONTAINS the
+    * append-only re-add wart (ids 0 and 7 are tombstoned at batch 2
+    * and re-added by the corrupt batch 3), so the grid pins BOTH
+    * sides of the narrowed contract (see [[compact]]):
+    *  - `serve2_identical`: the as-of-2 serve — no re-add in scope —
+    *    is row-identical before/after;
+    *  - `stale_healed`: post-compaction, every surviving edge touching
+    *    a dead-at-2-then-re-added id comes from batch 3 (its re-add
+    *    links) — the batch-1 stale-position edges that pre-compaction
+    *    head reconstruction would have revived are PHYSICALLY gone;
+    *  - `heal_nonvacuous`: those stale edges existed pre-compaction
+    *    (otherwise `stale_healed` would pass on an empty check);
+    *  - `history_truncated` / `tombstones_gone` / `dirs_bounded`:
+    *    manifests == {2, 3}, no tombstone list ≤ 2, no vector/edge
+    *    directory below 2;
+    *  - `guard_refuses`: rollback to the compacted-away batch 1
+    *    throws instead of deleting the consolidated base;
+    *  - `rollback_works`: rollback to 2 serves the as-of-2 rows. */
+  def nswCompactChecked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
+      s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/nsw_compact"
+    SnapshotLayout.copyLayout(spark, pristineScenario(spark, dir), path)
+    val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    // dead at upTo=2, re-added by batch 3: `< 10 && % 7 == 0`
+    val deadReAdded = (c: org.apache.spark.sql.Column) =>
+      c < 10 && c % 7 === 0
+    val staleBefore = spark.read.parquet(s"$path/edges")
+      .filter($"batch_id" <= 2 && (deadReAdded($"src") || deadReAdded($"dst")))
+      .count()
+    val asof2Before = searchAsOf(spark, path, 2L, queries).localCheckpoint(true)
+    compact(spark, path, 2L)
+    val asof2After = searchAsOf(spark, path, 2L, queries).localCheckpoint(true)
+    val staleAfter = spark.read.parquet(s"$path/edges")
+      .filter($"batch_id" =!= 3 && (deadReAdded($"src") || deadReAdded($"dst")))
+      .count()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchIdsOf(sub: String): Set[Long] = {
+      val root = new Path(s"$path/$sub")
+      if (!fs.exists(root)) Set.empty
+      else fs.listStatus(root).filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
+    }
+    val manifests = SnapshotLayout.manifestIds(spark, path)
+    val guardOk =
+      try { rollback(spark, path, 1L); false }
+      catch { case _: IllegalArgumentException => true }
+    rollback(spark, path, 2L)
+    val headRolled = searchAsOf(spark, path, Long.MaxValue, queries)
+      .localCheckpoint(true)
+    def nDiff(a: DataFrame, b: DataFrame, name: String): DataFrame =
+      a.unionByName(b)
+        .groupBy($"q_id", $"rank", $"neighbor_id", $"score_e6")
+        .agg(count(lit(1)).as("c"))
+        .agg(count(when($"c" =!= 2L, 1)).as(name))
+    val globals = nDiff(asof2Before, asof2After, "n_diff2")
+      .crossJoin(nDiff(asof2Before, headRolled, "n_diffr"))
+      .select(
+        ($"n_diff2" === 0L).as("serve2_identical"),
+        lit(staleAfter == 0L).as("stale_healed"),
+        lit(staleBefore > 0L).as("heal_nonvacuous"),
+        lit(manifests == Seq(2L, 3L)).as("history_truncated"),
+        lit(batchIdsOf("tombstones").forall(_ > 2L)).as("tombstones_gone"),
+        lit(batchIdsOf("vectors").forall(_ >= 2L) &&
+          batchIdsOf("edges").forall(_ >= 2L)).as("dirs_bounded"),
+        lit(guardOk).as("guard_refuses"),
+        ($"n_diffr" === 0L).as("rollback_works"))
+    queries.select($"q_id").crossJoin(broadcast(globals))
+      .orderBy($"q_id")
+  }
+
+  val nswCompactCheckedSql: String =
+    """SELECT vec_id AS q_id, true AS serve2_identical, true AS stale_healed,
+      |  true AS heal_nonvacuous, true AS history_truncated,
+      |  true AS tombstones_gone, true AS dirs_bounded,
+      |  true AS guard_refuses, true AS rollback_works
       |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
       |ORDER BY q_id""".stripMargin
 }

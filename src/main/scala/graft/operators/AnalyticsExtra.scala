@@ -237,7 +237,12 @@ object AnalyticsExtra {
       .distinct()
       .localCheckpoint(true)
     val bounds = dayUser.agg(min($"day_idx").as("d0"), max($"day_idx").as("d1"))
-    val days = bounds
+    // a corpus spanning < 7 distinct days has NO report day with a
+    // full trailing week — and Spark's sequence(start, stop) with
+    // start > stop emits a DESCENDING range (spurious rows DuckDB's
+    // generate_series would not produce), so the degenerate case is
+    // pinned to empty output in both engines
+    val days = bounds.filter($"d0" + 6 <= $"d1")
       .select(explode(sequence($"d0" + 6, $"d1")).as("day_idx"))
     val dau = dayUser.groupBy($"day_idx").agg(count(lit(1)).as("dau"))
     val wau = dayUser

@@ -125,8 +125,15 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             c.references.forall(a => a.name == "vec_id" || metaCols.contains(a.name)) &&
             !starvesProbe(c)))
           Some(()) else None
+        // the nsw layout only serves predicates over META columns: the
+        // beam walk's frames rename vec_id to node, so a replayed
+        // vec_id-referencing predicate (e.g. `vec_id > 100`) cannot
+        // resolve inside the walk — those shapes fall back to the IVF
+        // probe, whose posting rows keep vec_id (point shapes never
+        // reach here: starvesProbe already declined them)
         probed <-
-          if (cond.nonEmpty && layout == "nsw")
+          if (cond.nonEmpty && layout == "nsw" &&
+              cond.get.references.forall(a => metaCols.contains(a.name)))
             nswFilteredProbe(dir, queryVec, cond.get, k, passthrough)
           else ivfProbe(dir, queryVec, cond, k, passthrough)
       } yield {

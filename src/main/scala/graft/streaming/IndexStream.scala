@@ -106,34 +106,69 @@ object IndexStream {
     * partial directories by rolling back to the last manifested batch
     * before re-applying — the rollback machinery doubling as the
     * stream's crash recovery. */
-  def maintainIvfVersioned(mutations: DataFrame, path: String): DataStreamWriter[Row] =
+  /** Compaction cadence for the versioned sinks: without one, a
+    * long-running stream appends one `batch_id=` directory set (and
+    * one manifest) per micro-batch FOREVER — unbounded directory
+    * count and an as-of argmax window that grows without bound. Once
+    * the layout carries more than [[versionedCompactMaxBatches]]
+    * manifested batches, the sink compacts up to the batch that
+    * leaves [[versionedCompactRetain]] most recent ones un-folded
+    * (post-compaction: retain+1 manifests — the consolidated base
+    * plus the retained tail). The retained tail is the rollback/as-of
+    * window a bad-batch recovery needs; history below it is
+    * deliberately truncated, the standard log-structured retention
+    * trade. The threshold check is a manifest-directory listing (no
+    * job) on the batches that compact nothing, and the manifest-keyed
+    * exactly-once accounting is unaffected — compaction never touches
+    * manifests ≥ upTo, and the crash-repair step already tolerates a
+    * compacted floor (it rolls back to the LAST manifested batch,
+    * which compaction always keeps). */
+  val versionedCompactMaxBatches = 8
+  val versionedCompactRetain = 4
+
+  def maintainIvfVersioned(mutations: DataFrame, path: String,
+      maxBatches: Int = versionedCompactMaxBatches,
+      retain: Int = versionedCompactRetain): DataStreamWriter[Row] =
     mutations.writeStream.foreachBatch(
-      (b: DataFrame, id: Long) => applyVersionedBatch(b, id, path))
+      (b: DataFrame, id: Long) =>
+        applyVersionedBatch(b, id, path, maxBatches, retain))
 
   private[graft] def applyVersionedBatch(batch: DataFrame, streamBatchId: Long,
-      path: String): Unit =
+      path: String, maxBatches: Int = versionedCompactMaxBatches,
+      retain: Int = versionedCompactRetain): Unit =
     versionedSink(batch, streamBatchId, path,
       (spark, id, ups, dels) =>
         graft.index.SnapshotLayout.applyBatch(spark, path, id, ups, dels),
-      (spark, last) => graft.index.SnapshotLayout.rollback(spark, path, last))
+      (spark, last) => graft.index.SnapshotLayout.rollback(spark, path, last),
+      (spark, upTo) => graft.index.SnapshotLayout.compact(spark, path, upTo),
+      maxBatches, retain)
 
   /** The NSW twin: mutation stream → the versioned GRAPH layout
     * ([[graft.index.NswSnapshotLayout]]'s contract) — same manifest-
-    * keyed exactly-once and rollback-as-crash-repair. */
-  def maintainNswVersioned(mutations: DataFrame, path: String): DataStreamWriter[Row] =
+    * keyed exactly-once, rollback-as-crash-repair, and compaction
+    * cadence. */
+  def maintainNswVersioned(mutations: DataFrame, path: String,
+      maxBatches: Int = versionedCompactMaxBatches,
+      retain: Int = versionedCompactRetain): DataStreamWriter[Row] =
     mutations.writeStream.foreachBatch(
-      (b: DataFrame, id: Long) => applyNswVersionedBatch(b, id, path))
+      (b: DataFrame, id: Long) =>
+        applyNswVersionedBatch(b, id, path, maxBatches, retain))
 
   private[graft] def applyNswVersionedBatch(batch: DataFrame, streamBatchId: Long,
-      path: String): Unit =
+      path: String, maxBatches: Int = versionedCompactMaxBatches,
+      retain: Int = versionedCompactRetain): Unit =
     versionedSink(batch, streamBatchId, path,
       (spark, id, ups, dels) =>
         graft.index.NswSnapshotLayout.applyBatch(spark, path, id, ups, dels),
-      (spark, last) => graft.index.NswSnapshotLayout.rollback(spark, path, last))
+      (spark, last) => graft.index.NswSnapshotLayout.rollback(spark, path, last),
+      (spark, upTo) => graft.index.NswSnapshotLayout.compact(spark, path, upTo),
+      maxBatches, retain)
 
   private def versionedSink(batch: DataFrame, streamBatchId: Long, path: String,
       apply: (org.apache.spark.sql.SparkSession, Long, DataFrame, DataFrame) => Unit,
-      repair: (org.apache.spark.sql.SparkSession, Long) => Unit): Unit = {
+      repair: (org.apache.spark.sql.SparkSession, Long) => Unit,
+      compact: (org.apache.spark.sql.SparkSession, Long) => Unit,
+      maxBatches: Int, retain: Int): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val layoutId = streamBatchId + 1
@@ -143,9 +178,19 @@ object IndexStream {
     // is a partial apply — purge it before re-applying
     applied.lastOption.filter(_ < layoutId).foreach(last => repair(spark, last))
     val b = batch.localCheckpoint(true)
-    apply(spark, layoutId,
+    // apply() persists everything it derives from the batch (parquet
+    // writes + the manifest), so the pinned micro-batch is garbage the
+    // moment it returns — a long-running stream must not accumulate
+    // one pinned checkpoint per trigger (the free-after-supersede
+    // discipline)
+    try apply(spark, layoutId,
       b.filter(col("op") === "upsert").select(col("vec_id"), col("embedding")),
       b.filter(col("op") === "delete").select(col("vec_id")))
+    finally graft.core.Checkpoints.free(b)
+    // scheduled compaction: bound the un-compacted batch count
+    val after = graft.index.SnapshotLayout.manifestIds(spark, path)
+    if (after.size > maxBatches && retain >= 0 && retain < after.size - 1)
+      compact(spark, after(after.size - 1 - retain))
   }
 
   /** Split one micro-batch into its delete and upsert sides and apply
@@ -164,12 +209,14 @@ object IndexStream {
     val spark = batch.sparkSession
     if (lastAppliedBatch(spark, path, streamId).exists(_ >= batchId)) return
     val b = batch.localCheckpoint(true)
-    val deletes = b.filter(col("op") === "delete").select(col("vec_id"))
-    val upserts = b.filter(col("op") === "upsert")
-      .select(col("vec_id"), col("embedding"))
-    if (!deletes.isEmpty) applyDeletes(deletes)
-    if (!upserts.isEmpty) applyUpserts(upserts)
-    writeAppliedBatch(spark, path, streamId, batchId)
+    try {
+      val deletes = b.filter(col("op") === "delete").select(col("vec_id"))
+      val upserts = b.filter(col("op") === "upsert")
+        .select(col("vec_id"), col("embedding"))
+      if (!deletes.isEmpty) applyDeletes(deletes)
+      if (!upserts.isEmpty) applyUpserts(upserts)
+      writeAppliedBatch(spark, path, streamId, batchId)
+    } finally graft.core.Checkpoints.free(b)
   }
 
   /** The applied-batch sidecar: one tiny JSON object via the Hadoop

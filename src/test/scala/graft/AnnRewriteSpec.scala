@@ -191,6 +191,32 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("layout=nsw: a vec_id-range predicate falls back to the IVF probe, not a crash") {
+    import spark.implicits._
+    // the beam walk's frames rename vec_id to node, so a replayed
+    // vec_id predicate cannot resolve inside the nsw path — the rule
+    // must serve these shapes from the IVF probe (whose posting rows
+    // keep vec_id) instead of throwing AnalysisException mid-rule
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    spark.conf.set("spark.graft.ann.rewrite.layout", "nsw")
+    try {
+      val qv = queryVecs.head._2
+      val df = graft.core.Tables.embeddings(spark, sf)
+        .filter($"vec_id" > 100L)
+        .select($"vec_id", cosineSim($"embedding", typedlit(qv)).as("score"))
+        .orderBy($"score".desc, $"vec_id".asc)
+        .limit(10)
+      assert(!scansParquetCorpus(df),
+        "vec_id-range shape under layout=nsw did not rewrite at all")
+      val got = df.collect().map(_.getAs[Long]("vec_id"))
+      assert(got.length == 10)
+      got.foreach(id => assert(id > 100L, s"hit $id violates the range predicate"))
+    } finally {
+      spark.conf.unset("spark.graft.ann.rewrite")
+      spark.conf.unset("spark.graft.ann.rewrite.layout")
+    }
+  }
+
   test("filtered registry grid is all-true including passes_filter") {
     val rows = AnnRewrite.annRewriteFilteredChecked(spark, sf).collect()
     assert(rows.length == 50)

@@ -310,4 +310,63 @@ class IndexStreamSpec extends AnyFunSuite {
       Seq(up(5L)).toDF("vec_id", "embedding", "op"), streamBatchId = 1L, dir)
     assert(liveIds(Long.MaxValue) == before)
   }
+
+  test("versioned sink compaction cadence bounds batch count; serves identical across it") {
+    // a long-running stream: 6 micro-batches against maxBatches=3 /
+    // retain=1 — without the cadence the layout would accumulate 7
+    // manifests and directory sets; with it, both stay bounded and
+    // every serve the retained window answers is IDENTICAL to an
+    // uncompacted twin's
+    val dir = tmp("graft-ivf-vcomp")
+    val twin = tmp("graft-ivf-vcomp-twin")
+    val built = IvfIndex.build(spark, base)
+    graft.index.SnapshotLayout.init(built, dir)
+    graft.index.SnapshotLayout.init(built, twin)
+    def mutations(sid: Long): Seq[Mutation] = {
+      val ups = (5 * sid until 5 * sid + 5).map(up)
+      if (sid == 3L) ups :+ del(0L) else ups
+    }
+    def manifests(p: String) = graft.index.SnapshotLayout.manifestIds(spark, p)
+    def serve(p: String, b: Long): Seq[(Long, Long, Long, Long)] = {
+      val qs = emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      graft.index.SnapshotLayout.searchAsOf(spark, p, b, qs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    }
+    var asof4: Seq[(Long, Long, Long, Long)] = Seq.empty
+    (0L to 5L).foreach { sid =>
+      val batch = mutations(sid).toDF("vec_id", "embedding", "op")
+      IndexStream.applyVersionedBatch(batch, sid, dir, maxBatches = 3, retain = 1)
+      IndexStream.applyVersionedBatch(batch, sid, twin, maxBatches = 100, retain = 1)
+      assert(manifests(dir).size <= 3,
+        s"after stream batch $sid: ${manifests(dir)} exceeds the bound")
+      // capture as-of-4 right after its batch lands (sid=3 → layout 4,
+      // manifests {2,3,4}): the NEXT batch compacts up to 4, folding
+      // this very snapshot into the consolidated base — the serve must
+      // not move across that
+      if (sid == 3L) asof4 = serve(dir, 4L)
+    }
+    // bounded structure: manifests are the retained tail, vector batch
+    // dirs carry no id below the compaction floor
+    val ms = manifests(dir)
+    assert(ms == Seq(4L, 5L, 6L), s"unexpected retained manifests: $ms")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/vectors"))
+      .filter(_.isDirectory)
+      .flatMap(c => fs.listStatus(c.getPath).filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong))
+      .toSet
+    assert(batchDirs.forall(_ >= 4L), s"stale batch dirs survive: $batchDirs")
+    // serve identity across the mid-stream compaction: the captured
+    // as-of-4 rows still serve bit-identically now that batch 4 IS the
+    // consolidated base, and head matches the never-compacted twin
+    assert(serve(dir, 4L) == asof4, "as-of serve moved across compaction")
+    assert(manifests(twin) == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L))
+    assert(serve(dir, Long.MaxValue) == serve(twin, Long.MaxValue),
+      "compacted head serve diverges from the uncompacted twin")
+    // the deleted id stays dead through compaction
+    assert(!graft.index.SnapshotLayout.asOfAssigned(spark, dir, Long.MaxValue)
+      .select($"vec_id").collect().map(_.getLong(0)).contains(0L))
+  }
 }

@@ -211,4 +211,77 @@ class PqSpec extends AnyFunSuite {
     val rot2 = graft.index.PqCodebooks.fitRotation(emb)
     assert(rot.zip(rot2).forall { case (a, b) => a.sameElements(b) })
   }
+
+  test("maintained layout keeps PQ sidecars current: delta encode, remove prune, rebuild refresh") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-maint").toString
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val base = emb.filter($"vec_id" >= 50)
+    IvfIndex.persist(IvfIndex.build(spark, base), dir)
+    IvfIndex.persistPq(spark, dir)
+    IvfIndex.persistPq(spark, dir, rotate = true, sub = "pqr")
+    def codeIds(sub: String): Seq[Long] =
+      spark.read.parquet(s"$dir/$sub/codes")
+        .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    def storedIds(): Set[Long] =
+      spark.read.parquet(s"$dir/vectors")
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+
+    // delta batch: the sidecars must encode it with the FROZEN
+    // codebooks, or the ADC pre-rank can never surface a delta row
+    val delta = emb.filter($"vec_id" < 5)
+    IvfIndex.addDeltaPersisted(spark, dir, delta)
+    Seq("pq", "pqr").foreach { sub =>
+      val ids = codeIds(sub)
+      assert(ids.length == ids.distinct.length, s"$sub codes carry duplicates")
+      assert(ids.toSet == storedIds(), s"$sub codes diverge from posting rows")
+    }
+    val queries = delta
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    Seq("pq", "pqr").foreach { sub =>
+      val top1 = IvfIndex.searchPersistedPq(spark, dir, queries, k = 1, sub = sub)
+        .collect()
+      assert(top1.length == 5)
+      top1.foreach(r => assert(
+        r.getAs[Long]("neighbor_id") == r.getAs[Long]("q_id") &&
+          r.getAs[Long]("score_e6") == 1000000L,
+        s"$sub: delta q=${r.getAs[Long]("q_id")} not servable through the quantized path"))
+    }
+
+    // re-upsert with a MOVED embedding: exactly one code row for the
+    // id, and the new position serves — a stale code would still rank
+    // the old one
+    val moved = delta.filter($"vec_id" === 0L)
+      .select($"vec_id", transform($"embedding", x => -x).as("embedding"))
+    IvfIndex.addDeltaPersisted(spark, dir, moved)
+    assert(codeIds("pq").count(_ == 0L) == 1, "re-upsert duplicated the code row")
+    val movedQ = moved.select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val movedTop = IvfIndex.searchPersistedPq(spark, dir, movedQ, k = 1).collect()
+    assert(movedTop.length == 1 &&
+      movedTop.head.getAs[Long]("neighbor_id") == 0L &&
+      movedTop.head.getAs[Long]("score_e6") == 1000000L)
+
+    // remove prunes the codes alongside the raw rows
+    IvfIndex.removeDeltaPersisted(spark, dir, Seq(3L, 4L).toDF("vec_id"))
+    Seq("pq", "pqr").foreach { sub =>
+      assert(!codeIds(sub).exists(id => id == 3L || id == 4L),
+        s"$sub codes survive a remove")
+      assert(codeIds(sub).toSet == storedIds())
+    }
+
+    // a drift-envelope rebuild refreshes BOTH sidecars wholesale (old
+    // codebooks describe the pre-rebuild corpus)
+    val big = emb.filter($"vec_id" < 50)
+    assert(IvfIndex.maintain(spark, dir, big), "50-row batch must rebuild over a 450-row fit")
+    Seq("pq", "pqr").foreach { sub =>
+      assert(codeIds(sub).toSet == storedIds(), s"$sub codes stale after rebuild")
+    }
+    val lateQ = emb.filter($"vec_id" === 40L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val lateTop = IvfIndex.searchPersistedPq(spark, dir, lateQ, k = 1).collect()
+    assert(lateTop.length == 1 &&
+      lateTop.head.getAs[Long]("neighbor_id") == 40L &&
+      lateTop.head.getAs[Long]("score_e6") == 1000000L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

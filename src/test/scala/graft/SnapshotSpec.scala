@@ -126,11 +126,41 @@ class SnapshotSpec extends AnyFunSuite {
         .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
     assert(tombDirs.forall(_ > 2L), s"stale tombstones survive: $tombDirs")
     assert(SnapshotLayout.manifestIds(spark, path) == Seq(2L, 3L))
+    // rollback to a compacted-away batch REFUSES instead of deleting
+    // the consolidated base and every later batch (the guard: no
+    // manifest → nothing restorable)
+    val filesBefore = listFiles(path)
+    intercept[IllegalArgumentException] {
+      SnapshotLayout.rollback(spark, path, 1L)
+    }
+    assert(listFiles(path) == filesBefore,
+      "refused rollback must not touch a single file")
     // rollback to the compaction point still works afterwards
     SnapshotLayout.rollback(spark, path, 2L)
     assert(serve(Long.MaxValue) == asof2Before)
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(path).getParentFile)
+  }
+
+  test("ivf_compact / nsw_compact registry grids are all-true") {
+    val ivf = SnapshotLayout.ivfCompactChecked(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    Seq("serve2_identical", "head_identical", "history_truncated",
+      "tombstones_gone", "dirs_bounded", "guard_refuses", "rollback_works")
+      .foreach { c =>
+        assert(ivf.forall(_.getAs[Boolean](c)), s"ivf_compact column $c not all-true")
+      }
+    // the NSW grid also pins the HEALED re-add wart: ids dead at the
+    // compaction point and re-added later lose their stale-position
+    // edges physically (stale_healed), and the check is non-vacuous
+    val nsw = graft.index.NswSnapshotLayout.nswCompactChecked(spark, sf).collect()
+    assert(nsw.nonEmpty)
+    Seq("serve2_identical", "stale_healed", "heal_nonvacuous",
+      "history_truncated", "tombstones_gone", "dirs_bounded",
+      "guard_refuses", "rollback_works")
+      .foreach { c =>
+        assert(nsw.forall(_.getAs[Boolean](c)), s"nsw_compact column $c not all-true")
+      }
   }
 
   test("NSW versioned layout: corrupt batch -> rollback -> byte-identical serve; grid all-true") {
