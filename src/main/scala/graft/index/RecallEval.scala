@@ -343,9 +343,34 @@ object RecallEval {
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
           Stab.e6(cosineSim(col("p"), col("q_vec"))).as("score_e6")),
       10, asc = false)
+    // the FILTERED serving paths at their production compensation
+    // (round 10 — they were measured only in their own curves/specs,
+    // so a filtered-recall regression could not fail the one table
+    // that exists to catch it): the label-block workload both serving
+    // entries use, graded against the brute FILTERED oracle — exact
+    // top-10 over only the rows each query's predicate admits.
+    val q5 = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val exactFiltered = KnnSearch.topK(
+      emb.crossJoin(broadcast(q5))
+        .filter(col("label") === col("q_label"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6")),
+      10, asc = false).localCheckpoint(true)
+    val ivfFiltered = IvfIndex.searchFiltered(
+      IvfIndex.buildCachedFor(s"ivf_meta:$dir", spark,
+        emb.select(col("vec_id"), col("embedding"), col("label")), dir,
+        metaCols = Seq("label")),
+      q5, col("label") === col("q_label"), nProbe = 13)
+    val nswFiltered = NswIndex.searchFiltered(emb,
+      NswIndex.edgesCached(spark, dir), q5,
+      col("label") === col("q_label"), metaCols = Seq("label"))
     recallRow("ivf", ivf, exactCos10, 10, 900000L)
+      .unionByName(recallRow("ivf_filtered", ivfFiltered, exactFiltered, 10, 900000L))
       .unionByName(recallRow("lsh", lsh, exactCos10, 10, 600000L))
       .unionByName(recallRow("nsw", nsw, exactCos5, 5, 900000L))
+      .unionByName(recallRow("nsw_filtered", nswFiltered, exactFiltered, 10, 900000L))
       .unionByName(recallRow("pca16", pca, exactCos10, 10, 200000L))
       .unionByName(recallRow("pq", pq, exactCos10, 10, 850000L))
       .unionByName(recallRow("pq_opq", pqOpq, exactCos10, 10, 850000L))
