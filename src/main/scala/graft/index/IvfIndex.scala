@@ -439,10 +439,23 @@ object IvfIndex {
     * IncrementalSpec: search results hash-equal before/after. */
   def compactPersisted(spark: SparkSession, path: String,
       maxFilesPerPartition: Int = 4): Seq[Int] = {
-    val fs = new org.apache.hadoop.fs.Path(path)
+    val crowded = compactRoot(spark, s"$path/vectors", maxFilesPerPartition)
+    // the PQ code sidecars accumulate one file per delta batch per
+    // touched directory exactly like the raw rows — a long-running
+    // stream must bound BOTH, or the ADC probe inherits the
+    // small-file problem the raw probe just escaped
+    pqSubdirs(spark, path).foreach(sub =>
+      compactRoot(spark, s"$path/$sub/codes", maxFilesPerPartition))
+    crowded
+  }
+
+  private def compactRoot(spark: SparkSession, root: String,
+      maxFilesPerPartition: Int): Seq[Int] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vecDir = new org.apache.hadoop.fs.Path(s"$path/vectors")
-    val crowded = fs.listStatus(vecDir)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootP)) return Seq.empty
+    val crowded = fs.listStatus(rootP)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster_id="))
       .filter(d => fs.listStatus(d.getPath)
         .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerPartition)
@@ -451,13 +464,14 @@ object IvfIndex {
     if (crowded.nonEmpty) {
       val affectedDf = broadcast(
         spark.createDataFrame(crowded.map(Tuple1(_))).toDF("cluster_id"))
-      val rewritten = spark.read.parquet(s"$path/vectors")
+      val rewritten = spark.read.parquet(root)
         .join(affectedDf, Seq("cluster_id"), "left_semi")
         .repartition(col("cluster_id"))
         .localCheckpoint(true)
       rewritten.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cluster_id").parquet(s"$path/vectors")
+        .partitionBy("cluster_id").parquet(root)
+      graft.core.Checkpoints.free(rewritten)
     }
     crowded
   }

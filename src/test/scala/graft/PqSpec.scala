@@ -269,6 +269,27 @@ class PqSpec extends AnyFunSuite {
       assert(codeIds(sub).toSet == storedIds())
     }
 
+    // compaction folds the code sidecars' accumulated delta files
+    // alongside the raw rows, with serve identity
+    val q12 = emb.filter($"vec_id" === 1L || $"vec_id" === 2L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    def serveRows(): Seq[(Long, Long, Long, Long)] =
+      IvfIndex.searchPersistedPq(spark, dir, q12).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val preCompact = serveRows()
+    IvfIndex.compactPersisted(spark, dir, maxFilesPerPartition = 1)
+    val fsC = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("pq", "pqr").foreach { sub =>
+      fsC.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub/codes"))
+        .filter(_.isDirectory).foreach { d =>
+          val n = fsC.listStatus(d.getPath)
+            .count(_.getPath.getName.endsWith(".parquet"))
+          assert(n <= 1, s"$sub/${d.getPath.getName} holds $n files post-compaction")
+        }
+    }
+    assert(serveRows() == preCompact, "codes compaction changed serve results")
+
     // a drift-envelope rebuild refreshes BOTH sidecars wholesale (old
     // codebooks describe the pre-rebuild corpus)
     val big = emb.filter($"vec_id" < 50)
