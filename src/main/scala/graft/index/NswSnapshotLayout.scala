@@ -63,7 +63,14 @@ object NswSnapshotLayout {
     * marker. */
   def applyBatch(spark: SparkSession, path: String, batchId: Long,
       upserts: DataFrame, deletes: DataFrame): Unit = {
-    if (SnapshotLayout.readManifest(spark, path, batchId).isDefined) return
+    // manifest marker + compaction-floor guard, exactly as the IVF
+    // twin: an id at or below the oldest surviving manifest was
+    // applied before compaction and must skip, or its re-appended
+    // rows would sit below the consolidated base with their
+    // tombstones gone (ghost resurrection at head)
+    if (SnapshotLayout.readManifest(spark, path, batchId).isDefined ||
+        SnapshotLayout.manifestIds(spark, path).headOption.exists(batchId <= _))
+      return
     if (!deletes.isEmpty)
       deletes.select(col("vec_id")).withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("batch_id")

@@ -74,8 +74,16 @@ object SnapshotLayout {
       upserts: DataFrame, deletes: DataFrame): Unit = {
     // the manifest is the applied marker (written last): a batch id
     // that already carries one is complete, and re-appending it would
-    // duplicate its partition rows and double-bump the drift sidecar
-    if (readManifest(spark, path, batchId).isDefined) return
+    // duplicate its partition rows and double-bump the drift sidecar.
+    // A batch id AT OR BELOW the compaction floor (the oldest
+    // surviving manifest) is also a replay — it was applied before
+    // compaction folded its manifest away — and must skip even though
+    // its own manifest is gone: re-appending it would land rows under
+    // a batch_id below the consolidated base whose tombstones no
+    // longer exist, resurrecting deleted ids at head (the
+    // fresh-checkpoint restart-at-0 hazard)
+    if (readManifest(spark, path, batchId).isDefined ||
+        manifestIds(spark, path).headOption.exists(batchId <= _)) return
     if (!deletes.isEmpty)
       deletes.select(col("vec_id")).withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("batch_id")

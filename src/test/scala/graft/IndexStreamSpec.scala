@@ -368,5 +368,22 @@ class IndexStreamSpec extends AnyFunSuite {
     // the deleted id stays dead through compaction
     assert(!graft.index.SnapshotLayout.asOfAssigned(spark, dir, Long.MaxValue)
       .select($"vec_id").collect().map(_.getLong(0)).contains(0L))
+
+    // a replayed ANCIENT batch id — a stream restarted with a fresh
+    // checkpoint restarts ids at 0 — has no manifest once compaction
+    // folded it away, so without the floor guard it would re-append
+    // its rows BELOW the consolidated base with the tombstones gone:
+    // id 0 (upserted at layout 1, deleted at 4, folded) would
+    // resurrect at head. The guard skips the whole batch instead.
+    val headFinal = serve(dir, Long.MaxValue)
+    IndexStream.applyVersionedBatch(
+      mutations(0L).toDF("vec_id", "embedding", "op"), 0L, dir,
+      maxBatches = 3, retain = 1)
+    assert(serve(dir, Long.MaxValue) == headFinal,
+      "ancient replay moved the head serve")
+    assert(manifests(dir) == Seq(4L, 5L, 6L))
+    assert(!graft.index.SnapshotLayout.asOfAssigned(spark, dir, Long.MaxValue)
+      .select($"vec_id").collect().map(_.getLong(0)).contains(0L),
+      "compacted-away tombstone's id resurrected by an ancient replay")
   }
 }
