@@ -63,6 +63,7 @@ object NswSnapshotLayout {
     * marker. */
   def applyBatch(spark: SparkSession, path: String, batchId: Long,
       upserts: DataFrame, deletes: DataFrame): Unit = {
+    repairCompaction(spark, path)
     // manifest marker + compaction-floor guard, exactly as the IVF
     // twin: an id at or below the oldest surviving manifest was
     // applied before compaction and must skip, or its re-appended
@@ -106,6 +107,8 @@ object NswSnapshotLayout {
   /** Live (vec_id, embedding) as of `batchId` — the latest-event
     * window over upsert rows and tombstones. */
   def asOfVectors(spark: SparkSession, path: String, batchId: Long): DataFrame = {
+    // read path self-heals a crashed compaction commit (one FS check)
+    repairCompaction(spark, path)
     val ups = spark.read.parquet(s"$path/vectors")
       .filter(col("batch_id") <= batchId)
       .select(col("vec_id"), col("embedding"), col("batch_id"),
@@ -173,30 +176,88 @@ object NswSnapshotLayout {
     * with no post-upTo re-add of an id tombstoned at ≤ upTo
     * (SnapshotSpec pins both the identity and the healed re-add
     * case). */
+  /** Crash-safe via [[SnapshotLayout]]'s stage-then-commit protocol
+    * applied to this layout's two roots: the consolidated live
+    * vectors AND live edges stage under `_compact_tmp` while the
+    * layout is untouched, the plan marker is the commit point, and
+    * the commit swaps each root's `batch_id ≤ upTo` dirs for its
+    * staged consolidated dir with an atomic rename gated on the
+    * stage dir's existence — so a crash anywhere is finished
+    * idempotently by [[repairCompaction]], which every mutation and
+    * reconstruction entry point runs first. */
   def compact(spark: SparkSession, path: String, upTo: Long): Unit = {
+    repairCompaction(spark, path)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (live, liveEdges) = asOfGraph(spark, path, upTo)
     val liveV = live.withColumn("batch_id", lit(upTo)).localCheckpoint(true)
     val liveE = liveEdges.withColumn("batch_id", lit(upTo)).localCheckpoint(true)
     graft.core.Checkpoints.free(live)
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("vectors", "edges", "tombstones").foreach { sub =>
-      val root = new Path(s"$path/$sub")
-      if (fs.exists(root)) {
-        fs.listStatus(root).filter(_.isDirectory)
-          .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upTo)
-          .foreach(d => fs.delete(d.getPath, true))
-        if (sub == "tombstones" && !fs.listStatus(root).exists(_.isDirectory))
-          fs.delete(root, true)
-      }
-    }
-    liveV.write.mode("append").partitionBy("batch_id").parquet(s"$path/vectors")
-    liveE.write.mode("append").partitionBy("batch_id").parquet(s"$path/edges")
+    fs.delete(new Path(s"$path/_compact_tmp"), true)
+    liveV.write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$path/_compact_tmp/vectors")
+    liveE.write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$path/_compact_tmp/edges")
     graft.core.Checkpoints.free(liveV)
     graft.core.Checkpoints.free(liveE)
+    // the plan's cluster slot records WHICH roots actually staged a
+    // consolidated dir (0=vectors, 1=edges): a root whose live set at
+    // upTo is EMPTY writes no batch_id dir, and the commit must still
+    // drop its old dirs — without the record, "stage dir absent"
+    // would be ambiguous between already-swapped and staged-empty
+    val staged = roots.zipWithIndex.collect {
+      case (sub, i) if fs.exists(
+        new Path(s"$path/_compact_tmp/$sub/batch_id=$upTo")) => i
+    }
+    SnapshotLayout.writeCompactPlan(fs, path, upTo, staged)
+    commitCompaction(spark, path, upTo, staged)
+  }
+
+  private val roots = Seq("vectors", "edges")
+
+  /** Finish (or abandon) an in-flight compaction commit — the IVF
+    * twin's repair contract on this layout's roots. */
+  private[graft] def repairCompaction(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$path/_compact_tmp"))) return
+    SnapshotLayout.readCompactPlan(fs, path) match {
+      case None => fs.delete(new Path(s"$path/_compact_tmp"), true)
+      case Some((upTo, staged)) => commitCompaction(spark, path, upTo, staged)
+    }
+  }
+
+  private def commitCompaction(spark: SparkSession, path: String,
+      upTo: Long, staged: Seq[Int]): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    roots.zipWithIndex.foreach { case (sub, i) =>
+      val root = new Path(s"$path/$sub")
+      def dropLe(): Unit =
+        if (fs.exists(root))
+          fs.listStatus(root).filter(_.isDirectory)
+            .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upTo)
+            .foreach(d => fs.delete(d.getPath, true))
+      val stage = new Path(s"$path/_compact_tmp/$sub/batch_id=$upTo")
+      if (!staged.contains(i)) dropLe() // staged-empty root: old rows all dead
+      else if (fs.exists(stage)) {      // not yet swapped (re-runs skip)
+        dropLe()
+        if (!fs.exists(root)) fs.mkdirs(root)
+        fs.rename(stage, new Path(s"$path/$sub/batch_id=$upTo"))
+      }
+    }
+    val tombRoot = new Path(s"$path/tombstones")
+    if (fs.exists(tombRoot)) {
+      fs.listStatus(tombRoot).filter(_.isDirectory)
+        .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upTo)
+        .foreach(d => fs.delete(d.getPath, true))
+      if (!fs.listStatus(tombRoot).exists(_.isDirectory))
+        fs.delete(tombRoot, true)
+    }
     SnapshotLayout.manifestIds(spark, path).filter(_ < upTo).foreach { id =>
       fs.delete(new Path(s"$path/_snapshots/batch-$id.json"), false)
     }
+    fs.delete(new Path(s"$path/_compact_tmp"), true)
     graft.store.IndexVersions.bump(path)
   }
 
@@ -204,6 +265,7 @@ object NswSnapshotLayout {
     * directories deleted (vectors, edges, tombstones), sidecar
     * restored from the target's manifest. */
   def rollback(spark: SparkSession, path: String, batchId: Long): Unit = {
+    repairCompaction(spark, path)
     // same guard as the IVF twin: no manifest → nothing restorable →
     // deleting later batches would destroy the index, not roll it back
     require(SnapshotLayout.readManifest(spark, path, batchId).isDefined,

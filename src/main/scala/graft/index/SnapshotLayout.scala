@@ -72,6 +72,7 @@ object SnapshotLayout {
     * rollback target is the previous batch). */
   def applyBatch(spark: SparkSession, path: String, batchId: Long,
       upserts: DataFrame, deletes: DataFrame): Unit = {
+    repairCompaction(spark, path)
     // the manifest is the applied marker (written last): a batch id
     // that already carries one is complete, and re-appending it would
     // duplicate its partition rows and double-bump the drift sidecar.
@@ -107,6 +108,9 @@ object SnapshotLayout {
     * returning (vec_id, embedding, cluster_id) ready for
     * [[IvfIndex.search]]. */
   def asOfAssigned(spark: SparkSession, path: String, batchId: Long): DataFrame = {
+    // the read path self-heals a crashed compaction commit (one FS
+    // existence check when nothing is in flight)
+    repairCompaction(spark, path)
     val ups = spark.read.parquet(s"$path/vectors")
       .filter(col("batch_id") <= batchId)
       .select(col("vec_id"), col("embedding"), col("cluster_id"),
@@ -148,6 +152,7 @@ object SnapshotLayout {
     * (vectors and tombstones) and restore the sidecar from the
     * target's manifest. No rebuild, no rewrite of surviving files. */
   def rollback(spark: SparkSession, path: String, batchId: Long): Unit = {
+    repairCompaction(spark, path)
     // the target must be restorable BEFORE anything is deleted: after
     // compact(upTo) the manifests below upTo are gone, so a rollback
     // to a pre-compaction id would otherwise silently delete the
@@ -196,20 +201,90 @@ object SnapshotLayout {
     * retention trade). Cost: one reconstruction + one partitioned
     * write of the live set, bounded by live rows ≤ upTo — never the
     * full batch history. */
+  /** Crash-safe: the naive order (delete old dirs, THEN write the
+    * consolidated rows) loses the live set if the job dies in
+    * between — and the streaming sinks run compaction inline, so that
+    * window is real. The protocol is stage-then-commit:
+    *
+    *  1. STAGE — the consolidated live set is written under
+    *     `_compact_tmp/vectors` while the layout is untouched; the
+    *     plan marker (`_compact_tmp/plan.json`, recording upTo and
+    *     the staged cluster list) is written LAST and is the commit
+    *     point. A crash before the plan leaves a garbage tmp dir and
+    *     an intact layout (repair abandons the tmp).
+    *  2. COMMIT — per staged cluster: delete its `batch_id ≤ upTo`
+    *     dirs, then atomically RENAME the staged consolidated dir in
+    *     (the stage dir's existence gates the step, so a re-run skips
+    *     already-swapped clusters and never deletes consolidated
+    *     data); clusters with no staged data just drop their old
+    *     dirs. Tombstone/manifest removal and the tmp cleanup are
+    *     idempotent deletes. A crash ANYWHERE inside commit is
+    *     finished by [[repairCompaction]] re-running the same
+    *     idempotent sequence — every mutation entry point calls it
+    *     first.
+    */
   def compact(spark: SparkSession, path: String, upTo: Long): Unit = {
-    // materialize BEFORE deleting the directories the plan reads
+    repairCompaction(spark, path)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // materialize the live set BEFORE touching anything the plan reads
     val live = asOfAssigned(spark, path, upTo)
       .withColumn("batch_id", lit(upTo))
       .localCheckpoint(true)
+    val tmpRoot = new Path(s"$path/_compact_tmp")
+    fs.delete(tmpRoot, true)
+    live.write.mode("overwrite").partitionBy("cluster_id", "batch_id")
+      .parquet(s"$path/_compact_tmp/vectors")
+    graft.core.Checkpoints.free(live)
+    val clusters = fs.listStatus(new Path(s"$path/_compact_tmp/vectors"))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName.stripPrefix("cluster_id=").toInt).toSeq.sorted
+    writeCompactPlan(fs, path, upTo, clusters)
+    commitCompaction(spark, path, upTo, clusters)
+  }
+
+  /** Finish (or abandon) an in-flight compaction commit. No plan + a
+    * tmp dir = a stage that crashed before its commit point: the
+    * layout is intact, the tmp is garbage. A plan = the commit ran at
+    * least partially: re-run the idempotent commit sequence. Called
+    * by every entry point that mutates or reconstructs the layout. */
+  private[graft] def repairCompaction(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpRoot = new Path(s"$path/_compact_tmp")
+    if (!fs.exists(tmpRoot)) return
+    readCompactPlan(fs, path) match {
+      case None => fs.delete(tmpRoot, true)
+      case Some((upTo, clusters)) => commitCompaction(spark, path, upTo, clusters)
+    }
+  }
+
+  private def commitCompaction(spark: SparkSession, path: String, upTo: Long,
+      clusters: Seq[Int]): Unit = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vecRoot = new Path(s"$path/vectors")
+    def dropLe(clusterDir: Path): Unit =
+      fs.listStatus(clusterDir).filter(_.isDirectory)
+        .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upTo)
+        .foreach(d => fs.delete(d.getPath, true))
+    // clusters with NO staged data: every ≤-upTo row in them is dead —
+    // their old dirs just go (idempotent)
     if (fs.exists(vecRoot))
-      fs.listStatus(vecRoot).filter(_.isDirectory).foreach { c =>
-        fs.listStatus(c.getPath).filter(_.isDirectory)
-          .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upTo)
-          .foreach(d => fs.delete(d.getPath, true))
+      fs.listStatus(vecRoot).filter(_.isDirectory)
+        .filterNot(c => clusters.contains(
+          c.getPath.getName.stripPrefix("cluster_id=").toInt))
+        .foreach(c => dropLe(c.getPath))
+    // clusters WITH staged data: swap, gated on the stage dir so a
+    // re-run cannot delete already-committed consolidated rows
+    clusters.foreach { cid =>
+      val stage = new Path(s"$path/_compact_tmp/vectors/cluster_id=$cid/batch_id=$upTo")
+      if (fs.exists(stage)) {
+        val clusterDir = new Path(s"$path/vectors/cluster_id=$cid")
+        if (fs.exists(clusterDir)) dropLe(clusterDir) else fs.mkdirs(clusterDir)
+        fs.rename(stage, new Path(s"$path/vectors/cluster_id=$cid/batch_id=$upTo"))
       }
+    }
     val tombRoot = new Path(s"$path/tombstones")
     if (fs.exists(tombRoot)) {
       fs.listStatus(tombRoot).filter(_.isDirectory)
@@ -218,9 +293,6 @@ object SnapshotLayout {
       if (!fs.listStatus(tombRoot).exists(_.isDirectory))
         fs.delete(tombRoot, true)
     }
-    live.write.mode("append").partitionBy("cluster_id", "batch_id")
-      .parquet(s"$path/vectors")
-    graft.core.Checkpoints.free(live)
     // empty cluster dirs left by the deletes disappear
     if (fs.exists(vecRoot))
       fs.listStatus(vecRoot).filter(_.isDirectory)
@@ -230,7 +302,37 @@ object SnapshotLayout {
     manifestIds(spark, path).filter(_ < upTo).foreach { id =>
       fs.delete(new Path(s"$path/_snapshots/batch-$id.json"), false)
     }
+    fs.delete(new Path(s"$path/_compact_tmp"), true)
     graft.store.IndexVersions.bump(path)
+  }
+
+  private val PlanPattern = """\{"up_to":(\d+),"clusters":\[([0-9,]*)\]\}""".r
+
+  private[graft] def writeCompactPlan(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, upTo: Long, clusters: Seq[Int]): Unit = {
+    val out = fs.create(new Path(s"$path/_compact_tmp/plan.json"), true)
+    try out.write(
+      s"""{"up_to":$upTo,"clusters":[${clusters.mkString(",")}]}"""
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[graft] def readCompactPlan(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[(Long, Seq[Int])] = {
+    val p = new Path(s"$path/_compact_tmp/plan.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      body.trim match {
+        case PlanPattern(u, cs) => Some((u.toLong,
+          cs.split(",").filter(_.nonEmpty).map(_.toInt).toSeq))
+        case _ => None
+      }
+    }
   }
 
   /** Snapshot ids present under `_snapshots/`, ascending. */
@@ -280,7 +382,7 @@ object SnapshotLayout {
     * work dir). Pure filesystem traffic — no Spark job; the layouts
     * these ops copy are the bounded accountability scenarios, never a
     * production index. */
-  private[index] def copyLayout(spark: SparkSession, src: String,
+  private[graft] def copyLayout(spark: SparkSession, src: String,
       dst: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcP = new Path(src)

@@ -142,6 +142,97 @@ class SnapshotSpec extends AnyFunSuite {
       new java.io.File(path).getParentFile)
   }
 
+  test("compaction is crash-safe: pre-plan, post-plan, and mid-commit crashes all repair") {
+    import org.apache.spark.sql.functions.lit
+    val all = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val src = java.nio.file.Files.createTempDirectory("graft-crash").toString + "/ivf"
+    SnapshotLayout.init(IvfIndex.build(spark, all.filter($"vec_id" >= 50)), src)
+    SnapshotLayout.applyBatch(spark, src, 1L,
+      upserts = all.filter($"vec_id" < 25), deletes = all.limit(0).select($"vec_id"))
+    SnapshotLayout.applyBatch(spark, src, 2L,
+      upserts = all.filter($"vec_id" >= 25 && $"vec_id" < 50),
+      deletes = all.filter($"vec_id" < 25 && $"vec_id" % 7 === 0).select($"vec_id"))
+    SnapshotLayout.applyBatch(spark, src, 3L,
+      upserts = all.filter($"vec_id" < 3), deletes = all.limit(0).select($"vec_id"))
+    val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    def serve(p: String, b: Long) = SnapshotLayout.searchAsOf(spark, p, b, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val asof2 = serve(src, 2L)
+    val head = serve(src, Long.MaxValue)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def copyTo(dst: String): Unit = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dst))
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(src), new java.io.File(dst))
+    }
+    def stage(p: String, upTo: Long): Seq[Int] = {
+      SnapshotLayout.asOfAssigned(spark, p, upTo)
+        .withColumn("batch_id", lit(upTo))
+        .write.mode("overwrite").partitionBy("cluster_id", "batch_id")
+        .parquet(s"$p/_compact_tmp/vectors")
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/_compact_tmp/vectors"))
+        .filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("cluster_id=").toInt).toSeq.sorted
+    }
+    def assertCompacted(p: String): Unit = {
+      assert(serve(p, 2L) == asof2, s"$p as-of-2 serve diverged post-repair")
+      assert(serve(p, Long.MaxValue) == head, s"$p head serve diverged post-repair")
+      assert(SnapshotLayout.manifestIds(spark, p) == Seq(2L, 3L))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/_compact_tmp")),
+        s"$p tmp not cleaned up")
+      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/vectors"))
+        .filter(_.isDirectory)
+        .flatMap(c => fs.listStatus(c.getPath).filter(_.isDirectory)
+          .map(_.getPath.getName.stripPrefix("batch_id=").toLong))
+      assert(dirs.forall(_ >= 2L), s"$p stale batch dirs: ${dirs.toSet}")
+    }
+
+    // crash A — mid-stage (tmp data, NO plan): the layout is intact;
+    // repair abandons the garbage and serves the UNCOMPACTED state
+    val a = src.stripSuffix("/ivf") + "/a"
+    copyTo(a)
+    stage(a, 2L)
+    assert(serve(a, 2L) == asof2 && serve(a, Long.MaxValue) == head)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$a/_compact_tmp")),
+      "pre-plan tmp not abandoned by the read path")
+    assert(SnapshotLayout.manifestIds(spark, a) == Seq(0L, 1L, 2L, 3L))
+
+    // crash B — right after the plan (commit point reached, zero
+    // commit progress): the next read finishes the whole commit
+    val b = src.stripSuffix("/ivf") + "/b"
+    copyTo(b)
+    val clustersB = stage(b, 2L)
+    SnapshotLayout.writeCompactPlan(fs, b, 2L, clustersB)
+    assertCompacted(b)
+
+    // crash C — mid-commit: one staged cluster already swapped, one
+    // old dir of another already deleted; repair finishes the rest
+    val c = src.stripSuffix("/ivf") + "/c"
+    copyTo(c)
+    val clustersC = stage(c, 2L)
+    SnapshotLayout.writeCompactPlan(fs, c, 2L, clustersC)
+    val c0 = clustersC.head
+    val c0dir = new org.apache.hadoop.fs.Path(s"$c/vectors/cluster_id=$c0")
+    if (fs.exists(c0dir))
+      fs.listStatus(c0dir).filter(_.isDirectory)
+        .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= 2L)
+        .foreach(d => fs.delete(d.getPath, true))
+    else fs.mkdirs(c0dir)
+    fs.rename(
+      new org.apache.hadoop.fs.Path(s"$c/_compact_tmp/vectors/cluster_id=$c0/batch_id=2"),
+      new org.apache.hadoop.fs.Path(s"$c/vectors/cluster_id=$c0/batch_id=2"))
+    clustersC.lift(1).foreach { c1 =>
+      val d1 = new org.apache.hadoop.fs.Path(s"$c/vectors/cluster_id=$c1/batch_id=0")
+      if (fs.exists(d1)) fs.delete(d1, true)
+    }
+    assertCompacted(c)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(src).getParentFile)
+  }
+
   test("ivf_compact / nsw_compact registry grids are all-true") {
     val ivf = SnapshotLayout.ivfCompactChecked(spark, sf).collect()
     assert(ivf.nonEmpty)
