@@ -303,6 +303,7 @@ object SparkEntry {
     // + exact rerank) over the persisted cluster layout
     "pq_build" -> (IvfIndex.pqBuild _),
     "ivf_search_pq" -> (IvfIndex.ivfSearchPq _),
+    "ivf_search_pq_filtered" -> (IvfIndex.ivfSearchPqFiltered _),
     // SQ8: zero-training int8 scalar quantization — per-dim bounds +
     // the compressed brute scan (integer-exact, fully SQL-oracled)
     "sq_build" -> (SqIndex.sqBuild _),
@@ -918,6 +919,7 @@ object SparkEntry {
     "ivf_add_delta" -> IvfIndex.ivfAddDeltaSql,
     "pq_build" -> IvfIndex.pqBuildSql,
     "ivf_search_pq" -> IvfIndex.ivfSearchPqSql,
+    "ivf_search_pq_filtered" -> IvfIndex.ivfSearchPqFilteredSql,
     "ivf_probe_curve" -> graft.index.RecallEval.ivfProbeCurveSql,
     "ann_filtered_curve" -> graft.index.RecallEval.annFilteredCurveSql,
     "nsw_beam_curve" -> graft.index.RecallEval.nswBeamCurveSql,

@@ -231,20 +231,28 @@ object IvfIndex {
     * codegen'd dot products), so a delta row lands in the cluster a
     * full rebuild would assign it, WITHOUT an MLlib fit. This is the
     * batch analog of the reference's per-record `add`, which predicts
-    * against the already-fitted KMeans (ivf_index.py:90-117). */
+    * against the already-fitted KMeans (ivf_index.py:90-117).
+    *
+    * Metadata columns of `vecs` (anything beyond vec_id/embedding)
+    * ride through to the assigned rows — a meta-bearing layout (one
+    * built with [[build]] metaCols, serving filtered search) keeps
+    * its posting-row metadata across incremental adds. */
   def assignToCentroids(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val vv = dotProduct(col("embedding"), col("embedding"))
     val vc = dotProduct(col("embedding"), col("centroid"))
     val cc = dotProduct(col("centroid"), col("centroid"))
     val d2 = lit(1.0) - lit(2.0) *
       when(vv === 0d, lit(0.0)).otherwise(vc / sqrt(vv)) + cc
-    vecs.select(col("vec_id"), col("embedding"))
+    val metaCols = vecs.columns.toSeq
+      .filterNot(Set("vec_id", "embedding", "cluster_id"))
+    vecs.select(col("vec_id") +: col("embedding") +: metaCols.map(col): _*)
       .crossJoin(broadcast(centroids))
       .withColumn("d2", d2)
       .withColumn("arank", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cluster_id").asc)))
       .filter(col("arank") === 1)
-      .select(col("vec_id"), col("embedding"), col("cluster_id"))
+      .select(col("vec_id") +: col("embedding") +: metaCols.map(col)
+        :+ col("cluster_id"): _*)
   }
 
   /** Incremental add: assign the delta to the nearest existing
@@ -286,9 +294,22 @@ object IvfIndex {
   }
 
   private def addDeltaRows(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
-    removeRows(spark, path, newVecs.select(col("vec_id")))
+    // a meta-bearing layout's delta must carry the layout's metadata
+    // columns — silently appending meta-less files would leave the
+    // posting table with a split schema and the filtered serve
+    // reading NULL labels for every delta row. Fail fast instead;
+    // extra delta columns the layout doesn't store are dropped.
+    val storedCols = spark.read.parquet(s"$path/vectors").columns.toSeq
+    val missing = storedCols.filterNot(Set("cluster_id"))
+      .filterNot(newVecs.columns.contains)
+    require(missing.isEmpty,
+      s"delta batch missing layout columns ${missing.mkString(", ")}: " +
+        "a meta-bearing layout's deltas must carry its metadata")
+    val delta = newVecs.select(
+      storedCols.filterNot(Set("cluster_id")).map(col): _*)
+    removeRows(spark, path, delta.select(col("vec_id")))
     val centroids = spark.read.parquet(s"$path/centroids")
-    val assigned = assignToCentroids(newVecs, centroids).localCheckpoint(true)
+    val assigned = assignToCentroids(delta, centroids).localCheckpoint(true)
     try {
       assigned.write.mode("append").partitionBy("cluster_id").parquet(s"$path/vectors")
       encodeDeltaPq(spark, path, assigned)
@@ -326,8 +347,12 @@ object IvfIndex {
       val bc = spark.sparkContext.broadcast(books)
       val encodeInput = rot.map(r =>
         PqCodebooks.rotateCol(col("embedding"), r)).getOrElse(col("embedding"))
-      try assigned.select(col("vec_id"), col("cluster_id"),
-          graft.functions.pq.pqEncode(encodeInput, bc).as("code"))
+      // mirror the sidecar's stored schema: the delta's code rows
+      // carry the same metadata columns as the base encode pass
+      val metaCols = assigned.columns.toSeq
+        .filterNot(Set("vec_id", "embedding", "cluster_id"))
+      try assigned.select(col("vec_id") +: col("cluster_id") +: metaCols.map(col)
+          :+ graft.functions.pq.pqEncode(encodeInput, bc).as("code"): _*)
         .write.mode("append").partitionBy("cluster_id").parquet(s"$path/$sub/codes")
       finally bc.unpersist()
     }
@@ -519,13 +544,19 @@ object IvfIndex {
     if (meta.drift(nDelta) > threshold) {
       // Upsert-merge the delta into the stored corpus, then cut the
       // lineage: build()'s assignment pass must read materialized rows,
-      // not the parquet files persist() is about to overwrite.
-      val all = spark.read.parquet(s"$path/vectors")
-        .select(col("vec_id"), col("embedding"))
+      // not the parquet files persist() is about to overwrite. The
+      // layout's metadata columns (filtered-serving labels) survive
+      // the re-fit: the rebuild re-derives metaCols from the stored
+      // schema rather than silently dropping them.
+      val stored = spark.read.parquet(s"$path/vectors")
+      val metaCols = stored.columns.toSeq
+        .filterNot(Set("vec_id", "embedding", "cluster_id"))
+      val keep = (Seq("vec_id", "embedding") ++ metaCols).map(col)
+      val all = stored.select(keep: _*)
         .join(newVecs.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .unionByName(newVecs.select(col("vec_id"), col("embedding")))
+        .unionByName(newVecs.select(keep: _*))
         .localCheckpoint(true)
-      persist(build(spark, all), path)
+      persist(build(spark, all, metaCols = metaCols), path)
       refreshPqSidecars(spark, path)
       true
     } else {
@@ -550,10 +581,13 @@ object IvfIndex {
     val meta = IndexMeta.read(spark, path)
       .getOrElse(IndexMeta.Meta(0L, 0L))
     if (meta.drift(nRemoved) > threshold) {
-      val survivors = vecs.select(col("vec_id"), col("embedding"))
+      val metaCols = vecs.columns.toSeq
+        .filterNot(Set("vec_id", "embedding", "cluster_id"))
+      val survivors = vecs.select(
+          (Seq("vec_id", "embedding") ++ metaCols).map(col): _*)
         .join(removeIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
         .localCheckpoint(true)
-      persist(build(spark, survivors), path)
+      persist(build(spark, survivors, metaCols = metaCols), path)
       refreshPqSidecars(spark, path)
       true
     } else {
@@ -810,8 +844,14 @@ object IvfIndex {
     val bc = spark.sparkContext.broadcast(books)
     val encodeInput = rot.map(r =>
         PqCodebooks.rotateCol(col("embedding"), r)).getOrElse(col("embedding"))
-    try vecs.select(col("vec_id"), col("cluster_id"),
-        graft.functions.pq.pqEncode(encodeInput, bc).as("code"))
+    // posting-row metadata rides the CODES too: a filtered ADC scan
+    // must evaluate its predicate on the code rows in-scan — joining
+    // corpus-sized metadata back in per probe would reintroduce the
+    // very shuffle the compressed tier exists to avoid
+    val metaCols = vecs.columns.toSeq
+      .filterNot(Set("vec_id", "embedding", "cluster_id"))
+    try vecs.select(col("vec_id") +: col("cluster_id") +: metaCols.map(col)
+        :+ graft.functions.pq.pqEncode(encodeInput, bc).as("code"): _*)
       .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/$sub/codes")
     finally bc.unpersist()
   }
@@ -847,7 +887,34 @@ object IvfIndex {
     * probe-bounded candidate sets. */
   def searchPersistedPq(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int = defaultNProbe, k: Int = 10, rerank: Int = 200,
-      sub: String = "pq"): DataFrame = {
+      sub: String = "pq"): DataFrame =
+    searchPersistedPqImpl(spark, path, queries, None, nProbe, k, rerank, sub)
+
+  /** PRE-filter ADC probe search over the compressed tier: the
+    * metadata predicate evaluates on the CODE rows inside the probed
+    * scan — before the ADC rerank cut, so the whole `rerank` quota
+    * goes to candidates that satisfy it (post-filtering the quantized
+    * top-`rerank` would starve a selective predicate exactly like the
+    * raw-path trap [[searchFiltered]] documents). Works because
+    * [[persistPq]] writes the posting rows' metadata columns into the
+    * codes sidecar: the predicate costs nothing extra in-scan, and no
+    * corpus-sized metadata join rides the serve. `pred` may reference
+    * the sidecar's meta columns and any non-vector query columns
+    * (carried through the probe frame). Same compensation stance as
+    * the raw filtered path: a selective filter thins each probed
+    * cluster, so the default nProbe is the filtered 13, not the
+    * unfiltered 11 (measured ≥ 0.9 recall@10 vs the brute filtered
+    * oracle on the label workload — PqSpec pins the bar, the
+    * `pq_filtered` row of `index_recall_eval` serves it nightly). */
+  def searchPersistedPqFiltered(spark: SparkSession, path: String,
+      queries: DataFrame, pred: org.apache.spark.sql.Column,
+      nProbe: Int = 13, k: Int = 10, rerank: Int = 200,
+      sub: String = "pq"): DataFrame =
+    searchPersistedPqImpl(spark, path, queries, Some(pred), nProbe, k, rerank, sub)
+
+  private def searchPersistedPqImpl(spark: SparkSession, path: String,
+      queries: DataFrame, pred: Option[org.apache.spark.sql.Column],
+      nProbe: Int, k: Int, rerank: Int, sub: String): DataFrame = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
     val books = readCodebooks(spark, path, sub)
@@ -867,16 +934,22 @@ object IvfIndex {
     val lutBc = spark.sparkContext.broadcast(luts)
     val qIdx = qRows.zipWithIndex
       .map { case (r, i) => (r.getLong(0), i) }.toSeq.toDF("q_id", "q_idx")
+    // non-vector query columns (e.g. q_label) ride the probe frame so
+    // a filtered predicate can compare them against code-row metadata
+    val qMetaCols = queries.columns.toSeq.filterNot(Set("q_id", "q_vec"))
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster_id").asc)))
       .filter(col("crank") <= nProbe)
-      .select(col("q_id"), col("cluster_id"))
+      .select(col("q_id") +: col("cluster_id") +: qMetaCols.map(col): _*)
       .join(broadcast(qIdx), Seq("q_id"))
     val codes = spark.read.parquet(s"$path/$sub/codes")
-    // ADC pass over the probed partitions: m byte-indexed adds per row
-    val adc = codes.join(broadcast(probes), Seq("cluster_id"))
+    // ADC pass over the probed partitions: m byte-indexed adds per
+    // row; a filtered serve's predicate prunes the scan FIRST, so the
+    // ADC expression only runs on rows that could be returned
+    val joined = codes.join(broadcast(probes), Seq("cluster_id"))
+    val adc = pred.map(joined.filter).getOrElse(joined)
       .select(col("q_id"), col("cluster_id"), col("vec_id"),
         graft.functions.pq.pqAdc(col("code"), col("q_idx"), lutBc).as("adc"))
     // keep the rerank-best by approximate distance (asc); the window
@@ -906,7 +979,12 @@ object IvfIndex {
   private[graft] def pqLayoutFor(spark: SparkSession, dir: String): String =
     pqLayoutCache.get(spark, s"pq_layout:$dir", dir) {
       val base = java.nio.file.Files.createTempDirectory("graft-ivf-pq").toString
-      persist(build(spark, Tables.embeddings(spark, dir)), base)
+      // the shared layout carries `label` in its posting rows AND its
+      // code sidecars (persistPq mirrors the vectors schema), so the
+      // one memoized build serves both the unfiltered and the
+      // filtered compressed-tier entries
+      persist(build(spark, Tables.embeddings(spark, dir),
+        metaCols = Seq("label")), base)
       persistPq(spark, base)
       // the OPQ-rotated sidecar rides the same base layout under its
       // own subdir — one extra bounded fit + one extra encode pass,
@@ -989,5 +1067,54 @@ object IvfIndex {
     """SELECT vec_id AS q_id, true AS self_found, true AS top1_exact,
       |  true AS k_hits, true AS ids_in_corpus, true AS scores_bounded,
       |  true AS monotone
+      |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin
+
+  /** `ivf_search_pq_filtered`: label-constrained ADC probe search over
+    * the compressed tier — [[searchPersistedPqFiltered]] on the shared
+    * memoized layout (whose code sidecars carry `label`), pushed
+    * through the filtered invariant grid [[ivfSearchFiltered]] uses:
+    *  - `k_results`: exactly k rows per query (pre-filter semantics on
+    *    the CODE rows — a post-filtered quantized top-k comes up
+    *    short whenever matches rank below non-matches in ADC order);
+    *  - `all_match_label`: every neighbor satisfies the predicate,
+    *    re-derived here from the embeddings TABLE (not the sidecar),
+    *    so a corrupted or stale code-row label flips the hash;
+    *  - `self_found` / `top1_exact`: the query's own vector survives
+    *    both the filter and the ADC cut and reranks to 1.0;
+    *  - `monotone`: exact-reranked scores non-increasing in rank.
+    * Recall quality vs the brute filtered oracle is PqSpec's measured
+    * bar and `index_recall_eval`'s `pq_filtered` row. */
+  def ivfSearchPqFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val base = pqLayoutFor(spark, dir)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("q_label"))
+    val hits = searchPersistedPqFiltered(spark, base, queries,
+      col("label") === col("q_label")).localCheckpoint(true)
+    val labels = emb.select($"vec_id".as("neighbor_id"), $"label".as("n_label"))
+      .join(broadcast(hits.select($"neighbor_id").distinct()),
+        Seq("neighbor_id"), "left_semi")
+    val qLabels = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"))
+    val next = hits.select($"q_id", ($"rank" - 1).as("rank"),
+      $"score_e6".as("next_score"))
+    hits
+      .join(broadcast(labels), Seq("neighbor_id"))
+      .join(broadcast(qLabels), Seq("q_id"))
+      .join(broadcast(next), Seq("q_id", "rank"), "left")
+      .groupBy($"q_id").agg(
+        (count(lit(1)) === 10L).as("k_results"),
+        (min(($"n_label" === $"q_label").cast("int")) === 1).as("all_match_label"),
+        (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
+        (max(when($"rank" === 1L, $"score_e6")) === 1000000L).as("top1_exact"),
+        (min(coalesce($"next_score" <= $"score_e6", lit(true)).cast("int")) === 1).as("monotone"))
+      .orderBy($"q_id")
+  }
+
+  val ivfSearchPqFilteredSql: String =
+    """SELECT vec_id AS q_id, true AS k_results, true AS all_match_label,
+      |  true AS self_found, true AS top1_exact, true AS monotone
       |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin
 }

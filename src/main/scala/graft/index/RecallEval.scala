@@ -366,6 +366,13 @@ object RecallEval {
     val nswFiltered = NswIndex.searchFiltered(emb,
       NswIndex.edgesCached(spark, dir), q5,
       col("label") === col("q_label"), metaCols = Seq("label"))
+    // the compressed tier's filtered serve (round 10): the predicate
+    // evaluates on the CODE rows before the ADC rerank cut, so this
+    // row grades the whole filtered-quantized pipeline — label-bearing
+    // sidecar, pre-filter scan, compensated probe — not just the
+    // unfiltered codebook fidelity the pq row already covers
+    val pqFiltered = IvfIndex.searchPersistedPqFiltered(spark,
+      IvfIndex.pqLayoutFor(spark, dir), q5, col("label") === col("q_label"))
     recallRow("ivf", ivf, exactCos10, 10, 900000L)
       .unionByName(recallRow("ivf_filtered", ivfFiltered, exactFiltered, 10, 900000L))
       .unionByName(recallRow("lsh", lsh, exactCos10, 10, 600000L))
@@ -373,6 +380,7 @@ object RecallEval {
       .unionByName(recallRow("nsw_filtered", nswFiltered, exactFiltered, 10, 900000L))
       .unionByName(recallRow("pca16", pca, exactCos10, 10, 200000L))
       .unionByName(recallRow("pq", pq, exactCos10, 10, 850000L))
+      .unionByName(recallRow("pq_filtered", pqFiltered, exactFiltered, 10, 850000L))
       .unionByName(recallRow("pq_opq", pqOpq, exactCos10, 10, 850000L))
       .unionByName(recallRow("sq8", sq8, exactDot10, 10, 900000L))
       .orderBy(col("index"))

@@ -305,4 +305,93 @@ class PqSpec extends AnyFunSuite {
       lateTop.head.getAs[Long]("score_e6") == 1000000L)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("filtered ADC serve: pre-filter semantics, recall >= 0.9 vs brute filtered, meta survives maintenance") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-filt").toString
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label")
+    val base = emb.filter($"vec_id" >= 5)
+    IvfIndex.persist(IvfIndex.build(spark, base, metaCols = Seq("label")), dir)
+    IvfIndex.persistPq(spark, dir)
+    // the sidecar mirrors the posting rows' metadata — the predicate
+    // must evaluate in the code scan, not via a corpus-sized join
+    assert(spark.read.parquet(s"$dir/pq/codes").columns.contains("label"),
+      "codes sidecar does not carry the layout's metadata")
+
+    val queries = emb.filter($"vec_id" >= 5 && $"vec_id" < 30)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("q_label"))
+    val hits = IvfIndex.searchPersistedPqFiltered(spark, dir, queries,
+      col("label") === col("q_label")).collect()
+    // pre-filter shape: full top-10 per query, every hit legal
+    assert(hits.length == 25 * 10, s"expected 250 rows, got ${hits.length}")
+    val labelOf = base.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qLabelOf = queries.select($"q_id", $"q_label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    hits.foreach { r =>
+      assert(labelOf(r.getAs[Long]("neighbor_id")) == qLabelOf(r.getAs[Long]("q_id")),
+        "filtered ADC serve returned a neighbor violating the predicate")
+    }
+    // measured recall vs the brute FILTERED oracle at production
+    // compensation (nProbe=13) — the bar index_recall_eval's
+    // pq_filtered row publishes
+    val got = hits.groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val brute = base.crossJoin(broadcast(queries))
+      .filter($"label" === $"q_label")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        graft.core.Stab.e6(graft.functions.vectors.cosineSim($"embedding", $"q_vec")).as("score_e6"))
+    val want = graft.operators.KnnSearch.topK(brute, 10, asc = false)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recall = want.map { case (q, w) =>
+      got.get(q).map(g => g.intersect(w).size.toDouble / w.size).getOrElse(0.0)
+    }.sum / want.size
+    assert(recall >= 0.9, s"filtered ADC recall@10 $recall < 0.9")
+
+    // maintenance coupling: a label-bearing delta rides into BOTH the
+    // posting rows and the code sidecar, and serves through the
+    // filtered quantized path immediately
+    val delta = emb.filter($"vec_id" < 5)
+    IvfIndex.addDeltaPersisted(spark, dir, delta)
+    val deltaQ = delta.select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+      $"label".as("q_label"))
+    val deltaTop = IvfIndex.searchPersistedPqFiltered(spark, dir, deltaQ,
+      col("label") === col("q_label"), k = 1).collect()
+    assert(deltaTop.length == 5)
+    deltaTop.foreach(r => assert(
+      r.getAs[Long]("neighbor_id") == r.getAs[Long]("q_id") &&
+        r.getAs[Long]("score_e6") == 1000000L,
+      "delta row not servable through the filtered quantized path"))
+    // a meta-less delta against a meta-bearing layout fails FAST —
+    // appending it would leave NULL-label rows invisible to every
+    // filtered serve
+    val err = intercept[IllegalArgumentException] {
+      IvfIndex.addDeltaPersisted(spark, dir,
+        emb.filter($"vec_id" === 30L).select($"vec_id", $"embedding"))
+    }
+    assert(err.getMessage.contains("label"))
+
+    // a drift-envelope rebuild re-fits WITH the layout's metaCols: the
+    // label column survives in the posting rows and the re-encoded
+    // sidecar, and the filtered serve still works. The batch MOVES 60
+    // embeddings (identical re-adds count 0 drift), pushing past the
+    // 10% envelope over the ~495-row fit.
+    val big = emb.filter($"vec_id" >= 400 && $"vec_id" < 460)
+      .select($"vec_id", transform($"embedding", x => -x).as("embedding"), $"label")
+    assert(IvfIndex.maintain(spark, dir, big), "60 moved rows must rebuild")
+    assert(spark.read.parquet(s"$dir/vectors").columns.contains("label"),
+      "rebuild dropped the layout's metadata from the posting rows")
+    assert(spark.read.parquet(s"$dir/pq/codes").columns.contains("label"),
+      "rebuild dropped the layout's metadata from the code sidecar")
+    val lateQ = big.filter($"vec_id" === 440L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"label".as("q_label"))
+    val lateTop = IvfIndex.searchPersistedPqFiltered(spark, dir, lateQ,
+      col("label") === col("q_label"), k = 1).collect()
+    assert(lateTop.length == 1 &&
+      lateTop.head.getAs[Long]("neighbor_id") == 440L &&
+      lateTop.head.getAs[Long]("score_e6") == 1000000L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
