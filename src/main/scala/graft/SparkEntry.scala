@@ -124,6 +124,7 @@ object SparkEntry {
     // versioned posting layout: serve "as of batch B" + rollback —
     // crud_asof's discipline composed with the persisted IVF layout
     "ivf_search_asof" -> (graft.index.SnapshotLayout.ivfSearchAsof _),
+    "ivf_search_asof_pq" -> (graft.index.SnapshotLayout.ivfSearchAsofPq _),
     "nsw_search_asof" -> (graft.index.NswSnapshotLayout.nswSearchAsof _),
     // compaction invariance, driver-checked per round for both index
     // families: serve-identical at >= upTo, history truncated below,
@@ -636,6 +637,7 @@ object SparkEntry {
     "ivf_search_filtered" -> IvfIndex.ivfSearchFilteredSql,
     "nsw_search_filtered" -> NswIndex.nswSearchFilteredSql,
     "ivf_search_asof" -> graft.index.SnapshotLayout.ivfSearchAsofSql,
+    "ivf_search_asof_pq" -> graft.index.SnapshotLayout.ivfSearchAsofPqSql,
     "nsw_search_asof" -> graft.index.NswSnapshotLayout.nswSearchAsofSql,
     "ivf_compact" -> graft.index.SnapshotLayout.ivfCompactCheckedSql,
     "nsw_compact" -> graft.index.NswSnapshotLayout.nswCompactCheckedSql,

@@ -320,7 +320,7 @@ object IvfIndex {
     * carrying a `codebooks` table (the `pq`/`pqr` layout
     * [[persistPq]] writes). A layout without sidecars returns empty —
     * the common case pays one directory listing, no job. */
-  private def pqSubdirs(spark: SparkSession, path: String): Seq[String] = {
+  private[index] def pqSubdirs(spark: SparkSession, path: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
@@ -339,8 +339,8 @@ object IvfIndex {
     * rerank no matter how close it is. One codegen'd `PqEncode` pass
     * over the delta per sidecar, appended into the same `cluster_id=`
     * partition scheme as the raw rows. */
-  private def encodeDeltaPq(spark: SparkSession, path: String,
-      assigned: DataFrame): Unit =
+  private[index] def encodeDeltaPq(spark: SparkSession, path: String,
+      assigned: DataFrame, partitionCols: Seq[String] = Seq("cluster_id")): Unit =
     pqSubdirs(spark, path).foreach { sub =>
       val books = readCodebooks(spark, path, sub)
       val rot = readRotation(spark, path, sub)
@@ -350,10 +350,11 @@ object IvfIndex {
       // mirror the sidecar's stored schema: the delta's code rows
       // carry the same metadata columns as the base encode pass
       val metaCols = assigned.columns.toSeq
-        .filterNot(Set("vec_id", "embedding", "cluster_id"))
-      try assigned.select(col("vec_id") +: col("cluster_id") +: metaCols.map(col)
+        .filterNot((Set("vec_id", "embedding") ++ partitionCols).contains)
+      try assigned.select(col("vec_id") +: partitionCols.map(col) ++: metaCols.map(col)
           :+ graft.functions.pq.pqEncode(encodeInput, bc).as("code"): _*)
-        .write.mode("append").partitionBy("cluster_id").parquet(s"$path/$sub/codes")
+        .write.mode("append").partitionBy(partitionCols: _*)
+        .parquet(s"$path/$sub/codes")
       finally bc.unpersist()
     }
 
@@ -815,7 +816,8 @@ object IvfIndex {
     * (ivf_index.py:139-185). */
   def persistPq(spark: SparkSession, path: String,
       m: Int = PqCodebooks.defaultM, codes: Int = PqCodebooks.defaultCodes,
-      seed: Long = 42L, rotate: Boolean = false, sub: String = "pq"): Unit = {
+      seed: Long = 42L, rotate: Boolean = false, sub: String = "pq",
+      partitionCols: Seq[String] = Seq("cluster_id")): Unit = {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$path/vectors")
     // OPQ-style rotated tier (`rotate=true`): fit the PCA basis with
@@ -847,16 +849,20 @@ object IvfIndex {
     // posting-row metadata rides the CODES too: a filtered ADC scan
     // must evaluate its predicate on the code rows in-scan — joining
     // corpus-sized metadata back in per probe would reintroduce the
-    // very shuffle the compressed tier exists to avoid
+    // very shuffle the compressed tier exists to avoid. partitionCols
+    // generalizes the layout scheme: the plain persisted layout codes
+    // under `cluster_id=`, the versioned layout under
+    // `cluster_id=/batch_id=` (mirroring its vectors table).
     val metaCols = vecs.columns.toSeq
-      .filterNot(Set("vec_id", "embedding", "cluster_id"))
-    try vecs.select(col("vec_id") +: col("cluster_id") +: metaCols.map(col)
+      .filterNot((Set("vec_id", "embedding") ++ partitionCols).contains)
+    try vecs.select(col("vec_id") +: partitionCols.map(col) ++: metaCols.map(col)
         :+ graft.functions.pq.pqEncode(encodeInput, bc).as("code"): _*)
-      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/$sub/codes")
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(s"$path/$sub/codes")
     finally bc.unpersist()
   }
 
-  private def readCodebooks(spark: SparkSession, path: String,
+  private[index] def readCodebooks(spark: SparkSession, path: String,
       sub: String = "pq"): Array[Array[Array[Float]]] = {
     val rows = spark.read.parquet(s"$path/$sub/codebooks").collect()
       .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
@@ -866,7 +872,7 @@ object IvfIndex {
       .map(_._2.sortBy(_._2).map(_._3)).toArray
   }
 
-  private def readRotation(spark: SparkSession, path: String,
+  private[index] def readRotation(spark: SparkSession, path: String,
       sub: String): Option[Array[Array[Float]]] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/$sub/rotation")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -912,18 +918,21 @@ object IvfIndex {
       sub: String = "pq"): DataFrame =
     searchPersistedPqImpl(spark, path, queries, Some(pred), nProbe, k, rerank, sub)
 
-  private def searchPersistedPqImpl(spark: SparkSession, path: String,
-      queries: DataFrame, pred: Option[org.apache.spark.sql.Column],
-      nProbe: Int, k: Int, rerank: Int, sub: String): DataFrame = {
+  /** Per-query ADC state for a layout's `sub` sidecar: the broadcast
+    * LUT array (queries collected once — the bounded interactive
+    * side — rotated into the sidecar's space when it has a basis) and
+    * the probe frame (nProbe centroid-ranked (q_id, cluster_id) rows
+    * + the LUT index + any non-vector query columns, so a filtered
+    * predicate can compare them against code-row metadata). Shared by
+    * the persisted and versioned compressed-tier serves. */
+  private[index] def pqQueryState(spark: SparkSession, path: String,
+      queries: DataFrame, nProbe: Int, sub: String)
+      : (org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+        DataFrame) = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
     val books = readCodebooks(spark, path, sub)
-    // a rotated tier stores its basis next to the codebooks — the
-    // query enters the same rotated space before the LUT build
-    // (driver-side matvec over the bounded query batch)
     val rotation = readRotation(spark, path, sub)
-    // queries are the bounded side (an interactive batch, not a
-    // table): collect once for the LUTs the ADC expression needs
     val qRows = queries.select(col("q_id"), col("q_vec")).collect()
       .sortBy(_.getLong(0))
     val luts = qRows.map { r =>
@@ -934,8 +943,6 @@ object IvfIndex {
     val lutBc = spark.sparkContext.broadcast(luts)
     val qIdx = qRows.zipWithIndex
       .map { case (r, i) => (r.getLong(0), i) }.toSeq.toDF("q_id", "q_idx")
-    // non-vector query columns (e.g. q_label) ride the probe frame so
-    // a filtered predicate can compare them against code-row metadata
     val qMetaCols = queries.columns.toSeq.filterNot(Set("q_id", "q_vec"))
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
@@ -944,6 +951,13 @@ object IvfIndex {
       .filter(col("crank") <= nProbe)
       .select(col("q_id") +: col("cluster_id") +: qMetaCols.map(col): _*)
       .join(broadcast(qIdx), Seq("q_id"))
+    (lutBc, probes)
+  }
+
+  private def searchPersistedPqImpl(spark: SparkSession, path: String,
+      queries: DataFrame, pred: Option[org.apache.spark.sql.Column],
+      nProbe: Int, k: Int, rerank: Int, sub: String): DataFrame = {
+    val (lutBc, probes) = pqQueryState(spark, path, queries, nProbe, sub)
     val codes = spark.read.parquet(s"$path/$sub/codes")
     // ADC pass over the probed partitions: m byte-indexed adds per
     // row; a filtered serve's predicate prunes the scan FIRST, so the

@@ -91,11 +91,28 @@ object SnapshotLayout {
         .parquet(s"$path/tombstones")
     if (!upserts.isEmpty) {
       val centroids = spark.read.parquet(s"$path/centroids")
-      IvfIndex.assignToCentroids(
+      val assigned = IvfIndex.assignToCentroids(
           upserts.select(col("vec_id"), col("embedding")), centroids)
         .withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("cluster_id", "batch_id")
-        .parquet(s"$path/vectors")
+      val subs = IvfIndex.pqSubdirs(spark, path)
+      if (subs.isEmpty)
+        assigned.write.mode("append").partitionBy("cluster_id", "batch_id")
+          .parquet(s"$path/vectors")
+      else {
+        // a layout carrying PQ sidecars ([[initPq]]) encodes every
+        // batch with the FROZEN codebooks in the same versioned
+        // partition scheme — the persisted layout's VERDICT-r9 lesson
+        // (a delta row with no code is invisible to the ADC pre-rank)
+        // applied to the versioned tier; checkpoint so the assignment
+        // is not recomputed per sidecar
+        val mat = assigned.localCheckpoint(true)
+        try {
+          mat.write.mode("append").partitionBy("cluster_id", "batch_id")
+            .parquet(s"$path/vectors")
+          IvfIndex.encodeDeltaPq(spark, path, mat,
+            partitionCols = Seq("cluster_id", "batch_id"))
+        } finally graft.core.Checkpoints.free(mat)
+      }
     }
     val drift = upserts.count() + deletes.count()
     IndexMeta.bumpDelta(spark, path, drift)
@@ -148,6 +165,97 @@ object SnapshotLayout {
         spark.read.parquet(s"$path/centroids")),
       queries, nProbe, k)
 
+  // ---- versioned compressed tier (PQ sidecar over the batch log) ------
+
+  /** Add a PQ sidecar to the VERSIONED layout: codebooks trained once
+    * (frozen thereafter — the centroid discipline applied to the
+    * compressed tier) and every posting row present at call time
+    * encoded under the same `cluster_id=/batch_id=` scheme as the raw
+    * rows. Batches applied AFTER this call are encoded by
+    * [[applyBatch]] automatically, so as-of code coverage is complete
+    * from this call onward (call it at [[init]] time for full-history
+    * coverage). The codebook fit samples the stored rows as they are
+    * — superseded versions and tombstoned ids included — which only
+    * blurs the fit marginally; codes themselves are per-row exact. */
+  def initPq(spark: SparkSession, path: String,
+      m: Int = PqCodebooks.defaultM, codes: Int = PqCodebooks.defaultCodes,
+      seed: Long = 42L, rotate: Boolean = false, sub: String = "pq"): Unit =
+    IvfIndex.persistPq(spark, path, m, codes, seed, rotate, sub,
+      partitionCols = Seq("cluster_id", "batch_id"))
+
+  /** (vec_id, batch_id) of each id's WINNING upsert as of `batchId` —
+    * the [[asOfAssigned]] argmax window over KEYS ONLY (a
+    * column-pruned scan of the posting tree: 16 bytes a row through
+    * the shuffle instead of the embedding payload). The winner pairs
+    * key both the live CODE set and the direct-address exact rerank:
+    * a code row is live iff its (vec_id, batch_id) won, and the
+    * winning raw row lives at exactly that partition pair. */
+  private def asOfWinners(spark: SparkSession, path: String,
+      batchId: Long): DataFrame = {
+    val ups = spark.read.parquet(s"$path/vectors")
+      .filter(col("batch_id") <= batchId)
+      .select(col("vec_id"), col("batch_id"), lit(1).as("is_upsert"))
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombRoot = new Path(s"$path/tombstones")
+    val hasTombs = fs.exists(tombRoot) &&
+      fs.listStatus(tombRoot).exists(_.isDirectory)
+    val tombs =
+      if (!hasTombs) ups.limit(0)
+      else spark.read.parquet(s"$path/tombstones")
+        .filter(col("batch_id") <= batchId)
+        .select(col("vec_id"), col("batch_id"), lit(0).as("is_upsert"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("batch_id").desc, col("is_upsert").desc)
+    ups.unionByName(tombs)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("is_upsert") === 1)
+      .select(col("vec_id"), col("batch_id"))
+  }
+
+  /** The live CODE set as of `batchId`: code rows whose
+    * (vec_id, batch_id) pair is the winning upsert. Output keeps
+    * `batch_id` — it addresses the winning raw row directly. */
+  private[graft] def asOfCodes(spark: SparkSession, path: String,
+      batchId: Long, sub: String = "pq"): DataFrame =
+    spark.read.parquet(s"$path/$sub/codes")
+      .filter(col("batch_id") <= batchId)
+      .join(asOfWinners(spark, path, batchId), Seq("vec_id", "batch_id"))
+
+  /** ADC probe search served AS OF `batchId` from the versioned code
+    * sidecar: probe the centroid ranking, ADC-score only the live
+    * code rows of the probed clusters, keep the `rerank` best, and
+    * exact-rerank their raw vectors. The versioned serve is CHEAPER
+    * than the raw [[searchAsOf]] at scale in two ways: the
+    * merge-on-read argmax window runs over keys (asOfWinners), not
+    * embedding payloads, and the exact rerank never reconstructs —
+    * the surviving code row's (cluster_id, vec_id, batch_id) IS the
+    * winning raw row's partition address, so the fetch is a
+    * partition-pruned broadcast join of `rerank × |queries|` rows. */
+  def searchAsOfPq(spark: SparkSession, path: String, batchId: Long,
+      queries: DataFrame, nProbe: Int = IvfIndex.defaultNProbe,
+      k: Int = 10, rerank: Int = 200, sub: String = "pq"): DataFrame = {
+    repairCompaction(spark, path)
+    val (lutBc, probes) = IvfIndex.pqQueryState(spark, path, queries, nProbe, sub)
+    val adc = asOfCodes(spark, path, batchId, sub)
+      .join(broadcast(probes), Seq("cluster_id"))
+      .select(col("q_id"), col("cluster_id"), col("vec_id"), col("batch_id"),
+        graft.functions.pq.pqAdc(col("code"), col("q_idx"), lutBc).as("adc"))
+    val cand = adc.withColumn("arank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id").asc)))
+      .filter(col("arank") <= rerank)
+      .select(col("q_id"), col("cluster_id"), col("vec_id"), col("batch_id"))
+    val raw = spark.read.parquet(s"$path/vectors")
+    val scored = raw
+      .join(broadcast(cand), Seq("cluster_id", "vec_id", "batch_id"))
+      .join(broadcast(queries.select(col("q_id"), col("q_vec"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        graft.core.Stab.e6(
+          graft.functions.vectors.cosineSim(col("embedding"), col("q_vec")))
+          .as("score_e6"))
+    graft.operators.KnnSearch.topK(scored, k, asc = false)
+  }
+
   /** Roll back to `batchId`: delete every later batch's directories
     * (vectors and tombstones) and restore the sidecar from the
     * target's manifest. No rebuild, no rewrite of surviving files. */
@@ -163,16 +271,20 @@ object SnapshotLayout {
         "delete newer batches with no restorable target")
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // vectors/cluster_id=C/batch_id=B
-    val vecRoot = new Path(s"$path/vectors")
-    if (fs.exists(vecRoot))
-      fs.listStatus(vecRoot).filter(_.isDirectory).foreach { c =>
+    // vectors/cluster_id=C/batch_id=B — and the code sidecars, which
+    // mirror the scheme: a rolled-back batch's codes must go with its
+    // raw rows or the ADC pre-rank would keep serving dead versions
+    (Seq(s"$path/vectors") ++
+        IvfIndex.pqSubdirs(spark, path).map(sub => s"$path/$sub/codes"))
+      .map(new Path(_)).filter(fs.exists).foreach { root =>
+      fs.listStatus(root).filter(_.isDirectory).foreach { c =>
         fs.listStatus(c.getPath).filter(_.isDirectory)
           .filter(_.getPath.getName.stripPrefix("batch_id=").toLong > batchId)
           .foreach(d => fs.delete(d.getPath, true))
         // a cluster dir emptied of every batch dir disappears too
         if (fs.listStatus(c.getPath).isEmpty) fs.delete(c.getPath, true)
       }
+    }
     val tombRoot = new Path(s"$path/tombstones")
     if (fs.exists(tombRoot))
       fs.listStatus(tombRoot).filter(_.isDirectory)
@@ -236,6 +348,17 @@ object SnapshotLayout {
     live.write.mode("overwrite").partitionBy("cluster_id", "batch_id")
       .parquet(s"$path/_compact_tmp/vectors")
     graft.core.Checkpoints.free(live)
+    // the code sidecars stage their live sets under the same scheme —
+    // compaction must fold BOTH tables or the ADC serve would keep
+    // paying (and eventually mis-resolving) the folded history. The
+    // staged cluster set is the raw one: live code rows mirror live
+    // raw rows id-for-id wherever the sidecar has coverage.
+    IvfIndex.pqSubdirs(spark, path).foreach { sub =>
+      asOfCodes(spark, path, upTo, sub)
+        .withColumn("batch_id", lit(upTo))
+        .write.mode("overwrite").partitionBy("cluster_id", "batch_id")
+        .parquet(s"$path/_compact_tmp/codes/$sub")
+    }
     val clusters = fs.listStatus(new Path(s"$path/_compact_tmp/vectors"))
       .filter(_.isDirectory)
       .map(_.getPath.getName.stripPrefix("cluster_id=").toInt).toSeq.sorted
@@ -263,26 +386,36 @@ object SnapshotLayout {
       clusters: Seq[Int]): Unit = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vecRoot = new Path(s"$path/vectors")
     def dropLe(clusterDir: Path): Unit =
       fs.listStatus(clusterDir).filter(_.isDirectory)
         .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upTo)
         .foreach(d => fs.delete(d.getPath, true))
-    // clusters with NO staged data: every ≤-upTo row in them is dead —
-    // their old dirs just go (idempotent)
-    if (fs.exists(vecRoot))
-      fs.listStatus(vecRoot).filter(_.isDirectory)
-        .filterNot(c => clusters.contains(
-          c.getPath.getName.stripPrefix("cluster_id=").toInt))
-        .foreach(c => dropLe(c.getPath))
-    // clusters WITH staged data: swap, gated on the stage dir so a
-    // re-run cannot delete already-committed consolidated rows
-    clusters.foreach { cid =>
-      val stage = new Path(s"$path/_compact_tmp/vectors/cluster_id=$cid/batch_id=$upTo")
-      if (fs.exists(stage)) {
-        val clusterDir = new Path(s"$path/vectors/cluster_id=$cid")
-        if (fs.exists(clusterDir)) dropLe(clusterDir) else fs.mkdirs(clusterDir)
-        fs.rename(stage, new Path(s"$path/vectors/cluster_id=$cid/batch_id=$upTo"))
+    // every batch-partitioned table commits with the same idempotent
+    // per-cluster swap: the raw posting rows plus each code sidecar
+    // (whose live rows mirror the raw live set, so the plan's cluster
+    // list gates both). A sidecar cluster with no staged dir either
+    // already swapped or stages nothing — its old ≤-upTo dirs just go.
+    val roots: Seq[(Path, String)] =
+      Seq((new Path(s"$path/vectors"), s"$path/_compact_tmp/vectors")) ++
+        IvfIndex.pqSubdirs(spark, path).map(sub =>
+          (new Path(s"$path/$sub/codes"), s"$path/_compact_tmp/codes/$sub"))
+    roots.foreach { case (root, stageRoot) =>
+      // clusters with NO staged data: every ≤-upTo row in them is
+      // dead — their old dirs just go (idempotent)
+      if (fs.exists(root))
+        fs.listStatus(root).filter(_.isDirectory)
+          .filterNot(c => clusters.contains(
+            c.getPath.getName.stripPrefix("cluster_id=").toInt))
+          .foreach(c => dropLe(c.getPath))
+      // clusters WITH staged data: swap, gated on the stage dir so a
+      // re-run cannot delete already-committed consolidated rows
+      clusters.foreach { cid =>
+        val stage = new Path(s"$stageRoot/cluster_id=$cid/batch_id=$upTo")
+        if (fs.exists(stage)) {
+          val clusterDir = new Path(s"$root/cluster_id=$cid")
+          if (fs.exists(clusterDir)) dropLe(clusterDir) else fs.mkdirs(clusterDir)
+          fs.rename(stage, new Path(s"$root/cluster_id=$cid/batch_id=$upTo"))
+        }
       }
     }
     val tombRoot = new Path(s"$path/tombstones")
@@ -294,10 +427,11 @@ object SnapshotLayout {
         fs.delete(tombRoot, true)
     }
     // empty cluster dirs left by the deletes disappear
-    if (fs.exists(vecRoot))
-      fs.listStatus(vecRoot).filter(_.isDirectory)
+    roots.map(_._1).filter(fs.exists).foreach { root =>
+      fs.listStatus(root).filter(_.isDirectory)
         .filter(c => fs.listStatus(c.getPath).isEmpty)
         .foreach(c => fs.delete(c.getPath, true))
+    }
     // history below the compaction point is gone — so are its manifests
     manifestIds(spark, path).filter(_ < upTo).foreach { id =>
       fs.delete(new Path(s"$path/_snapshots/batch-$id.json"), false)
@@ -417,6 +551,10 @@ object SnapshotLayout {
         .createTempDirectory("graft-asof-ivf").toString + "/pristine"
       val base = all.filter($"vec_id" >= 50)
       init(IvfIndex.buildCachedFor(s"ivf_asof_base:$dir", spark, base, dir), path)
+      // the versioned compressed tier rides the same scenario: the
+      // sidecar init encodes the base, every applyBatch below encodes
+      // its delta with the frozen codebooks
+      initPq(spark, path)
       applyBatch(spark, path, 1L,
         upserts = all.filter($"vec_id" < 25),
         deletes = all.limit(0).select($"vec_id"))
@@ -571,6 +709,90 @@ object SnapshotLayout {
     """SELECT vec_id AS q_id, true AS serve2_identical, true AS head_identical,
       |  true AS history_truncated, true AS tombstones_gone,
       |  true AS dirs_bounded, true AS guard_refuses, true AS rollback_works
+      |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
+      |ORDER BY q_id""".stripMargin
+
+  /** `ivf_search_asof_pq`: the versioned COMPRESSED tier's serve —
+    * [[searchAsOfPq]] over [[pristineScenario]]'s sidecar — pushed
+    * through an invariant grid (per-invocation copy; the compaction
+    * and rollback below are destructive):
+    *  - `self_found` / `top1_exact`: the production-rerank ADC serve
+    *    as of batch 2 finds each probe's own GOOD embedding at 1.0
+    *    (batch 3's corrupt codes exist at head but must not serve —
+    *    the code rows version correctly);
+    *  - `matches_raw`: at EXHAUSTIVE rerank the ADC cut keeps every
+    *    live probed code row, so the serve must be row-identical to
+    *    the raw [[searchAsOf]] — the end-to-end identity proof that
+    *    the live code set, the winner join, and the direct-address
+    *    rerank reconstruct exactly the raw as-of state;
+    *  - `tombstone_hides`: no deleted id owns a live code row as of 2;
+    *  - `compact_identical`: the as-of-2 ADC serve is row-identical
+    *    across `compact(2)` — the folded code sidecar serves exactly
+    *    like the batch history it replaced;
+    *  - `dirs_bounded`: post-compaction no `batch_id < 2` code
+    *    directory survives (the sidecar's history folds with the raw
+    *    rows, not just alongside them);
+    *  - `rollback_prunes`: after `rollback(2)` no `batch_id > 2` code
+    *    directory survives (a rolled-back batch's codes die with its
+    *    raw rows). */
+  def ivfSearchAsofPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
+      s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/ivf_asof_pq"
+    copyLayout(spark, pristineScenario(spark, dir), path)
+    val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    def nDiff(a: DataFrame, b: DataFrame, name: String): DataFrame =
+      a.unionByName(b)
+        .groupBy($"q_id", $"rank", $"neighbor_id", $"score_e6")
+        .agg(count(lit(1)).as("c"))
+        .agg(count(when($"c" =!= 2L, 1)).as(name))
+    // every serve/stat materializes EAGERLY before the destructive
+    // steps delete or rewrite files its lazy plan would still list
+    val prod2 = searchAsOfPq(spark, path, 2L, queries).localCheckpoint(true)
+    val exh2 = searchAsOfPq(spark, path, 2L, queries, rerank = 1000000)
+      .localCheckpoint(true)
+    val raw2 = searchAsOf(spark, path, 2L, queries).localCheckpoint(true)
+    val tombOk = asOfCodes(spark, path, 2L)
+      .filter($"vec_id" < 25 && $"vec_id" % 7 === 0)
+      .agg(count(lit(1)).as("n_deleted_live")).localCheckpoint(true)
+    val perProbe = prod2.groupBy($"q_id").agg(
+      (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
+      (max($"score_e6") === 1000000L).as("top1_exact"))
+    compact(spark, path, 2L)
+    val exh2After = searchAsOfPq(spark, path, 2L, queries, rerank = 1000000)
+      .localCheckpoint(true)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def codeBatchDirs(): Set[Long] =
+      fs.listStatus(new Path(s"$path/pq/codes")).filter(_.isDirectory)
+        .flatMap(c => fs.listStatus(c.getPath).filter(_.isDirectory)
+          .map(_.getPath.getName.stripPrefix("batch_id=").toLong))
+        .toSet
+    val boundedOk = codeBatchDirs().forall(_ >= 2L)
+    rollback(spark, path, 2L)
+    val prunedOk = codeBatchDirs().forall(_ <= 2L)
+    val globals = nDiff(exh2, raw2, "n_diff_raw")
+      .crossJoin(nDiff(exh2, exh2After, "n_diff_c"))
+      .crossJoin(tombOk)
+      .select(
+        ($"n_deleted_live" === 0L).as("tombstone_hides"),
+        ($"n_diff_raw" === 0L).as("matches_raw"),
+        ($"n_diff_c" === 0L).as("compact_identical"),
+        lit(boundedOk).as("dirs_bounded"),
+        lit(prunedOk).as("rollback_prunes"))
+    perProbe.crossJoin(broadcast(globals))
+      .select($"q_id", $"self_found", $"top1_exact", $"tombstone_hides",
+        $"matches_raw", $"compact_identical", $"dirs_bounded",
+        $"rollback_prunes")
+      .orderBy($"q_id")
+  }
+
+  val ivfSearchAsofPqSql: String =
+    """SELECT vec_id AS q_id, true AS self_found, true AS top1_exact,
+      |  true AS tombstone_hides, true AS matches_raw,
+      |  true AS compact_identical, true AS dirs_bounded,
+      |  true AS rollback_prunes
       |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
       |ORDER BY q_id""".stripMargin
 }

@@ -318,6 +318,95 @@ class SnapshotSpec extends AnyFunSuite {
       new java.io.File(path).getParentFile)
   }
 
+  test("versioned PQ sidecar: as-of ADC identity at every point, codes ride compaction, rollback, and crash repair") {
+    import org.apache.spark.sql.functions.lit
+    val all = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-vpq").toString
+    val src = s"$root/ivf"
+    SnapshotLayout.init(IvfIndex.build(spark, all.filter($"vec_id" >= 50)), src)
+    SnapshotLayout.initPq(spark, src)
+    SnapshotLayout.applyBatch(spark, src, 1L,
+      upserts = all.filter($"vec_id" < 25), deletes = all.limit(0).select($"vec_id"))
+    SnapshotLayout.applyBatch(spark, src, 2L,
+      upserts = all.filter($"vec_id" >= 25 && $"vec_id" < 50),
+      deletes = all.filter($"vec_id" < 25 && $"vec_id" % 7 === 0).select($"vec_id"))
+    SnapshotLayout.applyBatch(spark, src, 3L,
+      upserts = all.filter($"vec_id" < 3), deletes = all.limit(0).select($"vec_id"))
+    val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    def serveRaw(p: String, b: Long) = SnapshotLayout.searchAsOf(spark, p, b, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    def serveAdc(p: String, b: Long) =
+      SnapshotLayout.searchAsOfPq(spark, p, b, queries, rerank = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // at exhaustive rerank the ADC serve must equal the raw as-of
+    // serve at EVERY as-of point — the live code set, the winner
+    // join, and the direct-address rerank reconstruct the raw state
+    Seq(0L, 1L, 2L, 3L, Long.MaxValue).foreach { b =>
+      assert(serveAdc(src, b) == serveRaw(src, b), s"ADC as-of-$b diverges from raw")
+    }
+    val asof2 = serveAdc(src, 2L)
+
+    // compaction folds the code sidecar with the raw rows
+    val c = s"$root/compacted"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(src), new java.io.File(c))
+    SnapshotLayout.compact(spark, c, 2L)
+    assert(serveAdc(c, 2L) == asof2, "compacted ADC as-of-2 serve diverged")
+    assert(serveAdc(c, Long.MaxValue) == serveRaw(c, Long.MaxValue))
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def codeDirs(p: String): Set[Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/pq/codes"))
+        .filter(_.isDirectory)
+        .flatMap(cc => fs.listStatus(cc.getPath).filter(_.isDirectory)
+          .map(_.getPath.getName.stripPrefix("batch_id=").toLong)).toSet
+    assert(codeDirs(c).forall(_ >= 2L), s"stale code dirs: ${codeDirs(c)}")
+    // rollback prunes the rolled-back batch's codes with its raw rows
+    SnapshotLayout.rollback(spark, c, 2L)
+    assert(codeDirs(c) == Set(2L), s"rolled-back code dirs: ${codeDirs(c)}")
+    assert(serveAdc(c, Long.MaxValue) == asof2)
+
+    // crash mid-commit WITH staged codes: vectors of one cluster
+    // already swapped, codes not yet — the read path's repair must
+    // finish BOTH tables and serve identically to an uncrashed run
+    val x = s"$root/crash"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(src), new java.io.File(x))
+    SnapshotLayout.asOfAssigned(spark, x, 2L).withColumn("batch_id", lit(2L))
+      .write.mode("overwrite").partitionBy("cluster_id", "batch_id")
+      .parquet(s"$x/_compact_tmp/vectors")
+    SnapshotLayout.asOfCodes(spark, x, 2L).withColumn("batch_id", lit(2L))
+      .write.mode("overwrite").partitionBy("cluster_id", "batch_id")
+      .parquet(s"$x/_compact_tmp/codes/pq")
+    val clusters = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$x/_compact_tmp/vectors"))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName.stripPrefix("cluster_id=").toInt).toSeq.sorted
+    SnapshotLayout.writeCompactPlan(fs, x, 2L, clusters)
+    val c0 = clusters.head
+    val c0dir = new org.apache.hadoop.fs.Path(s"$x/vectors/cluster_id=$c0")
+    fs.listStatus(c0dir).filter(_.isDirectory)
+      .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= 2L)
+      .foreach(d => fs.delete(d.getPath, true))
+    fs.rename(
+      new org.apache.hadoop.fs.Path(s"$x/_compact_tmp/vectors/cluster_id=$c0/batch_id=2"),
+      new org.apache.hadoop.fs.Path(s"$x/vectors/cluster_id=$c0/batch_id=2"))
+    assert(serveAdc(x, 2L) == asof2, "post-crash repair ADC serve diverged")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$x/_compact_tmp")))
+    assert(codeDirs(x).forall(_ >= 2L), s"crash repair left stale codes: ${codeDirs(x)}")
+
+    // the registry grid end-to-end
+    val grid = SnapshotLayout.ivfSearchAsofPq(spark, sf).collect()
+    assert(grid.nonEmpty)
+    Seq("self_found", "top1_exact", "tombstone_hides", "matches_raw",
+      "compact_identical", "dirs_bounded", "rollback_prunes").foreach { col =>
+      assert(grid.forall(_.getAs[Boolean](col)), s"grid column $col not all-true")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("tombstone then revive: a deleted id comes back with a later upsert") {
     val all = graft.core.Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding")
