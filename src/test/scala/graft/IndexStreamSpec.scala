@@ -386,4 +386,51 @@ class IndexStreamSpec extends AnyFunSuite {
       .select($"vec_id").collect().map(_.getLong(0)).contains(0L),
       "compacted-away tombstone's id resurrected by an ancient replay")
   }
+
+  test("versioned sink + PQ sidecar: every micro-batch encodes, the cadence folds codes, ADC serves match raw") {
+    // the round-10 coupling under its operational consumer: a
+    // sidecar-bearing versioned layout driven by the streaming sink,
+    // with the compaction cadence firing mid-stream — the code table
+    // must stay batch-for-batch with the raw rows through encode,
+    // fold, and floor-skip, or the ADC serve silently diverges
+    val dir = tmp("graft-ivf-vpq") + "/ivf"
+    graft.index.SnapshotLayout.init(IvfIndex.build(spark, base), dir)
+    graft.index.SnapshotLayout.initPq(spark, dir)
+    def mutations(sid: Long): Seq[Mutation] = {
+      val ups = (5 * sid until 5 * sid + 5).map(up)
+      if (sid == 3L) ups :+ del(0L) else ups
+    }
+    (0L to 5L).foreach { sid =>
+      IndexStream.applyVersionedBatch(
+        mutations(sid).toDF("vec_id", "embedding", "op"), sid, dir,
+        maxBatches = 3, retain = 1)
+    }
+    val qs = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // at exhaustive rerank the ADC serve equals the raw as-of serve at
+    // every point the retained window answers — across two inline
+    // compactions the stream already ran
+    Seq(4L, 5L, 6L, Long.MaxValue).foreach { b =>
+      assert(
+        rows(graft.index.SnapshotLayout.searchAsOfPq(spark, dir, b, qs,
+          rerank = 1000000)) ==
+          rows(graft.index.SnapshotLayout.searchAsOf(spark, dir, b, qs)),
+        s"streamed ADC as-of-$b diverges from raw")
+    }
+    // the code table's directory set is bounded by the same floor
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codeDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/pq/codes"))
+      .filter(_.isDirectory)
+      .flatMap(c => fs.listStatus(c.getPath).filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong))
+      .toSet
+    assert(codeDirs.forall(_ >= 4L), s"stale code batch dirs survive: $codeDirs")
+    // the mid-stream deleted id owns no live code row
+    assert(graft.index.SnapshotLayout.asOfCodes(spark, dir, Long.MaxValue)
+      .filter($"vec_id" === 0L).count() == 0L,
+      "deleted id still owns a live code row after the streamed fold")
+  }
 }
