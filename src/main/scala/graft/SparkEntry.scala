@@ -125,6 +125,7 @@ object SparkEntry {
     // crud_asof's discipline composed with the persisted IVF layout
     "ivf_search_asof" -> (graft.index.SnapshotLayout.ivfSearchAsof _),
     "ivf_search_asof_pq" -> (graft.index.SnapshotLayout.ivfSearchAsofPq _),
+    "ivf_search_asof_filtered" -> (graft.index.SnapshotLayout.ivfSearchAsofFiltered _),
     "nsw_search_asof" -> (graft.index.NswSnapshotLayout.nswSearchAsof _),
     // compaction invariance, driver-checked per round for both index
     // families: serve-identical at >= upTo, history truncated below,
@@ -638,6 +639,7 @@ object SparkEntry {
     "nsw_search_filtered" -> NswIndex.nswSearchFilteredSql,
     "ivf_search_asof" -> graft.index.SnapshotLayout.ivfSearchAsofSql,
     "ivf_search_asof_pq" -> graft.index.SnapshotLayout.ivfSearchAsofPqSql,
+    "ivf_search_asof_filtered" -> graft.index.SnapshotLayout.ivfSearchAsofFilteredSql,
     "nsw_search_asof" -> graft.index.NswSnapshotLayout.nswSearchAsofSql,
     "ivf_compact" -> graft.index.SnapshotLayout.ivfCompactCheckedSql,
     "nsw_compact" -> graft.index.NswSnapshotLayout.nswCompactCheckedSql,

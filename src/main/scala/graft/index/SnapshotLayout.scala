@@ -91,8 +91,18 @@ object SnapshotLayout {
         .parquet(s"$path/tombstones")
     if (!upserts.isEmpty) {
       val centroids = spark.read.parquet(s"$path/centroids")
+      // a meta-bearing layout (init from a metaCols build — the
+      // filtered as-of serving shape) requires its deltas to carry
+      // the same metadata; the addDeltaRows discipline: fail fast
+      // rather than append rows invisible to every filtered serve
+      val storedCols = spark.read.parquet(s"$path/vectors").columns.toSeq
+      val keep = storedCols.filterNot(Set("cluster_id", "batch_id"))
+      val missing = keep.filterNot(upserts.columns.contains)
+      require(missing.isEmpty,
+        s"versioned batch missing layout columns ${missing.mkString(", ")}: " +
+          "a meta-bearing layout's batches must carry its metadata")
       val assigned = IvfIndex.assignToCentroids(
-          upserts.select(col("vec_id"), col("embedding")), centroids)
+          upserts.select(keep.map(col): _*), centroids)
         .withColumn("batch_id", lit(batchId))
       val subs = IvfIndex.pqSubdirs(spark, path)
       if (subs.isEmpty)
@@ -128,10 +138,16 @@ object SnapshotLayout {
     // the read path self-heals a crashed compaction commit (one FS
     // existence check when nothing is in flight)
     repairCompaction(spark, path)
-    val ups = spark.read.parquet(s"$path/vectors")
+    val stored = spark.read.parquet(s"$path/vectors")
+    // a meta-bearing layout's metadata rides the reconstruction — the
+    // filtered as-of serves evaluate their predicates on these rows
+    val metaFields = stored.schema.fields.toSeq
+      .filterNot(f => Set("vec_id", "embedding", "cluster_id", "batch_id")(f.name))
+    val ups = stored
       .filter(col("batch_id") <= batchId)
-      .select(col("vec_id"), col("embedding"), col("cluster_id"),
-        col("batch_id"), lit(1).as("is_upsert"))
+      .select(Seq(col("vec_id"), col("embedding"), col("cluster_id")) ++
+        metaFields.map(f => col(f.name)) ++
+        Seq(col("batch_id"), lit(1).as("is_upsert")): _*)
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the tombstone table may be absent OR empty (compaction removes
@@ -143,8 +159,11 @@ object SnapshotLayout {
       if (!hasTombs) ups.limit(0)
       else spark.read.parquet(s"$path/tombstones")
         .filter(col("batch_id") <= batchId)
-        .select(col("vec_id"), lit(null).cast("array<float>").as("embedding"),
-          lit(-1).as("cluster_id"), col("batch_id"), lit(0).as("is_upsert"))
+        .select(Seq(col("vec_id"),
+          lit(null).cast("array<float>").as("embedding"),
+          lit(-1).as("cluster_id")) ++
+          metaFields.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+          Seq(col("batch_id"), lit(0).as("is_upsert")): _*)
     val w = Window.partitionBy(col("vec_id"))
       // within a batch deletes apply before upserts → upsert wins the
       // tie (is_upsert desc); across batches the latest batch wins
@@ -152,7 +171,8 @@ object SnapshotLayout {
     ups.unionByName(tombs)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1 && col("is_upsert") === 1)
-      .select(col("vec_id"), col("embedding"), col("cluster_id"))
+      .select(Seq(col("vec_id"), col("embedding"), col("cluster_id")) ++
+        metaFields.map(f => col(f.name)): _*)
   }
 
   /** Probe search served from the as-of posting set (centroids are
@@ -164,6 +184,21 @@ object SnapshotLayout {
       IvfIndex.Built(asOfAssigned(spark, path, batchId),
         spark.read.parquet(s"$path/centroids")),
       queries, nProbe, k)
+
+  /** PRE-filter probe search served from the as-of posting set — the
+    * filtered serving mode composed with time travel: the metadata a
+    * meta-bearing layout's batches carry ([[applyBatch]]) rides the
+    * reconstruction ([[asOfAssigned]]), so the predicate evaluates
+    * in-scan with [[IvfIndex.searchFiltered]]'s semantics (all k
+    * results satisfy it) at any as-of point. Same compensated-probe
+    * stance as the persisted filtered path. */
+  def searchAsOfFiltered(spark: SparkSession, path: String, batchId: Long,
+      queries: DataFrame, pred: org.apache.spark.sql.Column,
+      nProbe: Int = 13, k: Int = 10): DataFrame =
+    IvfIndex.searchFiltered(
+      IvfIndex.Built(asOfAssigned(spark, path, batchId),
+        spark.read.parquet(s"$path/centroids")),
+      queries, pred, nProbe, k)
 
   // ---- versioned compressed tier (PQ sidecar over the batch log) ------
 
@@ -234,11 +269,31 @@ object SnapshotLayout {
     * partition-pruned broadcast join of `rerank × |queries|` rows. */
   def searchAsOfPq(spark: SparkSession, path: String, batchId: Long,
       queries: DataFrame, nProbe: Int = IvfIndex.defaultNProbe,
-      k: Int = 10, rerank: Int = 200, sub: String = "pq"): DataFrame = {
+      k: Int = 10, rerank: Int = 200, sub: String = "pq"): DataFrame =
+    searchAsOfPqImpl(spark, path, batchId, queries, None, nProbe, k, rerank, sub)
+
+  /** PRE-filter ADC probe search at an as-of point: the persisted
+    * filtered-ADC semantics ([[IvfIndex.searchPersistedPqFiltered]])
+    * composed with the versioned code reconstruction — the predicate
+    * evaluates on the live code rows (whose metadata
+    * [[IvfIndex.encodeDeltaPq]] mirrors from the posting rows) BEFORE
+    * the rerank cut, so all k results satisfy it at any as-of point.
+    * Compensated probe, same stance as every filtered path. */
+  def searchAsOfPqFiltered(spark: SparkSession, path: String, batchId: Long,
+      queries: DataFrame, pred: org.apache.spark.sql.Column,
+      nProbe: Int = 13, k: Int = 10, rerank: Int = 200,
+      sub: String = "pq"): DataFrame =
+    searchAsOfPqImpl(spark, path, batchId, queries, Some(pred), nProbe, k,
+      rerank, sub)
+
+  private def searchAsOfPqImpl(spark: SparkSession, path: String, batchId: Long,
+      queries: DataFrame, pred: Option[org.apache.spark.sql.Column],
+      nProbe: Int, k: Int, rerank: Int, sub: String): DataFrame = {
     repairCompaction(spark, path)
     val (lutBc, probes) = IvfIndex.pqQueryState(spark, path, queries, nProbe, sub)
-    val adc = asOfCodes(spark, path, batchId, sub)
+    val joined = asOfCodes(spark, path, batchId, sub)
       .join(broadcast(probes), Seq("cluster_id"))
+    val adc = pred.map(joined.filter).getOrElse(joined)
       .select(col("q_id"), col("cluster_id"), col("vec_id"), col("batch_id"),
         graft.functions.pq.pqAdc(col("code"), col("q_idx"), lutBc).as("adc"))
     val cand = adc.withColumn("arank", row_number().over(
@@ -546,11 +601,16 @@ object SnapshotLayout {
   private[index] def pristineScenario(spark: SparkSession, dir: String): String =
     scenarioCache.get(spark, s"ivf_asof_scenario:$dir", dir) {
       import spark.implicits._
-      val all = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+      // meta-bearing since round 10: `label` rides the posting rows,
+      // the code sidecars, and every reconstruction, so the scenario
+      // serves the filtered as-of entries too
+      val all = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding", $"label")
       val path = java.nio.file.Files
         .createTempDirectory("graft-asof-ivf").toString + "/pristine"
       val base = all.filter($"vec_id" >= 50)
-      init(IvfIndex.buildCachedFor(s"ivf_asof_base:$dir", spark, base, dir), path)
+      init(IvfIndex.buildCachedFor(s"ivf_asof_base_meta:$dir", spark, base, dir,
+        metaCols = Seq("label")), path)
       // the versioned compressed tier rides the same scenario: the
       // sidecar init encodes the base, every applyBatch below encodes
       // its delta with the frozen codebooks
@@ -563,7 +623,8 @@ object SnapshotLayout {
         deletes = all.filter($"vec_id" < 25 && $"vec_id" % 7 === 0).select($"vec_id"))
       applyBatch(spark, path, 3L,
         upserts = all.filter($"vec_id" < 10)
-          .select($"vec_id", transform($"embedding", _ => lit(0.0f)).as("embedding")),
+          .select($"vec_id", transform($"embedding", _ => lit(0.0f)).as("embedding"),
+            $"label"),
         deletes = all.limit(0).select($"vec_id"))
       path
     }
@@ -793,6 +854,69 @@ object SnapshotLayout {
       |  true AS tombstone_hides, true AS matches_raw,
       |  true AS compact_identical, true AS dirs_bounded,
       |  true AS rollback_prunes
+      |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
+      |ORDER BY q_id""".stripMargin
+
+  /** `ivf_search_asof_filtered`: filtered serving composed with time
+    * travel — the last empty cell of the serving-mode matrix
+    * ({persisted, versioned} × {raw, ADC} × {unfiltered, filtered}).
+    * Over the meta-bearing scenario, as of the good batch:
+    *  - the RAW filtered as-of serve ([[searchAsOfFiltered]]) passes
+    *    the standard filtered grid — `k_results` (pre-filter
+    *    semantics), `all_match_label` (labels re-derived from the
+    *    TABLE, so stale reconstruction metadata flips the hash),
+    *    `self_found`/`top1_exact`, `monotone`;
+    *  - the ADC filtered as-of serve ([[searchAsOfPqFiltered]]) at
+    *    EXHAUSTIVE rerank is row-identical to it
+    *    (`adc_matches_raw`) — the filtered code reconstruction, the
+    *    sidecar metadata, and the direct-address rerank agree with
+    *    the raw path exactly. */
+  def ivfSearchAsofFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
+      s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/ivf_asof_filt"
+    copyLayout(spark, pristineScenario(spark, dir), path)
+    val queries = emb.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("q_label"))
+    val pred = col("label") === col("q_label")
+    val raw = searchAsOfFiltered(spark, path, 2L, queries, pred)
+      .localCheckpoint(true)
+    val adc = searchAsOfPqFiltered(spark, path, 2L, queries, pred,
+      rerank = 1000000).localCheckpoint(true)
+    val labels = emb.select($"vec_id".as("neighbor_id"), $"label".as("n_label"))
+      .join(broadcast(raw.select($"neighbor_id").distinct()),
+        Seq("neighbor_id"), "left_semi")
+    val qLabels = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"))
+    val next = raw.select($"q_id", ($"rank" - 1).as("rank"),
+      $"score_e6".as("next_score"))
+    val perProbe = raw
+      .join(broadcast(labels), Seq("neighbor_id"))
+      .join(broadcast(qLabels), Seq("q_id"))
+      .join(broadcast(next), Seq("q_id", "rank"), "left")
+      .groupBy($"q_id").agg(
+        (count(lit(1)) === 10L).as("k_results"),
+        (min(($"n_label" === $"q_label").cast("int")) === 1).as("all_match_label"),
+        (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
+        (max(when($"rank" === 1L, $"score_e6")) === 1000000L).as("top1_exact"),
+        (min(coalesce($"next_score" <= $"score_e6", lit(true)).cast("int")) === 1).as("monotone"))
+    val identical = raw.unionByName(adc)
+      .groupBy($"q_id", $"rank", $"neighbor_id", $"score_e6")
+      .agg(count(lit(1)).as("c"))
+      .agg(count(when($"c" =!= 2L, 1)).as("n_diff"))
+      .select(($"n_diff" === 0L).as("adc_matches_raw"))
+    perProbe.crossJoin(broadcast(identical))
+      .select($"q_id", $"k_results", $"all_match_label", $"self_found",
+        $"top1_exact", $"monotone", $"adc_matches_raw")
+      .orderBy($"q_id")
+  }
+
+  val ivfSearchAsofFilteredSql: String =
+    """SELECT vec_id AS q_id, true AS k_results, true AS all_match_label,
+      |  true AS self_found, true AS top1_exact, true AS monotone,
+      |  true AS adc_matches_raw
       |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
       |ORDER BY q_id""".stripMargin
 }

@@ -407,6 +407,67 @@ class SnapshotSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("filtered as-of serving: metadata rides the versioned layout; raw and ADC filtered serves agree") {
+    import org.apache.spark.sql.functions.col
+    val all = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label")
+    val root = java.nio.file.Files.createTempDirectory("graft-vfilt").toString
+    val path = s"$root/ivf"
+    SnapshotLayout.init(
+      IvfIndex.build(spark, all.filter($"vec_id" >= 50), metaCols = Seq("label")),
+      path)
+    SnapshotLayout.initPq(spark, path)
+    SnapshotLayout.applyBatch(spark, path, 1L,
+      upserts = all.filter($"vec_id" < 25), deletes = all.limit(0).select($"vec_id"))
+    SnapshotLayout.applyBatch(spark, path, 2L,
+      upserts = all.filter($"vec_id" >= 25 && $"vec_id" < 50),
+      deletes = all.filter($"vec_id" < 25 && $"vec_id" % 7 === 0).select($"vec_id"))
+    // a meta-less batch against a meta-bearing layout fails FAST
+    val err = intercept[IllegalArgumentException] {
+      SnapshotLayout.applyBatch(spark, path, 3L,
+        upserts = all.filter($"vec_id" === 30L).select($"vec_id", $"embedding"),
+        deletes = all.limit(0).select($"vec_id"))
+    }
+    assert(err.getMessage.contains("label"))
+
+    val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("q_label"))
+    val pred = col("label") === col("q_label")
+    val labelOf = all.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    Seq(0L, 1L, 2L, Long.MaxValue).foreach { b =>
+      val raw = rows(SnapshotLayout.searchAsOfFiltered(spark, path, b, queries, pred))
+      // pre-filter shape: full top-10 per query, every hit legal
+      assert(raw.size == queries.count() * 10, s"as-of-$b filtered serve short")
+      raw.foreach { case (q, n, _, _) =>
+        assert(labelOf(n) == labelOf(q), s"as-of-$b hit violates the predicate")
+      }
+      // the ADC filtered serve at exhaustive rerank agrees exactly
+      val adc = rows(SnapshotLayout.searchAsOfPqFiltered(spark, path, b, queries,
+        pred, rerank = 1000000))
+      assert(adc == raw, s"filtered ADC as-of-$b diverges from filtered raw")
+    }
+    // metadata survives compaction (the consolidated rows carry it)
+    val before = rows(SnapshotLayout.searchAsOfFiltered(spark, path, 2L, queries, pred))
+    SnapshotLayout.compact(spark, path, 1L)
+    assert(spark.read.parquet(s"$path/vectors").columns.contains("label"))
+    assert(spark.read.parquet(s"$path/pq/codes").columns.contains("label"))
+    assert(rows(SnapshotLayout.searchAsOfFiltered(spark, path, 2L, queries, pred)) == before,
+      "filtered as-of serve moved across compaction")
+
+    // the registry grid end-to-end
+    val grid = SnapshotLayout.ivfSearchAsofFiltered(spark, sf).collect()
+    assert(grid.nonEmpty)
+    Seq("k_results", "all_match_label", "self_found", "top1_exact",
+      "monotone", "adc_matches_raw").foreach { c =>
+      assert(grid.forall(_.getAs[Boolean](c)), s"grid column $c not all-true")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("tombstone then revive: a deleted id comes back with a later upsert") {
     val all = graft.core.Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding")
