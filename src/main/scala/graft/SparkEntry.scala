@@ -126,6 +126,7 @@ object SparkEntry {
     "ivf_search_asof" -> (graft.index.SnapshotLayout.ivfSearchAsof _),
     "ivf_search_asof_pq" -> (graft.index.SnapshotLayout.ivfSearchAsofPq _),
     "ivf_search_asof_filtered" -> (graft.index.SnapshotLayout.ivfSearchAsofFiltered _),
+    "nsw_search_asof_filtered" -> (graft.index.NswSnapshotLayout.nswSearchAsofFiltered _),
     "nsw_search_asof" -> (graft.index.NswSnapshotLayout.nswSearchAsof _),
     // compaction invariance, driver-checked per round for both index
     // families: serve-identical at >= upTo, history truncated below,
@@ -640,6 +641,7 @@ object SparkEntry {
     "ivf_search_asof" -> graft.index.SnapshotLayout.ivfSearchAsofSql,
     "ivf_search_asof_pq" -> graft.index.SnapshotLayout.ivfSearchAsofPqSql,
     "ivf_search_asof_filtered" -> graft.index.SnapshotLayout.ivfSearchAsofFilteredSql,
+    "nsw_search_asof_filtered" -> graft.index.NswSnapshotLayout.nswSearchAsofFilteredSql,
     "nsw_search_asof" -> graft.index.NswSnapshotLayout.nswSearchAsofSql,
     "ivf_compact" -> graft.index.SnapshotLayout.ivfCompactCheckedSql,
     "nsw_compact" -> graft.index.NswSnapshotLayout.nswCompactCheckedSql,

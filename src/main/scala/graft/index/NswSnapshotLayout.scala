@@ -41,10 +41,15 @@ import org.apache.spark.sql.functions._
   * identical serves afterwards (spec-pinned). */
 object NswSnapshotLayout {
 
-  /** Initialize: base vectors + the base graph as batch 0. */
+  /** Initialize: base vectors + the base graph as batch 0. Metadata
+    * columns of `emb` (anything beyond vec_id/embedding) ride the
+    * stored rows — the filtered as-of serving shape; batches must
+    * then carry the same columns ([[applyBatch]] fails fast). */
   def init(emb: DataFrame, edges: DataFrame, path: String): Unit = {
     val spark = emb.sparkSession
-    emb.select(col("vec_id"), col("embedding"))
+    val metaCols = emb.columns.toSeq
+      .filterNot(Set("vec_id", "embedding", "batch_id"))
+    emb.select(col("vec_id") +: col("embedding") +: metaCols.map(col): _*)
       .withColumn("batch_id", lit(0L))
       .write.mode("overwrite").partitionBy("batch_id").parquet(s"$path/vectors")
     edges.select(col("src"), col("dst"))
@@ -77,10 +82,20 @@ object NswSnapshotLayout {
         .write.mode("append").partitionBy("batch_id")
         .parquet(s"$path/tombstones")
     if (!upserts.isEmpty) {
+      // a meta-bearing layout's batches must carry its metadata — the
+      // IVF twin's fail-fast discipline (meta-less rows would be
+      // invisible to every filtered as-of serve)
+      val storedCols = spark.read.parquet(s"$path/vectors").columns.toSeq
+      val keep = storedCols.filterNot(Set("batch_id"))
+      val missing = keep.filterNot(upserts.columns.contains)
+      require(missing.isEmpty,
+        s"versioned batch missing layout columns ${missing.mkString(", ")}: " +
+          "a meta-bearing layout's batches must carry its metadata")
       val (headVecs, headEdges) = asOfGraph(spark, path, Long.MaxValue)
       val queries = upserts
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val linked = NswIndex.beamSearch(headVecs, headEdges, queries,
+      val linked = NswIndex.beamSearch(
+          headVecs.select(col("vec_id"), col("embedding")), headEdges, queries,
           k = NswIndex.graphDegree)
         .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
         // a re-added id finds its own still-live old row — never
@@ -93,7 +108,7 @@ object NswSnapshotLayout {
       graft.core.Checkpoints.free(headVecs)
       linked.withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("batch_id").parquet(s"$path/edges")
-      upserts.select(col("vec_id"), col("embedding"))
+      upserts.select(keep.map(col): _*)
         .withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("batch_id").parquet(s"$path/vectors")
       graft.core.Checkpoints.free(linked)
@@ -109,10 +124,16 @@ object NswSnapshotLayout {
   def asOfVectors(spark: SparkSession, path: String, batchId: Long): DataFrame = {
     // read path self-heals a crashed compaction commit (one FS check)
     repairCompaction(spark, path)
-    val ups = spark.read.parquet(s"$path/vectors")
+    val stored = spark.read.parquet(s"$path/vectors")
+    // a meta-bearing layout's metadata rides the reconstruction — the
+    // filtered as-of serve evaluates its predicate on these rows
+    val metaFields = stored.schema.fields.toSeq
+      .filterNot(f => Set("vec_id", "embedding", "batch_id")(f.name))
+    val ups = stored
       .filter(col("batch_id") <= batchId)
-      .select(col("vec_id"), col("embedding"), col("batch_id"),
-        lit(1).as("is_upsert"))
+      .select(Seq(col("vec_id"), col("embedding")) ++
+        metaFields.map(f => col(f.name)) ++
+        Seq(col("batch_id"), lit(1).as("is_upsert")): _*)
     val tombRoot = new Path(s"$path/tombstones")
     val fs = tombRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasTombs = fs.exists(tombRoot) &&
@@ -121,14 +142,17 @@ object NswSnapshotLayout {
       if (!hasTombs) ups.limit(0)
       else spark.read.parquet(s"$path/tombstones")
         .filter(col("batch_id") <= batchId)
-        .select(col("vec_id"), lit(null).cast("array<float>").as("embedding"),
-          col("batch_id"), lit(0).as("is_upsert"))
+        .select(Seq(col("vec_id"),
+          lit(null).cast("array<float>").as("embedding")) ++
+          metaFields.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+          Seq(col("batch_id"), lit(0).as("is_upsert")): _*)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("batch_id").desc, col("is_upsert").desc)
     ups.unionByName(tombs)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1 && col("is_upsert") === 1)
-      .select(col("vec_id"), col("embedding"))
+      .select(Seq(col("vec_id"), col("embedding")) ++
+        metaFields.map(f => col(f.name)): _*)
   }
 
   /** (live vectors, live edges) as of `batchId`: edges of batches
@@ -152,7 +176,25 @@ object NswSnapshotLayout {
   def searchAsOf(spark: SparkSession, path: String, batchId: Long,
       queries: DataFrame, k: Int = 5): DataFrame = {
     val (vecs, edges) = asOfGraph(spark, path, batchId)
-    val out = NswIndex.beamSearch(vecs, edges, queries, k)
+    val out = NswIndex.beamSearch(
+      vecs.select(col("vec_id"), col("embedding")), edges, queries, k)
+    graft.core.Checkpoints.free(vecs)
+    out
+  }
+
+  /** Filtered beam serve from the as-of graph — the graph twin of
+    * [[SnapshotLayout.searchAsOfFiltered]]: the metadata a
+    * meta-bearing layout's batches carry rides the reconstruction
+    * ([[asOfVectors]]), so [[NswIndex.searchFiltered]]'s pre-filter
+    * walk semantics (navigation unfiltered, accepted-set top-k, the
+    * compensated beam) apply at any as-of point. The as-of edge set
+    * is label-independent, exactly like the persisted graph. */
+  def searchAsOfFiltered(spark: SparkSession, path: String, batchId: Long,
+      queries: DataFrame, pred: org.apache.spark.sql.Column,
+      k: Int = 10): DataFrame = {
+    val (vecs, edges) = asOfGraph(spark, path, batchId)
+    val metaCols = vecs.columns.toSeq.filterNot(Set("vec_id", "embedding"))
+    val out = NswIndex.searchFiltered(vecs, edges, queries, pred, metaCols, k)
     graft.core.Checkpoints.free(vecs)
     out
   }
@@ -314,7 +356,11 @@ object NswSnapshotLayout {
   private[index] def pristineScenario(spark: SparkSession, dir: String): String =
     scenarioCache.get(spark, s"nsw_asof_scenario:$dir", dir) {
       import spark.implicits._
-      val all = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+      // meta-bearing since round 10 (`label` rides the stored rows and
+      // every reconstruction), so the scenario serves the filtered
+      // as-of entry too
+      val all = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding", $"label")
       val path = java.nio.file.Files
         .createTempDirectory("graft-asof-nsw").toString + "/pristine"
       val base = all.filter($"vec_id" >= 50).localCheckpoint(true)
@@ -322,7 +368,7 @@ object NswSnapshotLayout {
       // persists both, so the checkpoint is garbage once the batches
       // are applied (everything after reconstructs from the layout) —
       // free it instead of pinning one copy per scenario build
-      init(base, NswIndex.buildEdgesLsh(base), path)
+      init(base, NswIndex.buildEdgesLsh(base.select($"vec_id", $"embedding")), path)
       applyBatch(spark, path, 1L,
         upserts = all.filter($"vec_id" < 25),
         deletes = all.limit(0).select($"vec_id"))
@@ -331,7 +377,8 @@ object NswSnapshotLayout {
         deletes = all.filter($"vec_id" < 25 && $"vec_id" % 7 === 0).select($"vec_id"))
       applyBatch(spark, path, 3L,
         upserts = all.filter($"vec_id" < 10)
-          .select($"vec_id", transform($"embedding", _ => lit(0.0f)).as("embedding")),
+          .select($"vec_id", transform($"embedding", _ => lit(0.0f)).as("embedding"),
+            $"label"),
         deletes = all.limit(0).select($"vec_id"))
       graft.core.Checkpoints.free(base)
       path
@@ -467,6 +514,52 @@ object NswSnapshotLayout {
       |  true AS heal_nonvacuous, true AS history_truncated,
       |  true AS tombstones_gone, true AS dirs_bounded,
       |  true AS guard_refuses, true AS rollback_works
+      |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
+      |ORDER BY q_id""".stripMargin
+
+  /** `nsw_search_asof_filtered`: the graph family's filtered × time
+    * travel cell — [[searchAsOfFiltered]] over the meta-bearing
+    * scenario as of the good batch, pushed through the standard
+    * filtered invariant grid (`nsw_search_filtered`'s shape):
+    * `k_results` (pre-filter walk semantics at the compensated beam),
+    * `all_match_label` (labels re-derived from the TABLE so stale
+    * reconstruction metadata flips the hash), `self_found` /
+    * `top1_exact` (the good batch-1/2 embeddings serve even though
+    * corrupt batch 3 exists at head), `monotone`. */
+  def nswSearchAsofFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
+      s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/nsw_asof_filt"
+    SnapshotLayout.copyLayout(spark, pristineScenario(spark, dir), path)
+    val queries = emb.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("q_label"))
+    val hits = searchAsOfFiltered(spark, path, 2L, queries,
+      col("label") === col("q_label")).localCheckpoint(true)
+    val labels = emb.select($"vec_id".as("neighbor_id"), $"label".as("n_label"))
+      .join(broadcast(hits.select($"neighbor_id").distinct()),
+        Seq("neighbor_id"), "left_semi")
+    val qLabels = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"))
+    val next = hits.select($"q_id", ($"rank" - 1).as("rank"),
+      $"score_e6".as("next_score"))
+    hits
+      .join(broadcast(labels), Seq("neighbor_id"))
+      .join(broadcast(qLabels), Seq("q_id"))
+      .join(broadcast(next), Seq("q_id", "rank"), "left")
+      .groupBy($"q_id").agg(
+        (count(lit(1)) === 10L).as("k_results"),
+        (min(($"n_label" === $"q_label").cast("int")) === 1).as("all_match_label"),
+        (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
+        (max(when($"rank" === 1L, $"score_e6")) === 1000000L).as("top1_exact"),
+        (min(coalesce($"next_score" <= $"score_e6", lit(true)).cast("int")) === 1).as("monotone"))
+      .orderBy($"q_id")
+  }
+
+  val nswSearchAsofFilteredSql: String =
+    """SELECT vec_id AS q_id, true AS k_results, true AS all_match_label,
+      |  true AS self_found, true AS top1_exact, true AS monotone
       |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
       |ORDER BY q_id""".stripMargin
 }

@@ -468,6 +468,57 @@ class SnapshotSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("NSW filtered as-of: metadata rides the graph layout; walk serves all-legal rows at any point") {
+    import org.apache.spark.sql.functions.col
+    val all = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label")
+    val root = java.nio.file.Files.createTempDirectory("graft-nswfilt").toString
+    val path = s"$root/nsw"
+    val base = all.filter($"vec_id" >= 50).localCheckpoint(true)
+    graft.index.NswSnapshotLayout.init(base,
+      graft.index.NswIndex.buildEdgesLsh(base.select($"vec_id", $"embedding")), path)
+    graft.index.NswSnapshotLayout.applyBatch(spark, path, 1L,
+      upserts = all.filter($"vec_id" < 25),
+      deletes = all.filter($"vec_id" >= 50 && $"vec_id" % 11 === 0).select($"vec_id"))
+    // meta-less batch fails fast
+    val err = intercept[IllegalArgumentException] {
+      graft.index.NswSnapshotLayout.applyBatch(spark, path, 2L,
+        upserts = all.filter($"vec_id" === 30L).select($"vec_id", $"embedding"),
+        deletes = all.limit(0).select($"vec_id"))
+    }
+    assert(err.getMessage.contains("label"))
+
+    val queries = all.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("q_label"))
+    val pred = col("label") === col("q_label")
+    val labelOf = all.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    Seq(1L, Long.MaxValue).foreach { b =>
+      val rows = graft.index.NswSnapshotLayout
+        .searchAsOfFiltered(spark, path, b, queries, pred).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.length == 5 * 10, s"as-of-$b filtered walk served ${rows.length} rows")
+      rows.foreach { case (q, n, _, _) =>
+        assert(labelOf(n) == labelOf(q), s"as-of-$b walk hit violates the predicate")
+      }
+      // each query's own (live, label-matching) vector leads at 1.0
+      queries.select($"q_id").collect().map(_.getLong(0)).foreach { q =>
+        val top = rows.filter(_._1 == q).minBy(_._4)
+        assert(top._2 == q && top._3 == 1000000L, s"as-of-$b self not top-1 for q=$q")
+      }
+    }
+    // the registry grid end-to-end
+    val grid = graft.index.NswSnapshotLayout.nswSearchAsofFiltered(spark, sf).collect()
+    assert(grid.nonEmpty)
+    Seq("k_results", "all_match_label", "self_found", "top1_exact",
+      "monotone").foreach { c =>
+      assert(grid.forall(_.getAs[Boolean](c)), s"nsw grid column $c not all-true")
+    }
+    graft.core.Checkpoints.free(base)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("tombstone then revive: a deleted id comes back with a later upsert") {
     val all = graft.core.Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding")
