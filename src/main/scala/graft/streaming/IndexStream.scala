@@ -183,8 +183,14 @@ object IndexStream {
     // moment it returns — a long-running stream must not accumulate
     // one pinned checkpoint per trigger (the free-after-supersede
     // discipline)
+    // the upsert side keeps EVERY mutation column except `op`: a
+    // meta-bearing layout's applyBatch requires its metadata columns
+    // (and drops extras), so projecting down to (vec_id, embedding)
+    // here would fail every meta-bearing stream even when the
+    // mutations carry the labels the layout needs
+    val upCols = b.columns.toSeq.filterNot(_ == "op").map(col)
     try apply(spark, layoutId,
-      b.filter(col("op") === "upsert").select(col("vec_id"), col("embedding")),
+      b.filter(col("op") === "upsert").select(upCols: _*),
       b.filter(col("op") === "delete").select(col("vec_id")))
     finally graft.core.Checkpoints.free(b)
     // scheduled compaction: bound the un-compacted batch count
@@ -211,8 +217,13 @@ object IndexStream {
     val b = batch.localCheckpoint(true)
     try {
       val deletes = b.filter(col("op") === "delete").select(col("vec_id"))
+      // the upsert side keeps every mutation column except `op`: a
+      // meta-bearing persisted layout's delta path REQUIRES its
+      // metadata columns (and both maintain entry points drop extras),
+      // so projecting down to (vec_id, embedding) here would fail
+      // meta-bearing streams whose mutations carry the labels
       val upserts = b.filter(col("op") === "upsert")
-        .select(col("vec_id"), col("embedding"))
+        .select(b.columns.toSeq.filterNot(_ == "op").map(col): _*)
       if (!deletes.isEmpty) applyDeletes(deletes)
       if (!upserts.isEmpty) applyUpserts(upserts)
       writeAppliedBatch(spark, path, streamId, batchId)

@@ -433,4 +433,61 @@ class IndexStreamSpec extends AnyFunSuite {
       .filter($"vec_id" === 0L).count() == 0L,
       "deleted id still owns a live code row after the streamed fold")
   }
+
+  test("versioned sink passes mutation metadata through to a meta-bearing layout") {
+    // a meta-bearing layout's applyBatch REQUIRES its metadata
+    // columns on every batch — the sink must forward the mutation
+    // frame's extra columns (here `label`) instead of projecting the
+    // upsert side down to (vec_id, embedding), or every meta-bearing
+    // stream fails fast even when the mutations carry the labels
+    val dir = tmp("graft-ivf-vmeta") + "/ivf"
+    val embL = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label")
+    graft.index.SnapshotLayout.init(
+      IvfIndex.build(spark, embL.filter($"vec_id" >= 50),
+        metaCols = Seq("label")), dir)
+    val labels: Map[Long, Int] = embL.filter($"vec_id" < 5).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val batch = Seq(0L, 1L, 2L)
+      .map(id => (id, vecs(id), labels(id), "upsert"))
+      .toDF("vec_id", "embedding", "label", "op")
+    IndexStream.applyVersionedBatch(batch, streamBatchId = 0L, dir)
+    val live = graft.index.SnapshotLayout.asOfAssigned(spark, dir, Long.MaxValue)
+      .filter($"vec_id" < 3).select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(live == labels.filter(_._1 < 3),
+      s"streamed metadata did not ride the reconstruction: $live")
+    // and the filtered as-of serve sees the streamed labels in-scan
+    val q = embL.filter($"vec_id" === 0L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("q_label"))
+    val hits = graft.index.SnapshotLayout.searchAsOfFiltered(
+        spark, dir, Long.MaxValue, q, col("label") === col("q_label"), k = 3)
+      .filter($"q_id" === $"neighbor_id").collect()
+    assert(hits.length == 1 && hits.head.getAs[Long]("score_e6") == 1000000L,
+      "streamed-in labeled vector not servable through the filtered as-of path")
+  }
+
+  test("persisted sink passes mutation metadata through to a meta-bearing layout") {
+    // the in-place twin of the versioned case: applyIvfBatch must
+    // forward the mutation frame's metadata to addDeltaRows (which
+    // fails fast without it), and the delta rows' labels must land in
+    // the posting table for the filtered serve to read
+    val dir = tmp("graft-ivf-pmeta")
+    val embL = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label")
+    IvfIndex.persist(
+      IvfIndex.build(spark, embL.filter($"vec_id" >= 50),
+        metaCols = Seq("label")), dir)
+    val labels: Map[Long, Int] = embL.filter($"vec_id" < 3).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val batch = labels.toSeq
+      .map { case (id, l) => (id, vecs(id), l, "upsert") }
+      .toDF("vec_id", "embedding", "label", "op")
+    IndexStream.applyIvfBatch(batch, 1L, dir, streamId = "pmeta")
+    val stored = spark.read.parquet(s"$dir/vectors")
+      .filter($"vec_id" < 3).select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stored == labels, s"delta metadata did not land: $stored")
+  }
 }
