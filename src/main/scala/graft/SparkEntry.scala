@@ -133,6 +133,12 @@ object SparkEntry {
     // rollback guard refuses unrestorable targets
     "ivf_compact" -> (graft.index.SnapshotLayout.ivfCompactChecked _),
     "nsw_compact" -> (graft.index.NswSnapshotLayout.nswCompactChecked _),
+    // the versioned layouts' change-data feed: added/deleted/updated
+    // between two as-of points, identical for both index families
+    "index_asof_diff" -> (graft.index.SnapshotLayout.indexAsofDiff _),
+    // merge-on-read debt gauge: the counts a compaction scheduler
+    // reads (batches, live vs superseded rows, dead ids, tombstones)
+    "index_layout_stats" -> (graft.index.SnapshotLayout.indexLayoutStats _),
     "text_bm25" -> (graft.text.Bm25.textBm25 _),
     "text_unigram_ll" -> (TextOps.textUnigramLl _),
     // bigram-LM fluency (word ORDER, which a unigram bag can't see)
@@ -645,6 +651,8 @@ object SparkEntry {
     "nsw_search_asof" -> graft.index.NswSnapshotLayout.nswSearchAsofSql,
     "ivf_compact" -> graft.index.SnapshotLayout.ivfCompactCheckedSql,
     "nsw_compact" -> graft.index.NswSnapshotLayout.nswCompactCheckedSql,
+    "index_asof_diff" -> graft.index.SnapshotLayout.indexAsofDiffSql,
+    "index_layout_stats" -> graft.index.SnapshotLayout.indexLayoutStatsSql,
     "text_bm25" -> graft.text.Bm25.textBm25Sql,
     "text_unigram_ll" -> TextOps.textUnigramLlSql,
     "text_bigram_ll" -> TextOps.textBigramLlSql,

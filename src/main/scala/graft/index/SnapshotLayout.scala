@@ -598,7 +598,7 @@ object SnapshotLayout {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(p).getParentFile))
 
-  private[index] def pristineScenario(spark: SparkSession, dir: String): String =
+  private[graft] def pristineScenario(spark: SparkSession, dir: String): String =
     scenarioCache.get(spark, s"ivf_asof_scenario:$dir", dir) {
       import spark.implicits._
       // meta-bearing since round 10: `label` rides the posting rows,
@@ -919,4 +919,145 @@ object SnapshotLayout {
       |  true AS adc_matches_raw
       |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
       |ORDER BY q_id""".stripMargin
+
+  /** Change feed between two live sets (the CDC read every
+    * log-structured table format exposes — what changed between two
+    * versions, without replaying the log): ids present only after are
+    * `added`, only before are `deleted`, present in both with a
+    * different payload (embedding or any metadata column — the
+    * physical cluster assignment is NOT payload: a re-placement with
+    * identical content is no change to a consumer) are `updated`;
+    * unchanged ids are omitted. One full-outer join on vec_id over
+    * the two reconstructions — linear in the live rows, no window, no
+    * driver action: the plan a 100 TB version audit needs. */
+  private[graft] def diffLiveSets(before: DataFrame, after: DataFrame): DataFrame = {
+    val payload = before.columns.toSeq.filterNot(Set("vec_id", "cluster_id"))
+    def packed(df: DataFrame, as: String) =
+      df.select(col("vec_id"), struct(payload.map(col): _*).as(as))
+    packed(before, "b_row").join(packed(after, "a_row"), Seq("vec_id"), "full_outer")
+      .withColumn("change",
+        when(col("b_row").isNull, lit("added"))
+          .when(col("a_row").isNull, lit("deleted"))
+          .when(col("a_row") =!= col("b_row"), lit("updated")))
+      .filter(col("change").isNotNull)
+      .select(col("vec_id"), col("change"))
+  }
+
+  /** `index_asof_diff`: the versioned layouts' change-data feed,
+    * certified for BOTH index families against one oracle — the
+    * deterministic scenario's batch transitions make every change
+    * type derivable in pure SQL. Batch 1→2 exercises `added` (the
+    * 25..49 upserts) and `deleted` (the `%7 = 0` tombstones); batch
+    * 2→3 exercises `updated` (the corrupt re-upserts of live ids) and
+    * the re-add edge case (ids dead at 2 revived by 3 → `added`,
+    * never `updated` — a consumer must not diff against a dead row).
+    * The IVF and NSW reconstructions must emit the IDENTICAL feed:
+    * the diff is a function of the event log, not the index family
+    * serving it. Read-only — serves straight from the memoized
+    * pristine scenarios, no copy, no rebuild. */
+  def indexAsofDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ivfPath = pristineScenario(spark, dir)
+    val nswPath = NswSnapshotLayout.pristineScenario(spark, dir)
+    def feed(family: String, live: Long => DataFrame): DataFrame =
+      Seq((1L, 2L), (2L, 3L)).map { case (b1, b2) =>
+        diffLiveSets(live(b1), live(b2))
+          .select(lit(family).as("family"), lit(b1).as("from_b"),
+            lit(b2).as("to_b"), col("vec_id"), col("change"))
+      }.reduce(_ unionByName _)
+    feed("ivf", b => asOfAssigned(spark, ivfPath, b))
+      .unionByName(
+        feed("nsw", b => NswSnapshotLayout.asOfVectors(spark, nswPath, b)))
+      .orderBy(col("family"), col("from_b"), col("vec_id"))
+  }
+
+  /** One row of merge-on-read DEBT for a versioned layout at head:
+    * how many manifested batches, how many physical upsert rows the
+    * posting tree holds vs how many are live, how many are superseded
+    * (a later upsert or tombstone won), how many ids are currently
+    * dead, and how many tombstone rows the log carries. Everything a
+    * compaction scheduler needs to decide "is the argmax window worth
+    * folding" — the gauge behind the sinks' manifest-count cadence.
+    * One key-only scan + one argmax window over keys (the
+    * [[asOfWinners]] discipline: 16 bytes/row through the shuffle),
+    * no embedding payload, no driver loop. */
+  private[graft] def layoutDebt(spark: SparkSession, path: String): DataFrame = {
+    repairCompaction(spark, path)
+    val ups = spark.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("batch_id"), lit(1).as("is_upsert"))
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombRoot = new Path(s"$path/tombstones")
+    val hasTombs = fs.exists(tombRoot) &&
+      fs.listStatus(tombRoot).exists(_.isDirectory)
+    val tombs =
+      if (!hasTombs) ups.limit(0)
+      else spark.read.parquet(s"$path/tombstones")
+        .select(col("vec_id"), col("batch_id"), lit(0).as("is_upsert"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("batch_id").desc, col("is_upsert").desc)
+    val events = ups.unionByName(tombs)
+      .withColumn("rk", row_number().over(w))
+    events.agg(
+        sum(col("is_upsert")).cast("long").as("total_rows"),
+        count(when(col("rk") === 1 && col("is_upsert") === 1, 1))
+          .as("live_rows"),
+        count(when(col("rk") === 1 && col("is_upsert") === 0, 1))
+          .as("dead_ids"),
+        count(when(col("is_upsert") === 0, 1)).as("tombstone_rows"))
+      .select(
+        lit(manifestIds(spark, path).size.toLong).as("n_batches"),
+        col("total_rows"), col("live_rows"),
+        (col("total_rows") - col("live_rows")).as("superseded_rows"),
+        col("dead_ids"), col("tombstone_rows"))
+  }
+
+  /** `index_layout_stats`: [[layoutDebt]] certified for both families
+    * over the deterministic scenario — every count is derivable in
+    * pure SQL from the batch history (base `≥50` + 25 + 25 + 10
+    * upsert rows = N+10 total; only ids 14/21 stay dead = N−2 live;
+    * 12 superseded = the 10 re-upserts of `<10` plus the 2 dead
+    * rows; 4 tombstones; 4 manifests). The two families must report
+    * the IDENTICAL debt: the gauge reads the event log, not the
+    * index structures on top of it. */
+  def indexLayoutStats(spark: SparkSession, dir: String): DataFrame = {
+    val ivfPath = pristineScenario(spark, dir)
+    val nswPath = NswSnapshotLayout.pristineScenario(spark, dir)
+    layoutDebt(spark, ivfPath)
+      .select(lit("ivf").as("family") +: layoutDebtCols: _*)
+      .unionByName(layoutDebt(spark, nswPath)
+        .select(lit("nsw").as("family") +: layoutDebtCols: _*))
+      .orderBy(col("family"))
+  }
+
+  private val layoutDebtCols = Seq("n_batches", "total_rows", "live_rows",
+    "superseded_rows", "dead_ids", "tombstone_rows").map(col)
+
+  val indexLayoutStatsSql: String =
+    """SELECT f.family, CAST(4 AS BIGINT) AS n_batches,
+      |  (SELECT count(*) FROM embeddings) + 10 AS total_rows,
+      |  (SELECT count(*) FROM embeddings) - 2 AS live_rows,
+      |  CAST(12 AS BIGINT) AS superseded_rows,
+      |  CAST(2 AS BIGINT) AS dead_ids,
+      |  CAST(4 AS BIGINT) AS tombstone_rows
+      |FROM (SELECT 'ivf' AS family UNION ALL SELECT 'nsw') f
+      |ORDER BY f.family""".stripMargin
+
+  val indexAsofDiffSql: String =
+    """SELECT f.family, d.from_b, d.to_b, d.vec_id, d.change
+      |FROM (SELECT 'ivf' AS family UNION ALL SELECT 'nsw') f
+      |CROSS JOIN (
+      |  SELECT CAST(1 AS BIGINT) AS from_b, CAST(2 AS BIGINT) AS to_b,
+      |         vec_id, 'added' AS change
+      |  FROM embeddings WHERE vec_id >= 25 AND vec_id < 50
+      |  UNION ALL
+      |  SELECT 1, 2, vec_id, 'deleted'
+      |  FROM embeddings WHERE vec_id < 25 AND vec_id % 7 = 0
+      |  UNION ALL
+      |  SELECT 2, 3, vec_id, 'added'
+      |  FROM embeddings WHERE vec_id < 10 AND vec_id % 7 = 0
+      |  UNION ALL
+      |  SELECT 2, 3, vec_id, 'updated'
+      |  FROM embeddings WHERE vec_id < 10 AND vec_id % 7 <> 0
+      |) d
+      |ORDER BY f.family, d.from_b, d.vec_id""".stripMargin
 }

@@ -550,4 +550,57 @@ class SnapshotSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(path).getParentFile)
   }
+
+  test("as-of diff: payload semantics — metadata-only change is updated, cluster move alone is not") {
+    // a tiny meta-bearing layout: id 1 changes ONLY its label between
+    // batches (payload change → updated); ids 2..4 are untouched; id 5
+    // arrives (added); id 3 is tombstoned (deleted). The differ must
+    // also ignore the physical cluster assignment: identical content
+    // re-upserted is NOT a change to a consumer, even though the
+    // re-upserted row carries a fresh batch_id (and, under a drifted
+    // centroid fit, could land elsewhere).
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-snapdiff").toString + "/ivf"
+    SnapshotLayout.init(IvfIndex.build(spark,
+      emb.filter(($"vec_id" >= 1 && $"vec_id" <= 4) || $"vec_id" >= 50),
+        metaCols = Seq("label")), path)
+    SnapshotLayout.applyBatch(spark, path, 1L,
+      upserts = emb.filter($"vec_id" === 1)
+          .select($"vec_id", $"embedding", ($"label" + 1000).cast("int").as("label"))
+        .unionByName(emb.filter($"vec_id" === 2)) // identical re-upsert
+        .unionByName(emb.filter($"vec_id" === 5)),
+      deletes = emb.filter($"vec_id" === 3).select($"vec_id"))
+    val feed = SnapshotLayout.diffLiveSets(
+        SnapshotLayout.asOfAssigned(spark, path, 0L),
+        SnapshotLayout.asOfAssigned(spark, path, 1L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feed == Map(1L -> "updated", 3L -> "deleted", 5L -> "added"),
+      s"unexpected change feed: $feed")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(path).getParentFile)
+  }
+
+  test("layout debt gauge: compaction folds superseded rows, dead ids, and tombstones away") {
+    // the gauge must read the scenario's documented debt before
+    // compaction and show exactly the fold afterwards: only the 8
+    // genuinely double-written ids (<10 minus the two that were dead
+    // at the compaction point) stay superseded, everything else —
+    // dead ids, tombstones, pre-compaction history — is gone
+    val n = graft.core.Tables.embeddings(spark, sf).count()
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-debt").toString + "/ivf"
+    SnapshotLayout.copyLayout(spark,
+      SnapshotLayout.pristineScenario(spark, sf), work)
+    def debt() = SnapshotLayout.layoutDebt(spark, work).collect().head
+      .toSeq.map(_.asInstanceOf[Long])
+    assert(debt() == Seq(4L, n + 10, n - 2, 12L, 2L, 4L),
+      s"pre-compaction debt off: ${debt()}")
+    SnapshotLayout.compact(spark, work, 2L)
+    assert(debt() == Seq(2L, n + 6, n - 2, 8L, 0L, 0L),
+      s"post-compaction debt off: ${debt()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(work).getParentFile)
+  }
 }
