@@ -97,4 +97,24 @@ class Round10PlanSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(path).getParentFile)
   }
+
+  test("observability plans: debt gauge never reads embeddings; diff joins on keys, no nested loop") {
+    // both entries claim 100 TB shapes in their scaladoc: the debt
+    // gauge is a KEY-ONLY scan + argmax window (an embedding column in
+    // any of its scans would push the payload through the shuffle),
+    // and the change feed is one equi-keyed full-outer join (a
+    // BroadcastNestedLoopJoin or cartesian would mean the join key was
+    // lost and the diff went quadratic)
+    val scenario = SnapshotLayout.pristineScenario(spark, dir)
+    val debtPlan = plan(SnapshotLayout.layoutDebt(spark, scenario))
+    debtPlan.linesIterator.filter(_.contains("FileScan parquet")).foreach { l =>
+      assert(!l.contains("embedding"),
+        s"debt gauge scan reads the embedding payload:\n$l")
+    }
+    val diffPlan = plan(SnapshotLayout.indexAsofDiff(spark, dir))
+    assert(!diffPlan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in the change feed:\n$diffPlan")
+    assert(!diffPlan.contains("CartesianProduct"),
+      s"cartesian in the change feed:\n$diffPlan")
+  }
 }
