@@ -189,6 +189,25 @@ object NswSnapshotLayout {
     * walk semantics (navigation unfiltered, accepted-set top-k, the
     * compensated beam) apply at any as-of point. The as-of edge set
     * is label-independent, exactly like the persisted graph. */
+  /** Public CDC read over a versioned GRAPH layout — the NSW twin of
+    * [[SnapshotLayout.asOfDiff]]: the change feed is a function of
+    * the event log, so the shared differ runs over this family's
+    * vector reconstructions (edges are derived state and never part
+    * of the payload a consumer diffs). */
+  def asOfDiff(spark: SparkSession, path: String, fromBatch: Long,
+      toBatch: Long): DataFrame =
+    SnapshotLayout.diffLiveSets(asOfVectors(spark, path, fromBatch),
+      asOfVectors(spark, path, toBatch))
+
+  /** Merge-on-read debt of a versioned GRAPH layout — the NSW twin of
+    * [[SnapshotLayout.layoutDebt]]: this family's crash repair first
+    * (the two compaction plan formats differ), then the shared
+    * family-neutral key-only scan. */
+  def layoutDebt(spark: SparkSession, path: String): DataFrame = {
+    repairCompaction(spark, path)
+    SnapshotLayout.debtScan(spark, path)
+  }
+
   def searchAsOfFiltered(spark: SparkSession, path: String, batchId: Long,
       queries: DataFrame, pred: org.apache.spark.sql.Column,
       k: Int = 10): DataFrame = {

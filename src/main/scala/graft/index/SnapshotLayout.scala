@@ -938,10 +938,21 @@ object SnapshotLayout {
       .withColumn("change",
         when(col("b_row").isNull, lit("added"))
           .when(col("a_row").isNull, lit("deleted"))
-          .when(col("a_row") =!= col("b_row"), lit("updated")))
+          // null-safe: a payload field flipping to/from NULL is a
+          // change; plain =!= would yield NULL there and silently
+          // read the row as unchanged
+          .when(!(col("a_row") <=> col("b_row")), lit("updated")))
       .filter(col("change").isNotNull)
       .select(col("vec_id"), col("change"))
   }
+
+  /** Public CDC read over a versioned IVF layout: [[diffLiveSets]]
+    * between the `fromBatch` and `toBatch` reconstructions (each
+    * reconstruction runs its own crash repair). */
+  def asOfDiff(spark: SparkSession, path: String, fromBatch: Long,
+      toBatch: Long): DataFrame =
+    diffLiveSets(asOfAssigned(spark, path, fromBatch),
+      asOfAssigned(spark, path, toBatch))
 
   /** `index_asof_diff`: the versioned layouts' change-data feed,
     * certified for BOTH index families against one oracle — the
@@ -980,8 +991,17 @@ object SnapshotLayout {
     * One key-only scan + one argmax window over keys (the
     * [[asOfWinners]] discipline: 16 bytes/row through the shuffle),
     * no embedding payload, no driver loop. */
-  private[graft] def layoutDebt(spark: SparkSession, path: String): DataFrame = {
+  def layoutDebt(spark: SparkSession, path: String): DataFrame = {
     repairCompaction(spark, path)
+    debtScan(spark, path)
+  }
+
+  /** The debt scan shared by both families — family-NEUTRAL: it must
+    * not run a crash repair itself, because each family's compaction
+    * plan format differs and the IVF repair misparses an NSW plan
+    * (the entry points [[layoutDebt]] /
+    * [[NswSnapshotLayout.layoutDebt]] run their OWN repair first). */
+  private[index] def debtScan(spark: SparkSession, path: String): DataFrame = {
     val ups = spark.read.parquet(s"$path/vectors")
       .select(col("vec_id"), col("batch_id"), lit(1).as("is_upsert"))
     val fs = new Path(path)
@@ -1024,7 +1044,7 @@ object SnapshotLayout {
     val nswPath = NswSnapshotLayout.pristineScenario(spark, dir)
     layoutDebt(spark, ivfPath)
       .select(lit("ivf").as("family") +: layoutDebtCols: _*)
-      .unionByName(layoutDebt(spark, nswPath)
+      .unionByName(NswSnapshotLayout.layoutDebt(spark, nswPath)
         .select(lit("nsw").as("family") +: layoutDebtCols: _*))
       .orderBy(col("family"))
   }
