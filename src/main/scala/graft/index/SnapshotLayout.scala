@@ -1002,6 +1002,13 @@ object SnapshotLayout {
     * (the entry points [[layoutDebt]] /
     * [[NswSnapshotLayout.layoutDebt]] run their OWN repair first). */
   private[index] def debtScan(spark: SparkSession, path: String): DataFrame = {
+    // the refit signal rides the gauge: the versioned layouts freeze
+    // their fit (stable cluster/graph addresses are what as-of
+    // serving is built on), so unlike the persisted path nothing
+    // auto-rebuilds on drift — the operator reads fitted_n /
+    // delta_since_fit here and decides when a new layout generation
+    // is due (one sidecar JSON read, no job)
+    val meta = IndexMeta.read(spark, path).getOrElse(IndexMeta.Meta(0L, 0L))
     val ups = spark.read.parquet(s"$path/vectors")
       .select(col("vec_id"), col("batch_id"), lit(1).as("is_upsert"))
     val fs = new Path(path)
@@ -1028,7 +1035,9 @@ object SnapshotLayout {
         lit(manifestIds(spark, path).size.toLong).as("n_batches"),
         col("total_rows"), col("live_rows"),
         (col("total_rows") - col("live_rows")).as("superseded_rows"),
-        col("dead_ids"), col("tombstone_rows"))
+        col("dead_ids"), col("tombstone_rows"),
+        lit(meta.fittedN).as("fitted_n"),
+        lit(meta.deltaSinceFit).as("delta_since_fit"))
   }
 
   /** `index_layout_stats`: [[layoutDebt]] certified for both families
@@ -1050,7 +1059,8 @@ object SnapshotLayout {
   }
 
   private val layoutDebtCols = Seq("n_batches", "total_rows", "live_rows",
-    "superseded_rows", "dead_ids", "tombstone_rows").map(col)
+    "superseded_rows", "dead_ids", "tombstone_rows", "fitted_n",
+    "delta_since_fit").map(col)
 
   val indexLayoutStatsSql: String =
     """SELECT f.family, CAST(4 AS BIGINT) AS n_batches,
@@ -1058,7 +1068,9 @@ object SnapshotLayout {
       |  (SELECT count(*) FROM embeddings) - 2 AS live_rows,
       |  CAST(12 AS BIGINT) AS superseded_rows,
       |  CAST(2 AS BIGINT) AS dead_ids,
-      |  CAST(4 AS BIGINT) AS tombstone_rows
+      |  CAST(4 AS BIGINT) AS tombstone_rows,
+      |  (SELECT count(*) FROM embeddings) - 50 AS fitted_n,
+      |  CAST(64 AS BIGINT) AS delta_since_fit
       |FROM (SELECT 'ivf' AS family UNION ALL SELECT 'nsw') f
       |ORDER BY f.family""".stripMargin
 

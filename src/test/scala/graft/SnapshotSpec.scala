@@ -595,10 +595,13 @@ class SnapshotSpec extends AnyFunSuite {
       SnapshotLayout.pristineScenario(spark, sf), work)
     def debt() = SnapshotLayout.layoutDebt(spark, work).collect().head
       .toSeq.map(_.asInstanceOf[Long])
-    assert(debt() == Seq(4L, n + 10, n - 2, 12L, 2L, 4L),
+    // drift columns: base fit over n-50 rows; batches bumped
+    // 25 + (25+4) + 10 = 64 — compaction folds STORAGE, not semantic
+    // drift, so the refit signal must survive it unchanged
+    assert(debt() == Seq(4L, n + 10, n - 2, 12L, 2L, 4L, n - 50, 64L),
       s"pre-compaction debt off: ${debt()}")
     SnapshotLayout.compact(spark, work, 2L)
-    assert(debt() == Seq(2L, n + 6, n - 2, 8L, 0L, 0L),
+    assert(debt() == Seq(2L, n + 6, n - 2, 8L, 0L, 0L, n - 50, 64L),
       s"post-compaction debt off: ${debt()}")
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(work).getParentFile)
