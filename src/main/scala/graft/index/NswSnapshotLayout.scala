@@ -548,9 +548,9 @@ object NswSnapshotLayout {
   def nswSearchAsofFiltered(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
-      s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/nsw_asof_filt"
-    SnapshotLayout.copyLayout(spark, pristineScenario(spark, dir), path)
+    // read-only over the scenario — serves straight from the
+    // pristine memo (the copy discipline is for destructive entries)
+    val path = pristineScenario(spark, dir)
     val queries = emb.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
         $"label".as("q_label"))

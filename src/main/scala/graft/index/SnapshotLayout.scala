@@ -874,9 +874,11 @@ object SnapshotLayout {
   def ivfSearchAsofFiltered(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
-      s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/ivf_asof_filt"
-    copyLayout(spark, pristineScenario(spark, dir), path)
+    // READ-ONLY over the scenario (serves + reconstructions, no
+    // rollback/compaction), so it serves straight from the pristine
+    // memo — the per-invocation filesystem copy is only for entries
+    // with destructive steps
+    val path = pristineScenario(spark, dir)
     val queries = emb.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
         $"label".as("q_label"))
