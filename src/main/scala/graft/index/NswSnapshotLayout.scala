@@ -182,22 +182,19 @@ object NswSnapshotLayout {
     out
   }
 
-  /** Filtered beam serve from the as-of graph — the graph twin of
-    * [[SnapshotLayout.searchAsOfFiltered]]: the metadata a
-    * meta-bearing layout's batches carry rides the reconstruction
-    * ([[asOfVectors]]), so [[NswIndex.searchFiltered]]'s pre-filter
-    * walk semantics (navigation unfiltered, accepted-set top-k, the
-    * compensated beam) apply at any as-of point. The as-of edge set
-    * is label-independent, exactly like the persisted graph. */
   /** Public CDC read over a versioned GRAPH layout — the NSW twin of
     * [[SnapshotLayout.asOfDiff]]: the change feed is a function of
     * the event log, so the shared differ runs over this family's
     * vector reconstructions (edges are derived state and never part
-    * of the payload a consumer diffs). */
+    * of the payload a consumer diffs). Endpoints below the compaction
+    * floor are refused — the truncated log cannot reconstruct them. */
   def asOfDiff(spark: SparkSession, path: String, fromBatch: Long,
-      toBatch: Long): DataFrame =
+      toBatch: Long): DataFrame = {
+    SnapshotLayout.requireAnswerable(spark, path, fromBatch)
+    SnapshotLayout.requireAnswerable(spark, path, toBatch)
     SnapshotLayout.diffLiveSets(asOfVectors(spark, path, fromBatch),
       asOfVectors(spark, path, toBatch))
+  }
 
   /** Merge-on-read debt of a versioned GRAPH layout — the NSW twin of
     * [[SnapshotLayout.layoutDebt]]: this family's crash repair first
@@ -208,6 +205,13 @@ object NswSnapshotLayout {
     SnapshotLayout.debtScan(spark, path)
   }
 
+  /** Filtered beam serve from the as-of graph — the graph twin of
+    * [[SnapshotLayout.searchAsOfFiltered]]: the metadata a
+    * meta-bearing layout's batches carry rides the reconstruction
+    * ([[asOfVectors]]), so [[NswIndex.searchFiltered]]'s pre-filter
+    * walk semantics (navigation unfiltered, accepted-set top-k, the
+    * compensated beam) apply at any as-of point. The as-of edge set
+    * is label-independent, exactly like the persisted graph. */
   def searchAsOfFiltered(spark: SparkSession, path: String, batchId: Long,
       queries: DataFrame, pred: org.apache.spark.sql.Column,
       k: Int = 10): DataFrame = {

@@ -933,6 +933,12 @@ object SnapshotLayout {
     * the two reconstructions — linear in the live rows, no window, no
     * driver action: the plan a 100 TB version audit needs. */
   private[graft] def diffLiveSets(before: DataFrame, after: DataFrame): DataFrame = {
+    // symmetric payloads or fail loudly: deriving the column list from
+    // one side would silently drop changes in a column only the other
+    // side carries (a layout-generation boundary adding metadata)
+    require(before.columns.toSet == after.columns.toSet,
+      s"cannot diff live sets with different schemas: " +
+        s"${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
     val payload = before.columns.toSeq.filterNot(Set("vec_id", "cluster_id"))
     def packed(df: DataFrame, as: String) =
       df.select(col("vec_id"), struct(payload.map(col): _*).as(as))
@@ -950,11 +956,29 @@ object SnapshotLayout {
 
   /** Public CDC read over a versioned IVF layout: [[diffLiveSets]]
     * between the `fromBatch` and `toBatch` reconstructions (each
-    * reconstruction runs its own crash repair). */
+    * reconstruction runs its own crash repair). Endpoints below the
+    * compaction floor are REFUSED (the rollback-guard precedent): the
+    * truncated log would reconstruct an empty/partial live set there
+    * and the feed would silently report every live id as `added`. */
   def asOfDiff(spark: SparkSession, path: String, fromBatch: Long,
-      toBatch: Long): DataFrame =
+      toBatch: Long): DataFrame = {
+    requireAnswerable(spark, path, fromBatch)
+    requireAnswerable(spark, path, toBatch)
     diffLiveSets(asOfAssigned(spark, path, fromBatch),
       asOfAssigned(spark, path, toBatch))
+  }
+
+  /** An as-of point is answerable iff the log still covers it: at or
+    * above the oldest surviving manifest (compaction truncates both
+    * history and its manifests together). */
+  private[index] def requireAnswerable(spark: SparkSession, path: String,
+      batchId: Long): Unit = {
+    val ids = manifestIds(spark, path)
+    require(ids.nonEmpty && batchId >= ids.head,
+      s"as-of $batchId is below the compaction floor " +
+        s"${ids.headOption.getOrElse(-1L)} under $path — the truncated log " +
+        "cannot reconstruct it (refusing to emit a silently-wrong feed)")
+  }
 
   /** `index_asof_diff`: the versioned layouts' change-data feed,
     * certified for BOTH index families against one oracle — the
@@ -1011,7 +1035,15 @@ object SnapshotLayout {
     // delta_since_fit here and decides when a new layout generation
     // is due (one sidecar JSON read, no job)
     val meta = IndexMeta.read(spark, path).getOrElse(IndexMeta.Meta(0L, 0L))
+    // consistency on a LIVE layout: n_batches and the drift columns
+    // read eagerly here, the row counts lazily at collect time — so
+    // the scans are bounded to the last batch manifested NOW, or a
+    // micro-batch landing in between would tear the snapshot (counts
+    // including a batch the manifest columns don't)
+    val ids = manifestIds(spark, path)
+    val last = ids.lastOption.getOrElse(Long.MaxValue)
     val ups = spark.read.parquet(s"$path/vectors")
+      .filter(col("batch_id") <= last)
       .select(col("vec_id"), col("batch_id"), lit(1).as("is_upsert"))
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1021,6 +1053,7 @@ object SnapshotLayout {
     val tombs =
       if (!hasTombs) ups.limit(0)
       else spark.read.parquet(s"$path/tombstones")
+        .filter(col("batch_id") <= last)
         .select(col("vec_id"), col("batch_id"), lit(0).as("is_upsert"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("batch_id").desc, col("is_upsert").desc)
@@ -1034,7 +1067,7 @@ object SnapshotLayout {
           .as("dead_ids"),
         count(when(col("is_upsert") === 0, 1)).as("tombstone_rows"))
       .select(
-        lit(manifestIds(spark, path).size.toLong).as("n_batches"),
+        lit(ids.size.toLong).as("n_batches"),
         col("total_rows"), col("live_rows"),
         (col("total_rows") - col("live_rows")).as("superseded_rows"),
         col("dead_ids"), col("tombstone_rows"),

@@ -600,9 +600,21 @@ class SnapshotSpec extends AnyFunSuite {
     // drift, so the refit signal must survive it unchanged
     assert(debt() == Seq(4L, n + 10, n - 2, 12L, 2L, 4L, n - 50, 64L),
       s"pre-compaction debt off: ${debt()}")
+    // the CDC read survives compaction for answerable endpoints...
+    val feedBefore = SnapshotLayout.asOfDiff(spark, work, 2L, 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     SnapshotLayout.compact(spark, work, 2L)
     assert(debt() == Seq(2L, n + 6, n - 2, 8L, 0L, 0L, n - 50, 64L),
       s"post-compaction debt off: ${debt()}")
+    val feedAfter = SnapshotLayout.asOfDiff(spark, work, 2L, 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feedAfter == feedBefore,
+      "change feed at the compaction point diverged across the fold")
+    // ...and REFUSES endpoints below the compaction floor instead of
+    // emitting a silently-wrong everything-is-added feed
+    intercept[IllegalArgumentException] {
+      SnapshotLayout.asOfDiff(spark, work, 1L, 3L)
+    }
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(work).getParentFile)
   }
