@@ -608,7 +608,15 @@ object IvfIndex {
     * from the sidecar's persisted rotation. */
   private def refreshPqSidecars(spark: SparkSession, path: String): Unit =
     pqSubdirs(spark, path).foreach { sub =>
-      persistPq(spark, path,
+      // the refreshed sidecar must keep ITS configured geometry — m
+      // and codes are recovered from the persisted codebooks (a
+      // defaults-refit would silently change code width and recall/
+      // memory shape under the operator); the fit seed is not
+      // persisted, so a refresh re-fits at the default seed — the
+      // codebooks differ but the contract (recall bars, grids) is
+      // seed-independent
+      val books = readCodebooks(spark, path, sub)
+      persistPq(spark, path, m = books.length, codes = books.head.length,
         rotate = readRotation(spark, path, sub).isDefined, sub = sub)
     }
 

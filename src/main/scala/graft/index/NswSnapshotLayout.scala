@@ -77,20 +77,25 @@ object NswSnapshotLayout {
     if (SnapshotLayout.readManifest(spark, path, batchId).isDefined ||
         SnapshotLayout.manifestIds(spark, path).headOption.exists(batchId <= _))
       return
-    if (!deletes.isEmpty)
-      deletes.select(col("vec_id")).withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("batch_id")
-        .parquet(s"$path/tombstones")
-    if (!upserts.isEmpty) {
-      // a meta-bearing layout's batches must carry its metadata — the
-      // IVF twin's fail-fast discipline (meta-less rows would be
-      // invisible to every filtered as-of serve)
-      val storedCols = spark.read.parquet(s"$path/vectors").columns.toSeq
-      val keep = storedCols.filterNot(Set("batch_id"))
+    // a meta-bearing layout's batches must carry its metadata — the
+    // IVF twin's fail-fast discipline (meta-less rows would be
+    // invisible to every filtered as-of serve). Validation runs
+    // BEFORE the tombstone write so a rejected batch is
+    // side-effect-free (its deletes must not apply at head)
+    val storedCols = spark.read.parquet(s"$path/vectors").columns.toSeq
+    val keep = storedCols.filterNot(Set("batch_id"))
+    val hasUpserts = !upserts.isEmpty
+    if (hasUpserts) {
       val missing = keep.filterNot(upserts.columns.contains)
       require(missing.isEmpty,
         s"versioned batch missing layout columns ${missing.mkString(", ")}: " +
           "a meta-bearing layout's batches must carry its metadata")
+    }
+    if (!deletes.isEmpty)
+      deletes.select(col("vec_id")).withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("batch_id")
+        .parquet(s"$path/tombstones")
+    if (hasUpserts) {
       val (headVecs, headEdges) = asOfGraph(spark, path, Long.MaxValue)
       val queries = upserts
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -252,6 +257,13 @@ object NswSnapshotLayout {
     * reconstruction entry point runs first. */
   def compact(spark: SparkSession, path: String, upTo: Long): Unit = {
     repairCompaction(spark, path)
+    // the IVF twin's guard: an unmanifested compaction point would
+    // truncate every manifest below it and strand rollback, crash
+    // repair, and the replay floor
+    require(SnapshotLayout.readManifest(spark, path, upTo).isDefined,
+      s"compaction point batch $upTo has no manifest under $path/_snapshots " +
+        "(never applied, or crashed mid-apply) — refusing to truncate " +
+        "history below an unrestorable batch")
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (live, liveEdges) = asOfGraph(spark, path, upTo)

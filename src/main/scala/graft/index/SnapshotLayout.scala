@@ -85,22 +85,28 @@ object SnapshotLayout {
     // fresh-checkpoint restart-at-0 hazard)
     if (readManifest(spark, path, batchId).isDefined ||
         manifestIds(spark, path).headOption.exists(batchId <= _)) return
-    if (!deletes.isEmpty)
-      deletes.select(col("vec_id")).withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("batch_id")
-        .parquet(s"$path/tombstones")
-    if (!upserts.isEmpty) {
-      val centroids = spark.read.parquet(s"$path/centroids")
-      // a meta-bearing layout (init from a metaCols build — the
-      // filtered as-of serving shape) requires its deltas to carry
-      // the same metadata; the addDeltaRows discipline: fail fast
-      // rather than append rows invisible to every filtered serve
-      val storedCols = spark.read.parquet(s"$path/vectors").columns.toSeq
-      val keep = storedCols.filterNot(Set("cluster_id", "batch_id"))
+    // a meta-bearing layout (init from a metaCols build — the
+    // filtered as-of serving shape) requires its deltas to carry
+    // the same metadata; the addDeltaRows discipline: fail fast
+    // rather than append rows invisible to every filtered serve.
+    // Validation runs BEFORE any write: a rejected batch must be
+    // side-effect-free, or its tombstones would apply at head with
+    // no manifest and re-append on the corrected retry
+    val storedCols = spark.read.parquet(s"$path/vectors").columns.toSeq
+    val keep = storedCols.filterNot(Set("cluster_id", "batch_id"))
+    val hasUpserts = !upserts.isEmpty
+    if (hasUpserts) {
       val missing = keep.filterNot(upserts.columns.contains)
       require(missing.isEmpty,
         s"versioned batch missing layout columns ${missing.mkString(", ")}: " +
           "a meta-bearing layout's batches must carry its metadata")
+    }
+    if (!deletes.isEmpty)
+      deletes.select(col("vec_id")).withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("batch_id")
+        .parquet(s"$path/tombstones")
+    if (hasUpserts) {
+      val centroids = spark.read.parquet(s"$path/centroids")
       val assigned = IvfIndex.assignToCentroids(
           upserts.select(keep.map(col): _*), centroids)
         .withColumn("batch_id", lit(batchId))
@@ -392,6 +398,15 @@ object SnapshotLayout {
     */
   def compact(spark: SparkSession, path: String, upTo: Long): Unit = {
     repairCompaction(spark, path)
+    // the compaction point must be a manifested batch — the rollback
+    // guard's discipline: compacting to an unmanifested id would
+    // delete EVERY manifest below it (possibly all of them), leaving
+    // no rollback target, no crash-repair anchor, and no replay
+    // floor — the ghost-resurrection hazard the floor guard exists for
+    require(readManifest(spark, path, upTo).isDefined,
+      s"compaction point batch $upTo has no manifest under $path/_snapshots " +
+        "(never applied, or crashed mid-apply) — refusing to truncate " +
+        "history below an unrestorable batch")
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // materialize the live set BEFORE touching anything the plan reads

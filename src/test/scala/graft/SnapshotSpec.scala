@@ -618,4 +618,47 @@ class SnapshotSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(work).getParentFile)
   }
+
+  test("mid-history initPq: code coverage stays complete through batches and compaction") {
+    // the IVF compaction commit distinguishes already-swapped from
+    // staged-empty via the raw plan's cluster list, which is only
+    // sound while live code rows mirror live raw rows cluster-for-
+    // cluster. That invariant holds because initPq encodes the ENTIRE
+    // stored tree at call time and applyBatch encodes every later
+    // delta — this test drives the one shape that could break it
+    // (sidecar created mid-history, then a later batch, then a fold)
+    // and asserts zero live raw rows without a live code row
+    val all = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-midpq").toString + "/ivf"
+    SnapshotLayout.init(IvfIndex.build(spark, all.filter($"vec_id" >= 50)), path)
+    SnapshotLayout.applyBatch(spark, path, 1L,
+      upserts = all.filter($"vec_id" < 20),
+      deletes = all.limit(0).select($"vec_id"))
+    SnapshotLayout.initPq(spark, path) // mid-history: batches 0 and 1 exist
+    SnapshotLayout.applyBatch(spark, path, 2L,
+      upserts = all.filter($"vec_id" >= 20 && $"vec_id" < 40),
+      deletes = all.filter($"vec_id" < 10).select($"vec_id"))
+    def uncovered(b: Long): Long =
+      SnapshotLayout.asOfAssigned(spark, path, b)
+        .join(SnapshotLayout.asOfCodes(spark, path, b)
+          .select($"vec_id".as("cv")), $"vec_id" === $"cv", "left_anti")
+        .count()
+    assert(uncovered(1L) == 0L, "live raw rows without codes as of 1")
+    assert(uncovered(Long.MaxValue) == 0L, "live raw rows without codes at head")
+    SnapshotLayout.compact(spark, path, 2L)
+    assert(uncovered(Long.MaxValue) == 0L,
+      "compaction broke raw/code coverage parity")
+    // and the fold bounded the code history like the raw history
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codeDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/pq/codes"))
+      .filter(_.isDirectory)
+      .flatMap(c => fs.listStatus(c.getPath).filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong)).toSet
+    assert(codeDirs.forall(_ >= 2L), s"stale code batch dirs survive: $codeDirs")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(path).getParentFile)
+  }
 }
