@@ -443,10 +443,7 @@ object NswSnapshotLayout {
       count(when($"vec_id" >= 25 && $"vec_id" < 50, 1)).as("n_future_live"))
     rollback(spark, path, 2L)
     val headAfter = searchAsOf(spark, path, Long.MaxValue, queries)
-    val identical = asof2.unionByName(headAfter)
-      .groupBy($"q_id", $"rank", $"neighbor_id", $"score_e6")
-      .agg(count(lit(1)).as("c"))
-      .agg(count(when($"c" =!= 2L, 1)).as("n_diff"))
+    val identical = SnapshotLayout.serveDiffCount(asof2, headAfter, "n_diff")
     val meta = IndexMeta.read(spark, path).getOrElse(IndexMeta.Meta(-1L, -1L))
     val manifest = SnapshotLayout.readManifest(spark, path, 2L)
       .getOrElse(IndexMeta.Meta(-2L, -2L))
@@ -523,11 +520,8 @@ object NswSnapshotLayout {
     rollback(spark, path, 2L)
     val headRolled = searchAsOf(spark, path, Long.MaxValue, queries)
       .localCheckpoint(true)
-    def nDiff(a: DataFrame, b: DataFrame, name: String): DataFrame =
-      a.unionByName(b)
-        .groupBy($"q_id", $"rank", $"neighbor_id", $"score_e6")
-        .agg(count(lit(1)).as("c"))
-        .agg(count(when($"c" =!= 2L, 1)).as(name))
+    def nDiff(a: DataFrame, b: DataFrame, name: String) =
+      SnapshotLayout.serveDiffCount(a, b, name)
     val globals = nDiff(asof2Before, asof2After, "n_diff2")
       .crossJoin(nDiff(asof2Before, headRolled, "n_diffr"))
       .select(

@@ -582,6 +582,18 @@ object SnapshotLayout {
     }
   }
 
+  /** Serve-identity comparator shared by every grid: the count of
+    * (q_id, rank, neighbor_id, score_e6) rows NOT present in both
+    * serves — 0 iff the two serves are row-identical. One definition
+    * so the IVF and NSW grids cannot silently diverge on what
+    * "identical" means. */
+  private[index] def serveDiffCount(a: DataFrame, b: DataFrame,
+      name: String): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("q_id"), col("rank"), col("neighbor_id"), col("score_e6"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(when(col("c") =!= 2L, 1)).as(name))
+
   /** Copy a layout directory tree (pristine scenario → per-invocation
     * work dir). Pure filesystem traffic — no Spark job; the layouts
     * these ops copy are the bounded accountability scenarios, never a
@@ -681,10 +693,7 @@ object SnapshotLayout {
       count(when($"vec_id" >= 25 && $"vec_id" < 50, 1)).as("n_future_live"))
     rollback(spark, path, 2L)
     val headAfter = searchAsOf(spark, path, Long.MaxValue, queries)
-    val identical = asof2.unionByName(headAfter)
-      .groupBy($"q_id", $"rank", $"neighbor_id", $"score_e6")
-      .agg(count(lit(1)).as("c"))
-      .agg(count(when($"c" =!= 2L, 1)).as("n_diff"))
+    val identical = serveDiffCount(asof2, headAfter, "n_diff")
     val meta = IndexMeta.read(spark, path).getOrElse(IndexMeta.Meta(-1L, -1L))
     val manifest = readManifest(spark, path, 2L).getOrElse(IndexMeta.Meta(-2L, -2L))
     val globals = tombOk.crossJoin(asof1Ok).crossJoin(identical)
@@ -737,11 +746,8 @@ object SnapshotLayout {
     val headBefore = searchAsOf(spark, path, Long.MaxValue, queries)
       .localCheckpoint(true)
     compact(spark, path, 2L)
-    def nDiff(a: DataFrame, b: DataFrame, name: String): DataFrame =
-      a.unionByName(b)
-        .groupBy($"q_id", $"rank", $"neighbor_id", $"score_e6")
-        .agg(count(lit(1)).as("c"))
-        .agg(count(when($"c" =!= 2L, 1)).as(name))
+    def nDiff(a: DataFrame, b: DataFrame, name: String) =
+      serveDiffCount(a, b, name)
     // each serve materializes EAGERLY before the next destructive step
     // deletes files its lazy plan would still list
     val asof2After = searchAsOf(spark, path, 2L, queries).localCheckpoint(true)
@@ -819,11 +825,8 @@ object SnapshotLayout {
     copyLayout(spark, pristineScenario(spark, dir), path)
     val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
-    def nDiff(a: DataFrame, b: DataFrame, name: String): DataFrame =
-      a.unionByName(b)
-        .groupBy($"q_id", $"rank", $"neighbor_id", $"score_e6")
-        .agg(count(lit(1)).as("c"))
-        .agg(count(when($"c" =!= 2L, 1)).as(name))
+    def nDiff(a: DataFrame, b: DataFrame, name: String) =
+      serveDiffCount(a, b, name)
     // every serve/stat materializes EAGERLY before the destructive
     // steps delete or rewrite files its lazy plan would still list
     val prod2 = searchAsOfPq(spark, path, 2L, queries).localCheckpoint(true)
@@ -919,10 +922,7 @@ object SnapshotLayout {
         (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
         (max(when($"rank" === 1L, $"score_e6")) === 1000000L).as("top1_exact"),
         (min(coalesce($"next_score" <= $"score_e6", lit(true)).cast("int")) === 1).as("monotone"))
-    val identical = raw.unionByName(adc)
-      .groupBy($"q_id", $"rank", $"neighbor_id", $"score_e6")
-      .agg(count(lit(1)).as("c"))
-      .agg(count(when($"c" =!= 2L, 1)).as("n_diff"))
+    val identical = serveDiffCount(raw, adc, "n_diff")
       .select(($"n_diff" === 0L).as("adc_matches_raw"))
     perProbe.crossJoin(broadcast(identical))
       .select($"q_id", $"k_results", $"all_match_label", $"self_found",
