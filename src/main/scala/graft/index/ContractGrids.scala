@@ -174,4 +174,48 @@ object ContractGrids {
       |FROM (VALUES ('degree_ranked'), ('endpoints_in_corpus'),
       |  ('no_self_loops'), ('nonempty'), ('scores_exact')) t(invariant)
       |ORDER BY invariant""".stripMargin
+
+  /** Shared filtered-serve invariant grid — ONE definition of the
+    * contract every label-filtered entry asserts (persisted IVF/NSW,
+    * compressed-tier ADC, and both families' filtered as-of serves),
+    * so the five grids cannot silently diverge on what "filtered
+    * serve" means. Over a filtered top-k frame
+    * `(q_id, neighbor_id, score_e6, rank)` for the `vec_id < 5` label
+    * workload:
+    *  - `k_results`: exactly k rows (pre-filter semantics — a
+    *    post-filtered top-k comes up short);
+    *  - `all_match_label`: every neighbor satisfies the predicate,
+    *    with labels re-derived from the TABLE (stale serve-side
+    *    metadata flips the hash);
+    *  - `self_found` / `top1_exact`: the query's own vector (which
+    *    trivially matches its own label) leads at exactly 1.0;
+    *  - `monotone`: scores non-increasing in rank.
+    * Scale shape: both label probes broadcast ≤ |hits| rows into the
+    * corpus scan; no corpus shuffle. */
+  def filteredServeGrid(spark: SparkSession, dir: String,
+      hits: DataFrame): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val labels = emb.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+      .join(broadcast(hits.select(col("neighbor_id")).distinct()),
+        Seq("neighbor_id"), "left_semi")
+    val qLabels = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val next = hits.select(col("q_id"), (col("rank") - 1).as("rank"),
+      col("score_e6").as("next_score"))
+    hits
+      .join(broadcast(labels), Seq("neighbor_id"))
+      .join(broadcast(qLabels), Seq("q_id"))
+      .join(broadcast(next), Seq("q_id", "rank"), "left")
+      .groupBy(col("q_id")).agg(
+        (count(lit(1)) === 10L).as("k_results"),
+        (min((col("n_label") === col("q_label")).cast("int")) === 1)
+          .as("all_match_label"),
+        (max(when(col("neighbor_id") === col("q_id"), 1)).isNotNull)
+          .as("self_found"),
+        (max(when(col("rank") === 1L, col("score_e6"))) === 1000000L)
+          .as("top1_exact"),
+        (min(coalesce(col("next_score") <= col("score_e6"), lit(true))
+          .cast("int")) === 1).as("monotone"))
+      .orderBy(col("q_id"))
+  }
 }

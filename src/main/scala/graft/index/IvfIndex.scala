@@ -749,22 +749,7 @@ object IvfIndex {
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"label".as("q_label"))
     val hits = searchFiltered(built, queries, col("label") === col("q_label"),
       nProbe = 13).localCheckpoint(true)
-    val labels = emb.select($"vec_id".as("neighbor_id"), $"label".as("n_label"))
-      .join(broadcast(hits.select($"neighbor_id").distinct()), Seq("neighbor_id"), "left_semi")
-    val qLabels = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("q_id"), $"label".as("q_label"))
-    val next = hits.select($"q_id", ($"rank" - 1).as("rank"), $"score_e6".as("next_score"))
-    hits
-      .join(broadcast(labels), Seq("neighbor_id"))
-      .join(broadcast(qLabels), Seq("q_id"))
-      .join(broadcast(next), Seq("q_id", "rank"), "left")
-      .groupBy($"q_id").agg(
-        (count(lit(1)) === 10L).as("k_results"),
-        (min(($"n_label" === $"q_label").cast("int")) === 1).as("all_match_label"),
-        (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
-        (max(when($"rank" === 1L, $"score_e6")) === 1000000L).as("top1_exact"),
-        (min(coalesce($"next_score" <= $"score_e6", lit(true)).cast("int")) === 1).as("monotone"))
-      .orderBy($"q_id")
+    ContractGrids.filteredServeGrid(spark, dir, hits)
   }
 
   val ivfSearchFilteredSql: String =
@@ -1115,24 +1100,7 @@ object IvfIndex {
         $"label".as("q_label"))
     val hits = searchPersistedPqFiltered(spark, base, queries,
       col("label") === col("q_label")).localCheckpoint(true)
-    val labels = emb.select($"vec_id".as("neighbor_id"), $"label".as("n_label"))
-      .join(broadcast(hits.select($"neighbor_id").distinct()),
-        Seq("neighbor_id"), "left_semi")
-    val qLabels = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("q_id"), $"label".as("q_label"))
-    val next = hits.select($"q_id", ($"rank" - 1).as("rank"),
-      $"score_e6".as("next_score"))
-    hits
-      .join(broadcast(labels), Seq("neighbor_id"))
-      .join(broadcast(qLabels), Seq("q_id"))
-      .join(broadcast(next), Seq("q_id", "rank"), "left")
-      .groupBy($"q_id").agg(
-        (count(lit(1)) === 10L).as("k_results"),
-        (min(($"n_label" === $"q_label").cast("int")) === 1).as("all_match_label"),
-        (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
-        (max(when($"rank" === 1L, $"score_e6")) === 1000000L).as("top1_exact"),
-        (min(coalesce($"next_score" <= $"score_e6", lit(true)).cast("int")) === 1).as("monotone"))
-      .orderBy($"q_id")
+    ContractGrids.filteredServeGrid(spark, dir, hits)
   }
 
   val ivfSearchPqFilteredSql: String =

@@ -905,23 +905,7 @@ object SnapshotLayout {
       .localCheckpoint(true)
     val adc = searchAsOfPqFiltered(spark, path, 2L, queries, pred,
       rerank = 1000000).localCheckpoint(true)
-    val labels = emb.select($"vec_id".as("neighbor_id"), $"label".as("n_label"))
-      .join(broadcast(raw.select($"neighbor_id").distinct()),
-        Seq("neighbor_id"), "left_semi")
-    val qLabels = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("q_id"), $"label".as("q_label"))
-    val next = raw.select($"q_id", ($"rank" - 1).as("rank"),
-      $"score_e6".as("next_score"))
-    val perProbe = raw
-      .join(broadcast(labels), Seq("neighbor_id"))
-      .join(broadcast(qLabels), Seq("q_id"))
-      .join(broadcast(next), Seq("q_id", "rank"), "left")
-      .groupBy($"q_id").agg(
-        (count(lit(1)) === 10L).as("k_results"),
-        (min(($"n_label" === $"q_label").cast("int")) === 1).as("all_match_label"),
-        (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
-        (max(when($"rank" === 1L, $"score_e6")) === 1000000L).as("top1_exact"),
-        (min(coalesce($"next_score" <= $"score_e6", lit(true)).cast("int")) === 1).as("monotone"))
+    val perProbe = ContractGrids.filteredServeGrid(spark, dir, raw)
     val identical = serveDiffCount(raw, adc, "n_diff")
       .select(($"n_diff" === 0L).as("adc_matches_raw"))
     perProbe.crossJoin(broadcast(identical))

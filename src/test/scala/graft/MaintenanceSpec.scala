@@ -148,7 +148,10 @@ class MaintenanceSpec extends AnyFunSuite {
     val r = recall(
       topIds(IvfIndex.searchPersisted(spark, dir, qs, k = 10), 10),
       bruteTop(survivors, qs, 10))
-    assert(r >= 0.9, s"post-remove-rebuild recall $r < 0.9")
+    // epsilon: a mean landing EXACTLY on the bar (22.5/25 hits) reads
+    // 0.8999999999999999 in IEEE754 and must not flake the suite —
+    // observed once under full-suite scheduling, green in isolation
+    assert(r >= 0.9 - 1e-9, s"post-remove-rebuild recall $r < 0.9")
   }
 
   test("IVF direct persisted deltas are visible to the drift envelope (sidecar bumps)") {
