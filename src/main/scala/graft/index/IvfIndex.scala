@@ -616,6 +616,11 @@ object IvfIndex {
       // codebooks differ but the contract (recall bars, grids) is
       // seed-independent
       val books = readCodebooks(spark, path, sub)
+      // an empty/corrupt codebooks table must fail with the sidecar
+      // named, not a bare NoSuchElementException mid-rebuild
+      require(books.nonEmpty && books.head.nonEmpty,
+        s"sidecar $sub has no codebooks under $path/$sub/codebooks — " +
+          "cannot recover its m/codes geometry for the drift-rebuild refresh")
       persistPq(spark, path, m = books.length, codes = books.head.length,
         rotate = readRotation(spark, path, sub).isDefined, sub = sub)
     }

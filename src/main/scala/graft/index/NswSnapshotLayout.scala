@@ -195,11 +195,18 @@ object NswSnapshotLayout {
     * floor are refused — the truncated log cannot reconstruct them. */
   def asOfDiff(spark: SparkSession, path: String, fromBatch: Long,
       toBatch: Long): DataFrame = {
+    repairCompaction(spark, path)
     SnapshotLayout.requireAnswerable(spark, path, fromBatch)
     SnapshotLayout.requireAnswerable(spark, path, toBatch)
-    SnapshotLayout.diffLiveSets(asOfVectors(spark, path, fromBatch),
-      asOfVectors(spark, path, toBatch))
+    SnapshotLayout.diffFingerprints(
+      SnapshotLayout.asOfFingerprints(spark, path, fromBatch, nswNonPayload, "b_fp"),
+      SnapshotLayout.asOfFingerprints(spark, path, toBatch, nswNonPayload, "a_fp"))
   }
+
+  /** This family has no physical cluster_id, so only vec_id is
+    * structural — a user metadata column named cluster_id is payload
+    * here and its changes must ride the feed. */
+  private[index] val nswNonPayload = Set("vec_id")
 
   /** Merge-on-read debt of a versioned GRAPH layout — the NSW twin of
     * [[SnapshotLayout.layoutDebt]]: this family's crash repair first

@@ -931,26 +931,88 @@ object SnapshotLayout {
     * unchanged ids are omitted. One full-outer join on vec_id over
     * the two reconstructions — linear in the live rows, no window, no
     * driver action: the plan a 100 TB version audit needs. */
-  private[graft] def diffLiveSets(before: DataFrame, after: DataFrame): DataFrame = {
+  /** `nonPayload`: the structural columns excluded from the change
+    * payload, per FAMILY — the IVF layout's `cluster_id` is a physical
+    * placement, not content, but on the NSW layout (which has no
+    * physical cluster_id) a USER metadata column of that name IS
+    * payload; a shared hardcoded exclusion would silently drop its
+    * changes from the feed. */
+  private[graft] def diffLiveSets(before: DataFrame, after: DataFrame,
+      nonPayload: Set[String] = Set("vec_id", "cluster_id")): DataFrame = {
     // symmetric payloads or fail loudly: deriving the column list from
     // one side would silently drop changes in a column only the other
     // side carries (a layout-generation boundary adding metadata)
     require(before.columns.toSet == after.columns.toSet,
       s"cannot diff live sets with different schemas: " +
         s"${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
-    val payload = before.columns.toSeq.filterNot(Set("vec_id", "cluster_id"))
-    def packed(df: DataFrame, as: String) =
-      df.select(col("vec_id"), struct(payload.map(col): _*).as(as))
-    packed(before, "b_row").join(packed(after, "a_row"), Seq("vec_id"), "full_outer")
+    val payload = before.columns.toSeq.filterNot(nonPayload)
+    def fingerprinted(df: DataFrame, as: String) =
+      df.select(col("vec_id"), payloadFp(payload).as(as))
+    diffFingerprints(fingerprinted(before, "b_fp"),
+      fingerprinted(after, "a_fp"))
+  }
+
+  /** Map-side 8-byte payload fingerprint — the change classification
+    * only needs payload EQUALITY, so the CDC exchanges carry this
+    * hash, never the embedding array (the asOfWinners discipline:
+    * keys + 8 bytes a row through the shuffle instead of the corpus
+    * width). Each field hashes under its own name prefix — a NULL
+    * field reads as the name-keyed sentinel hash, so flipping a
+    * metadata field to/from NULL still classifies `updated` (the
+    * null-safe contract of the struct comparison this replaced) and
+    * nulls in different positions cannot alias each other. 64-bit
+    * fingerprint equality stands in for payload equality, the
+    * standard CDC trade. */
+  private def payloadFp(payload: Seq[String]): org.apache.spark.sql.Column = {
+    val fieldFps = payload.map(c => xxhash64(lit(c), col(c)))
+    if (fieldFps.isEmpty) lit(0L) else xxhash64(fieldFps: _*)
+  }
+
+  /** Classify changes between two (vec_id, fingerprint) live sets. A
+    * computed fingerprint is never NULL, so a NULL side marks absence
+    * under the full-outer join. */
+  private[index] def diffFingerprints(before: DataFrame, after: DataFrame): DataFrame =
+    before.join(after, Seq("vec_id"), "full_outer")
       .withColumn("change",
-        when(col("b_row").isNull, lit("added"))
-          .when(col("a_row").isNull, lit("deleted"))
-          // null-safe: a payload field flipping to/from NULL is a
-          // change; plain =!= would yield NULL there and silently
-          // read the row as unchanged
-          .when(!(col("a_row") <=> col("b_row")), lit("updated")))
+        when(col("b_fp").isNull, lit("added"))
+          .when(col("a_fp").isNull, lit("deleted"))
+          .when(col("a_fp") =!= col("b_fp"), lit("updated")))
       .filter(col("change").isNotNull)
       .select(col("vec_id"), col("change"))
+
+  /** The live (vec_id, payload-fingerprint) set as of `batchId` — the
+    * [[asOfAssigned]] argmax window with the payload hashed MAP-SIDE
+    * before the exchange, so the whole reconstruction (not just the
+    * diff join) moves keys + 8 bytes a row. Family-neutral like
+    * [[debtScan]]: both versioned layouts store `vectors/` +
+    * `tombstones/` event trees with the same batch_id semantics, so
+    * one scan serves both — and therefore runs NO crash repair itself
+    * (the plan formats differ); each family's entry point repairs
+    * first. `nonPayload` is the family's structural column set. */
+  private[index] def asOfFingerprints(spark: SparkSession, path: String,
+      batchId: Long, nonPayload: Set[String], as: String): DataFrame = {
+    val stored = spark.read.parquet(s"$path/vectors")
+    val payload = stored.columns.toSeq.filterNot(nonPayload + "batch_id")
+    val ups = stored.filter(col("batch_id") <= batchId)
+      .select(col("vec_id"), payloadFp(payload).as(as),
+        col("batch_id"), lit(1).as("is_upsert"))
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombRoot = new Path(s"$path/tombstones")
+    val hasTombs = fs.exists(tombRoot) &&
+      fs.listStatus(tombRoot).exists(_.isDirectory)
+    val tombs =
+      if (!hasTombs) ups.limit(0)
+      else spark.read.parquet(s"$path/tombstones")
+        .filter(col("batch_id") <= batchId)
+        .select(col("vec_id"), lit(0L).as(as),
+          col("batch_id"), lit(0).as("is_upsert"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("batch_id").desc, col("is_upsert").desc)
+    ups.unionByName(tombs)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("is_upsert") === 1)
+      .select(col("vec_id"), col(as))
   }
 
   /** Public CDC read over a versioned IVF layout: [[diffLiveSets]]
@@ -961,15 +1023,23 @@ object SnapshotLayout {
     * and the feed would silently report every live id as `added`. */
   def asOfDiff(spark: SparkSession, path: String, fromBatch: Long,
       toBatch: Long): DataFrame = {
+    repairCompaction(spark, path)
     requireAnswerable(spark, path, fromBatch)
     requireAnswerable(spark, path, toBatch)
-    diffLiveSets(asOfAssigned(spark, path, fromBatch),
-      asOfAssigned(spark, path, toBatch))
+    diffFingerprints(
+      asOfFingerprints(spark, path, fromBatch, ivfNonPayload, "b_fp"),
+      asOfFingerprints(spark, path, toBatch, ivfNonPayload, "a_fp"))
   }
+
+  /** This family's structural (non-payload) columns: the physical
+    * cluster assignment is placement, not content. */
+  private[index] val ivfNonPayload = Set("vec_id", "cluster_id")
 
   /** An as-of point is answerable iff the log still covers it: at or
     * above the oldest surviving manifest (compaction truncates both
-    * history and its manifests together). */
+    * history and its manifests together) and at or below the newest —
+    * a typo'd FUTURE batch id would silently alias head, so only the
+    * explicit `Long.MaxValue` head alias is admitted above the top. */
   private[index] def requireAnswerable(spark: SparkSession, path: String,
       batchId: Long): Unit = {
     val ids = manifestIds(spark, path)
@@ -977,6 +1047,10 @@ object SnapshotLayout {
       s"as-of $batchId is below the compaction floor " +
         s"${ids.headOption.getOrElse(-1L)} under $path — the truncated log " +
         "cannot reconstruct it (refusing to emit a silently-wrong feed)")
+    require(batchId == Long.MaxValue || batchId <= ids.last,
+      s"as-of $batchId is above the newest manifested batch ${ids.last} " +
+        s"under $path — a mistyped endpoint must fail loudly instead of " +
+        "silently aliasing head (use Long.MaxValue to address head explicitly)")
   }
 
   /** `index_asof_diff`: the versioned layouts' change-data feed,
@@ -994,15 +1068,16 @@ object SnapshotLayout {
   def indexAsofDiff(spark: SparkSession, dir: String): DataFrame = {
     val ivfPath = pristineScenario(spark, dir)
     val nswPath = NswSnapshotLayout.pristineScenario(spark, dir)
-    def feed(family: String, live: Long => DataFrame): DataFrame =
+    def feed(family: String, path: String, nonPayload: Set[String]): DataFrame =
       Seq((1L, 2L), (2L, 3L)).map { case (b1, b2) =>
-        diffLiveSets(live(b1), live(b2))
+        diffFingerprints(
+          asOfFingerprints(spark, path, b1, nonPayload, "b_fp"),
+          asOfFingerprints(spark, path, b2, nonPayload, "a_fp"))
           .select(lit(family).as("family"), lit(b1).as("from_b"),
             lit(b2).as("to_b"), col("vec_id"), col("change"))
       }.reduce(_ unionByName _)
-    feed("ivf", b => asOfAssigned(spark, ivfPath, b))
-      .unionByName(
-        feed("nsw", b => NswSnapshotLayout.asOfVectors(spark, nswPath, b)))
+    feed("ivf", ivfPath, ivfNonPayload)
+      .unionByName(feed("nsw", nswPath, NswSnapshotLayout.nswNonPayload))
       .orderBy(col("family"), col("from_b"), col("vec_id"))
   }
 
@@ -1040,7 +1115,15 @@ object SnapshotLayout {
     // micro-batch landing in between would tear the snapshot (counts
     // including a batch the manifest columns don't)
     val ids = manifestIds(spark, path)
-    val last = ids.lastOption.getOrElse(Long.MaxValue)
+    // no manifests = not a layout (init always manifests batch 0):
+    // defaulting the bound would silently count unmanifested rows as
+    // debt with n_batches = 0 — fail loudly, the requireAnswerable
+    // stance
+    require(ids.nonEmpty,
+      s"no snapshot manifests under $path/_snapshots — not a versioned " +
+        "layout (or its history was destroyed); refusing to report a " +
+        "zero-batch debt gauge over unmanifested rows")
+    val last = ids.last
     val ups = spark.read.parquet(s"$path/vectors")
       .filter(col("batch_id") <= last)
       .select(col("vec_id"), col("batch_id"), lit(1).as("is_upsert"))
@@ -1059,7 +1142,8 @@ object SnapshotLayout {
     val events = ups.unionByName(tombs)
       .withColumn("rk", row_number().over(w))
     events.agg(
-        sum(col("is_upsert")).cast("long").as("total_rows"),
+        // coalesce: an event log with zero rows must gauge 0, not NULL
+        coalesce(sum(col("is_upsert")), lit(0)).cast("long").as("total_rows"),
         count(when(col("rk") === 1 && col("is_upsert") === 1, 1))
           .as("live_rows"),
         count(when(col("rk") === 1 && col("is_upsert") === 0, 1))
