@@ -133,6 +133,11 @@ object SparkEntry {
     // rollback guard refuses unrestorable targets
     "ivf_compact" -> (graft.index.SnapshotLayout.ivfCompactChecked _),
     "nsw_compact" -> (graft.index.NswSnapshotLayout.nswCompactChecked _),
+    // generation cutover: the drift-envelope ACTION on the versioned
+    // layouts — re-fit from the head reconstruction into generation
+    // N+1, atomic pointer swap, old generations readable for as-of
+    "ivf_generation" -> (graft.index.SnapshotLayout.ivfGeneration _),
+    "nsw_generation" -> (graft.index.NswSnapshotLayout.nswGeneration _),
     // the versioned layouts' change-data feed: added/deleted/updated
     // between two as-of points, identical for both index families
     "index_asof_diff" -> (graft.index.SnapshotLayout.indexAsofDiff _),
@@ -651,6 +656,8 @@ object SparkEntry {
     "nsw_search_asof" -> graft.index.NswSnapshotLayout.nswSearchAsofSql,
     "ivf_compact" -> graft.index.SnapshotLayout.ivfCompactCheckedSql,
     "nsw_compact" -> graft.index.NswSnapshotLayout.nswCompactCheckedSql,
+    "ivf_generation" -> graft.index.SnapshotLayout.ivfGenerationSql,
+    "nsw_generation" -> graft.index.NswSnapshotLayout.nswGenerationSql,
     "index_asof_diff" -> graft.index.SnapshotLayout.indexAsofDiffSql,
     "index_layout_stats" -> graft.index.SnapshotLayout.indexLayoutStatsSql,
     "text_bm25" -> graft.text.Bm25.textBm25Sql,

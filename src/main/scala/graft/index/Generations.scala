@@ -1,0 +1,106 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Generation pointer machinery shared by both versioned layouts.
+  *
+  * The versioned layouts deliberately FREEZE their fit (stable
+  * cluster/graph addresses are what as-of serving is built on), so
+  * when the drift envelope trips (`fitted_n`/`delta_since_fit` in the
+  * debt gauge) the operator action is a GENERATION CUTOVER, not an
+  * in-place rebuild: re-fit from the head reconstruction into a fresh
+  * sibling directory, swap one pointer, keep every old generation
+  * readable for as-of. A generational root looks like:
+  *
+  * {{{
+  *   root/
+  *     generation=1/    // a full versioned layout (vectors, log, manifests)
+  *     generation=2/    // the re-fit successor; base batch = 1's head
+  *     _current.json    // {"generation":2} — the single mutable cell
+  * }}}
+  *
+  * Batch ids stay GLOBALLY monotonic across generations: generation
+  * N+1's base batch is written as generation N's head batch id, so an
+  * as-of read routes by one rule — the newest generation whose oldest
+  * manifest is ≤ the requested batch answers it (ties at the boundary
+  * go to the successor, whose base is the SAME live set re-addressed).
+  *
+  * Crash safety is the stage-then-commit discipline: the new
+  * generation directory is fully built first, the pointer write is
+  * the commit point (tmp file + rename — one atomic metadata op on
+  * any sane FS). A crash mid-cutover leaves the pointer on the old
+  * generation and a garbage partial directory that the next cutover
+  * attempt overwrites; no reader ever routes into it because routing
+  * starts at the pointer.
+  */
+object Generations {
+
+  def genPath(root: String, g: Int): String = s"$root/generation=$g"
+
+  private def pointer(root: String) = new Path(s"$root/_current.json")
+
+  private val PointerPattern = """\{"generation":(\d+)\}""".r
+
+  /** The current generation number. Fails loudly on a root with no
+    * pointer — routing from a guessed directory could serve a
+    * half-built cutover. */
+  def current(spark: SparkSession, root: String): Int = {
+    val p = pointer(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no generation pointer under $root — not a generational layout " +
+        "(or a cutover crashed before its first commit); refusing to guess")
+    val in = fs.open(p)
+    val body =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    body.trim match {
+      case PointerPattern(g) => g.toInt
+      case other => throw new IllegalArgumentException(
+        s"corrupt generation pointer under $root: $other")
+    }
+  }
+
+  /** Commit a cutover: write the pointer via tmp + rename (atomic on
+    * POSIX/HDFS). Written LAST by every cutover — the commit point. */
+  private[index] def writePointer(spark: SparkSession, root: String,
+      g: Int): Unit = {
+    val p = pointer(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$root/_current.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"generation":$g}""".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"could not commit generation pointer under $root")
+  }
+
+  /** Generation numbers present on disk, ascending, bounded above by
+    * the pointer (a partial successor directory from a crashed
+    * cutover is invisible). */
+  def list(spark: SparkSession, root: String): Seq[Int] = {
+    val cur = current(spark, root)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1 to cur).filter(g => fs.exists(new Path(genPath(root, g))))
+  }
+
+  /** Route an as-of batch id to the generation that answers it: the
+    * newest generation whose oldest surviving manifest (its base, or
+    * its compaction floor) is ≤ the id. At the boundary the SUCCESSOR
+    * answers — its base is the same live set under the fresh fit,
+    * which is the stable address a post-cutover reader wants. */
+  def route(spark: SparkSession, root: String, batchId: Long): String = {
+    val gens = list(spark, root).reverse
+    gens.iterator.map(g => genPath(root, g))
+      .find(p => SnapshotLayout.manifestIds(spark, p).headOption
+        .exists(_ <= batchId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"as-of $batchId predates every generation's floor under $root — " +
+          "the truncated/compacted history cannot reconstruct it"))
+  }
+}

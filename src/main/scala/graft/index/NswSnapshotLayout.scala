@@ -41,23 +41,26 @@ import org.apache.spark.sql.functions._
   * identical serves afterwards (spec-pinned). */
 object NswSnapshotLayout {
 
-  /** Initialize: base vectors + the base graph as batch 0. Metadata
+  /** Initialize: base vectors + the base graph as batch `baseBatch`
+    * (0 for a standalone layout; a generation cutover passes the
+    * predecessor's head batch id — the IVF twin's contract). Metadata
     * columns of `emb` (anything beyond vec_id/embedding) ride the
     * stored rows — the filtered as-of serving shape; batches must
     * then carry the same columns ([[applyBatch]] fails fast). */
-  def init(emb: DataFrame, edges: DataFrame, path: String): Unit = {
+  def init(emb: DataFrame, edges: DataFrame, path: String,
+      baseBatch: Long = 0L): Unit = {
     val spark = emb.sparkSession
     val metaCols = emb.columns.toSeq
       .filterNot(Set("vec_id", "embedding", "batch_id"))
     emb.select(col("vec_id") +: col("embedding") +: metaCols.map(col): _*)
-      .withColumn("batch_id", lit(0L))
+      .withColumn("batch_id", lit(baseBatch))
       .write.mode("overwrite").partitionBy("batch_id").parquet(s"$path/vectors")
     edges.select(col("src"), col("dst"))
-      .withColumn("batch_id", lit(0L))
+      .withColumn("batch_id", lit(baseBatch))
       .write.mode("overwrite").partitionBy("batch_id").parquet(s"$path/edges")
     val n = spark.read.parquet(s"$path/vectors").count()
     IndexMeta.write(spark, path, IndexMeta.Meta(n, 0L))
-    SnapshotLayout.writeManifest(spark, path, 0L, IndexMeta.Meta(n, 0L))
+    SnapshotLayout.writeManifest(spark, path, baseBatch, IndexMeta.Meta(n, 0L))
   }
 
   /** Apply one batch append-only: tombstones, then beam-link the
@@ -579,6 +582,173 @@ object NswSnapshotLayout {
   val nswSearchAsofFilteredSql: String =
     """SELECT vec_id AS q_id, true AS k_results, true AS all_match_label,
       |  true AS self_found, true AS top1_exact, true AS monotone
+      |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
+      |ORDER BY q_id""".stripMargin
+
+  // ---- generation lifecycle (the IVF twin's contract on the graph) ----
+
+  /** Initialize a GENERATIONAL graph root: base graph as generation 1. */
+  def initGen(emb: DataFrame, edges: DataFrame, root: String): Unit = {
+    init(emb, edges, Generations.genPath(root, 1))
+    Generations.writePointer(emb.sparkSession, root, 1)
+  }
+
+  /** Cut over to a fresh generation: rebuild the GRAPH from the
+    * current generation's head reconstruction into `generation=N+1`
+    * (base batch = the predecessor's head batch id), atomic pointer
+    * swap, old generation readable for as-of — the drift-envelope
+    * action on the graph family. The rebuild also heals every
+    * append-only wart at once: stale-position edges of re-added ids
+    * and beam-link drift both vanish, because the successor's edges
+    * come from a clean [[NswIndex.buildEdgesLsh]] over the live set. */
+  def newGeneration(spark: SparkSession, root: String): Int = {
+    val g = Generations.current(spark, root)
+    val cur = Generations.genPath(root, g)
+    repairCompaction(spark, cur)
+    val headId = SnapshotLayout.manifestIds(spark, cur).last
+    val live = asOfVectors(spark, cur, Long.MaxValue).localCheckpoint(true)
+    val next = Generations.genPath(root, g + 1)
+    val fs = new Path(next)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(next), true) // a crashed prior cutover's garbage
+    init(live,
+      NswIndex.buildEdgesLsh(live.select(col("vec_id"), col("embedding"))),
+      next, baseBatch = headId)
+    graft.core.Checkpoints.free(live)
+    Generations.writePointer(spark, root, g + 1)
+    g + 1
+  }
+
+  /** Apply a maintenance batch to the CURRENT generation (ids at or
+    * below its base are replays and skip — the floor discipline). */
+  def applyBatchGen(spark: SparkSession, root: String, batchId: Long,
+      upserts: DataFrame, deletes: DataFrame): Unit =
+    applyBatch(spark,
+      Generations.genPath(root, Generations.current(spark, root)),
+      batchId, upserts, deletes)
+
+  /** As-of vector reconstruction routed across generations. */
+  def asOfVectorsGen(spark: SparkSession, root: String,
+      batchId: Long): DataFrame =
+    asOfVectors(spark, Generations.route(spark, root, batchId), batchId)
+
+  /** Beam serve routed across generations. */
+  def searchAsOfGen(spark: SparkSession, root: String, batchId: Long,
+      queries: DataFrame, k: Int = 5): DataFrame =
+    searchAsOf(spark, Generations.route(spark, root, batchId), batchId,
+      queries, k)
+
+  /** Rollback within the CURRENT generation only — the IVF twin's
+    * cross-generation refusal. */
+  def rollbackGen(spark: SparkSession, root: String, batchId: Long): Unit = {
+    val g = Generations.current(spark, root)
+    val p = Generations.genPath(root, g)
+    val floor = SnapshotLayout.manifestIds(spark, p).headOption
+    require(floor.exists(batchId >= _),
+      s"rollback across a generation boundary refused: batch $batchId " +
+        s"predates generation $g's base/floor ${floor.getOrElse(-1L)} under " +
+        s"$root — a cutover is not reversible by rollback (older " +
+        "generations stay readable via as-of)")
+    rollback(spark, p, batchId)
+  }
+
+  /** Per-generation debt gauge — this family's repair per generation,
+    * then the shared scan ([[SnapshotLayout.layoutDebtGen]]'s shape). */
+  def layoutDebtGen(spark: SparkSession, root: String): DataFrame = {
+    val cur = Generations.current(spark, root)
+    Generations.list(spark, root).map { g =>
+      layoutDebt(spark, Generations.genPath(root, g))
+        .withColumn("generation", lit(g.toLong))
+        .withColumn("is_current", lit(g == cur))
+    }.reduce(_ unionByName _)
+  }
+
+  /** `nsw_generation`: the graph family's cutover contract —
+    * `ivf_generation`'s grid with the fresh-build identity on the
+    * EDGE set (the successor's base graph must equal a fresh LSH
+    * build over the head live rows, set-level) and no sidecar column
+    * (the graph family has none). */
+  def nswGeneration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", $"label")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
+      s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/nsw_gen"
+    val gen1 = Generations.genPath(root, 1)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    SnapshotLayout.copyLayout(spark, pristineScenario(spark, dir), gen1)
+    Generations.writePointer(spark, root, 1)
+    rollback(spark, gen1, 2L) // head := the good batch
+    val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val asof1Before = searchAsOf(spark, gen1, 1L, queries).localCheckpoint(true)
+    val newGen = newGeneration(spark, root)
+    val gen2 = Generations.genPath(root, 2)
+    // fresh-build identity on the successor's base: vectors are the
+    // head live set (fingerprint diff) and edges a fresh LSH build
+    val headLive = asOfVectors(spark, gen1, Long.MaxValue).localCheckpoint(true)
+    val freshEdges = NswIndex.buildEdgesLsh(
+      headLive.select($"vec_id", $"embedding"))
+    val storedEdges = spark.read.parquet(s"$gen2/edges")
+      .filter($"batch_id" === 2L).select($"src", $"dst")
+    // materialize eagerly: this one-row agg is the only consumer of
+    // the fresh build, and headLive's checkpoint frees right below
+    val edgesDiff = SnapshotLayout.rowSetDiffCount(
+        freshEdges.select($"src", $"dst"), storedEdges, "n_edges_diff")
+      .localCheckpoint(true)
+    graft.core.Checkpoints.free(headLive)
+    val boundary = SnapshotLayout.diffFingerprints(
+        SnapshotLayout.asOfFingerprints(spark, gen1, 2L, nswNonPayload, "b_fp"),
+        SnapshotLayout.asOfFingerprints(spark, gen2, 2L, nswNonPayload, "a_fp"))
+      .agg(count(lit(1)).as("n_boundary_diff"))
+    val asof1After = searchAsOfGen(spark, root, 1L, queries)
+    val oldServed = SnapshotLayout.serveDiffCount(asof1Before, asof1After,
+      "n_old_diff")
+    val debts = layoutDebtGen(spark, root).collect()
+    val gen2Row = debts.find(_.getAs[Long]("generation") == 2L)
+    val gaugeReset = gen2Row.exists(r =>
+      r.getAs[Boolean]("is_current") && r.getAs[Long]("n_batches") == 1L &&
+        r.getAs[Long]("delta_since_fit") == 0L &&
+        r.getAs[Long]("fitted_n") == r.getAs[Long]("live_rows")) &&
+      debts.count(_.getAs[Boolean]("is_current")) == 1
+    val crossRefused =
+      try { rollbackGen(spark, root, 1L); false }
+      catch { case _: IllegalArgumentException => true }
+    applyBatchGen(spark, root, 3L,
+      upserts = all.filter($"vec_id" === 14 || $"vec_id" === 21),
+      deletes = all.limit(0).select($"vec_id"))
+    val reAdded = asOfVectorsGen(spark, root, Long.MaxValue)
+      .filter($"vec_id" === 14 || $"vec_id" === 21)
+      .agg(count(lit(1)).as("n_readded"))
+    val landedGen2 = SnapshotLayout.manifestIds(spark, gen2) == Seq(2L, 3L)
+    val head = searchAsOfGen(spark, root, Long.MaxValue, queries)
+    val perProbe = head.groupBy($"q_id").agg(
+      (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
+      (max($"score_e6") === 1000000L).as("top1_exact"))
+    val globals = edgesDiff.crossJoin(boundary)
+      .crossJoin(oldServed).crossJoin(reAdded)
+      .select(
+        ($"n_edges_diff" === 0L).as("matches_fresh"),
+        ($"n_boundary_diff" === 0L).as("boundary_live_identical"),
+        ($"n_old_diff" === 0L).as("old_asof_served"),
+        lit(newGen == 2 && Generations.current(spark, root) == 2 &&
+          gaugeReset).as("gauge_reset"),
+        lit(crossRefused).as("cross_rollback_refused"),
+        ($"n_readded" === 2L && lit(landedGen2)).as("post_cutover_applies"))
+    perProbe.crossJoin(broadcast(globals))
+      .select($"q_id", $"self_found", $"top1_exact", $"matches_fresh",
+        $"boundary_live_identical", $"old_asof_served", $"gauge_reset",
+        $"cross_rollback_refused", $"post_cutover_applies")
+      .orderBy($"q_id")
+  }
+
+  val nswGenerationSql: String =
+    """SELECT vec_id AS q_id, true AS self_found, true AS top1_exact,
+      |  true AS matches_fresh, true AS boundary_live_identical,
+      |  true AS old_asof_served, true AS gauge_reset,
+      |  true AS cross_rollback_refused, true AS post_cutover_applies
       |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
       |ORDER BY q_id""".stripMargin
 }

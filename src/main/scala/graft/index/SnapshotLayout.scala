@@ -52,16 +52,20 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotLayout {
 
-  /** Initialize the layout: the base fit persisted as batch 0. */
-  def init(built: IvfIndex.Built, path: String): Unit = {
+  /** Initialize the layout: the base fit persisted as batch
+    * `baseBatch` (0 for a standalone layout; a generation cutover
+    * passes the predecessor's head batch id so the global batch-id
+    * axis stays monotonic across generations and as-of routing can
+    * address the boundary). */
+  def init(built: IvfIndex.Built, path: String, baseBatch: Long = 0L): Unit = {
     val spark = built.assigned.sparkSession
-    built.assigned.withColumn("batch_id", lit(0L))
+    built.assigned.withColumn("batch_id", lit(baseBatch))
       .write.mode("overwrite").partitionBy("cluster_id", "batch_id")
       .parquet(s"$path/vectors")
     built.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     val n = spark.read.parquet(s"$path/vectors").count()
     IndexMeta.write(spark, path, IndexMeta.Meta(n, 0L))
-    writeManifest(spark, path, 0L, IndexMeta.Meta(n, 0L))
+    writeManifest(spark, path, baseBatch, IndexMeta.Meta(n, 0L))
   }
 
   /** Apply one maintenance batch append-only: tombstones for the
@@ -587,7 +591,7 @@ object SnapshotLayout {
     * serves — 0 iff the two serves are row-identical. One definition
     * so the IVF and NSW grids cannot silently diverge on what
     * "identical" means. */
-  private[index] def serveDiffCount(a: DataFrame, b: DataFrame,
+  private[graft] def serveDiffCount(a: DataFrame, b: DataFrame,
       name: String): DataFrame =
     a.unionByName(b)
       .groupBy(col("q_id"), col("rank"), col("neighbor_id"), col("score_e6"))
@@ -1191,6 +1195,252 @@ object SnapshotLayout {
       |  CAST(64 AS BIGINT) AS delta_since_fit
       |FROM (SELECT 'ivf' AS family UNION ALL SELECT 'nsw') f
       |ORDER BY f.family""".stripMargin
+
+  // ---- generation lifecycle (the drift-envelope ACTION) ---------------
+  // The versioned layout freezes its fit for stable as-of addressing,
+  // so the debt gauge's fitted_n/delta_since_fit envelope had a signal
+  // with nothing to call: these entry points are the missing lifecycle
+  // piece. See [[Generations]] for the root layout and routing rules.
+
+  /** Initialize a GENERATIONAL root: the base fit as generation 1. */
+  def initGen(built: IvfIndex.Built, root: String): Unit = {
+    init(built, Generations.genPath(root, 1))
+    Generations.writePointer(built.assigned.sparkSession, root, 1)
+  }
+
+  /** Cut over to a fresh generation: re-fit KMeans from the CURRENT
+    * generation's head reconstruction into `generation=N+1` (base
+    * batch = the predecessor's head batch id, so the global batch
+    * axis stays monotonic and routing can address the boundary), then
+    * atomically swap the pointer. The old generation is untouched —
+    * every as-of it answered keeps answering through [[Generations
+    * .route]]. The new generation's sidecar starts at fitted_n = head
+    * live count, delta_since_fit = 0: the gauge reset the envelope
+    * trip asked for. PQ sidecars carry over with their configured
+    * geometry (recovered from the stored codebooks, the
+    * refreshPqSidecars discipline; re-fit at the default seed, which
+    * the recall contract does not depend on). Crash-safe: the pointer
+    * write is the commit point — a crash mid-cutover leaves the old
+    * pointer and a garbage partial directory the next attempt
+    * overwrites. */
+  def newGeneration(spark: SparkSession, root: String): Int = {
+    val g = Generations.current(spark, root)
+    val cur = Generations.genPath(root, g)
+    repairCompaction(spark, cur)
+    val headId = manifestIds(spark, cur).last
+    val live = asOfAssigned(spark, cur, Long.MaxValue).drop("cluster_id")
+    val metaCols = live.columns.toSeq.filterNot(Set("vec_id", "embedding"))
+    val next = Generations.genPath(root, g + 1)
+    val fs = new Path(next)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(next), true) // a crashed prior cutover's garbage
+    init(IvfIndex.build(spark, live, metaCols = metaCols), next,
+      baseBatch = headId)
+    IvfIndex.pqSubdirs(spark, cur).foreach { sub =>
+      val books = IvfIndex.readCodebooks(spark, cur, sub)
+      require(books.nonEmpty && books.head.nonEmpty,
+        s"sidecar $sub has no codebooks under $cur — cannot carry its " +
+          "geometry across the generation cutover")
+      initPq(spark, next, m = books.length, codes = books.head.length,
+        rotate = IvfIndex.readRotation(spark, cur, sub).isDefined, sub = sub)
+    }
+    Generations.writePointer(spark, root, g + 1)
+    g + 1
+  }
+
+  /** Apply a maintenance batch to the CURRENT generation. Batch ids
+    * at or below the generation's base are replays (applied before
+    * the cutover) and skip, exactly like the compaction floor. */
+  def applyBatchGen(spark: SparkSession, root: String, batchId: Long,
+      upserts: DataFrame, deletes: DataFrame): Unit =
+    applyBatch(spark,
+      Generations.genPath(root, Generations.current(spark, root)),
+      batchId, upserts, deletes)
+
+  /** As-of reconstruction routed across generations. */
+  def asOfAssignedGen(spark: SparkSession, root: String,
+      batchId: Long): DataFrame =
+    asOfAssigned(spark, Generations.route(spark, root, batchId), batchId)
+
+  /** Probe serve routed across generations: at or past the cutover
+    * the successor's fresh fit answers; below it the old generation
+    * keeps serving its frozen addresses. */
+  def searchAsOfGen(spark: SparkSession, root: String, batchId: Long,
+      queries: DataFrame, nProbe: Int = IvfIndex.defaultNProbe,
+      k: Int = 10): DataFrame =
+    searchAsOf(spark, Generations.route(spark, root, batchId), batchId,
+      queries, nProbe, k)
+
+  /** Rollback within the CURRENT generation only. A target below the
+    * generation's base would have to un-do the cutover itself —
+    * refused, the rollback-guard discipline: older generations stay
+    * readable via as-of, and demoting the pointer is an explicit
+    * operator decision, not a rollback. */
+  def rollbackGen(spark: SparkSession, root: String, batchId: Long): Unit = {
+    val g = Generations.current(spark, root)
+    val p = Generations.genPath(root, g)
+    val floor = manifestIds(spark, p).headOption
+    require(floor.exists(batchId >= _),
+      s"rollback across a generation boundary refused: batch $batchId " +
+        s"predates generation $g's base/floor ${floor.getOrElse(-1L)} under " +
+        s"$root — a cutover is not reversible by rollback (older " +
+        "generations stay readable via as-of)")
+    rollback(spark, p, batchId)
+  }
+
+  /** The debt gauge per generation — one row per generation on disk,
+    * flagged with the pointer, so the envelope that triggers the NEXT
+    * cutover reads from the same table that certified the last one. */
+  def layoutDebtGen(spark: SparkSession, root: String): DataFrame = {
+    val cur = Generations.current(spark, root)
+    Generations.list(spark, root).map { g =>
+      layoutDebt(spark, Generations.genPath(root, g))
+        .select(lit(g.toLong).as("generation") +:
+          lit(g == cur).as("is_current") +: layoutDebtCols: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Count of full rows NOT present in both frames (0 iff the two
+    * frames are multiset-identical) — the set-level identity check
+    * the generation grids use: stronger than serve identity, since
+    * the serves are deterministic functions of these sets. */
+  private[index] def rowSetDiffCount(a: DataFrame, b: DataFrame,
+      name: String): DataFrame =
+    a.unionByName(b).groupBy(a.columns.toSeq.map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .agg(count(when(col("c") =!= 2L, 1)).as(name))
+
+  /** `ivf_generation`: the cutover contract as a driver-checked grid
+    * over a generational wrap of [[pristineScenario]] (copied, rolled
+    * back to the good batch 2 so the re-fit trains on good
+    * embeddings). Columns, per probe:
+    *  - `matches_fresh`: generation 2's persisted base is a genuine
+    *    fresh fit — every stored row sits in its d2-nearest gen-2
+    *    centroid (the assignment re-derived from the persisted
+    *    centroids, 1e-9 tie margin; KMeans float-accumulation order
+    *    is not pinned across independent fits, so the grid checks the
+    *    fit's own optimality condition instead of racing a second
+    *    fit) AND the centroids moved off generation 1's;
+    *  - `boundary_live_identical`: at the cutover batch both
+    *    generations reconstruct the same live set (fingerprint diff
+    *    empty) — the boundary is a re-addressing, not a data change;
+    *  - `old_asof_served`: an as-of BELOW the cutover, read through
+    *    the generational root, routes to generation 1 and serves
+    *    row-identically to the pre-cutover serve;
+    *  - `gauge_reset`: the per-generation debt gauge shows the
+    *    successor at one batch, fitted_n = its live rows,
+    *    delta_since_fit = 0, and carrying the pointer;
+    *  - `cross_rollback_refused`: rollback to a pre-cutover batch
+    *    throws instead of mangling the successor;
+    *  - `post_cutover_applies`: a batch applied AFTER the cutover
+    *    (re-adding two dead ids) lands in generation 2's log and
+    *    serves at head — the successor is a living log, not a frozen
+    *    copy;
+    *  - `sidecar_carried`: the PQ sidecar exists on the successor;
+    *  - `self_found` / `top1_exact`: the head serve through the
+    *    generational route finds each probe's own vector at 1.0. */
+  def ivfGeneration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", $"label")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
+      s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/ivf_gen"
+    val gen1 = Generations.genPath(root, 1)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    copyLayout(spark, pristineScenario(spark, dir), gen1)
+    Generations.writePointer(spark, root, 1)
+    rollback(spark, gen1, 2L) // head := the good batch
+    val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val asof1Before = searchAsOf(spark, gen1, 1L, queries).localCheckpoint(true)
+    val newGen = newGeneration(spark, root)
+    val gen2 = Generations.genPath(root, 2)
+    // fresh-fit identity, expressed deterministically: KMeans'
+    // float-accumulation order is not pinned across fits, so instead
+    // of racing a SECOND fit against the cutover's, the grid pins
+    // (a) every stored base row sits in its d2-nearest gen-2 centroid
+    // within a 1e-9 tie margin (the fit's own assignment re-derived
+    // from its persisted centroids — a fresh build could assign no
+    // better), and (b) the centroids genuinely moved off generation
+    // 1's (the re-fit happened; gen 1 was fit on the >= 50 slice
+    // only). Content identity with the head live set is the boundary
+    // check below.
+    val storedBase = spark.read.parquet(s"$gen2/vectors")
+      .filter($"batch_id" === 2L).drop("batch_id")
+    val gen2Cent = spark.read.parquet(s"$gen2/centroids")
+    val vv = graft.functions.vectors.dotProduct(col("embedding"), col("embedding"))
+    val vc = graft.functions.vectors.dotProduct(col("embedding"), col("centroid"))
+    val cc = graft.functions.vectors.dotProduct(col("centroid"), col("centroid"))
+    val d2 = lit(1.0) - lit(2.0) *
+      when(vv === 0d, lit(0.0)).otherwise(vc / sqrt(vv)) + cc
+    val rowsDiff = storedBase
+      .select($"vec_id", $"embedding", $"cluster_id".as("assigned"))
+      .crossJoin(broadcast(gen2Cent)).withColumn("d2", d2)
+      .groupBy($"vec_id").agg(
+        min($"d2").as("best"),
+        min(when($"cluster_id" === $"assigned", $"d2")).as("got"))
+      .agg(count(when($"got" > $"best" + 1e-9, 1)).as("n_rows_diff"))
+    val centDiff = rowSetDiffCount(spark.read.parquet(s"$gen1/centroids"),
+      gen2Cent, "n_cent_same_comp")
+      .select(($"n_cent_same_comp" === 0L).cast("long").as("n_cent_diff"))
+    val boundary = diffFingerprints(
+        asOfFingerprints(spark, gen1, 2L, ivfNonPayload, "b_fp"),
+        asOfFingerprints(spark, gen2, 2L, ivfNonPayload, "a_fp"))
+      .agg(count(lit(1)).as("n_boundary_diff"))
+    val asof1After = searchAsOfGen(spark, root, 1L, queries)
+    val oldServed = serveDiffCount(asof1Before, asof1After, "n_old_diff")
+    // gauge BEFORE the post-cutover batch: the reset state
+    val debts = layoutDebtGen(spark, root).collect()
+    val gen2Row = debts.find(_.getAs[Long]("generation") == 2L)
+    val gaugeReset = gen2Row.exists(r =>
+      r.getAs[Boolean]("is_current") && r.getAs[Long]("n_batches") == 1L &&
+        r.getAs[Long]("delta_since_fit") == 0L &&
+        r.getAs[Long]("fitted_n") == r.getAs[Long]("live_rows")) &&
+      debts.count(_.getAs[Boolean]("is_current")) == 1
+    val crossRefused =
+      try { rollbackGen(spark, root, 1L); false }
+      catch { case _: IllegalArgumentException => true }
+    // the successor is a living log: re-add two ids dead since batch 2
+    applyBatchGen(spark, root, 3L,
+      upserts = all.filter($"vec_id" === 14 || $"vec_id" === 21),
+      deletes = all.limit(0).select($"vec_id"))
+    val reAdded = asOfAssignedGen(spark, root, Long.MaxValue)
+      .filter($"vec_id" === 14 || $"vec_id" === 21)
+      .agg(count(lit(1)).as("n_readded"))
+    val landedGen2 = manifestIds(spark, gen2) == Seq(2L, 3L)
+    val sidecarCarried = fs.exists(new Path(s"$gen2/pq/codes"))
+    val head = searchAsOfGen(spark, root, Long.MaxValue, queries)
+    val perProbe = head.groupBy($"q_id").agg(
+      (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
+      (max($"score_e6") === 1000000L).as("top1_exact"))
+    val globals = rowsDiff.crossJoin(centDiff).crossJoin(boundary)
+      .crossJoin(oldServed).crossJoin(reAdded)
+      .select(
+        ($"n_rows_diff" === 0L && $"n_cent_diff" === 0L).as("matches_fresh"),
+        ($"n_boundary_diff" === 0L).as("boundary_live_identical"),
+        ($"n_old_diff" === 0L).as("old_asof_served"),
+        lit(newGen == 2 && Generations.current(spark, root) == 2 &&
+          gaugeReset).as("gauge_reset"),
+        lit(crossRefused).as("cross_rollback_refused"),
+        ($"n_readded" === 2L && lit(landedGen2)).as("post_cutover_applies"),
+        lit(sidecarCarried).as("sidecar_carried"))
+    perProbe.crossJoin(broadcast(globals))
+      .select($"q_id", $"self_found", $"top1_exact", $"matches_fresh",
+        $"boundary_live_identical", $"old_asof_served", $"gauge_reset",
+        $"cross_rollback_refused", $"post_cutover_applies", $"sidecar_carried")
+      .orderBy($"q_id")
+  }
+
+  val ivfGenerationSql: String =
+    """SELECT vec_id AS q_id, true AS self_found, true AS top1_exact,
+      |  true AS matches_fresh, true AS boundary_live_identical,
+      |  true AS old_asof_served, true AS gauge_reset,
+      |  true AS cross_rollback_refused, true AS post_cutover_applies,
+      |  true AS sidecar_carried
+      |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
+      |ORDER BY q_id""".stripMargin
 
   val indexAsofDiffSql: String =
     """SELECT f.family, d.from_b, d.to_b, d.vec_id, d.change

@@ -1,0 +1,159 @@
+package graft
+
+import graft.index.{Generations, IvfIndex, NswIndex, NswSnapshotLayout, SnapshotLayout}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generation cutover lifecycle: the drift envelope trips → cutover →
+  * the successor serves fresh addresses while old as-ofs stay
+  * answerable — plus the crash and misuse paths the driver grid
+  * (`ivf_generation`/`nsw_generation`) cannot drive: a cutover crashed
+  * before its pointer commit, replay of a pre-cutover batch id, and
+  * routing below every generation's floor.
+  */
+class GenerationSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val emb = graft.core.Tables.embeddings(spark, sf)
+    .select($"vec_id", $"embedding", $"label")
+
+  test("IVF: drift accumulates, cutover resets the gauge, old as-ofs answer, cross-generation rollback refused") {
+    val root = java.nio.file.Files.createTempDirectory("graft-gen-ivf")
+      .toString + "/root"
+    val base = emb.filter($"vec_id" >= 50)
+    SnapshotLayout.initGen(
+      IvfIndex.build(spark, base, metaCols = Seq("label")), root)
+    SnapshotLayout.applyBatchGen(spark, root, 1L,
+      upserts = emb.filter($"vec_id" < 25),
+      deletes = emb.limit(0).select($"vec_id"))
+    SnapshotLayout.applyBatchGen(spark, root, 2L,
+      upserts = emb.filter($"vec_id" >= 25 && $"vec_id" < 50),
+      deletes = emb.filter($"vec_id" === 7).select($"vec_id"))
+    // the envelope: fitted on n-50 rows, 51 delta rows since
+    val before = SnapshotLayout.layoutDebtGen(spark, root).collect()
+    assert(before.length == 1 && before.head.getAs[Long]("delta_since_fit") == 51L)
+    val queries = emb.filter($"vec_id" < 5 && $"vec_id" =!= 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val asof1Pre = SnapshotLayout.searchAsOfGen(spark, root, 1L, queries)
+      .localCheckpoint(true)
+    assert(SnapshotLayout.newGeneration(spark, root) == 2)
+    assert(Generations.current(spark, root) == 2)
+    // gauge reset on the successor; predecessor still reported
+    val after = SnapshotLayout.layoutDebtGen(spark, root).collect()
+      .map(r => r.getAs[Long]("generation") ->
+        (r.getAs[Long]("delta_since_fit"), r.getAs[Boolean]("is_current"))).toMap
+    assert(after(2L) == (0L, true) && after(1L) == (51L, false))
+    // old as-of routes to generation 1 and serves identically
+    val asof1Post = SnapshotLayout.searchAsOfGen(spark, root, 1L, queries)
+    assert(SnapshotLayout.serveDiffCount(asof1Pre, asof1Post, "n")
+      .collect().head.getLong(0) == 0L)
+    // the tombstoned id stays dead through the cutover
+    assert(SnapshotLayout.asOfAssignedGen(spark, root, Long.MaxValue)
+      .filter($"vec_id" === 7).isEmpty)
+    // rollback cannot cross the generation boundary
+    intercept[IllegalArgumentException] {
+      SnapshotLayout.rollbackGen(spark, root, 1L)
+    }
+    // ...but works within the successor once it has its own batches
+    SnapshotLayout.applyBatchGen(spark, root, 3L,
+      upserts = emb.filter($"vec_id" === 7),
+      deletes = emb.limit(0).select($"vec_id"))
+    assert(!SnapshotLayout.asOfAssignedGen(spark, root, Long.MaxValue)
+      .filter($"vec_id" === 7).isEmpty)
+    SnapshotLayout.rollbackGen(spark, root, 2L)
+    assert(SnapshotLayout.asOfAssignedGen(spark, root, Long.MaxValue)
+      .filter($"vec_id" === 7).isEmpty)
+    // a replayed pre-cutover batch id is a whole-batch no-op on the
+    // successor (its id sits at/below the generation base)
+    val rows = spark.read.parquet(
+      s"${Generations.genPath(root, 2)}/vectors").count()
+    SnapshotLayout.applyBatchGen(spark, root, 1L,
+      upserts = emb.filter($"vec_id" === 3),
+      deletes = emb.limit(0).select($"vec_id"))
+    assert(spark.read.parquet(
+      s"${Generations.genPath(root, 2)}/vectors").count() == rows)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("a cutover crashed before its pointer commit is invisible and the retry overwrites it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-gen-crash")
+      .toString + "/root"
+    val base = emb.filter($"vec_id" >= 50 && $"vec_id" < 150)
+      .select($"vec_id", $"embedding")
+    SnapshotLayout.initGen(IvfIndex.build(spark, base), root)
+    SnapshotLayout.applyBatchGen(spark, root, 1L,
+      upserts = emb.filter($"vec_id" < 10).select($"vec_id", $"embedding"),
+      deletes = emb.limit(0).select($"vec_id"))
+    // simulate the crash window: the successor directory exists
+    // (fully built, even) but the pointer never committed
+    SnapshotLayout.init(
+      IvfIndex.build(spark, base.limit(20)),
+      Generations.genPath(root, 2), baseBatch = 1L)
+    assert(Generations.current(spark, root) == 1)
+    assert(Generations.list(spark, root) == Seq(1))
+    // routing never sees the garbage: head still serves generation 1
+    val head = SnapshotLayout.asOfAssignedGen(spark, root, Long.MaxValue)
+    assert(head.count() == base.count() + 10)
+    // the retry overwrites the partial directory and commits
+    assert(SnapshotLayout.newGeneration(spark, root) == 2)
+    assert(SnapshotLayout.asOfAssignedGen(spark, root, Long.MaxValue)
+      .count() == base.count() + 10)
+    // below every generation's floor: refused
+    intercept[IllegalArgumentException] {
+      Generations.route(spark, root, -1L)
+    }
+    // a non-generational directory: refused, not guessed
+    intercept[IllegalArgumentException] {
+      Generations.current(spark, s"$root/generation=1")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("NSW: cutover rebuilds the graph from the live set — stale re-add edges healed, old as-ofs answer") {
+    val root = java.nio.file.Files.createTempDirectory("graft-gen-nsw")
+      .toString + "/root"
+    val base = emb.filter($"vec_id" >= 50 && $"vec_id" < 170)
+      .localCheckpoint(true)
+    NswSnapshotLayout.initGen(base,
+      NswIndex.buildEdgesLsh(base.select($"vec_id", $"embedding")), root)
+    NswSnapshotLayout.applyBatchGen(spark, root, 1L,
+      upserts = emb.filter($"vec_id" < 10),
+      deletes = emb.limit(0).select($"vec_id"))
+    // delete then re-add id 3: the append-only wart (its batch-1
+    // edges reappear at reconstruction) that a cutover heals
+    NswSnapshotLayout.applyBatchGen(spark, root, 2L,
+      upserts = emb.limit(0),
+      deletes = emb.filter($"vec_id" === 3).select($"vec_id"))
+    NswSnapshotLayout.applyBatchGen(spark, root, 3L,
+      upserts = emb.filter($"vec_id" === 3),
+      deletes = emb.limit(0).select($"vec_id"))
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val asof1Pre = NswSnapshotLayout.searchAsOfGen(spark, root, 1L, queries)
+      .localCheckpoint(true)
+    assert(NswSnapshotLayout.newGeneration(spark, root) == 2)
+    val gen2 = Generations.genPath(root, 2)
+    // the successor's base graph has id 3 linked ONLY at its fresh
+    // position: one batch directory, every edge from the clean build
+    val edgeBatches = spark.read.parquet(s"$gen2/edges")
+      .select($"batch_id").distinct().as[Long].collect().toSet
+    assert(edgeBatches == Set(3L), s"successor edges not a single base: $edgeBatches")
+    // old as-of still served through the root
+    val asof1Post = NswSnapshotLayout.searchAsOfGen(spark, root, 1L, queries)
+    assert(SnapshotLayout.serveDiffCount(asof1Pre, asof1Post, "n")
+      .collect().head.getLong(0) == 0L)
+    // gauge: successor clean, predecessor keeps its history
+    val after = NswSnapshotLayout.layoutDebtGen(spark, root).collect()
+      .map(r => r.getAs[Long]("generation") -> r.getAs[Long]("n_batches")).toMap
+    assert(after == Map(1L -> 4L, 2L -> 1L))
+    intercept[IllegalArgumentException] {
+      NswSnapshotLayout.rollbackGen(spark, root, 2L)
+    }
+    graft.core.Checkpoints.free(base)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+}
