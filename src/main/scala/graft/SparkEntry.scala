@@ -144,6 +144,10 @@ object SparkEntry {
     // merge-on-read debt gauge: the counts a compaction scheduler
     // reads (batches, live vs superseded rows, dead ids, tombstones)
     "index_layout_stats" -> (graft.index.SnapshotLayout.indexLayoutStats _),
+    // the CDC feed as a readStream: per-manifested-batch diffs with
+    // exactly-once discovery via the file-source checkpoint
+    "index_changes_stream" ->
+      (graft.streaming.IndexStream.indexChangesStream _),
     "text_bm25" -> (graft.text.Bm25.textBm25 _),
     "text_unigram_ll" -> (TextOps.textUnigramLl _),
     // bigram-LM fluency (word ORDER, which a unigram bag can't see)
@@ -660,6 +664,8 @@ object SparkEntry {
     "nsw_generation" -> graft.index.NswSnapshotLayout.nswGenerationSql,
     "index_asof_diff" -> graft.index.SnapshotLayout.indexAsofDiffSql,
     "index_layout_stats" -> graft.index.SnapshotLayout.indexLayoutStatsSql,
+    "index_changes_stream" ->
+      graft.streaming.IndexStream.indexChangesStreamSql,
     "text_bm25" -> graft.text.Bm25.textBm25Sql,
     "text_unigram_ll" -> TextOps.textUnigramLlSql,
     "text_bigram_ll" -> TextOps.textBigramLlSql,

@@ -398,7 +398,7 @@ object NswSnapshotLayout {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(p).getParentFile))
 
-  private[index] def pristineScenario(spark: SparkSession, dir: String): String =
+  private[graft] def pristineScenario(spark: SparkSession, dir: String): String =
     scenarioCache.get(spark, s"nsw_asof_scenario:$dir", dir) {
       import spark.implicits._
       // meta-bearing since round 10 (`label` rides the stored rows and

@@ -199,6 +199,157 @@ object IndexStream {
       compact(spark, after(after.size - 1 - retain))
   }
 
+  // ---- streaming CDC: the change feed as a readStream ------------------
+
+  /** Continuous change feed over a versioned IVF layout — the
+    * streaming twin of [[graft.index.SnapshotLayout.asOfDiff]] (the
+    * Delta-CDF analog): a downstream consumer of a versioned sink no
+    * longer polls manifests; each newly-manifested batch B emits
+    * `asOfDiff(prev, B)` rows under `outPath/data/to_b=B/`.
+    *
+    * Mechanics: the per-batch snapshot manifests ARE the changelog,
+    * so the source is a plain file stream over `_snapshots/` — the
+    * file-source checkpoint (under `outPath/_checkpoint`) gives
+    * exactly-once manifest DISCOVERY across restarts for free. Each
+    * delivered manifest id then advances a consumer anchor
+    * (`outPath/_graft_changes_anchor.json`, written AFTER the batch's
+    * rows): the very first manifest anchors the feed and emits
+    * nothing; ids at or below the anchor are replays and skip; a
+    * replayed foreachBatch that crashed between rows and anchor
+    * overwrites its own `to_b=B` directory — idempotent either way.
+    *
+    * Compaction mid-stream: folding history the reader has ALREADY
+    * passed is invisible (its anchor is at or above the new floor).
+    * A reader whose anchor fell BELOW the compaction floor cannot be
+    * answered — the truncated log cannot reconstruct its `from` point
+    * — and the stream fails loudly via the asOfDiff floor guard
+    * instead of emitting a silently-wrong feed. */
+  def changesIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+      outPath: String): DataStreamWriter[Row] =
+    changes(spark, path, outPath,
+      (from, to) => graft.index.SnapshotLayout.asOfDiff(spark, path, from, to))
+
+  /** The NSW twin: change feed over a versioned GRAPH layout. */
+  def changesNsw(spark: org.apache.spark.sql.SparkSession, path: String,
+      outPath: String): DataStreamWriter[Row] =
+    changes(spark, path, outPath,
+      (from, to) =>
+        graft.index.NswSnapshotLayout.asOfDiff(spark, path, from, to))
+
+  private val ManifestIdPattern = """.*"batch_id":(\d+).*""".r
+
+  private def changes(spark: org.apache.spark.sql.SparkSession, path: String,
+      outPath: String, diff: (Long, Long) => DataFrame): DataStreamWriter[Row] =
+    spark.readStream.text(s"$path/_snapshots")
+      .writeStream
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // a trigger's worth of manifest FILES — tiny by construction
+        // (one small JSON per maintenance batch), processed ascending
+        // so multi-manifest batches emit consecutive diffs in order
+        val ids = b.collect().iterator
+          .map(_.getString(0).trim)
+          .collect { case ManifestIdPattern(id) => id.toLong }
+          .toSeq.distinct.sorted
+        var anchor = readAnchor(spark, outPath)
+        ids.foreach { id =>
+          anchor match {
+            case Some(a) if id <= a => // replayed manifest: already emitted
+            case Some(a) =>
+              diff(a, id).write.mode("overwrite")
+                .parquet(s"$outPath/data/to_b=$id")
+              writeAnchor(spark, outPath, id)
+              anchor = Some(id)
+            case None =>
+              // the first manifest a reader ever sees anchors the
+              // feed (there is nothing before it to diff against)
+              writeAnchor(spark, outPath, id)
+              anchor = Some(id)
+          }
+        }
+      }
+
+  private def anchorPath(outPath: String) =
+    new org.apache.hadoop.fs.Path(s"$outPath/_graft_changes_anchor.json")
+
+  private val AnchorPattern = """\{"anchor_batch_id":(-?\d+)\}""".r
+
+  private[graft] def readAnchor(spark: org.apache.spark.sql.SparkSession,
+      outPath: String): Option[Long] = {
+    val p = anchorPath(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      body.trim match {
+        case AnchorPattern(n) => Some(n.toLong)
+        case _ => None
+      }
+    }
+  }
+
+  private[graft] def writeAnchor(spark: org.apache.spark.sql.SparkSession,
+      outPath: String, batchId: Long): Unit = {
+    val p = anchorPath(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"anchor_batch_id":$batchId}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** `index_changes_stream`: the streaming CDC feed certified for
+    * BOTH families — each family's reader drains the deterministic
+    * scenario's manifests with an availableNow trigger into a fresh
+    * consumer dir, and the collected feed must equal the pure-SQL
+    * changelog: batch 0 anchors silently, 0→1 emits the batch-1
+    * upserts as `added`, 1→2 and 2→3 match `index_asof_diff`'s legs.
+    * Read-only over the memoized pristine scenarios (the consumer
+    * state — checkpoint, anchor, data — lives in the per-invocation
+    * temp dir, never under the layout). */
+  def indexChangesStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ivfPath = graft.index.SnapshotLayout.pristineScenario(spark, dir)
+    val nswPath = graft.index.NswSnapshotLayout.pristineScenario(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft-changes").toString
+    def run(family: String, w: DataStreamWriter[Row], sub: String): DataFrame = {
+      val q = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$out/$sub/data")
+        .select(lit(family).as("family"), col("to_b").cast("long").as("to_b"),
+          col("vec_id"), col("change"))
+    }
+    run("ivf", changesIvf(spark, ivfPath, s"$out/ivf"), "ivf")
+      .unionByName(run("nsw", changesNsw(spark, nswPath, s"$out/nsw"), "nsw"))
+      .orderBy(col("family"), col("to_b"), col("vec_id"))
+  }
+
+  val indexChangesStreamSql: String =
+    """SELECT f.family, d.to_b, d.vec_id, d.change
+      |FROM (SELECT 'ivf' AS family UNION ALL SELECT 'nsw') f
+      |CROSS JOIN (
+      |  SELECT CAST(1 AS BIGINT) AS to_b, vec_id, 'added' AS change
+      |  FROM embeddings WHERE vec_id < 25
+      |  UNION ALL
+      |  SELECT 2, vec_id, 'added'
+      |  FROM embeddings WHERE vec_id >= 25 AND vec_id < 50
+      |  UNION ALL
+      |  SELECT 2, vec_id, 'deleted'
+      |  FROM embeddings WHERE vec_id < 25 AND vec_id % 7 = 0
+      |  UNION ALL
+      |  SELECT 3, vec_id, 'added'
+      |  FROM embeddings WHERE vec_id < 10 AND vec_id % 7 = 0
+      |  UNION ALL
+      |  SELECT 3, vec_id, 'updated'
+      |  FROM embeddings WHERE vec_id < 10 AND vec_id % 7 <> 0
+      |) d
+      |ORDER BY f.family, d.to_b, d.vec_id""".stripMargin
+
   /** Split one micro-batch into its delete and upsert sides and apply
     * each through the index's policy entry point — unless the batch
     * id is already recorded as fully applied, in which case the whole

@@ -490,4 +490,91 @@ class IndexStreamSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(stored == labels, s"delta metadata did not land: $stored")
   }
+
+  private def drainChanges(path: String, out: String): Unit = {
+    val q = IndexStream.changesIvf(spark, path, out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  private def feedRows(out: String): Set[(Long, Long, String)] = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/data")))
+      Set.empty
+    else spark.read.parquet(s"$out/data").collect()
+      .map(r => (r.getAs[Number]("to_b").longValue(),
+        r.getAs[Long]("vec_id"), r.getAs[String]("change"))).toSet
+  }
+
+  test("changes stream: per-manifest diffs, exactly-once across restarts, late batches picked up") {
+    val path = tmp("graft-cdc") + "/ivf"
+    val out = tmp("graft-cdc-out")
+    graft.index.SnapshotLayout.init(IvfIndex.build(spark, base), path)
+    graft.index.SnapshotLayout.applyBatch(spark, path, 1L,
+      upserts = emb.filter($"vec_id" < 5),
+      deletes = emb.limit(0).select($"vec_id"))
+    drainChanges(path, out)
+    // batch 0 anchored silently; 0→1 emitted the five adds
+    val first = feedRows(out)
+    assert(first == (0L until 5L).map(i => (1L, i, "added")).toSet, s"$first")
+    // restart with nothing new: the file-source checkpoint redelivers
+    // nothing, the feed is unchanged (exactly-once)
+    drainChanges(path, out)
+    assert(feedRows(out) == first)
+    // late batches: a delete+re-upsert lands as its own legs
+    graft.index.SnapshotLayout.applyBatch(spark, path, 2L,
+      upserts = emb.limit(0),
+      deletes = emb.filter($"vec_id" === 3).select($"vec_id"))
+    graft.index.SnapshotLayout.applyBatch(spark, path, 3L,
+      upserts = emb.filter($"vec_id" === 3),
+      deletes = emb.limit(0).select($"vec_id"))
+    drainChanges(path, out)
+    assert(feedRows(out) == first +
+      ((2L, 3L, "deleted")) + ((3L, 3L, "added")))
+    // a replayed foreachBatch (crash between rows and anchor) is
+    // idempotent: re-emitting the last batch overwrites its partition
+    graft.index.SnapshotLayout.asOfDiff(spark, path, 2L, 3L)
+      .write.mode("overwrite").parquet(s"$out/data/to_b=3")
+    assert(feedRows(out) == first +
+      ((2L, 3L, "deleted")) + ((3L, 3L, "added")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("changes stream: compaction at or below the anchor is invisible; an outrun anchor fails loudly") {
+    val path = tmp("graft-cdc2") + "/ivf"
+    val out = tmp("graft-cdc2-out")
+    graft.index.SnapshotLayout.init(IvfIndex.build(spark, base), path)
+    graft.index.SnapshotLayout.applyBatch(spark, path, 1L,
+      upserts = emb.filter($"vec_id" < 5),
+      deletes = emb.limit(0).select($"vec_id"))
+    drainChanges(path, out) // anchor = 1
+    graft.index.SnapshotLayout.applyBatch(spark, path, 2L,
+      upserts = emb.filter($"vec_id" >= 5 && $"vec_id" < 8),
+      deletes = emb.limit(0).select($"vec_id"))
+    drainChanges(path, out) // anchor = 2
+    // compact exactly to the reader's position: nothing to re-read,
+    // the next batch diffs (2, 3) which the folded log still answers
+    graft.index.SnapshotLayout.compact(spark, path, 2L)
+    graft.index.SnapshotLayout.applyBatch(spark, path, 3L,
+      upserts = emb.filter($"vec_id" === 40),
+      deletes = emb.limit(0).select($"vec_id"))
+    drainChanges(path, out)
+    assert(feedRows(out).contains((3L, 40L, "added")))
+    // a SECOND reader whose anchor is below the (new) compaction
+    // floor: floor-refusal, not a silently-wrong feed
+    val out2 = tmp("graft-cdc2-out2")
+    IndexStream.writeAnchor(spark, out2, 1L)
+    graft.index.SnapshotLayout.compact(spark, path, 3L)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainChanges(path, out2)
+    }
+    assert(ex.getMessage.contains("compaction floor") ||
+      Option(ex.getCause).exists(_.getMessage.contains("compaction floor")),
+      s"unexpected failure: ${ex.getMessage}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out2))
+  }
 }
