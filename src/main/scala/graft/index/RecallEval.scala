@@ -373,7 +373,17 @@ object RecallEval {
     // unfiltered codebook fidelity the pq row already covers
     val pqFiltered = IvfIndex.searchPersistedPqFiltered(spark,
       IvfIndex.pqLayoutFor(spark, dir), q5, col("label") === col("q_label"))
-    recallRow("ivf", ivf, exactCos10, 10, 900000L)
+    // the binary-quantized tiers (round 11 — the last approximate
+    // family outside this table): the 1-bit Hamming pre-rank at its
+    // production R=100 rerank, brute and composed inside the IVF
+    // probe, both vs the exact cosine scan. The 0.80 bar reflects the
+    // sign-bit code's coarser geometry on this near-isotropic corpus
+    // (BqSpec carries the same bar on its own workload).
+    val bq = BqIndex.knnBruteBq(spark, dir)
+    val ivfBq = BqIndex.ivfSearchBq(spark, dir)
+    recallRow("bq", bq, exactCos10, 10, 800000L)
+      .unionByName(recallRow("ivf_bq", ivfBq, exactCos10, 10, 800000L))
+      .unionByName(recallRow("ivf", ivf, exactCos10, 10, 900000L))
       .unionByName(recallRow("ivf_filtered", ivfFiltered, exactFiltered, 10, 900000L))
       .unionByName(recallRow("lsh", lsh, exactCos10, 10, 600000L))
       .unionByName(recallRow("nsw", nsw, exactCos5, 5, 900000L))
