@@ -257,9 +257,12 @@ object SparkEntry {
     // the persisted layout's one-time batch build, as its own labeled
     // entry (so serve entries above never carry hidden build cost)
     "persist_chunks_build" -> (Collections.persistChunksBuild _),
-    "mm_features" -> (Media.mmFeatures _),
+    // round 11: both served as golden pins + a corpus-total row, so
+    // the driver hash-checks the full decode pass (the mm_phash
+    // convention); the full per-doc dumps stay library calls
+    "mm_features" -> (Media.mmFeaturesChecked _),
     "mm_features_golden" -> (Media.mmFeaturesGolden _),
-    "mm_frame_sample" -> (Media.mmFrameSample _),
+    "mm_frame_sample" -> (Media.mmFrameSampleChecked _),
     // payload-level media dedup summary; oracle re-derives every
     // number analytically from the documented GRFT1 byte layout
     "mm_dedup" -> (Media.mmDedup _),
@@ -922,6 +925,8 @@ object SparkEntry {
     "embed_text" -> embedTextSql,
     "embed_text_golden" -> embedTextGoldenSql,
     "crud_upsert_embed" -> Libraries.crudUpsertEmbedCheckedSql,
+    "mm_features" -> Media.mmFeaturesCheckedSql,
+    "mm_frame_sample" -> Media.mmFrameSampleCheckedSql,
     "mm_features_golden" -> Media.mmFeaturesGoldenSql,
     "mm_dedup" -> Media.mmDedupSql,
     "mm_phash" -> Media.mmPhashSql,

@@ -214,6 +214,82 @@ object Media {
       |) AS t(doc_id, ok, width, height, n_frames, n_pixels, pixel_mean, pixel_min, pixel_max, thumb_crc)
       |ORDER BY doc_id""".stripMargin
 
+  /** `mm_features` served as its strongest driver-checkable
+    * projection (round 11 — the full per-doc dump was rows-only
+    * because DuckDB cannot decode GRFT1): the three golden pinned
+    * rows (the [[mmFeaturesGolden]] values, one of them the corrupt
+    * payload) PLUS a doc_id = −1 corpus-TOTAL row — Σ of every
+    * summable feature column, global pixel min/max, Σ thumb CRC, and
+    * ok ⇔ exactly the one planted corrupt payload was rejected — so
+    * the hash compare forces the full decode pass corpus-wide, not
+    * just on the pins (the mm_phash/mm_scene_cuts convention). Totals
+    * computed by the independent Python GRFT1 reimplementation
+    * (tools/golden_phash.py features, sf0.01 — the SF the driver's
+    * oracle evaluates). The full per-doc frame stays the library call
+    * ([[mmFeatures]]; MediaSpec certifies it corpus-wide). */
+  def mmFeaturesChecked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = mmFeatures(spark, dir).localCheckpoint(true)
+    val total = per.filter($"ok").agg(
+        sum($"width").as("width"), sum($"height").as("height"),
+        sum($"n_frames").as("n_frames"), sum($"n_pixels").as("n_pixels"),
+        sum($"pixel_mean").as("pixel_mean"),
+        min($"pixel_min").as("pixel_min"), max($"pixel_max").as("pixel_max"),
+        sum($"thumb_crc").as("thumb_crc"))
+      .crossJoin(per.filter(!$"ok").agg(count(lit(1)).as("n_bad")))
+      .select(lit(-1L).as("doc_id"), ($"n_bad" === 1L).as("ok"),
+        $"width", $"height", $"n_frames", $"n_pixels", $"pixel_mean",
+        $"pixel_min", $"pixel_max", $"thumb_crc")
+    per.filter($"doc_id".isin(0L, 13L, 250L)).unionByName(total)
+      .orderBy($"doc_id")
+  }
+
+  val mmFeaturesCheckedSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, ok,
+      |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+      |  CAST(n_frames AS BIGINT) AS n_frames, CAST(n_pixels AS BIGINT) AS n_pixels,
+      |  CAST(pixel_mean AS BIGINT) AS pixel_mean, CAST(pixel_min AS BIGINT) AS pixel_min,
+      |  CAST(pixel_max AS BIGINT) AS pixel_max, CAST(thumb_crc AS BIGINT) AS thumb_crc
+      |FROM (VALUES
+      |  (-1, true, 9876, 4784, 1248, 252217, 70501, 0, 255, 1085849881425),
+      |  (0, true, 21, 5, 1, 105, 144, 35, 219, 1739376487),
+      |  (13, false, -1, -1, -1, -1, -1, -1, -1, -1),
+      |  (250, true, 15, 11, 3, 495, 147, 0, 255, 4152150123)
+      |) AS t(doc_id, ok, width, height, n_frames, n_pixels, pixel_mean, pixel_min, pixel_max, thumb_crc)
+      |ORDER BY doc_id""".stripMargin
+
+  /** `mm_frame_sample` as its checked projection: the sampled-frame
+    * rows of three pinned multi-frame docs plus the doc_id = −1
+    * corpus-total row (sampled-row count in `frame_idx`, Σ means,
+    * Σ CRCs) that forces the full sample-then-feature pass. Values
+    * from the same independent Python codec (tools/golden_phash.py
+    * frames). Library call: [[mmFrameSample]]. */
+  def mmFrameSampleChecked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = mmFrameSample(spark, dir).localCheckpoint(true)
+    val total = per.agg(count(lit(1)).as("frame_idx"),
+        sum($"frame_mean").as("frame_mean"), sum($"frame_crc").as("frame_crc"))
+      .select(lit(-1L).as("doc_id"), $"frame_idx".cast("long").as("frame_idx"),
+        $"frame_mean", $"frame_crc")
+    per.filter($"doc_id".isin(0L, 6L, 123L)).unionByName(total)
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val mmFrameSampleCheckedSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(frame_mean AS BIGINT) AS frame_mean,
+      |  CAST(frame_crc AS BIGINT) AS frame_crc
+      |FROM (VALUES
+      |  (-1, 749, 105367, 1601998372249),
+      |  (0, 0, 144, 3367004588),
+      |  (6, 0, 163, 417852243),
+      |  (6, 2, 150, 3860546455),
+      |  (123, 0, 160, 441675064),
+      |  (123, 2, 148, 1785240777)
+      |) AS t(doc_id, frame_idx, frame_mean, frame_crc)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** Payload fingerprint frame: one map-side pass hashing each binary
     * payload and validating its header, emitting small fixed-width
     * rows — the binary NEVER crosses a shuffle (the whole point at

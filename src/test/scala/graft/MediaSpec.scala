@@ -29,7 +29,9 @@ class MediaSpec extends AnyFunSuite {
   }
 
   test("mm_features decodes every document; the planted corrupt row is flagged") {
-    val out = SparkEntry.queries("mm_features")(spark, sf).cache()
+    // the LIBRARY frame (full corpus) — the registry key serves the
+    // golden-pinned projection whose oracle the driver hash-checks
+    val out = graft.operators.Media.mmFeatures(spark, sf).cache()
     val docs = graft.core.Tables.documents(spark, sf).count()
     assert(out.count() == docs)
     val bad = out.filter(!$"ok").select($"doc_id").as[Long].collect()
@@ -43,10 +45,10 @@ class MediaSpec extends AnyFunSuite {
   }
 
   test("mm_frame_sample emits only every 2nd frame, matching the decoded frame count") {
-    val frames = SparkEntry.queries("mm_frame_sample")(spark, sf).cache()
+    val frames = graft.operators.Media.mmFrameSample(spark, sf).cache()
     assert(frames.filter($"frame_idx" % 2 =!= 0).count() == 0)
     // per-doc sampled count = ceil(n_frames / 2) from mm_features
-    val feats = SparkEntry.queries("mm_features")(spark, sf)
+    val feats = graft.operators.Media.mmFeatures(spark, sf)
       .filter($"ok").select($"doc_id", $"n_frames")
     val joined = frames.groupBy($"doc_id").count()
       .join(feats, Seq("doc_id"))

@@ -15,16 +15,18 @@ import sys
 
 import duckdb
 
-SCENES = len(sys.argv) > 1 and sys.argv[1] == "scenes"
-if SCENES:
+MODE = sys.argv[1] if len(sys.argv) > 1 and sys.argv[1] in ("scenes", "features", "frames") else None
+SCENES = MODE == "scenes"
+PIN_IDS = {0, 13, 250} if MODE == "features" else {0, 6, 123}
+if MODE is not None:
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 else:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ids = [] if SCENES else ([int(x) for x in sys.argv[2:]] or [0, 7, 123])
+ids = [] if MODE is not None else ([int(x) for x in sys.argv[2:]] or [0, 7, 123])
 
 rows = duckdb.connect().execute(
     f"SELECT doc_id, text FROM '{sf}/documents.parquet'" +
-    ("" if SCENES else f" WHERE doc_id IN ({','.join(map(str, ids))})")
+    ("" if MODE is not None else f" WHERE doc_id IN ({','.join(map(str, ids))})")
 ).fetchall()
 
 
@@ -47,6 +49,80 @@ def frame_phash(b, w, h, f):
         if means[i] > mean:
             hv |= 1 << i
     return hv
+
+
+def _decode(doc_id, text):
+    """Independent GRFT1 reimplementation: full pixel buffer per doc."""
+    if doc_id == 13:
+        return None  # the planted corrupt payload
+    frames = 1 + doc_id % 4
+    b = text.encode("utf-8")
+    w = 8 + len(b) % 24
+    h = 4 + len(b) % 12
+    px = []
+    for f in range(frames):
+        px.extend(((b[i % len(b)] if b else 0) + 31 * f + i) % 256
+                  for i in range(w * h))
+    return w, h, frames, px
+
+
+if MODE == "features":
+    # mm_features pins + corpus totals: per-doc (ok, width, height,
+    # n_frames, n_pixels, pixel_mean, pixel_min, pixel_max, thumb_crc)
+    # with thumb = 2x box downsample of frame 0, CRC32
+    import zlib
+    tot = dict(w=0, h=0, f=0, npx=0, mean=0, crc=0)
+    mn, mx, n_bad = 255, 0, 0
+    pins = {}
+    for d, t in sorted(rows):
+        dec = _decode(d, t)
+        if dec is None:
+            n_bad += 1
+            if d in PIN_IDS:
+                pins[d] = (False, -1, -1, -1, -1, -1, -1, -1, -1)
+            continue
+        w, h, frames, px = dec
+        s = sum(px)
+        pm, px_min, px_max = s // len(px), min(px), max(px)
+        w2, h2 = w // 2, h // 2
+        thumb = bytes(
+            (px[(2 * y) * w + 2 * x] + px[(2 * y) * w + 2 * x + 1] +
+             px[(2 * y + 1) * w + 2 * x] + px[(2 * y + 1) * w + 2 * x + 1]) // 4
+            for y in range(h2) for x in range(w2))
+        crc = zlib.crc32(thumb) & 0xFFFFFFFF
+        tot["w"] += w; tot["h"] += h; tot["f"] += frames
+        tot["npx"] += len(px); tot["mean"] += pm; tot["crc"] += crc
+        mn = min(mn, px_min); mx = max(mx, px_max)
+        if d in PIN_IDS:
+            pins[d] = (True, w, h, frames, len(px), pm, px_min, px_max, crc)
+    for d, v in sorted(pins.items()):
+        print(f"({d}, {str(v[0]).lower()}, {', '.join(map(str, v[1:]))}),")
+    print(f"(-1, {str(n_bad == 1).lower()}, {tot['w']}, {tot['h']}, "
+          f"{tot['f']}, {tot['npx']}, {tot['mean']}, {mn}, {mx}, {tot['crc']}),")
+    sys.exit(0)
+
+if MODE == "frames":
+    # mm_frame_sample pins + totals: every 2nd frame per valid doc,
+    # (frame_mean = integer mean, frame_crc = CRC32 of the frame bytes)
+    import zlib
+    n_rows = tot_mean = tot_crc = 0
+    pins = []
+    for d, t in sorted(rows):
+        dec = _decode(d, t)
+        if dec is None:
+            continue
+        w, h, frames, px = dec
+        for f in range(0, frames, 2):
+            fr = px[f * w * h:(f + 1) * w * h]
+            fm = sum(fr) // (w * h)
+            crc = zlib.crc32(bytes(fr)) & 0xFFFFFFFF
+            n_rows += 1; tot_mean += fm; tot_crc += crc
+            if d in PIN_IDS:
+                pins.append((d, f, fm, crc))
+    for p in pins:
+        print(f"({p[0]}, {p[1]}, {p[2]}, {p[3]}),")
+    print(f"(-1, {n_rows}, {tot_mean}, {tot_crc}),")
+    sys.exit(0)
 
 
 if SCENES:
