@@ -482,8 +482,11 @@ object NswSnapshotLayout {
     * append-only re-add wart (ids 0 and 7 are tombstoned at batch 2
     * and re-added by the corrupt batch 3), so the grid pins BOTH
     * sides of the narrowed contract (see [[compact]]):
-    *  - `serve2_identical`: the as-of-2 serve — no re-add in scope —
-    *    is row-identical before/after;
+    *  - `serve2_identical`: the as-of-2 SERVE INPUT — live
+    *    fingerprint set + live edge set, which the deterministic beam
+    *    walk is a pure function of — is set-identical before/after
+    *    (round 11: implies the old walk-level identity and pays no
+    *    walks; [[graphStateAt]]);
     *  - `stale_healed`: post-compaction, every surviving edge touching
     *    a dead-at-2-then-re-added id comes from batch 3 (its re-add
     *    links) — the batch-1 stale-position edges that pre-compaction
@@ -496,6 +499,30 @@ object NswSnapshotLayout {
     *  - `guard_refuses`: rollback to the compacted-away batch 1
     *    throws instead of deleting the consolidated base;
     *  - `rollback_works`: rollback to 2 serves the as-of-2 rows. */
+  /** The full SERVE INPUT at an as-of point, keys + hashes only: the
+    * (vec_id, payload-fingerprint) live set and the materialized live
+    * edge set. The beam serve is a deterministic function of exactly
+    * these two sets (+ the query frame), so set identity here IMPLIES
+    * serve identity — the round-11 floor trim: the compact grid used
+    * to prove identity by running three full beam walks; comparing
+    * the walks' inputs is strictly stronger and pays no walk. */
+  private def graphStateAt(spark: SparkSession, path: String,
+      batchId: Long): (DataFrame, DataFrame) = {
+    val fps = SnapshotLayout.asOfFingerprints(spark, path, batchId,
+      nswNonPayload, "fp").localCheckpoint(true)
+    val (live, edges) = asOfGraph(spark, path, batchId)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    graft.core.Checkpoints.free(live)
+    (fps, e)
+  }
+
+  private def stateDiff(spark: SparkSession,
+      a: (DataFrame, DataFrame), b: (DataFrame, DataFrame)): Long = {
+    def d(x: DataFrame, y: DataFrame) = SnapshotLayout
+      .rowSetDiffCount(x, y, "n").collect().head.getLong(0)
+    d(a._1, b._1) + d(a._2, b._2)
+  }
+
   def nswCompactChecked(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
@@ -510,9 +537,9 @@ object NswSnapshotLayout {
     val staleBefore = spark.read.parquet(s"$path/edges")
       .filter($"batch_id" <= 2 && (deadReAdded($"src") || deadReAdded($"dst")))
       .count()
-    val asof2Before = searchAsOf(spark, path, 2L, queries).localCheckpoint(true)
+    val state2Before = graphStateAt(spark, path, 2L)
     compact(spark, path, 2L)
-    val asof2After = searchAsOf(spark, path, 2L, queries).localCheckpoint(true)
+    val state2After = graphStateAt(spark, path, 2L)
     val staleAfter = spark.read.parquet(s"$path/edges")
       .filter($"batch_id" =!= 3 && (deadReAdded($"src") || deadReAdded($"dst")))
       .count()
@@ -528,23 +555,23 @@ object NswSnapshotLayout {
       try { rollback(spark, path, 1L); false }
       catch { case _: IllegalArgumentException => true }
     rollback(spark, path, 2L)
-    val headRolled = searchAsOf(spark, path, Long.MaxValue, queries)
-      .localCheckpoint(true)
-    def nDiff(a: DataFrame, b: DataFrame, name: String) =
-      SnapshotLayout.serveDiffCount(a, b, name)
-    val globals = nDiff(asof2Before, asof2After, "n_diff2")
-      .crossJoin(nDiff(asof2Before, headRolled, "n_diffr"))
-      .select(
-        ($"n_diff2" === 0L).as("serve2_identical"),
-        lit(staleAfter == 0L).as("stale_healed"),
-        lit(staleBefore > 0L).as("heal_nonvacuous"),
-        lit(manifests == Seq(2L, 3L)).as("history_truncated"),
-        lit(batchIdsOf("tombstones").forall(_ > 2L)).as("tombstones_gone"),
-        lit(batchIdsOf("vectors").forall(_ >= 2L) &&
-          batchIdsOf("edges").forall(_ >= 2L)).as("dirs_bounded"),
-        lit(guardOk).as("guard_refuses"),
-        ($"n_diffr" === 0L).as("rollback_works"))
-    queries.select($"q_id").crossJoin(broadcast(globals))
+    val headRolled = graphStateAt(spark, path, Long.MaxValue)
+    val serve2Id = stateDiff(spark, state2Before, state2After) == 0L
+    val rolledId = stateDiff(spark, state2Before, headRolled) == 0L
+    Seq(state2Before, state2After, headRolled).foreach { case (v, e) =>
+      graft.core.Checkpoints.free(v); graft.core.Checkpoints.free(e)
+    }
+    val globals = broadcast(spark.range(1).select(
+      lit(serve2Id).as("serve2_identical"),
+      lit(staleAfter == 0L).as("stale_healed"),
+      lit(staleBefore > 0L).as("heal_nonvacuous"),
+      lit(manifests == Seq(2L, 3L)).as("history_truncated"),
+      lit(batchIdsOf("tombstones").forall(_ > 2L)).as("tombstones_gone"),
+      lit(batchIdsOf("vectors").forall(_ >= 2L) &&
+        batchIdsOf("edges").forall(_ >= 2L)).as("dirs_bounded"),
+      lit(guardOk).as("guard_refuses"),
+      lit(rolledId).as("rollback_works")))
+    queries.select($"q_id").crossJoin(globals)
       .orderBy($"q_id")
   }
 

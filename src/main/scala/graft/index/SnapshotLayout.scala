@@ -724,9 +724,13 @@ object SnapshotLayout {
     * long-running versioned streams depend on would not have flipped
     * any CORRECTNESS row). Over a copy of [[pristineScenario]],
     * `compact(upTo = 2)` must leave, per probe:
-    *  - `serve2_identical` / `head_identical`: as-of-2 and HEAD serves
-    *    row-identical before/after (merge-on-read folded away with
-    *    zero serving effect — the log-structured-compaction contract);
+    *  - `serve2_identical` / `head_identical`: as-of-2 and HEAD serve
+    *    INPUTS set-identical before/after (round 11: the probe serve
+    *    is a deterministic function of the assigned rows + untouched
+    *    centroids, so input identity implies the old serve-level
+    *    identity and pays key-only scans instead of five serves —
+    *    merge-on-read folded away with zero serving effect, the
+    *    log-structured-compaction contract);
     *  - `history_truncated`: manifests below 2 gone, 2 and 3 kept;
     *  - `tombstones_gone`: no tombstone list ≤ 2 survives (they are
     *    folded into the consolidated base);
@@ -738,6 +742,22 @@ object SnapshotLayout {
     *    manifest guard);
     *  - `rollback_works`: rollback to the compaction point still
     *    serves the as-of-2 results. */
+  /** The full SERVE INPUT at an as-of point, keys + hashes only: the
+    * (vec_id, fingerprint-over-EVERYTHING-including-cluster_id) live
+    * set. The probe serve is a deterministic function of the assigned
+    * rows (content + cluster placement) and the centroids (which
+    * compaction never touches), so set identity here implies serve
+    * identity — the round-11 floor trim: the compact grid used to
+    * prove identity with five probe serves; comparing their input is
+    * strictly stronger and pays one key-only scan each. */
+  private def postingStateAt(spark: SparkSession, path: String,
+      batchId: Long): DataFrame =
+    asOfFingerprints(spark, path, batchId, Set("vec_id"), "fp")
+      .localCheckpoint(true)
+
+  private def postingStateDiff(a: DataFrame, b: DataFrame): Long =
+    rowSetDiffCount(a, b, "n").collect().head.getLong(0)
+
   def ivfCompactChecked(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
@@ -746,19 +766,13 @@ object SnapshotLayout {
     copyLayout(spark, pristineScenario(spark, dir), path)
     val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
-    val asof2Before = searchAsOf(spark, path, 2L, queries).localCheckpoint(true)
-    val headBefore = searchAsOf(spark, path, Long.MaxValue, queries)
-      .localCheckpoint(true)
+    val asof2Before = postingStateAt(spark, path, 2L)
+    val headBefore = postingStateAt(spark, path, Long.MaxValue)
     compact(spark, path, 2L)
-    def nDiff(a: DataFrame, b: DataFrame, name: String) =
-      serveDiffCount(a, b, name)
-    // each serve materializes EAGERLY before the next destructive step
-    // deletes files its lazy plan would still list
-    val asof2After = searchAsOf(spark, path, 2L, queries).localCheckpoint(true)
-    val headAfter = searchAsOf(spark, path, Long.MaxValue, queries)
-      .localCheckpoint(true)
-    val serve2 = nDiff(asof2Before, asof2After, "n_diff2")
-    val serveHead = nDiff(headBefore, headAfter, "n_diffh")
+    val asof2After = postingStateAt(spark, path, 2L)
+    val headAfter = postingStateAt(spark, path, Long.MaxValue)
+    val serve2Id = postingStateDiff(asof2Before, asof2After) == 0L
+    val headId = postingStateDiff(headBefore, headAfter) == 0L
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batchDirs = fs.listStatus(new Path(s"$path/vectors"))
       .filter(_.isDirectory)
@@ -775,19 +789,19 @@ object SnapshotLayout {
       try { rollback(spark, path, 1L); false }
       catch { case _: IllegalArgumentException => true }
     rollback(spark, path, 2L)
-    val headRolled = searchAsOf(spark, path, Long.MaxValue, queries)
-      .localCheckpoint(true)
-    val rolled = nDiff(asof2Before, headRolled, "n_diffr")
-    val globals = serve2.crossJoin(serveHead).crossJoin(rolled)
-      .select(
-        ($"n_diff2" === 0L).as("serve2_identical"),
-        ($"n_diffh" === 0L).as("head_identical"),
-        lit(manifests == Seq(2L, 3L)).as("history_truncated"),
-        lit(tombDirs.forall(_ > 2L)).as("tombstones_gone"),
-        lit(batchDirs.forall(_ >= 2L)).as("dirs_bounded"),
-        lit(guardOk).as("guard_refuses"),
-        ($"n_diffr" === 0L).as("rollback_works"))
-    queries.select($"q_id").crossJoin(broadcast(globals))
+    val headRolled = postingStateAt(spark, path, Long.MaxValue)
+    val rolledId = postingStateDiff(asof2Before, headRolled) == 0L
+    Seq(asof2Before, headBefore, asof2After, headAfter, headRolled)
+      .foreach(graft.core.Checkpoints.free)
+    val globals = broadcast(spark.range(1).select(
+      lit(serve2Id).as("serve2_identical"),
+      lit(headId).as("head_identical"),
+      lit(manifests == Seq(2L, 3L)).as("history_truncated"),
+      lit(tombDirs.forall(_ > 2L)).as("tombstones_gone"),
+      lit(batchDirs.forall(_ >= 2L)).as("dirs_bounded"),
+      lit(guardOk).as("guard_refuses"),
+      lit(rolledId).as("rollback_works")))
+    queries.select($"q_id").crossJoin(globals)
       .orderBy($"q_id")
   }
 
