@@ -694,7 +694,11 @@ object NswSnapshotLayout {
     * `ivf_generation`'s grid with the fresh-build identity on the
     * EDGE set (the successor's base graph must equal a fresh LSH
     * build over the head live rows, set-level) and no sidecar column
-    * (the graph family has none). */
+    * (the graph family has none). Cost discipline: the grid is beam-
+    * walk fixed-cost dominated, so `old_asof_served` compares the
+    * routed reconstruction STATE (fingerprints + the route resolving
+    * to generation 1) instead of running two walks whose inputs it
+    * is — the one head serve keeps the end-to-end walk proof. */
   def nswGeneration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = Tables.embeddings(spark, dir)
@@ -710,7 +714,11 @@ object NswSnapshotLayout {
     rollback(spark, gen1, 2L) // head := the good batch
     val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
-    val asof1Before = searchAsOf(spark, gen1, 1L, queries).localCheckpoint(true)
+    // pre-cutover as-of-1 state, CAPTURED (checkpoint) so the
+    // post-cutover comparison cannot silently read post-cutover files
+    val asof1Before = SnapshotLayout
+      .asOfFingerprints(spark, gen1, 1L, nswNonPayload, "fp")
+      .localCheckpoint(true)
     val newGen = newGeneration(spark, root)
     val gen2 = Generations.genPath(root, 2)
     // fresh-build identity on the successor's base: vectors are the
@@ -733,8 +741,17 @@ object NswSnapshotLayout {
         SnapshotLayout.asOfFingerprints(spark, gen1, 2L, nswNonPayload, "b_fp"),
         SnapshotLayout.asOfFingerprints(spark, gen2, 2L, nswNonPayload, "a_fp"))
       .agg(count(lit(1)).as("n_boundary_diff"))
-    val asof1After = searchAsOfGen(spark, root, 1L, queries)
-    val oldServed = SnapshotLayout.serveDiffCount(asof1Before, asof1After,
+    // old as-ofs answerable through the root: the route must resolve
+    // to generation 1 AND its batch-1 reconstruction must be intact
+    // (the walk is a deterministic function of that state, so state
+    // identity implies the old serve-level identity — two beam walks
+    // saved; the per-probe head serve below still proves the walk
+    // machinery end-to-end through the generational route)
+    val routed = Generations.route(spark, root, 1L)
+    val routedTo1 = routed == gen1
+    val asof1After = SnapshotLayout
+      .asOfFingerprints(spark, routed, 1L, nswNonPayload, "fp")
+    val oldServed = SnapshotLayout.rowSetDiffCount(asof1Before, asof1After,
       "n_old_diff")
     val debts = layoutDebtGen(spark, root).collect()
     val gen2Row = debts.find(_.getAs[Long]("generation") == 2L)
@@ -762,7 +779,7 @@ object NswSnapshotLayout {
       .select(
         ($"n_edges_diff" === 0L).as("matches_fresh"),
         ($"n_boundary_diff" === 0L).as("boundary_live_identical"),
-        ($"n_old_diff" === 0L).as("old_asof_served"),
+        ($"n_old_diff" === 0L && lit(routedTo1)).as("old_asof_served"),
         lit(newGen == 2 && Generations.current(spark, root) == 2 &&
           gaugeReset).as("gauge_reset"),
         lit(crossRefused).as("cross_rollback_refused"),
