@@ -634,6 +634,14 @@ object NswSnapshotLayout {
     repairCompaction(spark, cur)
     val headId = SnapshotLayout.manifestIds(spark, cur).last
     val live = asOfVectors(spark, cur, Long.MaxValue).localCheckpoint(true)
+    // the IVF twin's guard: an all-deleted head has nothing to rebuild
+    if (live.isEmpty) {
+      graft.core.Checkpoints.free(live)
+      throw new IllegalArgumentException(
+        s"generation $g's head live set under $root is empty — nothing to " +
+          "re-fit; a cutover of an emptied index is an operator decision " +
+          "(drop the root), not a rebuild")
+    }
     val next = Generations.genPath(root, g + 1)
     val fs = new Path(next)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

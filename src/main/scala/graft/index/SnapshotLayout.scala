@@ -1243,6 +1243,13 @@ object SnapshotLayout {
     repairCompaction(spark, cur)
     val headId = manifestIds(spark, cur).last
     val live = asOfAssigned(spark, cur, Long.MaxValue).drop("cluster_id")
+    // an all-deleted head has nothing to re-fit: KMeans on zero rows
+    // would die with an opaque MLlib error mid-cutover — fail loudly
+    // before any write
+    require(!live.isEmpty,
+      s"generation $g's head live set under $root is empty — nothing to " +
+        "re-fit; a cutover of an emptied index is an operator decision " +
+        "(drop the root), not a rebuild")
     val metaCols = live.columns.toSeq.filterNot(Set("vec_id", "embedding"))
     val next = Generations.genPath(root, g + 1)
     val fs = new Path(next)

@@ -199,6 +199,112 @@ object IndexStream {
       compact(spark, after(after.size - 1 - retain))
   }
 
+  // ---- generational sinks: the full lifecycle under ingestion ---------
+
+  /** Mutation stream → a GENERATIONAL versioned IVF root
+    * ([[graft.index.Generations]]; initialize with
+    * [[graft.index.SnapshotLayout.initGen]]), closing the lifecycle
+    * loop the debt gauge opened: batches land append-only in the
+    * CURRENT generation with the versioned sink's manifest-keyed
+    * exactly-once and rollback crash repair, the in-generation
+    * compaction cadence bounds the merge-on-read window, and when a
+    * batch pushes `delta_since_fit` past `threshold × fitted_n` the
+    * sink CUTS OVER — `newGeneration` re-fits from head into
+    * generation N+1 and swaps the pointer, so the drift signal
+    * becomes the drift ACTION under continuous ingestion (the
+    * persisted path's envelope-rebuild policy, expressed as a cutover
+    * that keeps every old as-of answerable instead of rewriting in
+    * place).
+    *
+    * Crash windows: a cutover that dies before its pointer commit is
+    * invisible (the envelope is still tripped, so the NEXT batch
+    * retries it); a batch replayed from before a cutover sits at or
+    * below the successor's base and skips whole (the floor
+    * discipline). */
+  def maintainIvfGenerational(mutations: DataFrame, root: String,
+      threshold: Double = IvfIndex.rebuildThreshold,
+      maxBatches: Int = versionedCompactMaxBatches,
+      retain: Int = versionedCompactRetain): DataStreamWriter[Row] =
+    mutations.writeStream.foreachBatch(
+      (b: DataFrame, id: Long) =>
+        applyIvfGenBatch(b, id, root, threshold, maxBatches, retain))
+
+  private[graft] def applyIvfGenBatch(batch: DataFrame, streamBatchId: Long,
+      root: String, threshold: Double = IvfIndex.rebuildThreshold,
+      maxBatches: Int = versionedCompactMaxBatches,
+      retain: Int = versionedCompactRetain): Unit =
+    generationalSink(batch, streamBatchId, root,
+      (spark, cur, id, ups, dels) =>
+        graft.index.SnapshotLayout.applyBatch(spark, cur, id, ups, dels),
+      (spark, cur, last) => graft.index.SnapshotLayout.rollback(spark, cur, last),
+      (spark, cur, upTo) => graft.index.SnapshotLayout.compact(spark, cur, upTo),
+      spark => graft.index.SnapshotLayout.newGeneration(spark, root): Unit,
+      threshold, maxBatches, retain)
+
+  /** The NSW twin: generational graph root with automatic cutover —
+    * the cutover's clean graph rebuild also heals accumulated
+    * beam-link drift and re-add warts, so a long-running graph stream
+    * no longer degrades without bound. */
+  def maintainNswGenerational(mutations: DataFrame, root: String,
+      threshold: Double = NswIndex.rebuildThreshold,
+      maxBatches: Int = versionedCompactMaxBatches,
+      retain: Int = versionedCompactRetain): DataStreamWriter[Row] =
+    mutations.writeStream.foreachBatch(
+      (b: DataFrame, id: Long) =>
+        applyNswGenBatch(b, id, root, threshold, maxBatches, retain))
+
+  private[graft] def applyNswGenBatch(batch: DataFrame, streamBatchId: Long,
+      root: String, threshold: Double = NswIndex.rebuildThreshold,
+      maxBatches: Int = versionedCompactMaxBatches,
+      retain: Int = versionedCompactRetain): Unit =
+    generationalSink(batch, streamBatchId, root,
+      (spark, cur, id, ups, dels) =>
+        graft.index.NswSnapshotLayout.applyBatch(spark, cur, id, ups, dels),
+      (spark, cur, last) =>
+        graft.index.NswSnapshotLayout.rollback(spark, cur, last),
+      (spark, cur, upTo) =>
+        graft.index.NswSnapshotLayout.compact(spark, cur, upTo),
+      spark => graft.index.NswSnapshotLayout.newGeneration(spark, root): Unit,
+      threshold, maxBatches, retain)
+
+  private def generationalSink(batch: DataFrame, streamBatchId: Long,
+      root: String,
+      apply: (org.apache.spark.sql.SparkSession, String, Long, DataFrame, DataFrame) => Unit,
+      repair: (org.apache.spark.sql.SparkSession, String, Long) => Unit,
+      compact: (org.apache.spark.sql.SparkSession, String, Long) => Unit,
+      cutover: org.apache.spark.sql.SparkSession => Unit,
+      threshold: Double, maxBatches: Int, retain: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val cur = graft.index.Generations.genPath(root,
+      graft.index.Generations.current(spark, root))
+    val layoutId = streamBatchId + 1
+    val applied = graft.index.SnapshotLayout.manifestIds(spark, cur)
+    // replays skip whole: a manifested id, or one at/below the current
+    // generation's floor (applied before a cutover or compaction)
+    if (applied.contains(layoutId) ||
+        applied.headOption.exists(layoutId <= _)) return
+    // crash repair within the current generation: anything on disk
+    // beyond its last manifested batch is a partial apply
+    applied.lastOption.filter(_ < layoutId).foreach(last =>
+      repair(spark, cur, last))
+    val b = batch.localCheckpoint(true)
+    val upCols = b.columns.toSeq.filterNot(_ == "op").map(col)
+    try apply(spark, cur, layoutId,
+      b.filter(col("op") === "upsert").select(upCols: _*),
+      b.filter(col("op") === "delete").select(col("vec_id")))
+    finally graft.core.Checkpoints.free(b)
+    val after = graft.index.SnapshotLayout.manifestIds(spark, cur)
+    if (after.size > maxBatches && retain >= 0 && retain < after.size - 1)
+      compact(spark, cur, after(after.size - 1 - retain))
+    // the envelope: past the threshold, the gauge's signal becomes
+    // the action (one sidecar JSON read on the batches that don't)
+    graft.index.IndexMeta.read(spark, cur).foreach { m =>
+      if (m.fittedN > 0 && m.deltaSinceFit.toDouble / m.fittedN > threshold)
+        cutover(spark)
+    }
+  }
+
   // ---- streaming CDC: the change feed as a readStream ------------------
 
   /** Continuous change feed over a versioned IVF layout — the
@@ -256,8 +362,16 @@ object IndexStream {
           anchor match {
             case Some(a) if id <= a => // replayed manifest: already emitted
             case Some(a) =>
-              diff(a, id).write.mode("overwrite")
-                .parquet(s"$outPath/data/to_b=$id")
+              val dir = new org.apache.hadoop.fs.Path(s"$outPath/data/to_b=$id")
+              diff(a, id).write.mode("overwrite").parquet(dir.toString)
+              // a no-change batch writes no part files; its empty
+              // directory would break schema inference for a consumer
+              // reading data/ before any non-empty batch lands — an
+              // absent to_b dir carries the same information
+              val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              if (!fs.listStatus(dir).exists(f =>
+                  f.getPath.getName.endsWith(".parquet")))
+                fs.delete(dir, true)
               writeAnchor(spark, outPath, id)
               anchor = Some(id)
             case None =>

@@ -491,6 +491,71 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(stored == labels, s"delta metadata did not land: $stored")
   }
 
+  test("generational IVF sink: drift trips the envelope mid-stream and the sink cuts over") {
+    val root = tmp("graft-gen-sink") + "/root"
+    // base fit over 450 rows -> envelope threshold 0.10 = 45 delta rows
+    graft.index.SnapshotLayout.initGen(IvfIndex.build(spark, base), root)
+    def mutBatch(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, vecs(i.toLong), "upsert"))
+        .toDF("vec_id", "embedding", "op")
+    // batch 0: 25 upserts — under the envelope, no cutover
+    IndexStream.applyIvfGenBatch(mutBatch(0 until 25), 0L, root)
+    assert(graft.index.Generations.current(spark, root) == 1)
+    // batch 1: 25 more — 50 > 45 trips the envelope, the sink cuts over
+    IndexStream.applyIvfGenBatch(mutBatch(25 until 50), 1L, root)
+    assert(graft.index.Generations.current(spark, root) == 2,
+      "envelope trip did not cut over")
+    val gen2 = graft.index.Generations.genPath(root, 2)
+    // the successor's gauge is reset and its fit covers the whole head
+    val m = IndexMeta.read(spark, gen2).get
+    assert(m.deltaSinceFit == 0L && m.fittedN == 500L, s"$m")
+    // a batch replayed from BEFORE the cutover skips whole (its id is
+    // at/below the successor's base)
+    val rows = spark.read.parquet(s"$gen2/vectors").count()
+    IndexStream.applyIvfGenBatch(mutBatch(25 until 50), 1L, root)
+    assert(spark.read.parquet(s"$gen2/vectors").count() == rows)
+    // ingestion continues into the successor's log...
+    IndexStream.applyIvfGenBatch(
+      Seq((7L, vecs(7L), "delete")).toDF("vec_id", "embedding", "op"),
+      2L, root)
+    assert(graft.index.SnapshotLayout.manifestIds(spark, gen2) == Seq(2L, 3L))
+    assert(graft.index.SnapshotLayout
+      .asOfAssignedGen(spark, root, Long.MaxValue)
+      .filter($"vec_id" === 7).isEmpty)
+    // ...while pre-cutover as-ofs stay answerable through the root
+    assert(graft.index.SnapshotLayout.asOfAssignedGen(spark, root, 1L)
+      .count() == 475L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("generational NSW sink: the graph family cuts over on drift and serves through the root") {
+    val root = tmp("graft-gen-sink-nsw") + "/root"
+    val nswBase = emb.filter($"vec_id" >= 50 && $"vec_id" < 170)
+      .localCheckpoint(true) // 120 rows -> envelope 12
+    graft.index.NswSnapshotLayout.initGen(nswBase,
+      NswIndex.buildEdgesLsh(nswBase), root)
+    val batch = (0 until 15)
+      .map(i => (i.toLong, vecs(i.toLong), "upsert"))
+      .toDF("vec_id", "embedding", "op")
+    IndexStream.applyNswGenBatch(batch, 0L, root)
+    assert(graft.index.Generations.current(spark, root) == 2,
+      "graph envelope trip did not cut over")
+    val gen2 = graft.index.Generations.genPath(root, 2)
+    val m = IndexMeta.read(spark, gen2).get
+    assert(m.deltaSinceFit == 0L && m.fittedN == 135L, s"$m")
+    // the successor serves the streamed rows through the root
+    val q = emb.filter($"vec_id" === 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val hits = graft.index.NswSnapshotLayout
+      .searchAsOfGen(spark, root, Long.MaxValue, q).collect()
+    assert(hits.exists(r => r.getAs[Long]("neighbor_id") == 3L &&
+      r.getAs[Long]("score_e6") == 1000000L))
+    graft.core.Checkpoints.free(nswBase)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
   private def drainChanges(path: String, out: String): Unit = {
     val q = IndexStream.changesIvf(spark, path, out)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
