@@ -75,8 +75,16 @@ object Generations {
     val out = fs.create(tmp, true)
     try out.write(s"""{"generation":$g}""".getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"could not commit generation pointer under $root")
+    // rename FIRST: POSIX rename atomically replaces the target, so
+    // the common case has no window at all; only a filesystem that
+    // refuses to clobber (HDFS) takes the delete-then-rename path,
+    // whose crash window fails LOUDLY (no pointer → current() refuses
+    // to guess) rather than serving a stale generation
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p),
+        s"could not commit generation pointer under $root")
+    }
   }
 
   /** Generation numbers present on disk, ascending, bounded above by

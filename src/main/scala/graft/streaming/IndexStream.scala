@@ -329,7 +329,15 @@ object IndexStream {
     * A reader whose anchor fell BELOW the compaction floor cannot be
     * answered — the truncated log cannot reconstruct its `from` point
     * — and the stream fails loudly via the asOfDiff floor guard
-    * instead of emitting a silently-wrong feed. */
+    * instead of emitting a silently-wrong feed.
+    *
+    * Generational roots: point the reader at a GENERATION directory
+    * (`root/generation=N`), not the root — each generation is its own
+    * manifest log. A consumer following a cutover re-anchors a new
+    * reader at the successor's base and misses nothing: the boundary
+    * is a re-addressing of the identical live set (the
+    * `boundary_live_identical` grid pin), so the cutover itself is an
+    * empty diff by construction. */
   def changesIvf(spark: org.apache.spark.sql.SparkSession, path: String,
       outPath: String): DataStreamWriter[Row] =
     changes(spark, path, outPath,
