@@ -673,6 +673,30 @@ object NswSnapshotLayout {
     searchAsOf(spark, Generations.route(spark, root, batchId), batchId,
       queries, k)
 
+  /** PRE-filter beam serve routed across generations — the graph
+    * family's filtered mode survives a cutover (metadata rides the
+    * successor's vectors; the rebuilt edge set is label-independent,
+    * exactly like every graph layout). */
+  def searchAsOfFilteredGen(spark: SparkSession, root: String, batchId: Long,
+      queries: DataFrame, pred: org.apache.spark.sql.Column,
+      k: Int = 10): DataFrame =
+    searchAsOfFiltered(spark, Generations.route(spark, root, batchId),
+      batchId, queries, pred, k)
+
+  /** CDC routed across generations — the IVF twin's contract with
+    * this family's payload set. */
+  def asOfDiffGen(spark: SparkSession, root: String, fromBatch: Long,
+      toBatch: Long): DataFrame = {
+    def side(batchId: Long, as: String): DataFrame = {
+      val p = Generations.route(spark, root, batchId)
+      repairCompaction(spark, p)
+      SnapshotLayout.requireAnswerable(spark, p, batchId)
+      SnapshotLayout.asOfFingerprints(spark, p, batchId, nswNonPayload, as)
+    }
+    SnapshotLayout.diffFingerprints(side(fromBatch, "b_fp"),
+      side(toBatch, "a_fp"))
+  }
+
   /** Rollback within the CURRENT generation only — the IVF twin's
     * cross-generation refusal. */
   def rollbackGen(spark: SparkSession, root: String, batchId: Long): Unit = {

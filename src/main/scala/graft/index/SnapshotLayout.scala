@@ -1292,6 +1292,44 @@ object SnapshotLayout {
     searchAsOf(spark, Generations.route(spark, root, batchId), batchId,
       queries, nProbe, k)
 
+  /** PRE-filter probe serve routed across generations — the filtered
+    * serving mode survives a cutover (metadata rides the re-fit:
+    * [[newGeneration]] carries every non-structural column into the
+    * successor's build). */
+  def searchAsOfFilteredGen(spark: SparkSession, root: String, batchId: Long,
+      queries: DataFrame, pred: org.apache.spark.sql.Column,
+      nProbe: Int = 13, k: Int = 10): DataFrame =
+    searchAsOfFiltered(spark, Generations.route(spark, root, batchId),
+      batchId, queries, pred, nProbe, k)
+
+  /** ADC probe serve routed across generations — the compressed tier
+    * survives a cutover ([[newGeneration]] re-inits each sidecar at
+    * its configured geometry on the successor). */
+  def searchAsOfPqGen(spark: SparkSession, root: String, batchId: Long,
+      queries: DataFrame, nProbe: Int = IvfIndex.defaultNProbe,
+      k: Int = 10, rerank: Int = 200, sub: String = "pq"): DataFrame =
+    searchAsOfPq(spark, Generations.route(spark, root, batchId), batchId,
+      queries, nProbe, k, rerank, sub)
+
+  /** CDC routed across generations — a diff whose endpoints STRADDLE
+    * a cutover is well-defined: each endpoint reconstructs from the
+    * generation that answers it, the fingerprints are
+    * content-addressed (cluster placement is not payload), and the
+    * boundary itself is an empty diff by construction (the successor's
+    * base is the predecessor's head live set re-addressed), so the
+    * feed a consumer reads across a cutover contains exactly the real
+    * changes. Each side runs its own answerability guard. */
+  def asOfDiffGen(spark: SparkSession, root: String, fromBatch: Long,
+      toBatch: Long): DataFrame = {
+    def side(batchId: Long, as: String): DataFrame = {
+      val p = Generations.route(spark, root, batchId)
+      repairCompaction(spark, p)
+      requireAnswerable(spark, p, batchId)
+      asOfFingerprints(spark, p, batchId, ivfNonPayload, as)
+    }
+    diffFingerprints(side(fromBatch, "b_fp"), side(toBatch, "a_fp"))
+  }
+
   /** Rollback within the CURRENT generation only. A target below the
     * generation's base would have to un-do the cutover itself —
     * refused, the rollback-guard discipline: older generations stay

@@ -112,6 +112,54 @@ class GenerationSpec extends AnyFunSuite {
       new java.io.File(root).getParentFile)
   }
 
+  test("generational serving surface: filtered and ADC tiers route, CDC straddles the cutover") {
+    val root = java.nio.file.Files.createTempDirectory("graft-gen-surface")
+      .toString + "/root"
+    val base = emb.filter($"vec_id" >= 50)
+    SnapshotLayout.initGen(
+      IvfIndex.build(spark, base, metaCols = Seq("label")), root)
+    SnapshotLayout.initPq(spark, Generations.genPath(root, 1))
+    SnapshotLayout.applyBatchGen(spark, root, 1L,
+      upserts = emb.filter($"vec_id" < 10),
+      deletes = emb.limit(0).select($"vec_id"))
+    assert(SnapshotLayout.newGeneration(spark, root) == 2)
+    // post-cutover changes: one delete, six adds (batch ids continue)
+    SnapshotLayout.applyBatchGen(spark, root, 2L,
+      upserts = emb.filter($"vec_id" >= 10 && $"vec_id" < 16),
+      deletes = emb.filter($"vec_id" === 3).select($"vec_id"))
+    // CDC straddling the cutover: from batch 1 (generation 1) to head
+    // (generation 2) — exactly the real changes, nothing from the
+    // boundary re-addressing
+    val feed = SnapshotLayout.asOfDiffGen(spark, root, 1L, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == ((10L until 16L).map(i => (i, "added")).toSet +
+      ((3L, "deleted"))), s"straddling feed off: $feed")
+    // filtered serve through the root at head: all-legal k rows, self
+    // found at 1.0 (metadata survived the re-fit)
+    val q = emb.filter($"vec_id" === 12)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("q_label"))
+    val filtered = SnapshotLayout.searchAsOfFilteredGen(spark, root,
+      Long.MaxValue, q, col("label") === col("q_label")).collect()
+    assert(filtered.exists(r => r.getAs[Long]("neighbor_id") == 12L &&
+      r.getAs[Long]("score_e6") == 1000000L))
+    // ADC serve through the root at head: the carried sidecar serves;
+    // at exhaustive rerank it is row-identical to the raw routed serve
+    val qs = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val adc = SnapshotLayout.searchAsOfPqGen(spark, root, Long.MaxValue, qs,
+      rerank = 1000000)
+    val raw = SnapshotLayout.searchAsOfGen(spark, root, Long.MaxValue, qs)
+    assert(SnapshotLayout.serveDiffCount(adc, raw, "n")
+      .collect().head.getLong(0) == 0L)
+    // a straddling diff whose FROM predates every floor still refuses
+    intercept[IllegalArgumentException] {
+      SnapshotLayout.asOfDiffGen(spark, root, -1L, Long.MaxValue)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
   test("NSW: cutover rebuilds the graph from the live set — stale re-add edges healed, old as-ofs answer") {
     val root = java.nio.file.Files.createTempDirectory("graft-gen-nsw")
       .toString + "/root"
