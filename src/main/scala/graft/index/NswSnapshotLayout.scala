@@ -540,6 +540,13 @@ object NswSnapshotLayout {
     val state2Before = graphStateAt(spark, path, 2L)
     compact(spark, path, 2L)
     val state2After = graphStateAt(spark, path, 2L)
+    // ONE end-to-end beam serve of the COMPACTED layout (the IVF
+    // twin's discipline): input identity implies serve identity only
+    // if the walk still runs on the compacted tree
+    val served = searchAsOf(spark, path, 2L, queries).localCheckpoint(true)
+    val perProbe = served.groupBy($"q_id").agg(
+      (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
+      (max($"score_e6") === 1000000L).as("top1_exact"))
     val staleAfter = spark.read.parquet(s"$path/edges")
       .filter($"batch_id" =!= 3 && (deadReAdded($"src") || deadReAdded($"dst")))
       .count()
@@ -571,12 +578,17 @@ object NswSnapshotLayout {
         batchIdsOf("edges").forall(_ >= 2L)).as("dirs_bounded"),
       lit(guardOk).as("guard_refuses"),
       lit(rolledId).as("rollback_works")))
-    queries.select($"q_id").crossJoin(globals)
+    perProbe.crossJoin(globals)
+      .select($"q_id", $"self_found", $"top1_exact", $"serve2_identical",
+        $"stale_healed", $"heal_nonvacuous", $"history_truncated",
+        $"tombstones_gone", $"dirs_bounded", $"guard_refuses",
+        $"rollback_works")
       .orderBy($"q_id")
   }
 
   val nswCompactCheckedSql: String =
-    """SELECT vec_id AS q_id, true AS serve2_identical, true AS stale_healed,
+    """SELECT vec_id AS q_id, true AS self_found, true AS top1_exact,
+      |  true AS serve2_identical, true AS stale_healed,
       |  true AS heal_nonvacuous, true AS history_truncated,
       |  true AS tombstones_gone, true AS dirs_bounded,
       |  true AS guard_refuses, true AS rollback_works

@@ -558,11 +558,23 @@ object SnapshotLayout {
       meta: IndexMeta.Meta): Unit = {
     val p = new Path(s"$path/_snapshots/batch-$batchId.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    // stage under a DOT name, then rename: the manifest is tailed by
+    // live change-feed readers (IndexStream.changes) whose file source
+    // consumes each path exactly once — a reader listing a manifest
+    // between create and close would read a truncated line, drop the
+    // batch silently, and never be redelivered. Dot-files are hidden
+    // from both the file source and manifestIds, and rename makes the
+    // full content appear atomically.
+    val tmp = new Path(s"$path/_snapshots/.batch-$batchId.json.tmp")
+    val out = fs.create(tmp, true)
     try out.write(
       s"""{"batch_id":$batchId,"fitted_n":${meta.fittedN},"delta_since_fit":${meta.deltaSinceFit}}"""
         .getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p), s"could not commit manifest $p")
+    }
   }
 
   private val ManifestPattern =
@@ -773,6 +785,14 @@ object SnapshotLayout {
     val headAfter = postingStateAt(spark, path, Long.MaxValue)
     val serve2Id = postingStateDiff(asof2Before, asof2After) == 0L
     val headId = postingStateDiff(headBefore, headAfter) == 0L
+    // ONE end-to-end serve of the COMPACTED layout: the input-identity
+    // columns imply serve identity only if serving still works — a
+    // commit bug that breaks the partition tree in a way only the
+    // pruned read path hits must not produce an all-true grid
+    val served = searchAsOf(spark, path, 2L, queries).localCheckpoint(true)
+    val perProbe = served.groupBy($"q_id").agg(
+      (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
+      (max($"score_e6") === 1000000L).as("top1_exact"))
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batchDirs = fs.listStatus(new Path(s"$path/vectors"))
       .filter(_.isDirectory)
@@ -801,12 +821,16 @@ object SnapshotLayout {
       lit(batchDirs.forall(_ >= 2L)).as("dirs_bounded"),
       lit(guardOk).as("guard_refuses"),
       lit(rolledId).as("rollback_works")))
-    queries.select($"q_id").crossJoin(globals)
+    perProbe.crossJoin(globals)
+      .select($"q_id", $"self_found", $"top1_exact", $"serve2_identical",
+        $"head_identical", $"history_truncated", $"tombstones_gone",
+        $"dirs_bounded", $"guard_refuses", $"rollback_works")
       .orderBy($"q_id")
   }
 
   val ivfCompactCheckedSql: String =
-    """SELECT vec_id AS q_id, true AS serve2_identical, true AS head_identical,
+    """SELECT vec_id AS q_id, true AS self_found, true AS top1_exact,
+      |  true AS serve2_identical, true AS head_identical,
       |  true AS history_truncated, true AS tombstones_gone,
       |  true AS dirs_bounded, true AS guard_refuses, true AS rollback_works
       |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
@@ -1364,10 +1388,18 @@ object SnapshotLayout {
     * the generation grids use: stronger than serve identity, since
     * the serves are deterministic functions of these sets. */
   private[index] def rowSetDiffCount(a: DataFrame, b: DataFrame,
-      name: String): DataFrame =
-    a.unionByName(b).groupBy(a.columns.toSeq.map(col): _*)
-      .agg(count(lit(1)).as("c"))
-      .agg(count(when(col("c") =!= 2L, 1)).as(name))
+      name: String): DataFrame = {
+    // true MULTISET diff: per-row counts compared per side (the naive
+    // union-and-count-≠2 heuristic miscounts duplicated rows — a row
+    // twice in one frame and absent from the other sums to 2 and would
+    // read "identical"); null-safe compare so an absent side ≠ a count
+    val cols = a.columns.toSeq.map(col)
+    val ca = a.groupBy(cols: _*).agg(count(lit(1)).as("ca"))
+    val cb = b.groupBy(cols: _*).agg(count(lit(1)).as("cb"))
+    ca.join(cb, a.columns.toSeq, "full_outer")
+      .filter(!(col("ca") <=> col("cb")))
+      .agg(count(lit(1)).as(name))
+  }
 
   /** `ivf_generation`: the cutover contract as a driver-checked grid
     * over a generational wrap of [[pristineScenario]] (copied, rolled
@@ -1440,7 +1472,12 @@ object SnapshotLayout {
       .groupBy($"vec_id").agg(
         min($"d2").as("best"),
         min(when($"cluster_id" === $"assigned", $"d2")).as("got"))
-      .agg(count(when($"got" > $"best" + 1e-9, 1)).as("n_rows_diff"))
+      // 1e-6 margin: assignments were chosen against double-precision
+      // KMeans centers but the persisted centroids are float32, which
+      // perturbs d2 by ~1e-7 relative — a tighter margin would flip
+      // genuinely-tied rows nondeterministically; real inter-centroid
+      // gaps on this corpus are orders of magnitude wider
+      .agg(count(when($"got" > $"best" + 1e-6, 1)).as("n_rows_diff"))
     val centDiff = rowSetDiffCount(spark.read.parquet(s"$gen1/centroids"),
       gen2Cent, "n_cent_same_comp")
       .select(($"n_cent_same_comp" === 0L).cast("long").as("n_cent_diff"))

@@ -409,7 +409,14 @@ object IndexStream {
         finally in.close()
       body.trim match {
         case AnchorPattern(n) => Some(n.toLong)
-        case _ => None
+        // a corrupt anchor must NOT read as "never anchored" — that
+        // would silently re-anchor at the next manifest and drop every
+        // change since the real anchor from a feed whose contract is
+        // fail-loud. (The tmp+rename writer below makes this state
+        // unreachable by crash; refusing covers external damage too.)
+        case other => throw new IllegalStateException(
+          s"corrupt change-feed anchor at $p: '$other' — refusing to " +
+            "re-anchor over lost history; restore or delete the consumer dir")
       }
     }
   }
@@ -418,10 +425,15 @@ object IndexStream {
       outPath: String, batchId: Long): Unit = {
     val p = anchorPath(outPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(s"$outPath/._graft_changes_anchor.tmp")
+    val out = fs.create(tmp, true)
     try out.write(s"""{"anchor_batch_id":$batchId}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p), s"could not commit change-feed anchor $p")
+    }
   }
 
   /** `index_changes_stream`: the streaming CDC feed certified for
@@ -437,7 +449,11 @@ object IndexStream {
       dir: String): DataFrame = {
     val ivfPath = graft.index.SnapshotLayout.pristineScenario(spark, dir)
     val nswPath = graft.index.NswSnapshotLayout.pristineScenario(spark, dir)
-    val out = java.nio.file.Files.createTempDirectory("graft-changes").toString
+    // deterministic per-app dir, cleared on entry — a fresh temp per
+    // invocation would leak one checkpoint+data tree per bench repeat
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
+      s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/changes"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     def run(family: String, w: DataStreamWriter[Row], sub: String): DataFrame = {
       val q = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
