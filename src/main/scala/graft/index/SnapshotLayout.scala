@@ -1387,17 +1387,23 @@ object SnapshotLayout {
     * frames are multiset-identical) — the set-level identity check
     * the generation grids use: stronger than serve identity, since
     * the serves are deterministic functions of these sets. */
-  private[index] def rowSetDiffCount(a: DataFrame, b: DataFrame,
+  private[graft] def rowSetDiffCount(a: DataFrame, b: DataFrame,
       name: String): DataFrame = {
     // true MULTISET diff: per-row counts compared per side (the naive
     // union-and-count-≠2 heuristic miscounts duplicated rows — a row
     // twice in one frame and absent from the other sums to 2 and would
-    // read "identical"); null-safe compare so an absent side ≠ a count
-    val cols = a.columns.toSeq.map(col)
-    val ca = a.groupBy(cols: _*).agg(count(lit(1)).as("ca"))
-    val cb = b.groupBy(cols: _*).agg(count(lit(1)).as("cb"))
-    ca.join(cb, a.columns.toSeq, "full_outer")
-      .filter(!(col("ca") <=> col("cb")))
+    // read "identical"). The join is NULL-SAFE on every column: GROUP
+    // BY treats null keys as equal, so the join must too, or a row
+    // with a null field present in BOTH frames would land as two
+    // unmatched rows and read as a difference.
+    val cols = a.columns.toSeq
+    val ca = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__ca"))
+      .alias("ga")
+    val cb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cb"))
+      .alias("gb")
+    val cond = cols.map(c => col(s"ga.$c") <=> col(s"gb.$c")).reduce(_ && _)
+    ca.join(cb, cond, "full_outer")
+      .filter(!(col("__ca") <=> col("__cb")))
       .agg(count(lit(1)).as(name))
   }
 

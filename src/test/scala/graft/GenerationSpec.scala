@@ -160,6 +160,26 @@ class GenerationSpec extends AnyFunSuite {
       new java.io.File(root).getParentFile)
   }
 
+  test("rowSetDiffCount is a null-safe multiset diff") {
+    def n(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Long =
+      SnapshotLayout.rowSetDiffCount(a, b, "n").collect().head.getLong(0)
+    val dup = Seq((1L, "x"), (1L, "x")).toDF("k", "v")
+    val one = Seq((1L, "x")).toDF("k", "v")
+    // a duplicated row vs a single copy IS a difference (the naive
+    // union-count heuristic read this as identical)
+    assert(n(dup, one) == 1L && n(one, dup) == 1L)
+    // identical duplicates on both sides are NOT
+    assert(n(dup, dup) == 0L)
+    // null fields compare null-safely: present-in-both is identical,
+    // a null-vs-value flip is a difference
+    val withNull = Seq((1L, Option.empty[String]), (2L, Some("y")))
+      .toDF("k", "v")
+    assert(n(withNull, withNull) == 0L)
+    val flipped = Seq((1L, Some("z")), (2L, Some("y"))).toDF("k", "v")
+    assert(n(withNull, flipped) == 2L)
+  }
+
   test("NSW: cutover rebuilds the graph from the live set — stale re-add edges healed, old as-ofs answer") {
     val root = java.nio.file.Files.createTempDirectory("graft-gen-nsw")
       .toString + "/root"

@@ -607,6 +607,44 @@ class IndexStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("changes stream: a corrupt anchor refuses instead of silently re-anchoring; stray manifest tmps are invisible") {
+    val path = tmp("graft-cdc3") + "/ivf"
+    val out = tmp("graft-cdc3-out")
+    graft.index.SnapshotLayout.init(IvfIndex.build(spark, base), path)
+    graft.index.SnapshotLayout.applyBatch(spark, path, 1L,
+      upserts = emb.filter($"vec_id" < 5),
+      deletes = emb.limit(0).select($"vec_id"))
+    // a crashed manifest stage (the dot-tmp) must be hidden from BOTH
+    // the manifest listing and the feed's file source
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stray = new org.apache.hadoop.fs.Path(
+      s"$path/_snapshots/.batch-9.json.tmp")
+    val o = fs.create(stray, true)
+    o.write("{\"batch_id\":9".getBytes); o.close()
+    assert(graft.index.SnapshotLayout.manifestIds(spark, path) == Seq(0L, 1L))
+    drainChanges(path, out)
+    assert(feedRows(out).map(_._1) == Set(1L), "stray tmp leaked into the feed")
+    // corrupt the consumer anchor: the feed must REFUSE, not re-anchor
+    // over lost history
+    val anchor = new org.apache.hadoop.fs.Path(
+      s"$out/_graft_changes_anchor.json")
+    val o2 = fs.create(anchor, true)
+    o2.write("garbage".getBytes); o2.close()
+    graft.index.SnapshotLayout.applyBatch(spark, path, 2L,
+      upserts = emb.filter($"vec_id" === 40),
+      deletes = emb.limit(0).select($"vec_id"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainChanges(path, out)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("corrupt change-feed anchor")),
+      s"unexpected failure: ${msgs(ex)}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("changes stream: compaction at or below the anchor is invisible; an outrun anchor fails loudly") {
     val path = tmp("graft-cdc2") + "/ivf"
     val out = tmp("graft-cdc2-out")
