@@ -103,12 +103,44 @@ object Generations {
     * answers — its base is the same live set under the fresh fit,
     * which is the stable address a post-cutover reader wants. */
   def route(spark: SparkSession, root: String, batchId: Long): String = {
+    val cur = current(spark, root)
     val gens = list(spark, root).reverse
-    gens.iterator.map(g => genPath(root, g))
-      .find(p => SnapshotLayout.manifestIds(spark, p).headOption
-        .exists(_ <= batchId))
+    val hit = gens.iterator
+      .map(g => (g, genPath(root, g)))
+      .find { case (_, p) => SnapshotLayout.manifestIds(spark, p).headOption
+        .exists(_ <= batchId) }
       .getOrElse(throw new IllegalArgumentException(
         s"as-of $batchId predates every generation's floor under $root — " +
           "the truncated/compacted history cannot reconstruct it"))
+    val (g, p) = hit
+    // an id ABOVE an old generation's head belongs to a generation
+    // between it and the newer ones — reachable only when that
+    // generation was retired ([[dropGeneration]]); answering from the
+    // older head would silently serve the wrong snapshot. The CURRENT
+    // generation keeps the head-alias semantics every as-of serve has.
+    require(g == cur ||
+        SnapshotLayout.manifestIds(spark, p).lastOption.exists(batchId <= _),
+      s"as-of $batchId falls in retired history under $root (generation $g " +
+        s"ends before it and the covering generation was dropped) — " +
+        "refusing to alias an older generation's head")
+    p
+  }
+
+  /** Retire an OLD generation: delete its directory outright. The
+    * current generation is refused (cut over first — the pointer must
+    * never dangle), as is a generation number at/above the pointer.
+    * After a drop, as-ofs the retired generation covered REFUSE at
+    * routing (see [[route]]) instead of silently re-answering from an
+    * older head — retirement is the retention trade made explicit,
+    * exactly like compaction truncating below its floor. */
+  def dropGeneration(spark: SparkSession, root: String, g: Int): Unit = {
+    val cur = current(spark, root)
+    require(g < cur,
+      s"generation $g is ${if (g == cur) "CURRENT" else "not a predecessor"} " +
+        s"under $root (pointer at $cur) — only old generations can be retired")
+    val p = new Path(genPath(root, g))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"generation $g does not exist under $root")
+    fs.delete(p, true)
   }
 }

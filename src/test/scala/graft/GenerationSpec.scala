@@ -160,6 +160,79 @@ class GenerationSpec extends AnyFunSuite {
       new java.io.File(root).getParentFile)
   }
 
+  test("retiring a generation: drops refuse current/missing targets; retired coverage refuses at routing") {
+    val root = java.nio.file.Files.createTempDirectory("graft-gen-retire")
+      .toString + "/root"
+    val base = emb.filter($"vec_id" >= 50 && $"vec_id" < 150)
+      .select($"vec_id", $"embedding")
+    SnapshotLayout.initGen(IvfIndex.build(spark, base), root)
+    SnapshotLayout.applyBatchGen(spark, root, 1L,
+      upserts = emb.filter($"vec_id" < 5).select($"vec_id", $"embedding"),
+      deletes = emb.limit(0).select($"vec_id"))
+    assert(SnapshotLayout.newGeneration(spark, root) == 2) // gen2 base = 1
+    SnapshotLayout.applyBatchGen(spark, root, 2L,
+      upserts = emb.filter($"vec_id" >= 5 && $"vec_id" < 8)
+        .select($"vec_id", $"embedding"),
+      deletes = emb.limit(0).select($"vec_id"))
+    assert(SnapshotLayout.newGeneration(spark, root) == 3) // gen3 base = 2
+    // refusals: current, above-pointer, missing
+    intercept[IllegalArgumentException] {
+      Generations.dropGeneration(spark, root, 3)
+    }
+    intercept[IllegalArgumentException] {
+      Generations.dropGeneration(spark, root, 7)
+    }
+    // retire the middle generation
+    Generations.dropGeneration(spark, root, 2)
+    assert(Generations.list(spark, root) == Seq(1, 3))
+    intercept[IllegalArgumentException] {
+      Generations.dropGeneration(spark, root, 2) // already gone
+    }
+    // generation 1 still answers its own range (batch 0: the base)
+    assert(SnapshotLayout.asOfAssignedGen(spark, root, 0L).count() == 100L)
+    // batch 2 sits exactly on generation 3's base, so the boundary
+    // rule still answers it from gen 3 — no gap at a shared endpoint
+    assert(Generations.route(spark, root, 2L).endsWith("generation=3"))
+    // head serves from the current generation as before the drop
+    assert(SnapshotLayout.asOfAssignedGen(spark, root, Long.MaxValue)
+      .count() == 108L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("retired coverage gap: an as-of only the dropped generation held refuses at routing") {
+    val root = java.nio.file.Files.createTempDirectory("graft-gen-gap")
+      .toString + "/root"
+    val base = emb.filter($"vec_id" >= 50 && $"vec_id" < 150)
+      .select($"vec_id", $"embedding")
+    SnapshotLayout.initGen(IvfIndex.build(spark, base), root)
+    SnapshotLayout.applyBatchGen(spark, root, 1L,
+      upserts = emb.filter($"vec_id" < 5).select($"vec_id", $"embedding"),
+      deletes = emb.limit(0).select($"vec_id"))
+    assert(SnapshotLayout.newGeneration(spark, root) == 2) // gen2 base 1
+    // gen2 accumulates history: batches 2 and 3
+    Seq(2L, 3L).foreach(id => SnapshotLayout.applyBatchGen(spark, root, id,
+      upserts = emb.filter($"vec_id" === id + 10)
+        .select($"vec_id", $"embedding"),
+      deletes = emb.limit(0).select($"vec_id")))
+    assert(SnapshotLayout.newGeneration(spark, root) == 3) // gen3 base 3
+    Generations.dropGeneration(spark, root, 2)
+    // batch 2 was covered ONLY by the retired generation 2 (gen1 ends
+    // at 1, gen3 starts at 3): routing must refuse, not serve gen1's
+    // head as if it were batch 2
+    val ex = intercept[IllegalArgumentException] {
+      Generations.route(spark, root, 2L)
+    }
+    assert(ex.getMessage.contains("retired"), ex.getMessage)
+    // the neighbors still answer
+    assert(Generations.route(spark, root, 1L).endsWith("generation=1"))
+    assert(Generations.route(spark, root, 3L).endsWith("generation=3"))
+    assert(SnapshotLayout.asOfAssignedGen(spark, root, Long.MaxValue)
+      .count() == 107L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
   test("rowSetDiffCount is a null-safe multiset diff") {
     def n(a: org.apache.spark.sql.DataFrame,
         b: org.apache.spark.sql.DataFrame): Long =
