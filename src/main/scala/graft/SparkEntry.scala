@@ -148,6 +148,10 @@ object SparkEntry {
     // exactly-once discovery via the file-source checkpoint
     "index_changes_stream" ->
       (graft.streaming.IndexStream.indexChangesStream _),
+    // the automated lifecycle: a drift-tripping batch makes the
+    // generational sink cut over on its own, both families
+    "index_generation_stream" ->
+      (graft.streaming.IndexStream.indexGenerationStream _),
     "text_bm25" -> (graft.text.Bm25.textBm25 _),
     "text_unigram_ll" -> (TextOps.textUnigramLl _),
     // bigram-LM fluency (word ORDER, which a unigram bag can't see)
@@ -669,6 +673,8 @@ object SparkEntry {
     "index_layout_stats" -> graft.index.SnapshotLayout.indexLayoutStatsSql,
     "index_changes_stream" ->
       graft.streaming.IndexStream.indexChangesStreamSql,
+    "index_generation_stream" ->
+      graft.streaming.IndexStream.indexGenerationStreamSql,
     "text_bm25" -> graft.text.Bm25.textBm25Sql,
     "text_unigram_ll" -> TextOps.textUnigramLlSql,
     "text_bigram_ll" -> TextOps.textBigramLlSql,

@@ -305,6 +305,77 @@ object IndexStream {
     }
   }
 
+  /** `index_generation_stream`: the AUTOMATED lifecycle driver-checked
+    * for both families — a mutation batch big enough to trip the drift
+    * envelope must make the generational sink cut over on its own,
+    * reset the successor's gauge, skip a replayed pre-cutover batch
+    * whole, keep ingesting into the successor's log, and leave every
+    * pre-cutover as-of answerable through the root. The scenario uses
+    * a FIXED 200-row base slice at every SF: the grid certifies sink
+    * LOGIC (cutover firing, replay, routing), which is scale-invariant
+    * — the layout operations' own scale curves carry the data-
+    * proportional story. Serving through the cutover is certified by
+    * the `ivf_generation`/`nsw_generation` grids; this one pins the
+    * STREAM wiring (reconstruction counts, manifests, gauge). */
+  def indexGenerationStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val slice = emb.filter(col("vec_id") >= 50 && col("vec_id") < 250)
+    val baseRoot = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
+      s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/genstream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(baseRoot))
+    def mut(df: DataFrame, op: String) =
+      df.select(col("vec_id"), col("embedding"), lit(op).as("op"))
+    // 25 delta rows > the 0.10 × 200 envelope: the sink must cut over
+    val batch0 = mut(emb.filter(col("vec_id") < 25), "upsert")
+    val batch1 = mut(emb.filter(col("vec_id") === 7), "delete")
+    def drive(family: String, init: String => Unit,
+        apply: (DataFrame, Long, String) => Unit,
+        liveCount: (String, Long) => Long): DataFrame = {
+      val root = s"$baseRoot/$family"
+      init(root)
+      apply(batch0, 0L, root)
+      val fired = graft.index.Generations.current(spark, root) == 2
+      val gen2 = graft.index.Generations.genPath(root, 2)
+      val gaugeReset = graft.index.IndexMeta.read(spark, gen2)
+        .exists(m => m.deltaSinceFit == 0L && m.fittedN == 225L)
+      val rows = spark.read.parquet(s"$gen2/vectors").count()
+      apply(batch0, 0L, root) // a replay from before the cutover
+      val replaySkips = spark.read.parquet(s"$gen2/vectors").count() == rows
+      apply(batch1, 1L, root)
+      val continues = graft.index.SnapshotLayout
+        .manifestIds(spark, gen2) == Seq(1L, 2L)
+      val headRight = liveCount(root, Long.MaxValue) == 224L
+      val oldRight = liveCount(root, 0L) == 200L
+      spark.range(1).select(lit(family).as("family"),
+        lit(fired).as("cutover_fired"), lit(gaugeReset).as("gauge_reset"),
+        lit(replaySkips).as("replay_skips"), lit(continues).as("continues"),
+        lit(headRight).as("head_live_right"),
+        lit(oldRight).as("old_asof_answerable"))
+    }
+    val ivf = drive("ivf",
+      root => graft.index.SnapshotLayout.initGen(
+        graft.index.IvfIndex.build(spark, slice), root),
+      (b, id, root) => applyIvfGenBatch(b, id, root),
+      (root, b) =>
+        graft.index.SnapshotLayout.asOfAssignedGen(spark, root, b).count())
+    val nsw = drive("nsw",
+      root => graft.index.NswSnapshotLayout.initGen(slice,
+        NswIndex.buildEdgesLsh(slice), root),
+      (b, id, root) => applyNswGenBatch(b, id, root),
+      (root, b) =>
+        graft.index.NswSnapshotLayout.asOfVectorsGen(spark, root, b).count())
+    ivf.unionByName(nsw).orderBy(col("family"))
+  }
+
+  val indexGenerationStreamSql: String =
+    """SELECT f.family, true AS cutover_fired, true AS gauge_reset,
+      |  true AS replay_skips, true AS continues, true AS head_live_right,
+      |  true AS old_asof_answerable
+      |FROM (SELECT 'ivf' AS family UNION ALL SELECT 'nsw') f
+      |ORDER BY f.family""".stripMargin
+
   // ---- streaming CDC: the change feed as a readStream ------------------
 
   /** Continuous change feed over a versioned IVF layout — the
