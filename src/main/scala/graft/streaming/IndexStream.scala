@@ -317,37 +317,56 @@ object IndexStream {
     * proportional story. Serving through the cutover is certified by
     * the `ivf_generation`/`nsw_generation` grids; this one pins the
     * STREAM wiring (reconstruction counts, manifests, gauge). */
+  /** Session memo of each family's PRISTINE pre-cutover generational
+    * root (the pristineScenario discipline): the base fits are built
+    * once per (session, dir) and every invocation drives the sink
+    * over a cheap filesystem copy — the per-invocation cost is the
+    * thing under test (the envelope-tripping apply and the automatic
+    * cutover), not a rebuild of the starting state. */
+  private val genStreamCache = new graft.store.VersionedMemo[String](p =>
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(p).getParentFile))
+
+  private def pristineGenRoot(spark: org.apache.spark.sql.SparkSession,
+      dir: String, family: String)(init: String => Unit): String =
+    genStreamCache.get(spark, s"genstream_$family:$dir", dir) {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft-genstream-$family").toString + "/root"
+      init(path)
+      path
+    }
+
   def indexGenerationStream(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val emb = graft.core.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val slice = emb.filter(col("vec_id") >= 50 && col("vec_id") < 250)
+    val slice = emb.filter(col("vec_id") >= 50 && col("vec_id") < 175)
     val baseRoot = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
       s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/genstream"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(baseRoot))
     def mut(df: DataFrame, op: String) =
       df.select(col("vec_id"), col("embedding"), lit(op).as("op"))
-    // 25 delta rows > the 0.10 × 200 envelope: the sink must cut over
-    val batch0 = mut(emb.filter(col("vec_id") < 25), "upsert")
+    // 15 delta rows > the 0.10 × 125 envelope: the sink must cut over
+    val batch0 = mut(emb.filter(col("vec_id") < 15), "upsert")
     val batch1 = mut(emb.filter(col("vec_id") === 7), "delete")
     def drive(family: String, init: String => Unit,
         apply: (DataFrame, Long, String) => Unit,
         liveCount: (String, Long) => Long): DataFrame = {
       val root = s"$baseRoot/$family"
-      init(root)
+      graft.index.SnapshotLayout.copyLayout(spark,
+        pristineGenRoot(spark, dir, family)(init), root)
       apply(batch0, 0L, root)
       val fired = graft.index.Generations.current(spark, root) == 2
       val gen2 = graft.index.Generations.genPath(root, 2)
       val gaugeReset = graft.index.IndexMeta.read(spark, gen2)
-        .exists(m => m.deltaSinceFit == 0L && m.fittedN == 225L)
+        .exists(m => m.deltaSinceFit == 0L && m.fittedN == 140L)
       val rows = spark.read.parquet(s"$gen2/vectors").count()
       apply(batch0, 0L, root) // a replay from before the cutover
       val replaySkips = spark.read.parquet(s"$gen2/vectors").count() == rows
       apply(batch1, 1L, root)
       val continues = graft.index.SnapshotLayout
         .manifestIds(spark, gen2) == Seq(1L, 2L)
-      val headRight = liveCount(root, Long.MaxValue) == 224L
-      val oldRight = liveCount(root, 0L) == 200L
+      val headRight = liveCount(root, Long.MaxValue) == 139L
+      val oldRight = liveCount(root, 0L) == 125L
       spark.range(1).select(lit(family).as("family"),
         lit(fired).as("cutover_fired"), lit(gaugeReset).as("gauge_reset"),
         lit(replaySkips).as("replay_skips"), lit(continues).as("continues"),
