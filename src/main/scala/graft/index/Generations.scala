@@ -17,9 +17,9 @@ import org.apache.spark.sql.SparkSession
   *
   * {{{
   *   root/
-  *     generation=1/    // a full versioned layout (vectors, log, manifests)
-  *     generation=2/    // the re-fit successor; base batch = 1's head
-  *     _current.json    // {"generation":2} — the single mutable cell
+  *     generation=1/      // a full versioned layout (vectors, log, manifests)
+  *     generation=2/      // the re-fit successor; base batch = 1's head
+  *     _current.v2.json   // the pointer: highest version file wins
   * }}}
   *
   * Batch ids stay GLOBALLY monotonic across generations: generation
@@ -40,51 +40,76 @@ object Generations {
 
   def genPath(root: String, g: Int): String = s"$root/generation=$g"
 
-  private def pointer(root: String) = new Path(s"$root/_current.json")
+  private val VersionedPointer = """_current\.v(\d+)\.json""".r
 
-  private val PointerPattern = """\{"generation":(\d+)\}""".r
+  private val LegacyPointerPattern = """\{"generation":(\d+)\}""".r
 
-  /** The current generation number. Fails loudly on a root with no
-    * pointer — routing from a guessed directory could serve a
-    * half-built cutover. */
+  private def versionedPointers(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Seq[Int] =
+    Option(fs.globStatus(new Path(root, "_current.v*.json")))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus]).toSeq
+      .flatMap(_.getPath.getName match {
+        case VersionedPointer(g) => Some(g.toInt)
+        case _ => None
+      })
+
+  /** The current generation number: the highest `_current.v<g>.json`
+    * on disk. The pointer is MONOTONIC pointer FILES resolved by max,
+    * never a clobbered single cell — on a filesystem whose rename
+    * refuses to overwrite (HDFS), a delete-then-rename single cell has
+    * a crash window that leaves NO pointer and bricks every read under
+    * the root; creating a fresh versioned name needs no clobber, so a
+    * crashed cutover always leaves the OLD pointer file winning (the
+    * documented "pointer stays on the old generation" contract holds
+    * on every FS). Legacy single-cell `_current.json` roots still
+    * resolve. Fails loudly on a root with no pointer at all — routing
+    * from a guessed directory could serve a half-built cutover. */
   def current(spark: SparkSession, root: String): Int = {
-    val p = pointer(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
-      s"no generation pointer under $root — not a generational layout " +
-        "(or a cutover crashed before its first commit); refusing to guess")
-    val in = fs.open(p)
-    val body =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        StandardCharsets.UTF_8)
-      finally in.close()
-    body.trim match {
-      case PointerPattern(g) => g.toInt
-      case other => throw new IllegalArgumentException(
-        s"corrupt generation pointer under $root: $other")
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versionedPointers(fs, root) match {
+      case gs if gs.nonEmpty => gs.max
+      case _ =>
+        val legacy = new Path(s"$root/_current.json")
+        require(fs.exists(legacy),
+          s"no generation pointer under $root — not a generational layout " +
+            "(or a cutover crashed before its first commit); refusing to guess")
+        val in = fs.open(legacy)
+        val body =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            StandardCharsets.UTF_8)
+          finally in.close()
+        body.trim match {
+          case LegacyPointerPattern(g) => g.toInt
+          case other => throw new IllegalArgumentException(
+            s"corrupt generation pointer under $root: $other")
+        }
     }
   }
 
-  /** Commit a cutover: write the pointer via tmp + rename (atomic on
-    * POSIX/HDFS). Written LAST by every cutover — the commit point. */
+  /** Commit a cutover: create `_current.v<g>.json` (tmp + rename to a
+    * FRESH name — no clobber on any FS), then retire lower-versioned
+    * pointer files best-effort. Written LAST by every cutover — the
+    * commit point. Crash anywhere: either the new file is not yet
+    * renamed (old pointer wins) or it is (new pointer wins, stale
+    * files lose to max) — there is no state with zero pointers. */
   private[index] def writePointer(spark: SparkSession, root: String,
       g: Int): Unit = {
-    val p = pointer(root)
+    val p = new Path(s"$root/_current.v$g.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(s"$root/_current.json.tmp")
+    val tmp = new Path(s"$root/._current.v$g.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(s"""{"generation":$g}""".getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // rename FIRST: POSIX rename atomically replaces the target, so
-    // the common case has no window at all; only a filesystem that
-    // refuses to clobber (HDFS) takes the delete-then-rename path,
-    // whose crash window fails LOUDLY (no pointer → current() refuses
-    // to guess) rather than serving a stale generation
-    if (!fs.rename(tmp, p)) {
-      if (fs.exists(p)) fs.delete(p, false)
-      require(fs.rename(tmp, p),
-        s"could not commit generation pointer under $root")
-    }
+    // a file of this name can only be a prior attempt at this same
+    // commit (content is determined by the name) — safe to replace
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p),
+      s"could not commit generation pointer under $root")
+    versionedPointers(fs, root).filter(_ < g).foreach(o =>
+      fs.delete(new Path(s"$root/_current.v$o.json"), false))
+    val legacy = new Path(s"$root/_current.json")
+    if (fs.exists(legacy)) fs.delete(legacy, false)
   }
 
   /** Generation numbers present on disk, ascending, bounded above by

@@ -373,6 +373,7 @@ object NswSnapshotLayout {
     }
     SnapshotLayout.readManifest(spark, path, batchId).foreach(m =>
       IndexMeta.write(spark, path, m))
+    SnapshotLayout.writeRollbackMarker(spark, path, batchId)
     graft.store.IndexVersions.bump(path)
   }
 

@@ -361,6 +361,7 @@ object SnapshotLayout {
     }
     readManifest(spark, path, batchId).foreach(m =>
       IndexMeta.write(spark, path, m))
+    writeRollbackMarker(spark, path, batchId)
     graft.store.IndexVersions.bump(path)
   }
 
@@ -574,6 +575,39 @@ object SnapshotLayout {
     if (!fs.rename(tmp, p)) {
       if (fs.exists(p)) fs.delete(p, false)
       require(fs.rename(tmp, p), s"could not commit manifest $p")
+    }
+  }
+
+  /** Record a rollback as a monotonic `rollback-<seq>.json` marker in
+    * `_snapshots/` — a FRESH file path, which is the one thing a live
+    * change-feed reader's file-source checkpoint is guaranteed to
+    * deliver. Rollback deletes manifests and re-applied batches
+    * recreate the same `batch-N.json` paths (never redelivered), so
+    * without the marker a tailed reader whose anchor the rollback
+    * undercut would silently diverge; with it, the reader refuses
+    * loudly ([[graft.streaming.IndexStream]]'s rollback guard).
+    * Invisible to [[manifestIds]]/[[readManifest]] (the `batch-`
+    * prefix filter) and to every as-of reconstruction. Same dot-tmp +
+    * rename discipline as [[writeManifest]] — a tailing reader must
+    * never see a truncated marker. */
+  private[index] def writeRollbackMarker(spark: SparkSession, path: String,
+      target: Long): Unit = {
+    val dir = new Path(s"$path/_snapshots")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seq = (if (!fs.exists(dir)) Seq.empty[Long]
+      else fs.listStatus(dir).map(_.getPath.getName).toSeq
+        .collect { case s if s.startsWith("rollback-") && s.endsWith(".json") =>
+          s.stripPrefix("rollback-").stripSuffix(".json").toLong })
+      .foldLeft(0L)(math.max) + 1L
+    val p = new Path(s"$path/_snapshots/rollback-$seq.json")
+    val tmp = new Path(s"$path/_snapshots/.rollback-$seq.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"rolled_back_to":$target}"""
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p), s"could not commit rollback marker $p")
     }
   }
 
@@ -1004,9 +1038,15 @@ object SnapshotLayout {
     * null-safe contract of the struct comparison this replaced) and
     * nulls in different positions cannot alias each other. 64-bit
     * fingerprint equality stands in for payload equality, the
-    * standard CDC trade. */
+    * standard CDC trade. The fold sorts the column NAMES first: each
+    * side of a cross-generation diff derives its payload order from
+    * its own parquet schema, and the combining hash is
+    * order-sensitive — an unsorted fold would classify every live row
+    * `updated` if a successor generation ever listed the metadata
+    * columns in a different order (the name-keyed per-field hashes
+    * already prevent positional aliasing, so sorting loses nothing). */
   private def payloadFp(payload: Seq[String]): org.apache.spark.sql.Column = {
-    val fieldFps = payload.map(c => xxhash64(lit(c), col(c)))
+    val fieldFps = payload.sorted.map(c => xxhash64(lit(c), col(c)))
     if (fieldFps.isEmpty) lit(0L) else xxhash64(fieldFps: _*)
   }
 

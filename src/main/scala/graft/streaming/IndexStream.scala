@@ -276,8 +276,23 @@ object IndexStream {
       threshold: Double, maxBatches: Int, retain: Int): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val cur = graft.index.Generations.genPath(root,
+    def curPath = graft.index.Generations.genPath(root,
       graft.index.Generations.current(spark, root))
+    // the envelope: past the threshold, the gauge's signal becomes
+    // the action (one sidecar JSON read on the batches that don't).
+    // Checked BEFORE the replay early-return as well as after the
+    // apply: a crash between a batch's apply (manifest written) and
+    // its cutover replays as a skip, and deferring the pending
+    // cutover to "the next non-replay batch" starves it forever on a
+    // stream that then goes quiet — the replayed trigger itself must
+    // complete the crashed cutover.
+    def envelopeCutover(): Unit =
+      graft.index.IndexMeta.read(spark, curPath).foreach { m =>
+        if (m.fittedN > 0 && m.deltaSinceFit.toDouble / m.fittedN > threshold)
+          cutover(spark)
+      }
+    envelopeCutover()
+    val cur = curPath // re-resolved: a completed pending cutover moved it
     val layoutId = streamBatchId + 1
     val applied = graft.index.SnapshotLayout.manifestIds(spark, cur)
     // replays skip whole: a manifested id, or one at/below the current
@@ -297,12 +312,7 @@ object IndexStream {
     val after = graft.index.SnapshotLayout.manifestIds(spark, cur)
     if (after.size > maxBatches && retain >= 0 && retain < after.size - 1)
       compact(spark, cur, after(after.size - 1 - retain))
-    // the envelope: past the threshold, the gauge's signal becomes
-    // the action (one sidecar JSON read on the batches that don't)
-    graft.index.IndexMeta.read(spark, cur).foreach { m =>
-      if (m.fittedN > 0 && m.deltaSinceFit.toDouble / m.fittedN > threshold)
-        cutover(spark)
-    }
+    envelopeCutover()
   }
 
   /** `index_generation_stream`: the AUTOMATED lifecycle driver-checked
@@ -421,6 +431,20 @@ object IndexStream {
     * — and the stream fails loudly via the asOfDiff floor guard
     * instead of emitting a silently-wrong feed.
     *
+    * Rollback of a live-tailed layout is NOT survivable in place:
+    * rollback deletes manifests above its target and re-applied
+    * batches recreate the same `batch-N.json` paths, which the
+    * file-source checkpoint never redelivers — new content at reused
+    * ids would emit nothing and already-emitted diffs for the undone
+    * batches are never retracted. The reader therefore fails loudly
+    * whenever the manifest log's head has regressed below its anchor
+    * (the compaction-floor guard's twin); after a rollback below the
+    * anchor, reset the consumer dir (checkpoint + anchor) and
+    * re-anchor explicitly. A rollback the trigger never observes
+    * mid-regression (target re-reached before the next manifest
+    * lands) is the same divergence — treat any rollback of a tailed
+    * layout as requiring a consumer reset.
+    *
     * Generational roots: point the reader at a GENERATION directory
     * (`root/generation=N`), not the root — each generation is its own
     * manifest log. A consumer following a cutover re-anchors a new
@@ -430,32 +454,66 @@ object IndexStream {
     * empty diff by construction. */
   def changesIvf(spark: org.apache.spark.sql.SparkSession, path: String,
       outPath: String): DataStreamWriter[Row] =
-    changes(spark, path, outPath,
-      (from, to) => graft.index.SnapshotLayout.asOfDiff(spark, path, from, to))
+    changes(spark, s"$path/_snapshots", outPath,
+      (from, to) => graft.index.SnapshotLayout.asOfDiff(spark, path, from, to),
+      () => graft.index.SnapshotLayout.manifestIds(spark, path))
 
   /** The NSW twin: change feed over a versioned GRAPH layout. */
   def changesNsw(spark: org.apache.spark.sql.SparkSession, path: String,
       outPath: String): DataStreamWriter[Row] =
-    changes(spark, path, outPath,
+    changes(spark, s"$path/_snapshots", outPath,
       (from, to) =>
-        graft.index.NswSnapshotLayout.asOfDiff(spark, path, from, to))
+        graft.index.NswSnapshotLayout.asOfDiff(spark, path, from, to),
+      () => graft.index.SnapshotLayout.manifestIds(spark, path))
 
   private val ManifestIdPattern = """.*"batch_id":(\d+).*""".r
 
-  private def changes(spark: org.apache.spark.sql.SparkSession, path: String,
-      outPath: String, diff: (Long, Long) => DataFrame): DataStreamWriter[Row] =
-    spark.readStream.text(s"$path/_snapshots")
+  private val RollbackMarkerPattern = """.*"rolled_back_to":(\d+).*""".r
+
+  private def changes(spark: org.apache.spark.sql.SparkSession,
+      sourceGlob: String, outPath: String, diff: (Long, Long) => DataFrame,
+      liveIds: () => Seq[Long]): DataStreamWriter[Row] =
+    spark.readStream.text(sourceGlob)
       .writeStream
       .option("checkpointLocation", s"$outPath/_checkpoint")
       .foreachBatch { (b: DataFrame, _: Long) =>
         // a trigger's worth of manifest FILES — tiny by construction
         // (one small JSON per maintenance batch), processed ascending
         // so multi-manifest batches emit consecutive diffs in order
-        val ids = b.collect().iterator
-          .map(_.getString(0).trim)
+        val lines = b.collect().iterator.map(_.getString(0).trim).toSeq
+        val ids = lines
           .collect { case ManifestIdPattern(id) => id.toLong }
-          .toSeq.distinct.sorted
+          .distinct.sorted
         var anchor = readAnchor(spark, outPath)
+        // a rollback below the anchor rewrote history this feed
+        // already emitted — the checkpoint will never redeliver the
+        // recreated batch paths, so continuing would silently drop
+        // every change at reused ids and never retract the undone
+        // diffs. Two detectors, both refusing loudly (the compaction-
+        // floor guard's twin): the rollback MARKER (a fresh file path
+        // every rollback writes, so the source always delivers it —
+        // catches the case where re-applies restored the head before
+        // this trigger ran) and the head-regression check (catches
+        // external manifest deletion that wrote no marker). Recovery:
+        // reset the consumer dir (checkpoint + anchor) and re-anchor
+        // explicitly.
+        anchor.foreach { a =>
+          lines.collect { case RollbackMarkerPattern(t) => t.toLong }
+            .filter(_ < a).foreach { t =>
+              throw new IllegalStateException(
+                s"the layout tailed by $outPath was rolled back to batch $t, " +
+                  s"below this consumer's anchor $a — history the feed " +
+                  "already emitted was rewritten; reset the consumer dir " +
+                  "(checkpoint + anchor) and re-anchor explicitly instead " +
+                  "of reading a silently-diverged feed")
+            }
+          val head = liveIds().lastOption.getOrElse(Long.MinValue)
+          require(head >= a,
+            s"manifest log tailed by $outPath regressed below the consumer " +
+              s"anchor $a (head is now $head): history the feed already " +
+              "emitted was rewritten — reset the consumer dir (checkpoint + " +
+              "anchor) and re-anchor explicitly")
+        }
         ids.foreach { id =>
           anchor match {
             case Some(a) if id <= a => // replayed manifest: already emitted

@@ -253,6 +253,60 @@ class GenerationSpec extends AnyFunSuite {
     assert(n(withNull, flipped) == 2L)
   }
 
+  test("pointer files are monotonic: a stale lower pointer loses to max; legacy single-cell roots resolve") {
+    val root = java.nio.file.Files.createTempDirectory("graft-gen-ptr")
+      .toString + "/root"
+    val base = emb.filter($"vec_id" >= 50 && $"vec_id" < 150)
+      .select($"vec_id", $"embedding")
+    SnapshotLayout.initGen(IvfIndex.build(spark, base), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_current.v1.json")))
+    SnapshotLayout.applyBatchGen(spark, root, 1L,
+      upserts = emb.filter($"vec_id" < 10).select($"vec_id", $"embedding"),
+      deletes = emb.limit(0).select($"vec_id"))
+    assert(SnapshotLayout.newGeneration(spark, root) == 2)
+    // the commit retired the old pointer file
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_current.v1.json")))
+    // simulate a commit crashed between rename and retire: both
+    // pointer files on disk — max wins, reads never brick
+    val stale = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_current.v1.json"), true)
+    stale.write("""{"generation":1}""".getBytes); stale.close()
+    assert(Generations.current(spark, root) == 2)
+    assert(SnapshotLayout.asOfAssignedGen(spark, root, Long.MaxValue)
+      .count() == base.count() + 10)
+    // a legacy single-cell root (written by an older layout) resolves
+    val legacyRoot = java.nio.file.Files
+      .createTempDirectory("graft-gen-legacy").toString + "/root"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(legacyRoot))
+    val cell = fs.create(
+      new org.apache.hadoop.fs.Path(s"$legacyRoot/_current.json"), true)
+    cell.write("""{"generation":3}""".getBytes); cell.close()
+    assert(Generations.current(spark, legacyRoot) == 3)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(legacyRoot).getParentFile)
+  }
+
+  test("CDC payload fingerprints are column-order invariant") {
+    // each side of a cross-generation diff derives its payload order
+    // from its own parquet schema — a successor listing metadata in a
+    // different order must not classify every live row as updated
+    val before = Seq((1L, "a", 10), (2L, "b", 20))
+      .toDF("vec_id", "label", "extra")
+    val after = Seq((1L, 10, "a"), (2L, 20, "b"))
+      .toDF("vec_id", "extra", "label")
+    assert(SnapshotLayout.diffLiveSets(before, after).isEmpty)
+    // ...while a genuine value change still classifies
+    val changed = Seq((1L, 10, "a"), (2L, 20, "CHANGED"))
+      .toDF("vec_id", "extra", "label")
+    val d = SnapshotLayout.diffLiveSets(before, changed).collect()
+    assert(d.length == 1 && d.head.getAs[Long]("vec_id") == 2L &&
+      d.head.getAs[String]("change") == "updated")
+  }
+
   test("NSW: cutover rebuilds the graph from the live set — stale re-add edges healed, old as-ofs answer") {
     val root = java.nio.file.Files.createTempDirectory("graft-gen-nsw")
       .toString + "/root"

@@ -607,6 +607,82 @@ class IndexStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("generational sink: a replayed trigger completes a cutover crashed between apply and pointer commit") {
+    val root = tmp("graft-gen-crashcut") + "/root"
+    graft.index.SnapshotLayout.initGen(IvfIndex.build(spark, base), root)
+    val batch = (0 until 50)
+      .map(i => (i.toLong, vecs(i.toLong), "upsert"))
+      .toDF("vec_id", "embedding", "op")
+    // simulate the crash window: the batch's manifest is written (the
+    // envelope is tripped: 50 > 45) but the sink died before cutover
+    graft.index.SnapshotLayout.applyBatchGen(spark, root, 1L,
+      upserts = batch.select($"vec_id", $"embedding"),
+      deletes = emb.limit(0).select($"vec_id"))
+    assert(graft.index.Generations.current(spark, root) == 1)
+    // the stream restarts and REPLAYS the same trigger: the batch
+    // itself must skip (already manifested), but the pending cutover
+    // must fire — deferring it to "the next non-replay batch" starves
+    // it forever on a stream that then goes quiet
+    IndexStream.applyIvfGenBatch(batch, 0L, root)
+    assert(graft.index.Generations.current(spark, root) == 2,
+      "replayed trigger did not complete the crashed cutover")
+    val m = IndexMeta.read(spark,
+      graft.index.Generations.genPath(root, 2)).get
+    assert(m.deltaSinceFit == 0L && m.fittedN == 500L, s"$m")
+    // and the replayed batch applied exactly once: every id lives once
+    val dup = graft.index.SnapshotLayout
+      .asOfAssignedGen(spark, root, Long.MaxValue)
+      .groupBy($"vec_id").count().filter($"count" > 1L).count()
+    assert(dup == 0L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("changes stream: rollback of a live-tailed layout refuses at the next trigger instead of diverging") {
+    val path = tmp("graft-cdc4") + "/ivf"
+    val out = tmp("graft-cdc4-out")
+    graft.index.SnapshotLayout.init(IvfIndex.build(spark, base), path)
+    graft.index.SnapshotLayout.applyBatch(spark, path, 1L,
+      upserts = emb.filter($"vec_id" < 5),
+      deletes = emb.limit(0).select($"vec_id"))
+    graft.index.SnapshotLayout.applyBatch(spark, path, 2L,
+      upserts = emb.filter($"vec_id" >= 5 && $"vec_id" < 8),
+      deletes = emb.limit(0).select($"vec_id"))
+    drainChanges(path, out) // anchor = 2
+    // the layout owner rolls back below the anchor and re-applies a
+    // DIFFERENT batch 2 — its manifest path is recreated, which the
+    // file-source checkpoint never redelivers; without the rollback
+    // marker the feed would silently miss the new content forever
+    graft.index.SnapshotLayout.rollback(spark, path, 1L)
+    graft.index.SnapshotLayout.applyBatch(spark, path, 2L,
+      upserts = emb.filter($"vec_id" >= 8 && $"vec_id" < 11),
+      deletes = emb.limit(0).select($"vec_id"))
+    graft.index.SnapshotLayout.applyBatch(spark, path, 3L,
+      upserts = emb.filter($"vec_id" === 40),
+      deletes = emb.limit(0).select($"vec_id"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainChanges(path, out)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("rolled back to batch 1")),
+      s"unexpected failure: ${msgs(ex)}")
+    // a rollback at/above the anchor is benign: nothing emitted is
+    // rewritten, the feed continues (fresh consumer dir to get past
+    // the now-poisoned checkpoint)
+    val out2 = tmp("graft-cdc4-out2")
+    drainChanges(path, out2) // anchors at the current head
+    graft.index.SnapshotLayout.rollback(spark, path, 3L)
+    graft.index.SnapshotLayout.applyBatch(spark, path, 4L,
+      upserts = emb.filter($"vec_id" === 41),
+      deletes = emb.limit(0).select($"vec_id"))
+    drainChanges(path, out2)
+    assert(feedRows(out2).contains((4L, 41L, "added")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out2))
+  }
+
   test("changes stream: a corrupt anchor refuses instead of silently re-anchoring; stray manifest tmps are invisible") {
     val path = tmp("graft-cdc3") + "/ivf"
     val out = tmp("graft-cdc3-out")
