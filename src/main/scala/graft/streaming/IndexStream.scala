@@ -445,13 +445,11 @@ object IndexStream {
     * lands) is the same divergence — treat any rollback of a tailed
     * layout as requiring a consumer reset.
     *
-    * Generational roots: point the reader at a GENERATION directory
-    * (`root/generation=N`), not the root — each generation is its own
-    * manifest log. A consumer following a cutover re-anchors a new
-    * reader at the successor's base and misses nothing: the boundary
-    * is a re-addressing of the identical live set (the
-    * `boundary_live_identical` grid pin), so the cutover itself is an
-    * empty diff by construction. */
+    * Generational roots: use [[changesIvfGen]]/[[changesNswGen]],
+    * which follow the pointer across cutovers. Pointing THIS reader
+    * at a single generation directory (`root/generation=N`) still
+    * works — each generation is its own manifest log — but the feed
+    * goes quiet at the next cutover. */
   def changesIvf(spark: org.apache.spark.sql.SparkSession, path: String,
       outPath: String): DataStreamWriter[Row] =
     changes(spark, s"$path/_snapshots", outPath,
@@ -465,6 +463,55 @@ object IndexStream {
       (from, to) =>
         graft.index.NswSnapshotLayout.asOfDiff(spark, path, from, to),
       () => graft.index.SnapshotLayout.manifestIds(spark, path))
+
+  /** Continuous change feed over a GENERATIONAL versioned root — the
+    * streaming twin of [[graft.index.SnapshotLayout.asOfDiffGen]],
+    * closing the loop [[changesIvf]]'s single-generation reader left
+    * open (after a cutover, new manifests land in the successor and a
+    * per-generation feed goes silent). The source is the text stream
+    * over the glob `root/generation=<any>/_snapshots`: the file source
+    * re-expands the glob every trigger (GlobProbeSpec pins this), so
+    * a successor's manifest log joins the feed the moment the cutover
+    * commits — no re-pointing, no fresh checkpoint, and therefore no
+    * silent re-anchor (the dropped-changes channel the corrupt-anchor
+    * guard exists to close).
+    *
+    * The anchor discipline carries over UNCHANGED because batch ids
+    * are globally monotonic across generations: a consumer's anchor
+    * from generation N stays valid through a cutover, the successor's
+    * base manifest (the predecessor's head id under a NEW path —
+    * which the source does deliver) skips as a replay at the anchor,
+    * and the first diff whose endpoints straddle the boundary routes
+    * each side to the generation that answers it
+    * ([[graft.index.SnapshotLayout.asOfDiffGen]] — the boundary
+    * itself is an empty diff by construction, the
+    * `boundary_live_identical` grid pin). Retiring a generation at or
+    * below a consumer's anchor refuses loudly at routing (the
+    * retired-coverage guard) instead of aliasing an older head. */
+  def changesIvfGen(spark: org.apache.spark.sql.SparkSession, root: String,
+      outPath: String): DataStreamWriter[Row] =
+    changes(spark, s"$root/generation=*/_snapshots", outPath,
+      (from, to) =>
+        graft.index.SnapshotLayout.asOfDiffGen(spark, root, from, to),
+      () => genManifestIds(spark, root))
+
+  /** The NSW twin: generational change feed over a graph root. */
+  def changesNswGen(spark: org.apache.spark.sql.SparkSession, root: String,
+      outPath: String): DataStreamWriter[Row] =
+    changes(spark, s"$root/generation=*/_snapshots", outPath,
+      (from, to) =>
+        graft.index.NswSnapshotLayout.asOfDiffGen(spark, root, from, to),
+      () => genManifestIds(spark, root))
+
+  /** All manifest ids visible under a generational root (the
+    * head-regression guard's view): per generation bounded by the
+    * pointer, deduped at the cutover boundaries. */
+  private def genManifestIds(spark: org.apache.spark.sql.SparkSession,
+      root: String): Seq[Long] =
+    graft.index.Generations.list(spark, root)
+      .flatMap(g => graft.index.SnapshotLayout.manifestIds(spark,
+        graft.index.Generations.genPath(root, g)))
+      .distinct.sorted
 
   private val ManifestIdPattern = """.*"batch_id":(\d+).*""".r
 
@@ -584,19 +631,66 @@ object IndexStream {
     }
   }
 
+  /** Session memo of the pristine GENERATIONAL CDC scenario: the
+    * four-batch history of
+    * [[graft.index.SnapshotLayout.pristineScenario]] re-expressed
+    * across a cutover — batches 0-2 land in generation 1, an explicit
+    * `newGeneration` cuts over at head 2, and the corrupt zero-vector
+    * batch 3 lands in generation 2. The changeLOG is identical to the
+    * single-generation scenario's by construction (the cutover is a
+    * re-addressing, not a data change), so the generational feed leg
+    * shares the families' SQL oracle while its 1→2 diff genuinely
+    * routes its endpoints to DIFFERENT generations and its boundary
+    * manifest (id 2 under a new path) must skip at the anchor. */
+  private val genCdcCache = new graft.store.VersionedMemo[String](p =>
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(p).getParentFile))
+
+  private[graft] def pristineGenCdcRoot(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    genCdcCache.get(spark, s"gen_cdc_scenario:$dir", dir) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-cdc-gen").toString + "/root"
+      val all = graft.core.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      graft.index.SnapshotLayout.initGen(
+        graft.index.IvfIndex.build(spark, all.filter(col("vec_id") >= 50)),
+        root)
+      graft.index.SnapshotLayout.applyBatchGen(spark, root, 1L,
+        upserts = all.filter(col("vec_id") < 25),
+        deletes = all.limit(0).select(col("vec_id")))
+      graft.index.SnapshotLayout.applyBatchGen(spark, root, 2L,
+        upserts = all.filter(col("vec_id") >= 25 && col("vec_id") < 50),
+        deletes = all.filter(col("vec_id") < 25 && col("vec_id") % 7 === 0)
+          .select(col("vec_id")))
+      graft.index.SnapshotLayout.newGeneration(spark, root)
+      graft.index.SnapshotLayout.applyBatchGen(spark, root, 3L,
+        upserts = all.filter(col("vec_id") < 10)
+          .select(col("vec_id"),
+            transform(col("embedding"), _ => lit(0.0f)).as("embedding")),
+        deletes = all.limit(0).select(col("vec_id")))
+      root
+    }
+
   /** `index_changes_stream`: the streaming CDC feed certified for
-    * BOTH families — each family's reader drains the deterministic
-    * scenario's manifests with an availableNow trigger into a fresh
-    * consumer dir, and the collected feed must equal the pure-SQL
-    * changelog: batch 0 anchors silently, 0→1 emits the batch-1
-    * upserts as `added`, 1→2 and 2→3 match `index_asof_diff`'s legs.
-    * Read-only over the memoized pristine scenarios (the consumer
-    * state — checkpoint, anchor, data — lives in the per-invocation
-    * temp dir, never under the layout). */
+    * both families PLUS the generational reader — each leg drains the
+    * deterministic scenario's manifests with an availableNow trigger
+    * into a fresh consumer dir, and the collected feed must equal the
+    * pure-SQL changelog: batch 0 anchors silently, 0→1 emits the
+    * batch-1 upserts as `added`, 1→2 and 2→3 match `index_asof_diff`'s
+    * legs. The `gen` leg runs the same history across a CUTOVER
+    * ([[pristineGenCdcRoot]]): its 1→2 diff straddles the generation
+    * boundary and the successor's base manifest must skip at the
+    * anchor — the feed a consumer reads across a cutover contains
+    * exactly the real changes, nothing else. Read-only over the
+    * memoized pristine scenarios (the consumer state — checkpoint,
+    * anchor, data — lives in the per-invocation temp dir, never under
+    * the layout). */
   def indexChangesStream(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val ivfPath = graft.index.SnapshotLayout.pristineScenario(spark, dir)
     val nswPath = graft.index.NswSnapshotLayout.pristineScenario(spark, dir)
+    val genRoot = pristineGenCdcRoot(spark, dir)
     // deterministic per-app dir, cleared on entry — a fresh temp per
     // invocation would leak one checkpoint+data tree per bench repeat
     val out = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
@@ -610,14 +704,16 @@ object IndexStream {
         .select(lit(family).as("family"), col("to_b").cast("long").as("to_b"),
           col("vec_id"), col("change"))
     }
-    run("ivf", changesIvf(spark, ivfPath, s"$out/ivf"), "ivf")
+    run("gen", changesIvfGen(spark, genRoot, s"$out/gen"), "gen")
+      .unionByName(run("ivf", changesIvf(spark, ivfPath, s"$out/ivf"), "ivf"))
       .unionByName(run("nsw", changesNsw(spark, nswPath, s"$out/nsw"), "nsw"))
       .orderBy(col("family"), col("to_b"), col("vec_id"))
   }
 
   val indexChangesStreamSql: String =
     """SELECT f.family, d.to_b, d.vec_id, d.change
-      |FROM (SELECT 'ivf' AS family UNION ALL SELECT 'nsw') f
+      |FROM (SELECT 'gen' AS family UNION ALL SELECT 'ivf'
+      |      UNION ALL SELECT 'nsw') f
       |CROSS JOIN (
       |  SELECT CAST(1 AS BIGINT) AS to_b, vec_id, 'added' AS change
       |  FROM embeddings WHERE vec_id < 25

@@ -683,6 +683,102 @@ class IndexStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out2))
   }
 
+  private def drainGen(root: String, out: String): Unit = {
+    val q = IndexStream.changesIvfGen(spark, root, out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("generational changes stream: the feed follows the pointer across cutovers, restart included") {
+    val root = tmp("graft-cdc-gen") + "/root"
+    val out = tmp("graft-cdc-gen-out")
+    graft.index.SnapshotLayout.initGen(IvfIndex.build(spark, base), root)
+    graft.index.SnapshotLayout.applyBatchGen(spark, root, 1L,
+      upserts = emb.filter($"vec_id" < 5),
+      deletes = emb.limit(0).select($"vec_id"))
+    drainGen(root, out)
+    val leg1 = (0L until 5L).map(i => (1L, i, "added")).toSet
+    assert(feedRows(out) == leg1, s"${feedRows(out)}")
+    // no duplicate rows hiding inside the set
+    assert(spark.read.parquet(s"$out/data").count() == 5L)
+    // CUTOVER: new manifests now land in generation 2 — the same
+    // reader (same checkpoint, same anchor) must keep delivering
+    assert(graft.index.SnapshotLayout.newGeneration(spark, root) == 2)
+    graft.index.SnapshotLayout.applyBatchGen(spark, root, 2L,
+      upserts = emb.filter($"vec_id" >= 5 && $"vec_id" < 8),
+      deletes = emb.filter($"vec_id" === 0).select($"vec_id"))
+    drainGen(root, out) // a restart ACROSS the boundary
+    val leg2 = leg1 ++ (5L until 8L).map(i => (2L, i, "added")) +
+      ((2L, 0L, "deleted"))
+    assert(feedRows(out) == leg2, s"${feedRows(out)}")
+    // the successor's base manifest (id 1 under a new path) skipped at
+    // the anchor: exactly 9 rows, no boundary noise, no dups
+    assert(spark.read.parquet(s"$out/data").count() == 9L)
+    // restart with nothing new: unchanged
+    drainGen(root, out)
+    assert(spark.read.parquet(s"$out/data").count() == 9L)
+    // a SECOND cutover: the feed keeps following
+    assert(graft.index.SnapshotLayout.newGeneration(spark, root) == 3)
+    graft.index.SnapshotLayout.applyBatchGen(spark, root, 3L,
+      upserts = emb.filter($"vec_id" === 0),
+      deletes = emb.limit(0).select($"vec_id"))
+    drainGen(root, out)
+    assert(feedRows(out) == leg2 + ((3L, 0L, "added")), s"${feedRows(out)}")
+    // retirement below a consumer's anchor refuses at routing instead
+    // of aliasing an older head: a consumer anchored at 0 needs
+    // generation 1 (the only one whose floor covers 0) for its next
+    // diff, and generation 1 is gone
+    val out2 = tmp("graft-cdc-gen-out2")
+    IndexStream.writeAnchor(spark, out2, 0L)
+    graft.index.Generations.dropGeneration(spark, root, 1)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainGen(root, out2)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("predates every generation's floor")),
+      s"unexpected failure: ${msgs(ex)}")
+    // the original consumer (anchor 3, covered by generation 3) is
+    // untouched by the retirement
+    graft.index.SnapshotLayout.applyBatchGen(spark, root, 4L,
+      upserts = emb.filter($"vec_id" === 40),
+      deletes = emb.limit(0).select($"vec_id"))
+    drainGen(root, out)
+    assert(feedRows(out).contains((4L, 40L, "added")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out2))
+  }
+
+  test("generational changes stream: the NSW twin follows a graph cutover") {
+    val root = tmp("graft-cdc-gen-nsw") + "/root"
+    val out = tmp("graft-cdc-gen-nsw-out")
+    val nswBase = emb.filter($"vec_id" >= 50 && $"vec_id" < 170)
+      .localCheckpoint(true)
+    graft.index.NswSnapshotLayout.initGen(nswBase,
+      NswIndex.buildEdgesLsh(nswBase), root)
+    graft.index.NswSnapshotLayout.applyBatchGen(spark, root, 1L,
+      upserts = emb.filter($"vec_id" < 5),
+      deletes = emb.limit(0).select($"vec_id"))
+    def drain(): Unit = {
+      val q = IndexStream.changesNswGen(spark, root, out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(feedRows(out) == (0L until 5L).map(i => (1L, i, "added")).toSet)
+    assert(graft.index.NswSnapshotLayout.newGeneration(spark, root) == 2)
+    graft.index.NswSnapshotLayout.applyBatchGen(spark, root, 2L,
+      upserts = emb.limit(0),
+      deletes = emb.filter($"vec_id" === 3).select($"vec_id"))
+    drain()
+    assert(feedRows(out) == (0L until 5L).map(i => (1L, i, "added")).toSet +
+      ((2L, 3L, "deleted")), s"${feedRows(out)}")
+    graft.core.Checkpoints.free(nswBase)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("changes stream: a corrupt anchor refuses instead of silently re-anchoring; stray manifest tmps are invisible") {
     val path = tmp("graft-cdc3") + "/ivf"
     val out = tmp("graft-cdc3-out")
