@@ -736,10 +736,11 @@ object NswSnapshotLayout {
   }
 
   /** `nsw_generation`: the graph family's cutover contract —
-    * `ivf_generation`'s grid with the fresh-build identity on the
-    * EDGE set (the successor's base graph must equal a fresh LSH
-    * build over the head live rows, set-level) and no sidecar column
-    * (the graph family has none). Cost discipline: the grid is beam-
+    * `ivf_generation`'s grid (including `retired_refuses`: drop
+    * generation 1 last, pin the loud refusal) with the fresh-build
+    * identity on the EDGE set (the successor's base graph must equal
+    * a fresh LSH build over the head live rows, set-level) and no
+    * sidecar column (the graph family has none). Cost discipline: the grid is beam-
     * walk fixed-cost dominated, so `old_asof_served` compares the
     * routed reconstruction STATE (fingerprints + the route resolving
     * to generation 1) instead of running two walks whose inputs it
@@ -815,12 +816,23 @@ object NswSnapshotLayout {
       .filter($"vec_id" === 14 || $"vec_id" === 21)
       .agg(count(lit(1)).as("n_readded"))
     val landedGen2 = SnapshotLayout.manifestIds(spark, gen2) == Seq(2L, 3L)
+    // retirement (the IVF grid's contract on the graph): materialize
+    // every generation-1-reading aggregate, drop, and pin the loud
+    // refusal at routing
+    val edgesDiffM = edgesDiff.localCheckpoint(true)
+    val boundaryM = boundary.localCheckpoint(true)
+    val oldServedM = oldServed.localCheckpoint(true)
+    Generations.dropGeneration(spark, root, 1)
+    val retiredRefuses =
+      (try { Generations.route(spark, root, 1L); false }
+      catch { case _: IllegalArgumentException => true }) &&
+        Generations.list(spark, root) == Seq(2)
     val head = searchAsOfGen(spark, root, Long.MaxValue, queries)
     val perProbe = head.groupBy($"q_id").agg(
       (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
       (max($"score_e6") === 1000000L).as("top1_exact"))
-    val globals = edgesDiff.crossJoin(boundary)
-      .crossJoin(oldServed).crossJoin(reAdded)
+    val globals = edgesDiffM.crossJoin(boundaryM)
+      .crossJoin(oldServedM).crossJoin(reAdded)
       .select(
         ($"n_edges_diff" === 0L).as("matches_fresh"),
         ($"n_boundary_diff" === 0L).as("boundary_live_identical"),
@@ -828,11 +840,13 @@ object NswSnapshotLayout {
         lit(newGen == 2 && Generations.current(spark, root) == 2 &&
           gaugeReset).as("gauge_reset"),
         lit(crossRefused).as("cross_rollback_refused"),
-        ($"n_readded" === 2L && lit(landedGen2)).as("post_cutover_applies"))
+        ($"n_readded" === 2L && lit(landedGen2)).as("post_cutover_applies"),
+        lit(retiredRefuses).as("retired_refuses"))
     perProbe.crossJoin(broadcast(globals))
       .select($"q_id", $"self_found", $"top1_exact", $"matches_fresh",
         $"boundary_live_identical", $"old_asof_served", $"gauge_reset",
-        $"cross_rollback_refused", $"post_cutover_applies")
+        $"cross_rollback_refused", $"post_cutover_applies",
+        $"retired_refuses")
       .orderBy($"q_id")
   }
 
@@ -840,7 +854,8 @@ object NswSnapshotLayout {
     """SELECT vec_id AS q_id, true AS self_found, true AS top1_exact,
       |  true AS matches_fresh, true AS boundary_live_identical,
       |  true AS old_asof_served, true AS gauge_reset,
-      |  true AS cross_rollback_refused, true AS post_cutover_applies
+      |  true AS cross_rollback_refused, true AS post_cutover_applies,
+      |  true AS retired_refuses
       |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
       |ORDER BY q_id""".stripMargin
 }

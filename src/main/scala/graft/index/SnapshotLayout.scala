@@ -1474,6 +1474,10 @@ object SnapshotLayout {
     *    serves at head — the successor is a living log, not a frozen
     *    copy;
     *  - `sidecar_carried`: the PQ sidecar exists on the successor;
+    *  - `retired_refuses`: after `dropGeneration(1)` (run LAST, once
+    *    every generation-1 aggregate is materialized), a pre-cutover
+    *    as-of refuses at routing instead of aliasing an older head —
+    *    the retention trade made explicit;
     *  - `self_found` / `top1_exact`: the head serve through the
     *    generational route finds each probe's own vector at 1.0. */
   def ivfGeneration(spark: SparkSession, dir: String): DataFrame = {
@@ -1553,12 +1557,24 @@ object SnapshotLayout {
       .agg(count(lit(1)).as("n_readded"))
     val landedGen2 = manifestIds(spark, gen2) == Seq(2L, 3L)
     val sidecarCarried = fs.exists(new Path(s"$gen2/pq/codes"))
+    // retirement is the lifecycle's last verb: dropping generation 1
+    // must flip its as-ofs to LOUD refusal at routing, never a silent
+    // alias of an older head. Every generation-1-reading aggregate
+    // above is materialized (localCheckpoint) before the files go.
+    val centDiffM = centDiff.localCheckpoint(true)
+    val boundaryM = boundary.localCheckpoint(true)
+    val oldServedM = oldServed.localCheckpoint(true)
+    Generations.dropGeneration(spark, root, 1)
+    val retiredRefuses =
+      (try { Generations.route(spark, root, 1L); false }
+      catch { case _: IllegalArgumentException => true }) &&
+        Generations.list(spark, root) == Seq(2)
     val head = searchAsOfGen(spark, root, Long.MaxValue, queries)
     val perProbe = head.groupBy($"q_id").agg(
       (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
       (max($"score_e6") === 1000000L).as("top1_exact"))
-    val globals = rowsDiff.crossJoin(centDiff).crossJoin(boundary)
-      .crossJoin(oldServed).crossJoin(reAdded)
+    val globals = rowsDiff.crossJoin(centDiffM).crossJoin(boundaryM)
+      .crossJoin(oldServedM).crossJoin(reAdded)
       .select(
         ($"n_rows_diff" === 0L && $"n_cent_diff" === 0L).as("matches_fresh"),
         ($"n_boundary_diff" === 0L).as("boundary_live_identical"),
@@ -1567,11 +1583,13 @@ object SnapshotLayout {
           gaugeReset).as("gauge_reset"),
         lit(crossRefused).as("cross_rollback_refused"),
         ($"n_readded" === 2L && lit(landedGen2)).as("post_cutover_applies"),
-        lit(sidecarCarried).as("sidecar_carried"))
+        lit(sidecarCarried).as("sidecar_carried"),
+        lit(retiredRefuses).as("retired_refuses"))
     perProbe.crossJoin(broadcast(globals))
       .select($"q_id", $"self_found", $"top1_exact", $"matches_fresh",
         $"boundary_live_identical", $"old_asof_served", $"gauge_reset",
-        $"cross_rollback_refused", $"post_cutover_applies", $"sidecar_carried")
+        $"cross_rollback_refused", $"post_cutover_applies", $"sidecar_carried",
+        $"retired_refuses")
       .orderBy($"q_id")
   }
 
@@ -1580,7 +1598,7 @@ object SnapshotLayout {
       |  true AS matches_fresh, true AS boundary_live_identical,
       |  true AS old_asof_served, true AS gauge_reset,
       |  true AS cross_rollback_refused, true AS post_cutover_applies,
-      |  true AS sidecar_carried
+      |  true AS sidecar_carried, true AS retired_refuses
       |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
       |ORDER BY q_id""".stripMargin
 

@@ -217,29 +217,45 @@ object IndexStream {
     * place).
     *
     * Crash windows: a cutover that dies before its pointer commit is
-    * invisible (the envelope is still tripped, so the NEXT batch
-    * retries it); a batch replayed from before a cutover sits at or
-    * below the successor's base and skips whole (the floor
-    * discipline). */
+    * invisible (the envelope is still tripped, so the NEXT trigger —
+    * replay or not — retries it); a batch replayed from before a
+    * cutover sits at or below the successor's base and skips whole
+    * (the floor discipline). */
+  /** Generation retention cadence: every generation is a FULL layout
+    * (vectors + code sidecars), so a sink that cuts over forever
+    * without retiring accumulates corpus-sized copies without bound —
+    * at scale that is the dominant storage line item. After each
+    * cutover the sink keeps the current generation plus this many
+    * most-recent predecessors and retires the rest via
+    * [[graft.index.Generations.dropGeneration]] — retired as-ofs
+    * REFUSE at routing (the routing-gap guard) instead of silently
+    * aliasing an older head, the same explicit retention trade the
+    * versioned compaction cadence already makes within a generation.
+    * Retirement runs only on the triggers that cut over: zero cost on
+    * the steady-state path. */
+  val generationRetain = 2
+
   def maintainIvfGenerational(mutations: DataFrame, root: String,
       threshold: Double = IvfIndex.rebuildThreshold,
       maxBatches: Int = versionedCompactMaxBatches,
-      retain: Int = versionedCompactRetain): DataStreamWriter[Row] =
+      retain: Int = versionedCompactRetain,
+      retainGens: Int = generationRetain): DataStreamWriter[Row] =
     mutations.writeStream.foreachBatch(
       (b: DataFrame, id: Long) =>
-        applyIvfGenBatch(b, id, root, threshold, maxBatches, retain))
+        applyIvfGenBatch(b, id, root, threshold, maxBatches, retain, retainGens))
 
   private[graft] def applyIvfGenBatch(batch: DataFrame, streamBatchId: Long,
       root: String, threshold: Double = IvfIndex.rebuildThreshold,
       maxBatches: Int = versionedCompactMaxBatches,
-      retain: Int = versionedCompactRetain): Unit =
+      retain: Int = versionedCompactRetain,
+      retainGens: Int = generationRetain): Unit =
     generationalSink(batch, streamBatchId, root,
       (spark, cur, id, ups, dels) =>
         graft.index.SnapshotLayout.applyBatch(spark, cur, id, ups, dels),
       (spark, cur, last) => graft.index.SnapshotLayout.rollback(spark, cur, last),
       (spark, cur, upTo) => graft.index.SnapshotLayout.compact(spark, cur, upTo),
       spark => graft.index.SnapshotLayout.newGeneration(spark, root): Unit,
-      threshold, maxBatches, retain)
+      threshold, maxBatches, retain, retainGens)
 
   /** The NSW twin: generational graph root with automatic cutover —
     * the cutover's clean graph rebuild also heals accumulated
@@ -248,15 +264,17 @@ object IndexStream {
   def maintainNswGenerational(mutations: DataFrame, root: String,
       threshold: Double = NswIndex.rebuildThreshold,
       maxBatches: Int = versionedCompactMaxBatches,
-      retain: Int = versionedCompactRetain): DataStreamWriter[Row] =
+      retain: Int = versionedCompactRetain,
+      retainGens: Int = generationRetain): DataStreamWriter[Row] =
     mutations.writeStream.foreachBatch(
       (b: DataFrame, id: Long) =>
-        applyNswGenBatch(b, id, root, threshold, maxBatches, retain))
+        applyNswGenBatch(b, id, root, threshold, maxBatches, retain, retainGens))
 
   private[graft] def applyNswGenBatch(batch: DataFrame, streamBatchId: Long,
       root: String, threshold: Double = NswIndex.rebuildThreshold,
       maxBatches: Int = versionedCompactMaxBatches,
-      retain: Int = versionedCompactRetain): Unit =
+      retain: Int = versionedCompactRetain,
+      retainGens: Int = generationRetain): Unit =
     generationalSink(batch, streamBatchId, root,
       (spark, cur, id, ups, dels) =>
         graft.index.NswSnapshotLayout.applyBatch(spark, cur, id, ups, dels),
@@ -265,7 +283,7 @@ object IndexStream {
       (spark, cur, upTo) =>
         graft.index.NswSnapshotLayout.compact(spark, cur, upTo),
       spark => graft.index.NswSnapshotLayout.newGeneration(spark, root): Unit,
-      threshold, maxBatches, retain)
+      threshold, maxBatches, retain, retainGens)
 
   private def generationalSink(batch: DataFrame, streamBatchId: Long,
       root: String,
@@ -273,7 +291,8 @@ object IndexStream {
       repair: (org.apache.spark.sql.SparkSession, String, Long) => Unit,
       compact: (org.apache.spark.sql.SparkSession, String, Long) => Unit,
       cutover: org.apache.spark.sql.SparkSession => Unit,
-      threshold: Double, maxBatches: Int, retain: Int): Unit = {
+      threshold: Double, maxBatches: Int, retain: Int,
+      retainGens: Int): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     def curPath = graft.index.Generations.genPath(root,
@@ -288,8 +307,17 @@ object IndexStream {
     // complete the crashed cutover.
     def envelopeCutover(): Unit =
       graft.index.IndexMeta.read(spark, curPath).foreach { m =>
-        if (m.fittedN > 0 && m.deltaSinceFit.toDouble / m.fittedN > threshold)
+        if (m.fittedN > 0 && m.deltaSinceFit.toDouble / m.fittedN > threshold) {
           cutover(spark)
+          // retention, on the cutover trigger only: keep the new
+          // current generation + retainGens predecessors, retire the
+          // rest (their as-ofs refuse at routing — the explicit trade)
+          val cur = graft.index.Generations.current(spark, root)
+          graft.index.Generations.list(spark, root)
+            .filter(_ < cur - retainGens)
+            .foreach(g =>
+              graft.index.Generations.dropGeneration(spark, root, g))
+        }
       }
     envelopeCutover()
     val cur = curPath // re-resolved: a completed pending cutover moved it
@@ -373,15 +401,19 @@ object IndexStream {
       apply(batch0, 0L, root) // a replay from before the cutover
       val replaySkips = spark.read.parquet(s"$gen2/vectors").count() == rows
       apply(batch1, 1L, root)
-      val continues = graft.index.SnapshotLayout
-        .manifestIds(spark, gen2) == Seq(1L, 2L)
-      val headRight = liveCount(root, Long.MaxValue) == 139L
-      val oldRight = liveCount(root, 0L) == 125L
+      // the VALUE columns below are recomputed by the SQL oracle from
+      // the embeddings table (manifest list, live counts per as-of) —
+      // the grid-oracle depth discipline: where a value is
+      // SQL-derivable, emit the value and make the oracle recompute
+      // it rather than pin a constant `true`
+      val gen2Manifests = graft.index.SnapshotLayout
+        .manifestIds(spark, gen2).mkString(",")
       spark.range(1).select(lit(family).as("family"),
         lit(fired).as("cutover_fired"), lit(gaugeReset).as("gauge_reset"),
-        lit(replaySkips).as("replay_skips"), lit(continues).as("continues"),
-        lit(headRight).as("head_live_right"),
-        lit(oldRight).as("old_asof_answerable"))
+        lit(replaySkips).as("replay_skips"),
+        lit(gen2Manifests).as("gen2_manifests"),
+        lit(liveCount(root, Long.MaxValue)).as("head_live"),
+        lit(liveCount(root, 0L)).as("old_asof_live"))
     }
     val ivf = drive("ivf",
       root => graft.index.SnapshotLayout.initGen(
@@ -398,10 +430,19 @@ object IndexStream {
     ivf.unionByName(nsw).orderBy(col("family"))
   }
 
+  /** The oracle recomputes the live counts from the embeddings table
+    * (base slice 50..174, 15 upserts `< 15`, one delete of id 7) and
+    * pins the successor's manifest id list — value-recomputing where
+    * SQL can express the value, constant-true only for the stream-
+    * machinery booleans whose real coverage is IndexStreamSpec. */
   val indexGenerationStreamSql: String =
     """SELECT f.family, true AS cutover_fired, true AS gauge_reset,
-      |  true AS replay_skips, true AS continues, true AS head_live_right,
-      |  true AS old_asof_answerable
+      |  true AS replay_skips, '1,2' AS gen2_manifests,
+      |  (SELECT COUNT(*) FROM embeddings
+      |   WHERE ((vec_id >= 50 AND vec_id < 175) OR vec_id < 15)
+      |     AND vec_id <> 7) AS head_live,
+      |  (SELECT COUNT(*) FROM embeddings
+      |   WHERE vec_id >= 50 AND vec_id < 175) AS old_asof_live
       |FROM (SELECT 'ivf' AS family UNION ALL SELECT 'nsw') f
       |ORDER BY f.family""".stripMargin
 

@@ -683,6 +683,42 @@ class IndexStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out2))
   }
 
+  test("generational sink retention: cutovers retire generations beyond the window; retired as-ofs refuse loudly") {
+    val root = tmp("graft-gen-retain") + "/root"
+    graft.index.SnapshotLayout.initGen(IvfIndex.build(spark, base), root)
+    def mutBatch(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, vecs(i.toLong), "upsert"))
+        .toDF("vec_id", "embedding", "op")
+    // base 450 rows -> envelope 45; each 50-row batch trips a cutover
+    IndexStream.applyIvfGenBatch(mutBatch(0 until 50), 0L, root,
+      retainGens = 1)
+    assert(graft.index.Generations.current(spark, root) == 2)
+    // retain=1 keeps generation 1 after the FIRST cutover...
+    assert(graft.index.Generations.list(spark, root) == Seq(1, 2))
+    // 50 deletes + 1 re-upsert = 51 drift rows > the 0.10 × 500 bar
+    val del = ((0 until 50).map(i => (i.toLong, vecs(i.toLong), "delete")) :+
+      ((0L, vecs(0L), "upsert")))
+      .toDF("vec_id", "embedding", "op")
+    IndexStream.applyIvfGenBatch(del, 1L, root, retainGens = 1)
+    assert(graft.index.Generations.current(spark, root) == 3)
+    // ...and retires it on the SECOND: only {2, 3} survive
+    assert(graft.index.Generations.list(spark, root) == Seq(2, 3))
+    // a retired as-of refuses at routing instead of aliasing a head
+    val ex = intercept[IllegalArgumentException] {
+      graft.index.SnapshotLayout.asOfAssignedGen(spark, root, 0L)
+    }
+    assert(ex.getMessage.contains("predates every generation's floor"))
+    // recent as-ofs and head still serve: generation 2's base (the
+    // first cutover point, batch 1) and the post-delete head (500
+    // minus the 50 deletes plus the one same-batch re-upsert)
+    assert(graft.index.SnapshotLayout.asOfAssignedGen(spark, root, 1L)
+      .count() == 500L)
+    assert(graft.index.SnapshotLayout
+      .asOfAssignedGen(spark, root, Long.MaxValue).count() == 451L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
   private def drainGen(root: String, out: String): Unit = {
     val q = IndexStream.changesIvfGen(spark, root, out)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
