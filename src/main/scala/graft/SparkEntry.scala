@@ -329,6 +329,9 @@ object SparkEntry {
     "pq_build" -> (IvfIndex.pqBuild _),
     "ivf_search_pq" -> (IvfIndex.ivfSearchPq _),
     "ivf_search_pq_filtered" -> (IvfIndex.ivfSearchPqFiltered _),
+    // the graph family's compressed tier: ADC-scored beam walk over
+    // the m-byte codes sidecar + exact rerank of the shortlist
+    "nsw_search_pq" -> (NswIndex.nswSearchPq _),
     // SQ8: zero-training int8 scalar quantization — per-dim bounds +
     // the compressed brute scan (integer-exact, fully SQL-oracled)
     "sq_build" -> (SqIndex.sqBuild _),
@@ -958,6 +961,7 @@ object SparkEntry {
     "pq_build" -> IvfIndex.pqBuildSql,
     "ivf_search_pq" -> IvfIndex.ivfSearchPqSql,
     "ivf_search_pq_filtered" -> IvfIndex.ivfSearchPqFilteredSql,
+    "nsw_search_pq" -> NswIndex.nswSearchPqSql,
     "ivf_probe_curve" -> graft.index.RecallEval.ivfProbeCurveSql,
     "ann_filtered_curve" -> graft.index.RecallEval.annFilteredCurveSql,
     "nsw_beam_curve" -> graft.index.RecallEval.nswBeamCurveSql,

@@ -877,4 +877,187 @@ object NswIndex {
     """SELECT vec_id AS q_id, true AS k_results, true AS all_match_label,
       |  true AS self_found, true AS top1_exact, true AS monotone
       |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin
+
+  // ---- compressed serving tier: the ADC-scored beam walk ---------------
+
+  /** Attach a PQ sidecar to a persisted graph layout: codebooks
+    * trained over `path/vectors`, one m-byte code per node under
+    * `path/<sub>/codes`. Reuses the IVF tier's writer with an empty
+    * partition spec (the flat graph layout has no partition scheme);
+    * geometry and determinism contracts are [[PqCodebooks]]'. */
+  def persistPq(spark: SparkSession, path: String,
+      m: Int = PqCodebooks.defaultM, codes: Int = PqCodebooks.defaultCodes,
+      seed: Long = 42L, sub: String = "pq"): Unit =
+    IvfIndex.persistPq(spark, path, m, codes, seed, rotate = false,
+      sub = sub, partitionCols = Seq.empty)
+
+  /** Exact-rerank quota for the ADC walk: the visited set's
+    * quantized ordering is trusted only to shortlist; the served
+    * ranking is exact cosine over this many candidates per query
+    * (the ivf_search_pq two-tier pattern and ITS 200-candidate
+    * quota). Measured at sf0.001 (NswPqSpec, 25 probes): rerank 50
+    * at beam 16 reads 0.76 recall@5 — the quantized ordering ranks
+    * true neighbors well below rank 50 — while 200 at beam 32 reads
+    * 0.99 against the 0.85 bar; the raw-vector fetch stays
+    * |q|×200 keys, two orders below a full-width walk. */
+  val pqRerank = 200
+
+  /** Beam width for the ADC walk — the filteredBeamWidth discipline
+    * applied to quantization: navigating on approximate distances
+    * mis-sorts near-ties, so the walk must keep a wider frontier to
+    * hold the true neighborhood in view (measured head-to-head with
+    * the full-width walk's 16 in NswPqSpec). */
+  val pqBeamWidth = 32
+
+  /** ADC-scored beam search over a persisted graph layout with a PQ
+    * sidecar — the graph family's compressed serving tier. Every
+    * OTHER graph serve walks on full-width float vectors, which at
+    * corpus scale makes the beam walk's per-hop vector fetches the
+    * family's memory/IO ceiling; here each superstep joins the
+    * frontier against the m-byte CODES table and scores candidates
+    * with [[graft.functions.PqAdc]] against the per-query broadcast
+    * LUT (m byte-indexed adds a row, ~32× less scan width at m=8 over
+    * 64-d floats), and only the final accepted shortlist fetches raw
+    * vectors for the exact rerank. Same walk contract as
+    * [[beamSearch]]: undirected expansion, multi-seed entry,
+    * zero-new-scores early exit, deterministic (adc asc, node asc)
+    * ties — ADC is a distance, so the beam keeps the SMALLEST. */
+  def searchPersistedPq(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int = 5, rerank: Int = pqRerank,
+      beamW: Int = pqBeamWidth, maxHops: Int = hops,
+      seedSampleMod: Int = entrySeedMod, sub: String = "pq"): DataFrame = {
+    import spark.implicits._
+    val books = IvfIndex.readCodebooks(spark, path, sub)
+    val rotation = IvfIndex.readRotation(spark, path, sub)
+    // queries collected once — the bounded interactive side (the
+    // pqQueryState discipline); each LUT is the query's exact distance
+    // to every subspace centroid
+    val qRows = queries.select(col("q_id"), col("q_vec")).collect()
+      .sortBy(_.getLong(0))
+    val luts = qRows.map { r =>
+      val qv = r.getSeq[Float](1).toArray
+      val rq = rotation.map(PqCodebooks.rotateVec(qv, _)).getOrElse(qv)
+      PqCodebooks.lut(rq, books)
+    }
+    val lutBc = spark.sparkContext.broadcast(luts)
+    val qIdx = qRows.zipWithIndex
+      .map { case (r, i) => (r.getLong(0), i) }.toSeq.toDF("q_id", "q_idx")
+    val codes = spark.read.parquet(s"$path/$sub/codes")
+      .select(col("vec_id").as("node"), col("code")).cache()
+    val edgeSel = spark.read.parquet(s"$path/edges")
+      .select(col("src").as("node"), col("dst"))
+      .unionByName(spark.read.parquet(s"$path/edges")
+        .select(col("dst").as("node"), col("src").as("dst")))
+      .cache()
+    val scoreAgainst = (nodes: DataFrame) =>
+      nodes.join(codes, Seq("node"))
+        .select(col("q_id"), col("node"), col("q_idx"),
+          graft.functions.pq.pqAdc(col("code"), col("q_idx"), lutBc).as("adc"))
+    val seeds = codes.select(col("node"))
+      .filter(pmod(col("node"), lit(seedSampleMod.toLong)) === 0L)
+      .unionByName(codes.agg(min(col("node")).as("node")))
+      .distinct()
+    def beamCut(df: DataFrame): DataFrame =
+      df.withColumn("brank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("node").asc)))
+        .filter(col("brank") <= beamW)
+        .drop("brank")
+    var visitedParts = List(
+      scoreAgainst(qIdx.crossJoin(broadcast(seeds))).localCheckpoint(true))
+    def visited: DataFrame = visitedParts.reduceLeft(_ unionByName _)
+    var frontier = beamCut(visitedParts.head)
+    var hop = 1
+    var exhausted = false
+    while (hop <= maxHops && !exhausted) {
+      val expanded = frontier
+        .join(edgeSel, Seq("node"))
+        .select(col("q_id"), col("dst").as("node"), col("q_idx"))
+        .distinct()
+        .join(visited.select(col("q_id"), col("node")),
+          Seq("q_id", "node"), "left_anti")
+      val obs = org.apache.spark.sql.Observation()
+      val scored = scoreAgainst(expanded)
+        .observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+      if (obs.get("n").asInstanceOf[Long] == 0L) exhausted = true
+      else {
+        visitedParts ::= scored
+        frontier = beamCut(scored)
+      }
+      hop += 1
+    }
+    codes.unpersist(); edgeSel.unpersist()
+    // exact rerank: the adc-best `rerank` visited candidates per query
+    // fetch their raw vectors (a broadcast of |q|·rerank keys into the
+    // vectors scan — never a corpus shuffle) and rescore exact
+    val cand = visited.withColumn("arank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("node").asc)))
+      .filter(col("arank") <= rerank)
+      .select(col("q_id"), col("node").as("vec_id"))
+    val raw = spark.read.parquet(s"$path/vectors")
+    val scored = raw.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qIdx.drop("q_idx")
+        .join(queries.select(col("q_id"), col("q_vec")), Seq("q_id"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"))
+    graft.operators.KnnSearch.topK(scored, k, asc = false)
+  }
+
+  /** Session memo of the persisted graph layout + PQ sidecar for a
+    * dir's embeddings table — the one-time build `nsw_search_pq` and
+    * the recall table serve from (the pqLayoutFor discipline).
+    * Eviction deletes the abandoned temp layout. */
+  private val pqLayoutCache = new graft.store.VersionedMemo[String](p =>
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+
+  private[graft] def pqLayoutFor(spark: SparkSession, dir: String): String =
+    pqLayoutCache.get(spark, s"nsw_pq_layout:$dir", dir) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-nsw-pq").toString
+      val emb = Tables.embeddings(spark, dir)
+      persist(emb, edgesCached(spark, dir), base)
+      persistPq(spark, base)
+      base
+    }
+
+  /** `nsw_search_pq`: the ADC-walk + exact-rerank serve as the same
+    * invariant grid as `ivf_search_pq` — per fixed query 0..4:
+    * `self_found`/`top1_exact` (the query's own vector survives the
+    * quantized walk and reranks to 1.0 — the compressed tier is
+    * genuinely servable), `k_hits` (a full top-5), `ids_in_corpus`,
+    * `scores_bounded`, `monotone`. The all-true grid is SQL-exact;
+    * recall quality is NswPqSpec's measured bar and the `nsw_pq` row
+    * of `index_recall_eval`. */
+  def nswSearchPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = pqLayoutFor(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val hits = searchPersistedPq(spark, base, queries)
+      .localCheckpoint(true)
+    val inCorpus = emb
+      .join(broadcast(hits.select($"neighbor_id")),
+        $"vec_id" === $"neighbor_id", "left_semi")
+      .select($"vec_id".as("neighbor_id"), lit(true).as("in_corpus"))
+    val next = hits.select($"q_id", ($"rank" - 1).as("rank"),
+      $"score_e6".as("next_score"))
+    hits
+      .join(broadcast(inCorpus), Seq("neighbor_id"), "left")
+      .join(broadcast(next), Seq("q_id", "rank"), "left")
+      .groupBy($"q_id").agg(
+        (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
+        (max(when($"rank" === 1 && $"neighbor_id" === $"q_id" &&
+          $"score_e6" === 1000000L, 1)).isNotNull).as("top1_exact"),
+        (count(lit(1)) === 5L).as("k_hits"),
+        (count(when($"in_corpus", 1)) === count(lit(1))).as("ids_in_corpus"),
+        (min($"score_e6".between(-1000000L, 1000000L).cast("int")) === 1).as("scores_bounded"),
+        (min(coalesce($"next_score" <= $"score_e6", lit(true)).cast("int")) === 1).as("monotone"))
+      .orderBy($"q_id")
+  }
+
+  val nswSearchPqSql: String =
+    """SELECT vec_id AS q_id, true AS self_found, true AS top1_exact,
+      |  true AS k_hits, true AS ids_in_corpus, true AS scores_bounded,
+      |  true AS monotone
+      |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin
 }

@@ -381,7 +381,14 @@ object RecallEval {
     // (BqSpec carries the same bar on its own workload).
     val bq = BqIndex.knnBruteBq(spark, dir)
     val ivfBq = BqIndex.ivfSearchBq(spark, dir)
+    // the graph family's compressed tier (round 12): the ADC-scored
+    // beam walk + exact rerank, vs the exact cosine scan at the graph
+    // family's k=5 — graded alongside the full-width nsw row so a
+    // quantization-induced walk regression fails the same table
+    val nswPq = NswIndex.searchPersistedPq(spark,
+      NswIndex.pqLayoutFor(spark, dir), queries)
     recallRow("bq", bq, exactCos10, 10, 800000L)
+      .unionByName(recallRow("nsw_pq", nswPq, exactCos5, 5, 850000L))
       .unionByName(recallRow("ivf_bq", ivfBq, exactCos10, 10, 800000L))
       .unionByName(recallRow("ivf", ivf, exactCos10, 10, 900000L))
       .unionByName(recallRow("ivf_filtered", ivfFiltered, exactFiltered, 10, 900000L))

@@ -15,7 +15,8 @@ class RecallEvalSpec extends AnyFunSuite {
     val rows = graft.index.RecallEval.indexRecallEval(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("bq", "ivf", "ivf_bq", "ivf_filtered", "lsh", "nsw",
-        "nsw_filtered", "pca16", "pq", "pq_filtered", "pq_opq", "sq8"),
+        "nsw_filtered", "nsw_pq", "pca16", "pq", "pq_filtered", "pq_opq",
+        "sq8"),
       "one row per family, sorted")
     // the rotated tier serves at the family bar and within noise of
     // the unrotated build: this synthetic corpus is near-isotropic
@@ -32,7 +33,8 @@ class RecallEvalSpec extends AnyFunSuite {
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getBoolean(5))
       assert(nq == 5, s"$idx evaluated the fixed 5-query workload")
-      assert(k == (if (idx == "nsw") 5L else 10L), s"$idx k")
+      assert(k == (if (idx == "nsw" || idx == "nsw_pq") 5L else 10L),
+        s"$idx k")
       assert(recall >= 0L && recall <= 1000000L, s"$idx recall in [0,1e6]")
       assert(meets == (recall >= bar), s"$idx meets_bar consistent")
       assert(meets, s"$idx recall ${recall / 1e6} below bar ${bar / 1e6}")
