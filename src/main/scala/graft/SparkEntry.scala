@@ -258,6 +258,10 @@ object SparkEntry {
       Collections.queryTextChunksPersistedChecked(s, d, "ivf")),
     "query_chunks_persisted_nsw" -> ((s: SparkSession, d: String) =>
       Collections.queryTextChunksPersistedChecked(s, d, "nsw")),
+    // chunk /query over a GENERATIONAL root: the dispatch survives a
+    // cutover via the pointer, old as-ofs route to their generation
+    "query_chunks_gen" -> ((s: SparkSession, d: String) =>
+      Collections.queryChunksGenChecked(s, d)),
     // the persisted layout's one-time batch build, as its own labeled
     // entry (so serve entries above never carry hidden build cost)
     "persist_chunks_build" -> (Collections.persistChunksBuild _),
@@ -929,6 +933,7 @@ object SparkEntry {
     "query_maxsim_persisted" -> Collections.queryTextCheckedSql,
     "query_chunks_persisted_ivf" -> Collections.queryTextCheckedSql,
     "query_chunks_persisted_nsw" -> Collections.queryTextCheckedSql,
+    "query_chunks_gen" -> Collections.queryChunksGenSql,
     "persist_chunks_build" -> Collections.persistChunksBuildSql,
     "query_e2e" -> Collections.queryTextCheckedSql,
     "embed_text" -> embedTextSql,

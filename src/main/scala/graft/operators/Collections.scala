@@ -805,6 +805,103 @@ object Collections {
       queryTextChunksPersisted(spark, base, name, k = k, indexType = indexType))
   }
 
+  /** Session memo of the GENERATIONAL chunk /query root: the chunk-
+    * embedding corpus served from a [[graft.index.Generations]] root
+    * instead of a frozen per-session layout — built once as the batch
+    * job it would be at scale (generation 1 fit on the `vec_id % 5
+    * ≠ 0` chunks, the remaining fifth applied as delta batch 1, one
+    * cutover re-fitting everything into generation 2), so the /query
+    * serve below genuinely routes through the pointer. */
+  private val genChunkCache = new graft.store.VersionedMemo[String](p =>
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(p).getParentFile))
+
+  private[graft] def genChunksFor(spark: SparkSession, dir: String): String =
+    genChunkCache.get(spark, s"chunks_gen:$dir", dir) {
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-chunk-gen").toString + "/root"
+      val corpus = chunkEmbeddings(spark, dir)
+      graft.index.SnapshotLayout.initGen(
+        graft.index.IvfIndex.build(spark,
+          corpus.filter(pmod($"vec_id", lit(5L)) =!= 0L)), root)
+      graft.index.SnapshotLayout.applyBatchGen(spark, root, 1L,
+        upserts = corpus.filter(pmod($"vec_id", lit(5L)) === 0L),
+        deletes = corpus.limit(0).select($"vec_id"))
+      graft.index.SnapshotLayout.newGeneration(spark, root)
+      root
+    }
+
+  /** Chunk-granular /query over a GENERATIONAL root: the
+    * [[queryTextChunksPersisted]] contract served through
+    * [[graft.index.Generations.route]] — the index_type-style
+    * dispatch survives a cutover with NO session rebuild, because the
+    * serve reads only (root, pointer, as-of) from disk. A fresh
+    * session pointed at the root answers head queries from the
+    * successor's fresh fit and historical `asOf` queries from
+    * whichever generation covers them; the content join is the same
+    * broadcast of the k-row hit set into the chunk scan. */
+  def queryTextChunksGen(spark: SparkSession, root: String, dir: String,
+      queryText: String = DemoQueryText, k: Int = 10,
+      asOf: Long = Long.MaxValue): DataFrame = {
+    import spark.implicits._
+    val q = spark.range(1).select(lit(0L).as("q_id"),
+      Embedder.embedText(lit(queryText)).as("q_vec"))
+    val hits = graft.index.SnapshotLayout
+      .searchAsOfGen(spark, root, asOf, q, k = k)
+    val chunks = chunksRaw(spark, dir).select(
+      packedChunkId($"doc_id", $"chunk_idx").as("neighbor_id"),
+      $"doc_id", $"chunk_idx", substring($"chunk_text", 1, 40).as("content"))
+    chunks.join(broadcast(hits), Seq("neighbor_id"))
+      .select($"doc_id", $"chunk_idx", $"content",
+        $"score_e6".as("confidence_e6"), $"rank")
+      .orderBy($"rank")
+  }
+
+  /** `query_chunks_gen`: the generational chunk /query pushed through
+    * the [[chunkHitsGrid]] invariant grid (head serve — k hits ranked
+    * 1..k, real chunk ids, content = that chunk's prefix, bounded
+    * non-increasing confidence) crossed with the routing pins only a
+    * generational root can break:
+    *  - `routes_head_successor` / `routes_old_predecessor`: head
+    *    resolves to generation 2's fresh fit, the pre-cutover as-of 0
+    *    to generation 1 — both through the pointer, no session state;
+    *  - `old_k_hits`: the historical serve still returns a full top-k;
+    *  - `old_predates_delta`: every as-of-0 hit comes from the base
+    *    fifth-excluded corpus slice — an as-of that leaked post-cutover
+    *    (or delta) chunks would flip it. */
+  def queryChunksGenChecked(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val root = genChunksFor(spark, dir)
+    val grid = chunkHitsGrid(spark, dir,
+      queryTextChunksGen(spark, root, dir, k = k))
+    val routesHead = graft.index.Generations
+      .route(spark, root, Long.MaxValue).endsWith("generation=2")
+    val routesOld = graft.index.Generations
+      .route(spark, root, 0L).endsWith("generation=1")
+    val old = queryTextChunksGen(spark, root, dir, k = k, asOf = 0L)
+      .localCheckpoint(true)
+    val oldStats = old.agg(
+      (count(lit(1)) === k.toLong).as("old_k_hits"),
+      (count(when(pmod(packedChunkId($"doc_id", $"chunk_idx"), lit(5L)) === 0L,
+        1)) === 0L).as("old_predates_delta"))
+      .withColumn("routes_head_successor", lit(routesHead))
+      .withColumn("routes_old_predecessor", lit(routesOld))
+    grid.crossJoin(broadcast(oldStats))
+      .select($"rank", $"id_in_corpus", $"content_ok", $"score_bounded",
+        $"next_not_higher", $"routes_head_successor",
+        $"routes_old_predecessor", $"old_k_hits", $"old_predates_delta")
+      .orderBy($"rank")
+  }
+
+  val queryChunksGenSql: String =
+    """SELECT CAST(r.rank AS BIGINT) AS rank, true AS id_in_corpus,
+      |  true AS content_ok, true AS score_bounded, true AS next_not_higher,
+      |  true AS routes_head_successor, true AS routes_old_predecessor,
+      |  true AS old_k_hits, true AS old_predates_delta
+      |FROM generate_series(1, 10) r(rank) ORDER BY rank""".stripMargin
+
   /** `persist_chunks_build`: the one-time batch build of the persisted
     * chunk-serving layout, surfaced as its OWN labeled entry (VERDICT
     * r6 #2 — its cost was previously invisible in clean artifacts,

@@ -46,4 +46,56 @@ class ChunkQuerySpec extends AnyFunSuite {
         s"$idx: chunk hits share <5 of the exact top-10 — wrong corpus or broken search")
     }
   }
+
+  test("generational chunk query: answers through the pointer pre- and post-cutover, no session rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("graft-chunk-gen-spec")
+      .toString + "/root"
+    val corpus = Collections.chunkEmbeddings(spark, sf)
+    // generation 1 fits the vec_id % 5 != 0 slice; the remaining fifth
+    // lands as delta batch 1
+    graft.index.SnapshotLayout.initGen(
+      graft.index.IvfIndex.build(spark,
+        corpus.filter(pmod($"vec_id", lit(5L)) =!= 0L)), root)
+    graft.index.SnapshotLayout.applyBatchGen(spark, root, 1L,
+      upserts = corpus.filter(pmod($"vec_id", lit(5L)) === 0L),
+      deletes = corpus.limit(0).select($"vec_id"))
+    // a DELTA chunk's own text as the query: its embedding is
+    // identical, so a serve that can see it must rank it top-1 exact
+    // packed chunk id = doc_id * 1e6 + chunk_idx (Collections'
+    // packedChunkId base)
+    val delta = Collections.chunkDocuments(spark, sf)
+      .filter(pmod($"doc_id" * 1000000L + $"chunk_idx", lit(5L)) === 0L)
+      .select($"doc_id", $"chunk_idx", $"chunk_text")
+      .orderBy($"doc_id", $"chunk_idx").limit(1)
+      .as[(Long, Long, String)].head()
+    def top1(asOf: Long): (Long, Long, Long) =
+      Collections.queryTextChunksGen(spark, root, sf,
+          queryText = delta._3, k = 5, asOf = asOf)
+        .filter($"rank" === 1L)
+        .select($"doc_id", $"chunk_idx", $"confidence_e6")
+        .as[(Long, Long, Long)].head()
+    // PRE-cutover: the pointer serves generation 1 + its delta log —
+    // the beam-linked delta chunk is already servable at head
+    val pre = top1(Long.MaxValue)
+    assert(pre == (delta._1, delta._2, 1000000L), s"pre-cutover head: $pre")
+    // cutover: a fresh fit over everything into generation 2
+    assert(graft.index.SnapshotLayout.newGeneration(spark, root) == 2)
+    // POST-cutover: the same call (no rebuild, no session state) now
+    // routes to the successor and still answers exactly
+    val post = top1(Long.MaxValue)
+    assert(post == (delta._1, delta._2, 1000000L), s"post-cutover head: $post")
+    assert(graft.index.Generations.route(spark, root, Long.MaxValue)
+      .endsWith("generation=2"))
+    // the HISTORICAL as-of routes to generation 1's base, where the
+    // delta chunk does not exist yet
+    val old = Collections.queryTextChunksGen(spark, root, sf,
+        queryText = delta._3, k = 5, asOf = 0L)
+      .select($"doc_id", $"chunk_idx").as[(Long, Long)].collect()
+    assert(old.length == 5 && !old.contains((delta._1, delta._2)),
+      s"as-of 0 leaked the delta chunk: ${old.toSeq}")
+    assert(graft.index.Generations.route(spark, root, 0L)
+      .endsWith("generation=1"))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
 }
