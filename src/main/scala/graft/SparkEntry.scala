@@ -336,6 +336,10 @@ object SparkEntry {
     // the graph family's compressed tier: ADC-scored beam walk over
     // the m-byte codes sidecar + exact rerank of the shortlist
     "nsw_search_pq" -> (NswIndex.nswSearchPq _),
+    // the same tier composed with time travel: as-of ADC walk over
+    // the versioned graph layout's code sidecar
+    "nsw_search_asof_pq" ->
+      (graft.index.NswSnapshotLayout.nswSearchAsofPq _),
     // SQ8: zero-training int8 scalar quantization — per-dim bounds +
     // the compressed brute scan (integer-exact, fully SQL-oracled)
     "sq_build" -> (SqIndex.sqBuild _),
@@ -967,6 +971,8 @@ object SparkEntry {
     "ivf_search_pq" -> IvfIndex.ivfSearchPqSql,
     "ivf_search_pq_filtered" -> IvfIndex.ivfSearchPqFilteredSql,
     "nsw_search_pq" -> NswIndex.nswSearchPqSql,
+    "nsw_search_asof_pq" ->
+      graft.index.NswSnapshotLayout.nswSearchAsofPqSql,
     "ivf_probe_curve" -> graft.index.RecallEval.ivfProbeCurveSql,
     "ann_filtered_curve" -> graft.index.RecallEval.annFilteredCurveSql,
     "nsw_beam_curve" -> graft.index.RecallEval.nswBeamCurveSql,

@@ -922,16 +922,18 @@ object NswIndex {
     * [[beamSearch]]: undirected expansion, multi-seed entry,
     * zero-new-scores early exit, deterministic (adc asc, node asc)
     * ties — ADC is a distance, so the beam keeps the SMALLEST. */
-  def searchPersistedPq(spark: SparkSession, path: String,
-      queries: DataFrame, k: Int = 5, rerank: Int = pqRerank,
-      beamW: Int = pqBeamWidth, maxHops: Int = hops,
-      seedSampleMod: Int = entrySeedMod, sub: String = "pq"): DataFrame = {
+  /** Per-query ADC state for a graph layout's `sub` sidecar: the
+    * broadcast LUT array (queries collected once — the bounded
+    * interactive side, the pqQueryState discipline) and the
+    * (q_id, q_idx) map frame. Shared by the persisted and versioned
+    * ADC walks. */
+  private[index] def pqWalkState(spark: SparkSession, path: String,
+      queries: DataFrame, sub: String)
+      : (org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+        DataFrame) = {
     import spark.implicits._
     val books = IvfIndex.readCodebooks(spark, path, sub)
     val rotation = IvfIndex.readRotation(spark, path, sub)
-    // queries collected once — the bounded interactive side (the
-    // pqQueryState discipline); each LUT is the query's exact distance
-    // to every subspace centroid
     val qRows = queries.select(col("q_id"), col("q_vec")).collect()
       .sortBy(_.getLong(0))
     val luts = qRows.map { r =>
@@ -942,17 +944,28 @@ object NswIndex {
     val lutBc = spark.sparkContext.broadcast(luts)
     val qIdx = qRows.zipWithIndex
       .map { case (r, i) => (r.getLong(0), i) }.toSeq.toDF("q_id", "q_idx")
-    val codes = spark.read.parquet(s"$path/$sub/codes")
-      .select(col("vec_id").as("node"), col("code")).cache()
-    val edgeSel = spark.read.parquet(s"$path/edges")
-      .select(col("src").as("node"), col("dst"))
-      .unionByName(spark.read.parquet(s"$path/edges")
-        .select(col("dst").as("node"), col("src").as("dst")))
-      .cache()
+    (lutBc, qIdx)
+  }
+
+  /** The ADC beam walk over arbitrary (codes, edges) frames — shared
+    * by the persisted serve and the versioned as-of serve. `codes` is
+    * (node, code [, carryCols...]); carry columns ride every scored
+    * row and the returned shortlist (the versioned serve threads the
+    * winning `batch_id` through so its rerank can direct-address raw
+    * rows). `edgeSel` is the UNDIRECTED (node, dst) expansion. Walk
+    * contract as [[beamSearch]]: multi-seed entry, zero-new-scores
+    * early exit, deterministic (adc asc, node asc) ties — ADC is a
+    * distance, the beam keeps the smallest. Returns the per-query
+    * adc-best `rerank` visited rows: (q_id, node [, carryCols...]). */
+  private[index] def adcWalk(codes: DataFrame, edgeSel: DataFrame,
+      lutBc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+      qIdx: DataFrame, rerank: Int, beamW: Int, maxHops: Int,
+      seedSampleMod: Int, carryCols: Seq[String] = Nil): DataFrame = {
     val scoreAgainst = (nodes: DataFrame) =>
       nodes.join(codes, Seq("node"))
-        .select(col("q_id"), col("node"), col("q_idx"),
-          graft.functions.pq.pqAdc(col("code"), col("q_idx"), lutBc).as("adc"))
+        .select(Seq(col("q_id"), col("node"), col("q_idx")) ++
+          carryCols.map(col) :+
+          graft.functions.pq.pqAdc(col("code"), col("q_idx"), lutBc).as("adc"): _*)
     val seeds = codes.select(col("node"))
       .filter(pmod(col("node"), lit(seedSampleMod.toLong)) === 0L)
       .unionByName(codes.agg(min(col("node")).as("node")))
@@ -985,18 +998,34 @@ object NswIndex {
       }
       hop += 1
     }
+    visited.withColumn("arank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("node").asc)))
+      .filter(col("arank") <= rerank)
+      .select(col("q_id") +: col("node") +: carryCols.map(col): _*)
+  }
+
+  def searchPersistedPq(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int = 5, rerank: Int = pqRerank,
+      beamW: Int = pqBeamWidth, maxHops: Int = hops,
+      seedSampleMod: Int = entrySeedMod, sub: String = "pq"): DataFrame = {
+    val (lutBc, qIdx) = pqWalkState(spark, path, queries, sub)
+    val codes = spark.read.parquet(s"$path/$sub/codes")
+      .select(col("vec_id").as("node"), col("code")).cache()
+    val edgeSel = spark.read.parquet(s"$path/edges")
+      .select(col("src").as("node"), col("dst"))
+      .unionByName(spark.read.parquet(s"$path/edges")
+        .select(col("dst").as("node"), col("src").as("dst")))
+      .cache()
+    val cand = adcWalk(codes, edgeSel, lutBc, qIdx, rerank, beamW,
+      maxHops, seedSampleMod)
     codes.unpersist(); edgeSel.unpersist()
     // exact rerank: the adc-best `rerank` visited candidates per query
     // fetch their raw vectors (a broadcast of |q|·rerank keys into the
     // vectors scan — never a corpus shuffle) and rescore exact
-    val cand = visited.withColumn("arank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("node").asc)))
-      .filter(col("arank") <= rerank)
-      .select(col("q_id"), col("node").as("vec_id"))
     val raw = spark.read.parquet(s"$path/vectors")
-    val scored = raw.join(broadcast(cand), Seq("vec_id"))
-      .join(broadcast(qIdx.drop("q_idx")
-        .join(queries.select(col("q_id"), col("q_vec")), Seq("q_id"))), Seq("q_id"))
+    val scored = raw
+      .join(broadcast(cand.withColumnRenamed("node", "vec_id")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("q_id"), col("q_vec"))), Seq("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"))
     graft.operators.KnnSearch.topK(scored, k, asc = false)

@@ -116,9 +116,25 @@ object NswSnapshotLayout {
       graft.core.Checkpoints.free(headVecs)
       linked.withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("batch_id").parquet(s"$path/edges")
-      upserts.select(keep.map(col): _*)
+      val rows = upserts.select(keep.map(col): _*)
         .withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("batch_id").parquet(s"$path/vectors")
+      val subs = IvfIndex.pqSubdirs(spark, path)
+      if (subs.isEmpty)
+        rows.write.mode("append").partitionBy("batch_id")
+          .parquet(s"$path/vectors")
+      else {
+        // a graph layout carrying PQ sidecars ([[initPq]]) encodes
+        // every batch with the FROZEN codebooks in the same versioned
+        // batch scheme — the IVF twin's discipline: a delta row with
+        // no code is invisible to the ADC walk's scoring scan
+        val mat = rows.localCheckpoint(true)
+        try {
+          mat.write.mode("append").partitionBy("batch_id")
+            .parquet(s"$path/vectors")
+          IvfIndex.encodeDeltaPq(spark, path, mat,
+            partitionCols = Seq("batch_id"))
+        } finally graft.core.Checkpoints.free(mat)
+      }
       graft.core.Checkpoints.free(linked)
     }
     val drift = upserts.count() + deletes.count()
@@ -189,6 +205,84 @@ object NswSnapshotLayout {
     graft.core.Checkpoints.free(vecs)
     out
   }
+
+  // ---- versioned compressed tier (PQ sidecar over the graph log) -------
+
+  /** Add a PQ sidecar to the versioned GRAPH layout: codebooks
+    * trained once (frozen — the centroid discipline on the compressed
+    * tier) and every stored row encoded under the same `batch_id=`
+    * scheme as the raw rows. Batches applied AFTER this call are
+    * encoded by [[applyBatch]] automatically; calling at [[init]]
+    * time gives full-history coverage, calling later back-fills
+    * everything present (the encode pass reads all batches). */
+  def initPq(spark: SparkSession, path: String,
+      m: Int = PqCodebooks.defaultM, codes: Int = PqCodebooks.defaultCodes,
+      seed: Long = 42L, rotate: Boolean = false, sub: String = "pq"): Unit =
+    IvfIndex.persistPq(spark, path, m, codes, seed, rotate, sub,
+      partitionCols = Seq("batch_id"))
+
+  /** ADC beam walk served AS OF `batchId` from the versioned code
+    * sidecar — the graph family's compressed tier composed with time
+    * travel. CHEAPER than the raw [[searchAsOf]] in exactly the IVF
+    * twin's two ways, plus the walk's own: the merge-on-read argmax
+    * runs over KEYS ([[SnapshotLayout.asOfWinners]]), the live-edge
+    * restriction semi-joins those keys (no embedding reconstruction
+    * at all before the rerank), every superstep scores m-byte codes
+    * instead of full-width floats, and the exact rerank
+    * direct-addresses the winning raw rows — the surviving code row's
+    * (vec_id, batch_id) IS the winning raw row's partition address,
+    * so the fetch is a partition-pruned broadcast of
+    * `rerank × |queries|` keys. */
+  def searchAsOfPq(spark: SparkSession, path: String, batchId: Long,
+      queries: DataFrame, k: Int = 5, rerank: Int = NswIndex.pqRerank,
+      beamW: Int = NswIndex.pqBeamWidth, sub: String = "pq"): DataFrame = {
+    repairCompaction(spark, path)
+    val winners = SnapshotLayout.asOfWinners(spark, path, batchId)
+      .localCheckpoint(true)
+    // live code set, re-read per superstep → checkpointed once
+    val codes = spark.read.parquet(s"$path/$sub/codes")
+      .filter(col("batch_id") <= batchId)
+      .join(winners, Seq("vec_id", "batch_id"))
+      .select(col("vec_id").as("node"), col("code"), col("batch_id"))
+      .localCheckpoint(true)
+    val edges = spark.read.parquet(s"$path/edges")
+      .filter(col("batch_id") <= batchId)
+      .select(col("src"), col("dst"))
+      .join(winners.select(col("vec_id").as("src")), Seq("src"), "left_semi")
+      .join(winners.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+    val edgeSel = edges.select(col("src").as("node"), col("dst"))
+      .unionByName(edges.select(col("dst").as("node"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val (lutBc, qIdx) = NswIndex.pqWalkState(spark, path, queries, sub)
+    // the walk runs eagerly (its hops checkpoint as they go); the
+    // returned shortlist reads only those hop checkpoints, so the
+    // reconstruction checkpoints free on return — carrying `batch_id`
+    // through so the rerank can direct-address the winning raw rows
+    val cand = NswIndex.adcWalk(codes, edgeSel, lutBc, qIdx, rerank, beamW,
+      NswIndex.hops, NswIndex.entrySeedMod, carryCols = Seq("batch_id"))
+    graft.core.Checkpoints.free(winners)
+    graft.core.Checkpoints.free(codes)
+    graft.core.Checkpoints.free(edgeSel)
+    val raw = spark.read.parquet(s"$path/vectors")
+    val scored = raw
+      .join(broadcast(cand.withColumnRenamed("node", "vec_id")),
+        Seq("vec_id", "batch_id"))
+      .join(broadcast(queries.select(col("q_id"), col("q_vec"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        graft.core.Stab.e6(graft.functions.vectors.cosineSim(
+          col("embedding"), col("q_vec"))).as("score_e6"))
+    graft.operators.KnnSearch.topK(scored, k, asc = false)
+  }
+
+  /** ADC beam walk routed across generations — the graph twin of
+    * [[SnapshotLayout.searchAsOfPqGen]]: the compressed tier survives
+    * a cutover ([[newGeneration]] re-inits each sidecar at its
+    * configured geometry on the successor). */
+  def searchAsOfPqGen(spark: SparkSession, root: String, batchId: Long,
+      queries: DataFrame, k: Int = 5, rerank: Int = NswIndex.pqRerank,
+      beamW: Int = NswIndex.pqBeamWidth, sub: String = "pq"): DataFrame =
+    searchAsOfPq(spark, Generations.route(spark, root, batchId), batchId,
+      queries, k, rerank, beamW, sub)
 
   /** Public CDC read over a versioned GRAPH layout — the NSW twin of
     * [[SnapshotLayout.asOfDiff]]: the change feed is a function of
@@ -287,12 +381,24 @@ object NswSnapshotLayout {
       .parquet(s"$path/_compact_tmp/edges")
     graft.core.Checkpoints.free(liveV)
     graft.core.Checkpoints.free(liveE)
-    // the plan's cluster slot records WHICH roots actually staged a
-    // consolidated dir (0=vectors, 1=edges): a root whose live set at
+    // code sidecars fold with the raw rows (the IVF twin's rule: a
+    // compacted layout whose ADC tier still pays — or mis-resolves —
+    // the folded history would be wrong); live code rows stage under
+    // the same uniform path scheme as the two base roots
+    IvfIndex.pqSubdirs(spark, path).foreach { sub =>
+      SnapshotLayout.asOfCodes(spark, path, upTo, sub)
+        .withColumn("batch_id", lit(upTo))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$path/_compact_tmp/$sub/codes")
+    }
+    // the plan's slot records WHICH roots actually staged a
+    // consolidated dir (0=vectors, 1=edges, 2+=code sidecars in
+    // pqSubdirs' sorted order — stable across crashes because
+    // compaction never touches codebooks): a root whose live set at
     // upTo is EMPTY writes no batch_id dir, and the commit must still
     // drop its old dirs — without the record, "stage dir absent"
     // would be ambiguous between already-swapped and staged-empty
-    val staged = roots.zipWithIndex.collect {
+    val staged = allRoots(spark, path).zipWithIndex.collect {
       case (sub, i) if fs.exists(
         new Path(s"$path/_compact_tmp/$sub/batch_id=$upTo")) => i
     }
@@ -300,7 +406,12 @@ object NswSnapshotLayout {
     commitCompaction(spark, path, upTo, staged)
   }
 
-  private val roots = Seq("vectors", "edges")
+  /** This layout's batch-partitioned roots: the two base tables plus
+    * every code sidecar, in a deterministic order the compaction
+    * plan's slots index into. */
+  private def allRoots(spark: SparkSession, path: String): Seq[String] =
+    Seq("vectors", "edges") ++
+      IvfIndex.pqSubdirs(spark, path).map(sub => s"$sub/codes")
 
   /** Finish (or abandon) an in-flight compaction commit — the IVF
     * twin's repair contract on this layout's roots. */
@@ -318,7 +429,7 @@ object NswSnapshotLayout {
       upTo: Long, staged: Seq[Int]): Unit = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    roots.zipWithIndex.foreach { case (sub, i) =>
+    allRoots(spark, path).zipWithIndex.foreach { case (sub, i) =>
       val root = new Path(s"$path/$sub")
       def dropLe(): Unit =
         if (fs.exists(root))
@@ -361,7 +472,12 @@ object NswSnapshotLayout {
         "delete newer batches with no restorable target")
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("vectors", "edges", "tombstones").foreach { sub =>
+    // a rolled-back batch's CODES die with its raw rows — the IVF
+    // twin's rule (a surviving stale code row would keep feeding the
+    // ADC walk candidates whose raw rows are gone)
+    (Seq("vectors", "edges", "tombstones") ++
+        IvfIndex.pqSubdirs(spark, path).map(sub => s"$sub/codes"))
+      .foreach { sub =>
       val root = new Path(s"$path/$sub")
       if (fs.exists(root))
         fs.listStatus(root).filter(_.isDirectory)
@@ -625,6 +741,100 @@ object NswSnapshotLayout {
       |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
       |ORDER BY q_id""".stripMargin
 
+  /** Session memo of the PQ-AUGMENTED graph scenario:
+    * [[pristineScenario]] copied once per session with a
+    * full-coverage sidecar ([[initPq]] back-fills every batch's rows
+    * at their own batch_id), so the versioned compressed entry pays
+    * codebook training once and each invocation copies file bytes
+    * only. */
+  private val pqScenarioCache = new graft.store.VersionedMemo[String](p =>
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(p).getParentFile))
+
+  private[graft] def pristineScenarioPq(spark: SparkSession,
+      dir: String): String =
+    pqScenarioCache.get(spark, s"nsw_asof_pq_scenario:$dir", dir) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-asof-nsw-pq").toString + "/pristine"
+      SnapshotLayout.copyLayout(spark, pristineScenario(spark, dir), path)
+      initPq(spark, path)
+      path
+    }
+
+  /** `nsw_search_asof_pq`: the versioned GRAPH compressed tier —
+    * [[searchAsOfPq]] over the sidecar-bearing scenario, pushed
+    * through an invariant grid (per-invocation copy; compaction and
+    * rollback are destructive). The IVF twin's `matches_raw` identity
+    * does NOT transfer — the quantized walk legitimately visits a
+    * different node set than the raw walk — so the grid pins the
+    * identities that DO hold:
+    *  - `self_found` / `top1_exact`: the production ADC serve as of
+    *    batch 2 finds each probe's own GOOD embedding at 1.0 (batch
+    *    3's corrupt codes exist at head but must not serve — the code
+    *    rows version correctly);
+    *  - `codes_cover_live`: every live row as of 2 owns exactly one
+    *    live code row (delta coverage is complete — a row without a
+    *    code is invisible to the walk);
+    *  - `tombstone_hides`: no deleted id owns a live code row as of 2;
+    *  - `compact_identical`: the as-of-2 ADC serve is row-identical
+    *    across `compact(2)` — the walk is a deterministic function of
+    *    (live codes, live edges, LUTs), all three reconstruction-
+    *    idempotent under the fold;
+    *  - `dirs_bounded` / `rollback_prunes`: the code sidecar's batch
+    *    directories fold with compaction and die with rollback. */
+  def nswSearchAsofPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
+      s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/nsw_asof_pq"
+    SnapshotLayout.copyLayout(spark, pristineScenarioPq(spark, dir), path)
+    val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    // every serve/stat materializes EAGERLY before the destructive
+    // steps delete or rewrite files its lazy plan would still list
+    val prod2 = searchAsOfPq(spark, path, 2L, queries).localCheckpoint(true)
+    val liveCodes2 = SnapshotLayout.asOfCodes(spark, path, 2L)
+      .localCheckpoint(true)
+    val nLive2 = asOfVectors(spark, path, 2L).count()
+    val coverOk = liveCodes2.count() == nLive2 &&
+      liveCodes2.select($"vec_id").distinct().count() == nLive2
+    val tombOk = liveCodes2.filter($"vec_id" < 25 && $"vec_id" % 7 === 0)
+      .isEmpty
+    val perProbe = prod2.groupBy($"q_id").agg(
+      (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
+      (max($"score_e6") === 1000000L).as("top1_exact"))
+    compact(spark, path, 2L)
+    val prod2After = searchAsOfPq(spark, path, 2L, queries)
+      .localCheckpoint(true)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def codeBatchDirs(): Set[Long] =
+      fs.listStatus(new Path(s"$path/pq/codes")).filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
+    val boundedOk = codeBatchDirs().forall(_ >= 2L)
+    rollback(spark, path, 2L)
+    val prunedOk = codeBatchDirs().forall(_ <= 2L)
+    val globals = SnapshotLayout.serveDiffCount(prod2, prod2After, "n_diff_c")
+      .select(
+        lit(coverOk).as("codes_cover_live"),
+        lit(tombOk).as("tombstone_hides"),
+        ($"n_diff_c" === 0L).as("compact_identical"),
+        lit(boundedOk).as("dirs_bounded"),
+        lit(prunedOk).as("rollback_prunes"))
+    perProbe.crossJoin(broadcast(globals))
+      .select($"q_id", $"self_found", $"top1_exact", $"codes_cover_live",
+        $"tombstone_hides", $"compact_identical", $"dirs_bounded",
+        $"rollback_prunes")
+      .orderBy($"q_id")
+  }
+
+  val nswSearchAsofPqSql: String =
+    """SELECT vec_id AS q_id, true AS self_found, true AS top1_exact,
+      |  true AS codes_cover_live, true AS tombstone_hides,
+      |  true AS compact_identical, true AS dirs_bounded,
+      |  true AS rollback_prunes
+      |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
+      |ORDER BY q_id""".stripMargin
+
   // ---- generation lifecycle (the IVF twin's contract on the graph) ----
 
   /** Initialize a GENERATIONAL graph root: base graph as generation 1. */
@@ -663,6 +873,17 @@ object NswSnapshotLayout {
       NswIndex.buildEdgesLsh(live.select(col("vec_id"), col("embedding"))),
       next, baseBatch = headId)
     graft.core.Checkpoints.free(live)
+    // PQ sidecars carry over at their configured geometry (the IVF
+    // twin's refreshPqSidecars discipline: recovered from the stored
+    // codebooks, re-fit on the successor at the default seed)
+    IvfIndex.pqSubdirs(spark, cur).foreach { sub =>
+      val books = IvfIndex.readCodebooks(spark, cur, sub)
+      require(books.nonEmpty && books.head.nonEmpty,
+        s"sidecar $sub has no codebooks under $cur — cannot carry its " +
+          "geometry across the generation cutover")
+      initPq(spark, next, m = books.length, codes = books.head.length,
+        rotate = IvfIndex.readRotation(spark, cur, sub).isDefined, sub = sub)
+    }
     Generations.writePointer(spark, root, g + 1)
     g + 1
   }

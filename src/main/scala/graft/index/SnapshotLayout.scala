@@ -235,7 +235,7 @@ object SnapshotLayout {
     * key both the live CODE set and the direct-address exact rerank:
     * a code row is live iff its (vec_id, batch_id) won, and the
     * winning raw row lives at exactly that partition pair. */
-  private def asOfWinners(spark: SparkSession, path: String,
+  private[index] def asOfWinners(spark: SparkSession, path: String,
       batchId: Long): DataFrame = {
     val ups = spark.read.parquet(s"$path/vectors")
       .filter(col("batch_id") <= batchId)

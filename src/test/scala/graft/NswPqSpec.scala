@@ -62,6 +62,89 @@ class NswPqSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("versioned graph sidecar: deltas encode, rollback prunes codes, compaction folds them, as-of serves version") {
+    val path = java.nio.file.Files.createTempDirectory("graft-nsw-vpq")
+      .toString + "/nsw"
+    val base = emb.filter($"vec_id" >= 50).localCheckpoint(true)
+    graft.index.NswSnapshotLayout.init(base,
+      NswIndex.buildEdgesLsh(base), path)
+    graft.index.NswSnapshotLayout.initPq(spark, path)
+    // batch 1: upserts — applyBatch must encode them with the frozen
+    // codebooks, or they are invisible to the ADC walk
+    graft.index.NswSnapshotLayout.applyBatch(spark, path, 1L,
+      upserts = emb.filter($"vec_id" < 10),
+      deletes = emb.limit(0).select($"vec_id"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/pq/codes/batch_id=1")), "delta batch not encoded")
+    // the walk serves the delta rows: a delta probe finds itself
+    val q3 = emb.filter($"vec_id" === 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val head = graft.index.NswSnapshotLayout
+      .searchAsOfPq(spark, path, Long.MaxValue, q3).collect()
+    assert(head.exists(r => r.getAs[Long]("neighbor_id") == 3L &&
+      r.getAs[Long]("score_e6") == 1000000L), s"${head.toSeq}")
+    // batch 2: delete id 3 — the as-of serves version both ways
+    graft.index.NswSnapshotLayout.applyBatch(spark, path, 2L,
+      upserts = emb.limit(0),
+      deletes = emb.filter($"vec_id" === 3).select($"vec_id"))
+    val at2 = graft.index.NswSnapshotLayout
+      .searchAsOfPq(spark, path, Long.MaxValue, q3).collect()
+    assert(!at2.exists(_.getAs[Long]("neighbor_id") == 3L),
+      "tombstoned id served from the compressed tier")
+    val at1 = graft.index.NswSnapshotLayout
+      .searchAsOfPq(spark, path, 1L, q3).collect()
+    assert(at1.exists(r => r.getAs[Long]("neighbor_id") == 3L &&
+      r.getAs[Long]("score_e6") == 1000000L), "as-of 1 lost the live row")
+    // rollback kills the delete AND its codes stay consistent
+    graft.index.NswSnapshotLayout.rollback(spark, path, 1L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/pq/codes/batch_id=2")))
+    val back = graft.index.NswSnapshotLayout
+      .searchAsOfPq(spark, path, Long.MaxValue, q3).collect()
+    assert(back.exists(_.getAs[Long]("neighbor_id") == 3L))
+    graft.core.Checkpoints.free(base)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(path).getParentFile)
+  }
+
+  test("generational graph sidecar: the cutover carries the PQ geometry; the ADC walk routes across generations") {
+    val root = java.nio.file.Files.createTempDirectory("graft-nsw-gpq")
+      .toString + "/root"
+    val base = emb.filter($"vec_id" >= 50 && $"vec_id" < 170)
+      .localCheckpoint(true)
+    graft.index.NswSnapshotLayout.initGen(base,
+      NswIndex.buildEdgesLsh(base), root)
+    graft.index.NswSnapshotLayout.initPq(spark,
+      graft.index.Generations.genPath(root, 1))
+    graft.index.NswSnapshotLayout.applyBatchGen(spark, root, 1L,
+      upserts = emb.filter($"vec_id" < 5),
+      deletes = emb.limit(0).select($"vec_id"))
+    assert(graft.index.NswSnapshotLayout.newGeneration(spark, root) == 2)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"${graft.index.Generations.genPath(root, 2)}/pq/codes")),
+      "cutover dropped the sidecar")
+    val q2 = emb.filter($"vec_id" === 2)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    // head routes to the successor's fresh fit + fresh sidecar
+    val head = graft.index.NswSnapshotLayout
+      .searchAsOfPqGen(spark, root, Long.MaxValue, q2).collect()
+    assert(head.exists(r => r.getAs[Long]("neighbor_id") == 2L &&
+      r.getAs[Long]("score_e6") == 1000000L), s"${head.toSeq}")
+    // a pre-cutover as-of routes to generation 1's sidecar, where the
+    // delta id does not exist at batch 0
+    val old = graft.index.NswSnapshotLayout
+      .searchAsOfPqGen(spark, root, 0L, q2).collect()
+    assert(old.nonEmpty && !old.exists(_.getAs[Long]("neighbor_id") == 2L),
+      s"as-of 0 leaked the delta row: ${old.toSeq}")
+    graft.core.Checkpoints.free(base)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
   test("served scores are the exact cosine, not the ADC approximation; the walk is deterministic") {
     val dir = layout()
     val queries = emb.filter($"vec_id" < 5)
