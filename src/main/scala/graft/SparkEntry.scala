@@ -340,6 +340,9 @@ object SparkEntry {
     // the versioned graph layout's code sidecar
     "nsw_search_asof_pq" ->
       (graft.index.NswSnapshotLayout.nswSearchAsofPq _),
+    // ...and with metadata filtering: pre-filter ADC walk on the
+    // label-bearing code rows
+    "nsw_search_pq_filtered" -> (NswIndex.nswSearchPqFiltered _),
     // SQ8: zero-training int8 scalar quantization — per-dim bounds +
     // the compressed brute scan (integer-exact, fully SQL-oracled)
     "sq_build" -> (SqIndex.sqBuild _),
@@ -973,6 +976,7 @@ object SparkEntry {
     "nsw_search_pq" -> NswIndex.nswSearchPqSql,
     "nsw_search_asof_pq" ->
       graft.index.NswSnapshotLayout.nswSearchAsofPqSql,
+    "nsw_search_pq_filtered" -> NswIndex.nswSearchPqFilteredSql,
     "ivf_probe_curve" -> graft.index.RecallEval.ivfProbeCurveSql,
     "ann_filtered_curve" -> graft.index.RecallEval.annFilteredCurveSql,
     "nsw_beam_curve" -> graft.index.RecallEval.nswBeamCurveSql,

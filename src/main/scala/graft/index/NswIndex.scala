@@ -265,11 +265,15 @@ object NswIndex {
     * would be bucketed by their join key (`node`/`vec_id`) so each
     * beam superstep joins without an Exchange; the seam is this one
     * writer. */
-  def persist(emb: DataFrame, edges: DataFrame, path: String): Unit = {
+  def persist(emb: DataFrame, edges: DataFrame, path: String,
+      metaCols: Seq[String] = Nil): Unit = {
     edges.select(col("src"), col("dst")).write.mode("overwrite")
       .parquet(s"$path/edges")
-    emb.select(col("vec_id"), col("embedding")).write.mode("overwrite")
-      .parquet(s"$path/vectors")
+    // metadata columns ride the stored rows (and therefore any PQ
+    // sidecar's code rows, which mirror this schema) — the filtered
+    // serving shape, matching IvfIndex.persist's metaCols contract
+    emb.select(col("vec_id") +: col("embedding") +: metaCols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$path/vectors")
     val spark = emb.sparkSession
     IndexMeta.write(spark, path,
       IndexMeta.Meta(spark.read.parquet(s"$path/vectors").count(), 0L))
@@ -948,23 +952,31 @@ object NswIndex {
   }
 
   /** The ADC beam walk over arbitrary (codes, edges) frames — shared
-    * by the persisted serve and the versioned as-of serve. `codes` is
-    * (node, code [, carryCols...]); carry columns ride every scored
-    * row and the returned shortlist (the versioned serve threads the
-    * winning `batch_id` through so its rerank can direct-address raw
-    * rows). `edgeSel` is the UNDIRECTED (node, dst) expansion. Walk
-    * contract as [[beamSearch]]: multi-seed entry, zero-new-scores
-    * early exit, deterministic (adc asc, node asc) ties — ADC is a
-    * distance, the beam keeps the smallest. Returns the per-query
-    * adc-best `rerank` visited rows: (q_id, node [, carryCols...]). */
+    * by the persisted serve and the versioned as-of serve, filtered
+    * or not. `codes` is (node, code [, carryCols...]); carry columns
+    * ride every scored row and the returned shortlist (the versioned
+    * serve threads the winning `batch_id` through so its rerank can
+    * direct-address raw rows; the filtered serves thread node
+    * metadata). `qFrame` is (q_id, q_idx [, qExtraCols...]) — query-
+    * side columns an accept predicate may reference ride every hop.
+    * `acceptPred` has [[beamSearch]]'s pre-filter semantics: it
+    * constrains what may be SHORTLISTED, never what may be walked —
+    * the cut applies before the rerank quota so the whole quota goes
+    * to legal candidates. Walk contract as [[beamSearch]]: multi-seed
+    * entry, zero-new-scores early exit, deterministic (adc asc, node
+    * asc) ties — ADC is a distance, the beam keeps the smallest.
+    * Returns the per-query adc-best `rerank` accepted rows:
+    * (q_id, node [, carryCols...]). */
   private[index] def adcWalk(codes: DataFrame, edgeSel: DataFrame,
       lutBc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
-      qIdx: DataFrame, rerank: Int, beamW: Int, maxHops: Int,
-      seedSampleMod: Int, carryCols: Seq[String] = Nil): DataFrame = {
+      qFrame: DataFrame, rerank: Int, beamW: Int, maxHops: Int,
+      seedSampleMod: Int, carryCols: Seq[String] = Nil,
+      qExtraCols: Seq[String] = Nil,
+      acceptPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val scoreAgainst = (nodes: DataFrame) =>
       nodes.join(codes, Seq("node"))
         .select(Seq(col("q_id"), col("node"), col("q_idx")) ++
-          carryCols.map(col) :+
+          qExtraCols.map(col) ++ carryCols.map(col) :+
           graft.functions.pq.pqAdc(col("code"), col("q_idx"), lutBc).as("adc"): _*)
     val seeds = codes.select(col("node"))
       .filter(pmod(col("node"), lit(seedSampleMod.toLong)) === 0L)
@@ -976,7 +988,7 @@ object NswIndex {
         .filter(col("brank") <= beamW)
         .drop("brank")
     var visitedParts = List(
-      scoreAgainst(qIdx.crossJoin(broadcast(seeds))).localCheckpoint(true))
+      scoreAgainst(qFrame.crossJoin(broadcast(seeds))).localCheckpoint(true))
     def visited: DataFrame = visitedParts.reduceLeft(_ unionByName _)
     var frontier = beamCut(visitedParts.head)
     var hop = 1
@@ -984,7 +996,8 @@ object NswIndex {
     while (hop <= maxHops && !exhausted) {
       val expanded = frontier
         .join(edgeSel, Seq("node"))
-        .select(col("q_id"), col("dst").as("node"), col("q_idx"))
+        .select(Seq(col("q_id"), col("dst").as("node"), col("q_idx")) ++
+          qExtraCols.map(col): _*)
         .distinct()
         .join(visited.select(col("q_id"), col("node")),
           Seq("q_id", "node"), "left_anti")
@@ -998,7 +1011,8 @@ object NswIndex {
       }
       hop += 1
     }
-    visited.withColumn("arank", row_number().over(
+    val accepted = acceptPred.map(visited.filter).getOrElse(visited)
+    accepted.withColumn("arank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("node").asc)))
       .filter(col("arank") <= rerank)
       .select(col("q_id") +: col("node") +: carryCols.map(col): _*)
@@ -1031,10 +1045,57 @@ object NswIndex {
     graft.operators.KnnSearch.topK(scored, k, asc = false)
   }
 
+  /** PRE-filter ADC beam walk over a persisted graph layout with a
+    * meta-bearing PQ sidecar — the graph twin of
+    * [[IvfIndex.searchPersistedPqFiltered]], completing the filtered
+    * column of the compressed matrix: the predicate evaluates on the
+    * CODE rows' mirrored metadata (plus any non-vector query columns)
+    * with [[searchFiltered]]'s semantics — navigation unfiltered,
+    * accepted-set shortlist, so the whole rerank quota goes to legal
+    * candidates and all k served rows satisfy the predicate. No
+    * corpus-sized metadata join rides the serve
+    * ([[IvfIndex.persistPq]] mirrors the stored rows' metadata into
+    * the codes). */
+  def searchPersistedPqFiltered(spark: SparkSession, path: String,
+      queries: DataFrame, pred: org.apache.spark.sql.Column, k: Int = 10,
+      rerank: Int = pqRerank, beamW: Int = pqBeamWidth,
+      maxHops: Int = hops, seedSampleMod: Int = entrySeedMod,
+      sub: String = "pq"): DataFrame = {
+    val (lutBc, qIdx) = pqWalkState(spark, path, queries, sub)
+    val codesRaw = spark.read.parquet(s"$path/$sub/codes")
+    val metaCols = codesRaw.columns.toSeq
+      .filterNot(Set("vec_id", "code"))
+    val codes = codesRaw
+      .select(col("vec_id").as("node") +: col("code") +: metaCols.map(col): _*)
+      .cache()
+    val edgeSel = spark.read.parquet(s"$path/edges")
+      .select(col("src").as("node"), col("dst"))
+      .unionByName(spark.read.parquet(s"$path/edges")
+        .select(col("dst").as("node"), col("src").as("dst")))
+      .cache()
+    val qExtra = queries.columns.toSeq.filterNot(Set("q_id", "q_vec"))
+    val qFrame = qIdx.join(broadcast(queries.drop("q_vec")), Seq("q_id"))
+    val cand = adcWalk(codes, edgeSel, lutBc, qFrame, rerank, beamW,
+      maxHops, seedSampleMod, carryCols = metaCols, qExtraCols = qExtra,
+      acceptPred = Some(pred))
+      .select(col("q_id"), col("node"))
+    codes.unpersist(); edgeSel.unpersist()
+    val raw = spark.read.parquet(s"$path/vectors")
+    val scored = raw
+      .join(broadcast(cand.withColumnRenamed("node", "vec_id")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("q_id"), col("q_vec"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"))
+    graft.operators.KnnSearch.topK(scored, k, asc = false)
+  }
+
   /** Session memo of the persisted graph layout + PQ sidecar for a
-    * dir's embeddings table — the one-time build `nsw_search_pq` and
-    * the recall table serve from (the pqLayoutFor discipline).
-    * Eviction deletes the abandoned temp layout. */
+    * dir's embeddings table — the one-time build `nsw_search_pq` /
+    * `nsw_search_pq_filtered` and the recall table serve from (the
+    * pqLayoutFor discipline). Carries `label` in the stored rows AND
+    * the code sidecar (persistPq mirrors the vectors schema), so one
+    * build serves both the unfiltered and filtered compressed
+    * entries. Eviction deletes the abandoned temp layout. */
   private val pqLayoutCache = new graft.store.VersionedMemo[String](p =>
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
 
@@ -1043,7 +1104,7 @@ object NswIndex {
       val base = java.nio.file.Files
         .createTempDirectory("graft-nsw-pq").toString
       val emb = Tables.embeddings(spark, dir)
-      persist(emb, edgesCached(spark, dir), base)
+      persist(emb, edgesCached(spark, dir), base, metaCols = Seq("label"))
       persistPq(spark, base)
       base
     }
@@ -1088,5 +1149,33 @@ object NswIndex {
     """SELECT vec_id AS q_id, true AS self_found, true AS top1_exact,
       |  true AS k_hits, true AS ids_in_corpus, true AS scores_bounded,
       |  true AS monotone
+      |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin
+
+  /** `nsw_search_pq_filtered`: label-constrained ADC walk over the
+    * compressed graph tier — [[searchPersistedPqFiltered]] on the
+    * shared memoized layout (whose code sidecar carries `label`),
+    * pushed through the same filtered invariant grid as every
+    * filtered serve: `k_results` (pre-filter semantics on the code
+    * rows — a post-filtered quantized top-k comes up short),
+    * `all_match_label` (re-derived from the embeddings TABLE, so a
+    * stale sidecar label flips the hash), `self_found`/`top1_exact`
+    * (the query's own vector survives filter + quantized walk and
+    * reranks to 1.0), `monotone`. Recall quality is NswPqSpec's
+    * measured bar. */
+  def nswSearchPqFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = pqLayoutFor(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("q_label"))
+    val hits = searchPersistedPqFiltered(spark, base, queries,
+      col("label") === col("q_label")).localCheckpoint(true)
+    ContractGrids.filteredServeGrid(spark, dir, hits)
+  }
+
+  val nswSearchPqFilteredSql: String =
+    """SELECT vec_id AS q_id, true AS k_results, true AS all_match_label,
+      |  true AS self_found, true AS top1_exact, true AS monotone
       |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin
 }

@@ -373,6 +373,11 @@ object RecallEval {
     // unfiltered codebook fidelity the pq row already covers
     val pqFiltered = IvfIndex.searchPersistedPqFiltered(spark,
       IvfIndex.pqLayoutFor(spark, dir), q5, col("label") === col("q_label"))
+    // the graph tier's filtered-quantized composition (round 12):
+    // label-bearing code rows, accepted-set shortlist, exact rerank —
+    // graded against the same brute filtered oracle
+    val nswPqFiltered = NswIndex.searchPersistedPqFiltered(spark,
+      NswIndex.pqLayoutFor(spark, dir), q5, col("label") === col("q_label"))
     // the binary-quantized tiers (round 11 — the last approximate
     // family outside this table): the 1-bit Hamming pre-rank at its
     // production R=100 rerank, brute and composed inside the IVF
@@ -389,6 +394,8 @@ object RecallEval {
       NswIndex.pqLayoutFor(spark, dir), queries)
     recallRow("bq", bq, exactCos10, 10, 800000L)
       .unionByName(recallRow("nsw_pq", nswPq, exactCos5, 5, 850000L))
+      .unionByName(
+        recallRow("nsw_pq_filtered", nswPqFiltered, exactFiltered, 10, 850000L))
       .unionByName(recallRow("ivf_bq", ivfBq, exactCos10, 10, 800000L))
       .unionByName(recallRow("ivf", ivf, exactCos10, 10, 900000L))
       .unionByName(recallRow("ivf_filtered", ivfFiltered, exactFiltered, 10, 900000L))

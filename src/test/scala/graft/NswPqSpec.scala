@@ -62,6 +62,50 @@ class NswPqSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("filtered ADC walk: pre-filter semantics, recall@10 >= 0.85 vs the brute filtered oracle") {
+    val all = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-nsw-pqf-spec")
+      .toString
+    NswIndex.persist(all, NswIndex.edgesCached(spark, sf), dir,
+      metaCols = Seq("label"))
+    NswIndex.persistPq(spark, dir)
+    val queries = all.filter($"vec_id" < 25)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("q_label"))
+      .localCheckpoint(true)
+    val hits = NswIndex.searchPersistedPqFiltered(spark, dir, queries,
+      col("label") === col("q_label")).localCheckpoint(true)
+    // pre-filter semantics: every query serves exactly k legal rows
+    val labels = all.select($"vec_id".as("neighbor_id"), $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qLabels = queries.select($"q_id", $"q_label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byQ = hits.collect().groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 25 && byQ.values.forall(_.length == 10),
+      "a filtered query came up short of k")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.forall(r => labels(r.getAs[Long]("neighbor_id")) == qLabels(q)),
+        s"q=$q served an illegal neighbor")
+    }
+    // recall vs the brute FILTERED oracle
+    val brute = all.crossJoin(broadcast(queries))
+      .filter($"label" === $"q_label")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        graft.core.Stab.e6(
+          graft.functions.vectors.cosineSim($"embedding", $"q_vec")).as("score_e6"))
+    val want = graft.operators.KnnSearch.topK(brute, 10, asc = false)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val got = byQ.map { case (q, rs) =>
+      q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recall = want.map { case (q, w) =>
+      got.get(q).map(g => g.intersect(w).size.toDouble / w.size).getOrElse(0.0)
+    }.sum / want.size
+    assert(recall >= 0.85, s"filtered NSW-PQ recall@10 $recall < 0.85")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("versioned graph sidecar: deltas encode, rollback prunes codes, compaction folds them, as-of serves version") {
     val path = java.nio.file.Files.createTempDirectory("graft-nsw-vpq")
       .toString + "/nsw"

@@ -15,8 +15,8 @@ class RecallEvalSpec extends AnyFunSuite {
     val rows = graft.index.RecallEval.indexRecallEval(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("bq", "ivf", "ivf_bq", "ivf_filtered", "lsh", "nsw",
-        "nsw_filtered", "nsw_pq", "pca16", "pq", "pq_filtered", "pq_opq",
-        "sq8"),
+        "nsw_filtered", "nsw_pq", "nsw_pq_filtered", "pca16", "pq",
+        "pq_filtered", "pq_opq", "sq8"),
       "one row per family, sorted")
     // the rotated tier serves at the family bar and within noise of
     // the unrotated build: this synthetic corpus is near-isotropic
