@@ -528,7 +528,11 @@ object IndexStream {
     * itself is an empty diff by construction, the
     * `boundary_live_identical` grid pin). Retiring a generation at or
     * below a consumer's anchor refuses loudly at routing (the
-    * retired-coverage guard) instead of aliasing an older head. */
+    * retired-coverage guard) instead of aliasing an older head; a
+    * retirement racing the source's directory listing can fail ONE
+    * trigger transiently (file-not-found mid-glob) — the restart
+    * re-expands the glob without the retired directory and resumes
+    * from the checkpoint, losing nothing. */
   def changesIvfGen(spark: org.apache.spark.sql.SparkSession, root: String,
       outPath: String): DataStreamWriter[Row] =
     changes(spark, s"$root/generation=*/_snapshots", outPath,
