@@ -233,17 +233,24 @@ object NswSnapshotLayout {
     * (vec_id, batch_id) IS the winning raw row's partition address,
     * so the fetch is a partition-pruned broadcast of
     * `rerank × |queries|` keys. */
-  def searchAsOfPq(spark: SparkSession, path: String, batchId: Long,
-      queries: DataFrame, k: Int = 5, rerank: Int = NswIndex.pqRerank,
-      beamW: Int = NswIndex.pqBeamWidth, sub: String = "pq"): DataFrame = {
+  private def searchAsOfPqImpl(spark: SparkSession, path: String,
+      batchId: Long, queries: DataFrame,
+      pred: Option[org.apache.spark.sql.Column], k: Int, rerank: Int,
+      beamW: Int, sub: String): DataFrame = {
     repairCompaction(spark, path)
     val winners = SnapshotLayout.asOfWinners(spark, path, batchId)
       .localCheckpoint(true)
-    // live code set, re-read per superstep → checkpointed once
-    val codes = spark.read.parquet(s"$path/$sub/codes")
+    // live code set, re-read per superstep → checkpointed once; the
+    // mirrored metadata rides it so a filtered walk's predicate
+    // evaluates on the quantized rows
+    val codesRaw = spark.read.parquet(s"$path/$sub/codes")
+    val metaCols = codesRaw.columns.toSeq
+      .filterNot(Set("vec_id", "code", "batch_id"))
+    val codes = codesRaw
       .filter(col("batch_id") <= batchId)
       .join(winners, Seq("vec_id", "batch_id"))
-      .select(col("vec_id").as("node"), col("code"), col("batch_id"))
+      .select(col("vec_id").as("node") +: col("code") +: col("batch_id") +:
+        metaCols.map(col): _*)
       .localCheckpoint(true)
     val edges = spark.read.parquet(s"$path/edges")
       .filter(col("batch_id") <= batchId)
@@ -254,12 +261,19 @@ object NswSnapshotLayout {
       .unionByName(edges.select(col("dst").as("node"), col("src").as("dst")))
       .localCheckpoint(true)
     val (lutBc, qIdx) = NswIndex.pqWalkState(spark, path, queries, sub)
+    val qExtra = queries.columns.toSeq.filterNot(Set("q_id", "q_vec"))
+    val qFrame =
+      if (qExtra.isEmpty) qIdx
+      else qIdx.join(broadcast(queries.drop("q_vec")), Seq("q_id"))
     // the walk runs eagerly (its hops checkpoint as they go); the
     // returned shortlist reads only those hop checkpoints, so the
     // reconstruction checkpoints free on return — carrying `batch_id`
     // through so the rerank can direct-address the winning raw rows
-    val cand = NswIndex.adcWalk(codes, edgeSel, lutBc, qIdx, rerank, beamW,
-      NswIndex.hops, NswIndex.entrySeedMod, carryCols = Seq("batch_id"))
+    val cand = NswIndex.adcWalk(codes, edgeSel, lutBc, qFrame, rerank, beamW,
+      NswIndex.hops, NswIndex.entrySeedMod,
+      carryCols = "batch_id" +: metaCols, qExtraCols = qExtra,
+      acceptPred = pred)
+      .select(col("q_id"), col("node"), col("batch_id"))
     graft.core.Checkpoints.free(winners)
     graft.core.Checkpoints.free(codes)
     graft.core.Checkpoints.free(edgeSel)
@@ -274,6 +288,27 @@ object NswSnapshotLayout {
     graft.operators.KnnSearch.topK(scored, k, asc = false)
   }
 
+  /** PRE-filter ADC beam walk at an as-of point — the graph twin of
+    * [[SnapshotLayout.searchAsOfPqFiltered]], closing the versioned ×
+    * filtered × ADC cell: the metadata [[applyBatch]]'s delta encode
+    * mirrors into every code row rides the LIVE code reconstruction,
+    * so the predicate evaluates on quantized rows at any as-of point
+    * with [[NswIndex.searchFiltered]]'s semantics — navigation
+    * unfiltered, accepted-set shortlist before the rerank quota, all
+    * k served rows legal. */
+  def searchAsOfPqFiltered(spark: SparkSession, path: String, batchId: Long,
+      queries: DataFrame, pred: org.apache.spark.sql.Column, k: Int = 10,
+      rerank: Int = NswIndex.pqRerank, beamW: Int = NswIndex.pqBeamWidth,
+      sub: String = "pq"): DataFrame =
+    searchAsOfPqImpl(spark, path, batchId, queries, Some(pred), k, rerank,
+      beamW, sub)
+
+  def searchAsOfPq(spark: SparkSession, path: String, batchId: Long,
+      queries: DataFrame, k: Int = 5, rerank: Int = NswIndex.pqRerank,
+      beamW: Int = NswIndex.pqBeamWidth, sub: String = "pq"): DataFrame =
+    searchAsOfPqImpl(spark, path, batchId, queries, None, k, rerank, beamW,
+      sub)
+
   /** ADC beam walk routed across generations — the graph twin of
     * [[SnapshotLayout.searchAsOfPqGen]]: the compressed tier survives
     * a cutover ([[newGeneration]] re-inits each sidecar at its
@@ -283,6 +318,16 @@ object NswSnapshotLayout {
       beamW: Int = NswIndex.pqBeamWidth, sub: String = "pq"): DataFrame =
     searchAsOfPq(spark, Generations.route(spark, root, batchId), batchId,
       queries, k, rerank, beamW, sub)
+
+  /** The filtered ADC walk routed across generations — metadata rides
+    * the cutover re-fit and the carried sidecar's fresh encode, so
+    * the filtered-quantized mode survives a cutover too. */
+  def searchAsOfPqFilteredGen(spark: SparkSession, root: String,
+      batchId: Long, queries: DataFrame, pred: org.apache.spark.sql.Column,
+      k: Int = 10, rerank: Int = NswIndex.pqRerank,
+      beamW: Int = NswIndex.pqBeamWidth, sub: String = "pq"): DataFrame =
+    searchAsOfPqFiltered(spark, Generations.route(spark, root, batchId),
+      batchId, queries, pred, k, rerank, beamW, sub)
 
   /** Public CDC read over a versioned GRAPH layout — the NSW twin of
     * [[SnapshotLayout.asOfDiff]]: the change feed is a function of

@@ -153,6 +153,55 @@ class NswPqSpec extends AnyFunSuite {
       new java.io.File(path).getParentFile)
   }
 
+  test("versioned filtered ADC walk: predicate on live code rows, all k legal at any as-of point") {
+    val all = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label")
+    val path = java.nio.file.Files.createTempDirectory("graft-nsw-vpqf")
+      .toString + "/nsw"
+    val base = all.filter($"vec_id" >= 50).localCheckpoint(true)
+    graft.index.NswSnapshotLayout.init(base,
+      NswIndex.buildEdgesLsh(base.select($"vec_id", $"embedding")), path)
+    graft.index.NswSnapshotLayout.initPq(spark, path)
+    // the delta's labels ride its encode (applyBatch mirrors metadata
+    // into the code rows) — a filtered as-of serve can see them
+    graft.index.NswSnapshotLayout.applyBatch(spark, path, 1L,
+      upserts = all.filter($"vec_id" < 10),
+      deletes = all.limit(0).select($"vec_id"))
+    val queries = all.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("q_label"))
+      .localCheckpoint(true)
+    val labels = all.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def checkLegal(hits: Array[org.apache.spark.sql.Row], where: String): Unit = {
+      val byQ = hits.groupBy(_.getAs[Long]("q_id"))
+      assert(byQ.size == 5 && byQ.values.forall(_.length == 10),
+        s"$where: a filtered query came up short of k")
+      byQ.foreach { case (q, rs) =>
+        assert(rs.forall(r =>
+          labels(r.getAs[Long]("neighbor_id")) == labels(q)),
+          s"$where: q=$q served an illegal neighbor")
+      }
+    }
+    val head = graft.index.NswSnapshotLayout.searchAsOfPqFiltered(spark,
+      path, Long.MaxValue, queries, col("label") === col("q_label"))
+      .collect()
+    checkLegal(head, "head")
+    // the probes' own (label-matching) delta rows rerank to exact self
+    assert((0L until 5L).forall(q => head.exists(r =>
+      r.getAs[Long]("q_id") == q && r.getAs[Long]("neighbor_id") == q &&
+        r.getAs[Long]("score_e6") == 1000000L)), "self not served at head")
+    // as of batch 0 the delta ids do not exist — still all-legal, no leak
+    val old = graft.index.NswSnapshotLayout.searchAsOfPqFiltered(spark,
+      path, 0L, queries, col("label") === col("q_label")).collect()
+    checkLegal(old, "asof0")
+    assert(!old.exists(_.getAs[Long]("neighbor_id") < 10L),
+      "as-of 0 leaked a delta row through the filtered quantized serve")
+    graft.core.Checkpoints.free(base)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(path).getParentFile)
+  }
+
   test("generational graph sidecar: the cutover carries the PQ geometry; the ADC walk routes across generations") {
     val root = java.nio.file.Files.createTempDirectory("graft-nsw-gpq")
       .toString + "/root"
