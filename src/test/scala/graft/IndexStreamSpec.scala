@@ -786,6 +786,46 @@ class IndexStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out2))
   }
 
+  test("end-to-end lifecycle: generational sink ingests and auto-cuts-over while the pointer-following reader feeds") {
+    val root = tmp("graft-e2e-gen") + "/root"
+    val out = tmp("graft-e2e-gen-out")
+    // base 450 rows → envelope 45
+    graft.index.SnapshotLayout.initGen(IvfIndex.build(spark, base), root)
+    def mut(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, vecs(i.toLong), "upsert"))
+        .toDF("vec_id", "embedding", "op")
+    // trigger 0: 5 upserts — under the envelope
+    IndexStream.applyIvfGenBatch(mut(0 until 5), 0L, root)
+    drainGen(root, out)
+    val leg1 = (0L until 5L).map(i => (1L, i, "added")).toSet
+    assert(feedRows(out) == leg1, s"${feedRows(out)}")
+    // trigger 1: 45 more — trips the envelope INSIDE the sink, which
+    // cuts over to generation 2 on the same trigger
+    IndexStream.applyIvfGenBatch(mut(5 until 50), 1L, root)
+    assert(graft.index.Generations.current(spark, root) == 2)
+    // the SAME reader (same checkpoint, same anchor) sees the batch's
+    // diff AND crosses the boundary without noise: the 1→2 diff
+    // routes from=1 to generation 1 and to=2 to generation 2
+    drainGen(root, out)
+    val leg2 = leg1 ++ (5L until 50L).map(i => (2L, i, "added"))
+    assert(feedRows(out) == leg2, s"${feedRows(out)}")
+    assert(spark.read.parquet(s"$out/data").count() == 50L, "dup rows")
+    // trigger 2: a delete lands in the successor's log; the feed
+    // keeps following
+    IndexStream.applyIvfGenBatch(
+      Seq((7L, vecs(7L), "delete")).toDF("vec_id", "embedding", "op"),
+      2L, root)
+    drainGen(root, out)
+    assert(feedRows(out) == leg2 + ((3L, 7L, "deleted")), s"${feedRows(out)}")
+    // and the layout itself serves coherently at every point
+    assert(graft.index.SnapshotLayout
+      .asOfAssignedGen(spark, root, Long.MaxValue).count() == 499L)
+    assert(graft.index.SnapshotLayout
+      .asOfAssignedGen(spark, root, 1L).count() == 455L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("generational changes stream: the NSW twin follows a graph cutover") {
     val root = tmp("graft-cdc-gen-nsw") + "/root"
     val out = tmp("graft-cdc-gen-nsw-out")
