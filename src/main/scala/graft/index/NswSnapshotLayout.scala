@@ -826,10 +826,17 @@ object NswSnapshotLayout {
     *    (live codes, live edges, LUTs), all three reconstruction-
     *    idempotent under the fold;
     *  - `dirs_bounded` / `rollback_prunes`: the code sidecar's batch
-    *    directories fold with compaction and die with rollback. */
+    *    directories fold with compaction and die with rollback;
+    *  - `filtered_k_legal`: the FILTERED as-of ADC serve
+    *    ([[searchAsOfPqFiltered]] on the sidecar's mirrored labels,
+    *    as of 2) returns a full k rows per probe, every one
+    *    satisfying the predicate RE-DERIVED from the embeddings
+    *    table — the versioned × filtered × ADC cell, driver-checked
+    *    (a stale sidecar label or a post-filter shortfall flips it). */
   def nswSearchAsofPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val all = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val all = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", $"label")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
       s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/nsw_asof_pq"
     SnapshotLayout.copyLayout(spark, pristineScenarioPq(spark, dir), path)
@@ -838,6 +845,24 @@ object NswSnapshotLayout {
     // every serve/stat materializes EAGERLY before the destructive
     // steps delete or rewrite files its lazy plan would still list
     val prod2 = searchAsOfPq(spark, path, 2L, queries).localCheckpoint(true)
+    // the filtered composition, same as-of point: label-constrained
+    // quantized serve with the labels judged from the TABLE
+    val qf = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("q_label"))
+    val filteredHits = searchAsOfPqFiltered(spark, path, 2L, qf,
+      col("label") === col("q_label")).localCheckpoint(true)
+    val trueLabels = all.select($"vec_id".as("neighbor_id"),
+      $"label".as("true_label"))
+    val filteredOk = filteredHits
+      .join(broadcast(qf.select($"q_id", $"q_label")), Seq("q_id"))
+      .join(trueLabels, Seq("neighbor_id"))
+      .groupBy($"q_id").agg(
+        (count(lit(1)) === 10L &&
+          count(when($"true_label" =!= $"q_label", 1)) === 0L).as("ok"))
+      .agg((count(when(!$"ok", 1)) === 0L &&
+        count(lit(1)) === queries.count()).as("filtered_k_legal"))
+      .localCheckpoint(true)
     val liveCodes2 = SnapshotLayout.asOfCodes(spark, path, 2L)
       .localCheckpoint(true)
     val nLive2 = asOfVectors(spark, path, 2L).count()
@@ -859,16 +884,18 @@ object NswSnapshotLayout {
     rollback(spark, path, 2L)
     val prunedOk = codeBatchDirs().forall(_ <= 2L)
     val globals = SnapshotLayout.serveDiffCount(prod2, prod2After, "n_diff_c")
+      .crossJoin(filteredOk)
       .select(
         lit(coverOk).as("codes_cover_live"),
         lit(tombOk).as("tombstone_hides"),
         ($"n_diff_c" === 0L).as("compact_identical"),
         lit(boundedOk).as("dirs_bounded"),
-        lit(prunedOk).as("rollback_prunes"))
+        lit(prunedOk).as("rollback_prunes"),
+        $"filtered_k_legal")
     perProbe.crossJoin(broadcast(globals))
       .select($"q_id", $"self_found", $"top1_exact", $"codes_cover_live",
         $"tombstone_hides", $"compact_identical", $"dirs_bounded",
-        $"rollback_prunes")
+        $"rollback_prunes", $"filtered_k_legal")
       .orderBy($"q_id")
   }
 
@@ -876,7 +903,7 @@ object NswSnapshotLayout {
     """SELECT vec_id AS q_id, true AS self_found, true AS top1_exact,
       |  true AS codes_cover_live, true AS tombstone_hides,
       |  true AS compact_identical, true AS dirs_bounded,
-      |  true AS rollback_prunes
+      |  true AS rollback_prunes, true AS filtered_k_legal
       |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
       |ORDER BY q_id""".stripMargin
 
