@@ -98,6 +98,10 @@ object SparkEntry {
     // the scale path for the same question: IVF-probed approximate
     // all-pairs top-k (invariant grid; recall bar in RetrievalOpsSpec)
     "knn_join_ivf" -> (IvfIndex.knnJoinIvfChecked _),
+    // the compressed batch twin: SDC pre-rank over the code sidecar
+    // (no full-width floats on the co-location exchange, no driver
+    // LUT state) + exact rerank of the shortlist (same grid oracle)
+    "knn_join_pq" -> (IvfIndex.knnJoinPqChecked _),
     // radius (range) search, BM25 lexical leg, hybrid fusion, and the
     // MMR diversity rerank — the retrieval surface around the ANN core
     "range_search" -> ((s: SparkSession, d: String) => KnnSearch.rangeSearch(s, d)),
@@ -665,6 +669,7 @@ object SparkEntry {
     "knn_brute_l2" -> KnnSearch.bruteL2Sql,
     "knn_join_exact" -> KnnSearch.knnJoinExactSql,
     "knn_join_ivf" -> IvfIndex.knnJoinIvfSql,
+    "knn_join_pq" -> IvfIndex.knnJoinPqSql,
     "range_search" -> KnnSearch.rangeSearchSql,
     "knn_filtered" -> KnnSearch.knnFilteredSql,
     "mine_triplets" -> KnnSearch.mineTripletsSql,

@@ -194,6 +194,74 @@ case class PqAdc(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Symmetric-distance (SDC) score of two PQ codes:
+  * `Σ_s table[s][a(s)][b(s)]` where `table[s][c1][c2]` is the squared
+  * L2 distance between codebook entries c1 and c2 of subspace s — so
+  * the sum ≈ ‖â − b̂‖² on the normalized sphere (ascending = most
+  * similar first, the [[PqAdc]] LUT's own ordering semantics).
+  *
+  * This is the BATCH-shape ADC: with a finite code alphabet, a
+  * query's per-code LUT row is just a row-select of this one
+  * code×code table by the query's own code — computed map-side with
+  * ZERO per-query driver state, where the interactive path
+  * ([[graft.index.IvfIndex.pqQueryState]]) collects the bounded query
+  * set to build exact per-query LUTs. The table rides a broadcast
+  * shaped [sub][leftCode][rightCode] — the two sides may use DIFFERENT
+  * alphabets (the batch join encodes queries against a finer set, an
+  * 8×64×16 cross table of 64 KiB) — and scoring a candidate pair
+  * costs m table adds instead of d float multiplies. Both inputs are
+  * `array<byte>` codes. */
+case class PqSdc(left: Expression, right: Expression,
+    tableBc: Broadcast[Array[Array[Array[Double]]]])
+    extends BinaryExpression {
+  override def prettyName: String = "pq_sdc"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(ByteType, _), ArrayType(ByteType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<byte>, array<byte>), got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[ArrayData]
+    val xb = b.asInstanceOf[ArrayData]
+    val table = tableBc.value
+    var d = 0.0
+    var s = 0
+    val m = math.min(math.min(xa.numElements(), xb.numElements()), table.length)
+    while (s < m) {
+      d += table(s)(xa.getByte(s).toInt & 0xff)(xb.getByte(s).toInt & 0xff)
+      s += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcClass = classOf[Broadcast[_]].getName
+    val bcRef = ctx.addReferenceObj("sdcTableBc", tableBc, bcClass)
+    val table = ctx.addMutableState("double[][][]", "pqSdcTable",
+      v => s"$v = (double[][][]) (($bcClass) $bcRef).value();")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val d = ctx.freshName("d"); val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      s"""
+        double $d = 0.0;
+        int $m = java.lang.Math.min(
+          java.lang.Math.min($a.numElements(), $b.numElements()), $table.length);
+        for (int $s = 0; $s < $m; $s++) {
+          $d += $table[$s][((int) $a.getByte($s)) & 0xff][((int) $b.getByte($s)) & 0xff];
+        }
+        ${ev.value} = $d;
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object pq {
   def pqEncode(v: Column, codebooksBc: Broadcast[Array[Array[Array[Float]]]]): Column =
     Bridge.column(PqEncode(Bridge.expression(v), codebooksBc))
@@ -201,4 +269,8 @@ object pq {
   def pqAdc(codes: Column, qIdx: Column,
       lutBc: Broadcast[Array[Array[Array[Double]]]]): Column =
     Bridge.column(PqAdc(Bridge.expression(codes), Bridge.expression(qIdx), lutBc))
+
+  def pqSdc(a: Column, b: Column,
+      tableBc: Broadcast[Array[Array[Array[Double]]]]): Column =
+    Bridge.column(PqSdc(Bridge.expression(a), Bridge.expression(b), tableBc))
 }

@@ -92,11 +92,26 @@ object Generations {
     * pointer files best-effort. Written LAST by every cutover — the
     * commit point. Crash anywhere: either the new file is not yet
     * renamed (old pointer wins) or it is (new pointer wins, stale
-    * files lose to max) — there is no state with zero pointers. */
+    * files lose to max) — there is no state with zero pointers.
+    *
+    * Commits must be MONOTONIC: a `g` below an existing pointer would
+    * create a file that silently loses to max (the "commit" would be
+    * a no-op) — refused loudly instead. Re-committing the CURRENT `g`
+    * stays legal (a cutover retried after crashing between its rename
+    * and its pointer retirement re-runs this same commit).
+    *
+    * One-way migration: the first versioned commit under a legacy
+    * single-cell root deletes `_current.json` — readers older than the
+    * versioned-pointer scheme cannot resolve the root afterwards. */
   private[index] def writePointer(spark: SparkSession, root: String,
       g: Int): Unit = {
     val p = new Path(s"$root/_current.v$g.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = versionedPointers(fs, root)
+    require(existing.forall(_ <= g),
+      s"non-monotonic generation commit under $root: pointer v$g would " +
+        s"silently lose to existing v${existing.max} — cutovers only move " +
+        "the pointer forward")
     val tmp = new Path(s"$root/._current.v$g.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(s"""{"generation":$g}""".getBytes(StandardCharsets.UTF_8))

@@ -981,6 +981,150 @@ object IvfIndex {
     KnnSearch.topK(scored, k, asc = false)
   }
 
+  /** Compressed all-pairs kNN JOIN over a persisted IVF-PQ layout —
+    * the batch twin of [[knnJoinIvf]] with the co-location shuffle's
+    * full-width floats removed. [[knnJoinIvf]] moves every query
+    * vector (d×4 bytes, ×nProbe) plus the whole assigned table (d×4
+    * bytes/row) through the cluster_id exchange and pays a d-float
+    * dot product per candidate pair; at 100 TB that exchange width and
+    * the O(nProbe·n²/kClusters·d) candidate arithmetic ARE the job.
+    * Here:
+    *
+    *  1. One map-side pass over the vectors table computes each
+    *     query's probe list (the [[knnJoinIvf]] broadcast-centroid-
+    *     array trick — no window, no shuffle) AND its m-byte PQ code
+    *     ([[graft.functions.PqEncode]] against the broadcast
+    *     codebooks — byte-identical to the sidecar's stored codes,
+    *     same expression, same books). The raw embedding is DROPPED
+    *     in that projection: nothing full-width rides the exchange.
+    *  2. The co-location join is codes ⋈ probes on cluster_id — both
+    *     sides m bytes + keys — and each candidate pair is scored
+    *     with [[graft.functions.PqSdc]]: m table adds against ONE
+    *     broadcast cross-distance table ([[PqCodebooks.crossTable]],
+    *     64 KiB). A query's LUT is a row-select of that table by its
+    *     own code, so the per-query LUT state [[pqQueryState]] builds
+    *     on the driver for interactive serves simply does not exist
+    *     here — the batch shape is fully distributed. The query side
+    *     is encoded against a FINER alphabet ([[PqCodebooks
+    *     .fineCodes]] = 64 vs the sidecar's stored 16) trained on the
+    *     same bounded sample: fresh-encoded queries aren't bound to
+    *     the stored geometry, so the asymmetry is free — same byte
+    *     per subspace through the exchange, 4× less query-side
+    *     quantization error (measured +0.06 recall@5 on sf0.001).
+    *  3. The `rerank`-best candidates per query (WindowGroupLimit —
+    *     per-partition heaps before the q_id rank shuffle, keys only:
+    *     16 B/row) are exact-reranked: two narrow-key joins attach
+    *     the raw vectors, exact cosine, top-k. Full-width rows move
+    *     only for the n×rerank shortlist, never the n×nProbe probe
+    *     fan-out or the n²-shaped candidate stream.
+    *
+    * Quantized scoring ranks true neighbors deep (both sides
+    * quantized — coarser than the serve path's exact-query ADC), so
+    * it is trusted only to SHORTLIST: `rerank` = the serve tiers' 200
+    * with the final cut k=5 of 200 exact scores. Measured recall@5 vs
+    * the exact O(n²) join is PqSpec's bar (0.90 on sf0.001); the
+    * output contract (exact scores, full k, ranked) hash-matches the
+    * same oracle shape as [[knnJoinIvfChecked]]. */
+  def knnJoinPq(spark: SparkSession, path: String,
+      nProbe: Int = defaultNProbe, k: Int = 5, rerank: Int = 200,
+      sub: String = "pq"): DataFrame = {
+    val cand = knnJoinPqCand(spark, path, nProbe, rerank, sub)
+    val vecs = spark.read.parquet(s"$path/vectors")
+    // exact rerank of the n×rerank shortlist: attach both raw vectors
+    // by narrow-key joins (the only stages where full-width rows move)
+    val nv = vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
+    val qv = vecs.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = cand.join(nv, Seq("neighbor_id")).join(qv, Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        Stab.e6(cosineSim(col("n_vec"), col("q_vec"))).as("score_e6"))
+    KnnSearch.topK(exact, k, asc = false)
+  }
+
+  /** The candidate stage of [[knnJoinPq]] — everything up to (and
+    * including) the per-query `rerank` cut, before any raw vector is
+    * touched. Factored out so Round13PlanSpec can pin its scale shape
+    * in isolation: NO float-array column on ANY exchange in this
+    * stage (the co-location shuffle carries m-byte codes only). */
+  private[graft] def knnJoinPqCand(spark: SparkSession, path: String,
+      nProbe: Int, rerank: Int, sub: String): DataFrame = {
+    val books = readCodebooks(spark, path, sub)
+    val rotation = readRotation(spark, path, sub)
+    // query side: a FINER codebook set trained on the same bounded
+    // deterministic sample (same Lloyd's, more codes) — the corpus
+    // side is pinned to the sidecar's stored alphabet, but the query
+    // encode is fresh, so its resolution is free to be 4× higher at
+    // the same byte per subspace through the exchange
+    val vecsForFit = {
+      val v = spark.read.parquet(s"$path/vectors")
+      rotation.map(r => v.select(col("vec_id"),
+        PqCodebooks.rotateCol(col("embedding"), r).as("embedding"))).getOrElse(v)
+    }
+    val fineBooks = PqCodebooks.train(vecsForFit,
+      books.length, PqCodebooks.fineCodes)
+    val booksBc = spark.sparkContext.broadcast(fineBooks)
+    val sdcBc = spark.sparkContext.broadcast(
+      PqCodebooks.crossTable(fineBooks, books))
+    val centArr = spark.read.parquet(s"$path/centroids")
+      .agg(collect_list(struct(col("cluster_id"), col("centroid"))).as("cents"))
+    val vecs = spark.read.parquet(s"$path/vectors")
+    val encodeInput = rotation.map(r =>
+      PqCodebooks.rotateCol(col("embedding"), r)).getOrElse(col("embedding"))
+    // map-side probe fan-out + encode; `embedding` does not survive
+    // this projection — the exchange below carries m-byte codes only
+    val probes = vecs
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id").as("q_id"),
+        graft.functions.pq.pqEncode(encodeInput, booksBc).as("q_code"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct((-cosineSim(col("embedding"), c.getField("centroid"))).as("neg_sim"),
+            c.getField("cluster_id").as("cluster_id")))), 1, nProbe)).as("p"))
+      .select(col("q_id"), col("q_code"), col("p.cluster_id").as("cluster_id"))
+    val codes = spark.read.parquet(s"$path/$sub/codes")
+      .select(col("cluster_id"), col("vec_id"), col("code"))
+    val scored = codes.join(probes, Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.pq.pqSdc(col("q_code"), col("code"), sdcBc).as("sdc"))
+    scored.withColumn("srank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sdc").asc, col("vec_id").asc)))
+      .filter(col("srank") <= rerank)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** `knn_join_pq`: [[knnJoinPq]] over the memoized persisted layout,
+    * pushed through EXACTLY the [[knnJoinIvfChecked]] oracle grid —
+    * every corpus vector gets k hits ranked 1..k, each a real non-self
+    * corpus id, each score recomputed here as the exact e6 cosine of
+    * the two REAL stored embeddings (a fabricated or misjoined rerank
+    * flips the hash), ranks monotone. Recall vs the exact join is
+    * PqSpec's measured bar; the no-full-width-exchange plan shape is
+    * Round13PlanSpec's pin. */
+  def knnJoinPqChecked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val hits = knnJoinPq(spark, pqLayoutFor(spark, dir)).localCheckpoint(true)
+    val qv = emb.select($"vec_id".as("q_id"), $"embedding".as("q_vec0"))
+    val nv = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("n_vec0"))
+    val next = hits.select($"q_id", ($"rank" - 1).as("rank"),
+      $"score_e6".as("next_score"))
+    hits.join(qv, Seq("q_id")).join(nv, Seq("neighbor_id"), "left")
+      .join(next, Seq("q_id", "rank"), "left")
+      .select($"q_id", $"rank",
+        $"n_vec0".isNotNull.as("neighbor_in_corpus"),
+        ($"q_id" =!= $"neighbor_id").as("not_self"),
+        coalesce(Stab.e6(cosineSim($"n_vec0", $"q_vec0")) === $"score_e6",
+          lit(false)).as("score_exact"),
+        coalesce($"next_score" <= $"score_e6", lit(true)).as("monotone"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val knnJoinPqSql: String =
+    """SELECT e.vec_id AS q_id, CAST(r.rank AS BIGINT) AS rank,
+      |  true AS neighbor_in_corpus, true AS not_self,
+      |  true AS score_exact, true AS monotone
+      |FROM embeddings e CROSS JOIN generate_series(1, 5) r(rank)
+      |ORDER BY q_id, rank""".stripMargin
+
   /** Session memo of the persisted IVF(+PQ) layout for a dir's
     * embeddings table — the one-time batch build both `pq_build` and
     * `ivf_search_pq` serve from. Eviction deletes the abandoned temp

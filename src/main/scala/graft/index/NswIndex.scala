@@ -888,11 +888,17 @@ object NswIndex {
     * trained over `path/vectors`, one m-byte code per node under
     * `path/<sub>/codes`. Reuses the IVF tier's writer with an empty
     * partition spec (the flat graph layout has no partition scheme);
-    * geometry and determinism contracts are [[PqCodebooks]]'. */
+    * geometry and determinism contracts are [[PqCodebooks]]'.
+    * `rotate = true` fits the OPQ-style basis and encodes in the
+    * rotated space ([[IvfIndex.persistPq]]'s discipline) — the walk's
+    * per-query LUTs rotate automatically ([[pqWalkState]] reads the
+    * persisted basis), so rotation's effect on the QUANTIZED
+    * NAVIGATION is measurable head-to-head (the `nsw_pq_opq` row of
+    * `index_recall_eval`, the IVF tier's `pq_opq` precedent). */
   def persistPq(spark: SparkSession, path: String,
       m: Int = PqCodebooks.defaultM, codes: Int = PqCodebooks.defaultCodes,
-      seed: Long = 42L, sub: String = "pq"): Unit =
-    IvfIndex.persistPq(spark, path, m, codes, seed, rotate = false,
+      seed: Long = 42L, rotate: Boolean = false, sub: String = "pq"): Unit =
+    IvfIndex.persistPq(spark, path, m, codes, seed, rotate = rotate,
       sub = sub, partitionCols = Seq.empty)
 
   /** Exact-rerank quota for the ADC walk: the visited set's
@@ -1106,6 +1112,11 @@ object NswIndex {
       val emb = Tables.embeddings(spark, dir)
       persist(emb, edgesCached(spark, dir), base, metaCols = Seq("label"))
       persistPq(spark, base)
+      // the OPQ-rotated sidecar rides the same base layout under its
+      // own subdir (the IVF pqLayoutFor discipline) — one extra
+      // bounded fit + encode pass, serving the nsw_pq vs nsw_pq_opq
+      // head-to-head row
+      persistPq(spark, base, rotate = true, sub = "pqr")
       base
     }
 

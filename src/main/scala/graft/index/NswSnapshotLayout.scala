@@ -1032,9 +1032,14 @@ object NswSnapshotLayout {
     * `ivf_generation`'s grid (including `retired_refuses`: drop
     * generation 1 last, pin the loud refusal) with the fresh-build
     * identity on the EDGE set (the successor's base graph must equal
-    * a fresh LSH build over the head live rows, set-level) and no
-    * sidecar column (the graph family has none). Cost discipline: the grid is beam-
-    * walk fixed-cost dominated, so `old_asof_served` compares the
+    * a fresh LSH build over the head live rows, set-level) and
+    * `sidecar_carried` pinned at STORED geometry: generation 1 gets a
+    * deliberately non-default 4×8 PQ sidecar, and the cutover's carry
+    * must re-fit the successor's sidecar as 4×8 with its base codes
+    * covering the boundary live set — a carry that re-defaulted its
+    * geometry (or skipped the encode) flips the column, which the IVF
+    * twin's exists-check could not see. Cost discipline: the grid is
+    * beam-walk fixed-cost dominated, so `old_asof_served` compares the
     * routed reconstruction STATE (fingerprints + the route resolving
     * to generation 1) instead of running two walks whose inputs it
     * is — the one head serve keeps the end-to-end walk proof. */
@@ -1051,6 +1056,12 @@ object NswSnapshotLayout {
     SnapshotLayout.copyLayout(spark, pristineScenario(spark, dir), gen1)
     Generations.writePointer(spark, root, 1)
     rollback(spark, gen1, 2L) // head := the good batch
+    // a PQ sidecar at NON-default geometry (m=4, codes=8): the
+    // cutover must re-fit the carried sidecar at its STORED geometry
+    // (newGeneration recovers m/codes from the predecessor's
+    // codebooks) — a carry that silently re-defaulted to 8×16 flips
+    // `sidecar_carried` below, which an exists-check would miss
+    initPq(spark, gen1, m = 4, codes = 8)
     val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
     // pre-cutover as-of-1 state, CAPTURED (checkpoint) so the
@@ -1102,6 +1113,17 @@ object NswSnapshotLayout {
     val crossRefused =
       try { rollbackGen(spark, root, 1L); false }
       catch { case _: IllegalArgumentException => true }
+    // sidecar carried AT ITS STORED GEOMETRY: the successor's
+    // codebooks re-fit as 4 subspaces × 8 codes (not the 8×16
+    // default), and its base codes cover the boundary live set
+    // exactly — checked BEFORE batch 3 appends post-cutover codes
+    val gen2Books = IvfIndex.readCodebooks(spark, gen2, "pq")
+    val gen2BaseLive = spark.read.parquet(s"$gen2/vectors")
+      .filter($"batch_id" === 2L).count()
+    val sidecarCarried = gen2Books.length == 4 &&
+      gen2Books.forall(_.length == 8) &&
+      spark.read.parquet(s"$gen2/pq/codes")
+        .filter($"batch_id" === 2L).count() == gen2BaseLive
     applyBatchGen(spark, root, 3L,
       upserts = all.filter($"vec_id" === 14 || $"vec_id" === 21),
       deletes = all.limit(0).select($"vec_id"))
@@ -1134,12 +1156,13 @@ object NswSnapshotLayout {
           gaugeReset).as("gauge_reset"),
         lit(crossRefused).as("cross_rollback_refused"),
         ($"n_readded" === 2L && lit(landedGen2)).as("post_cutover_applies"),
+        lit(sidecarCarried).as("sidecar_carried"),
         lit(retiredRefuses).as("retired_refuses"))
     perProbe.crossJoin(broadcast(globals))
       .select($"q_id", $"self_found", $"top1_exact", $"matches_fresh",
         $"boundary_live_identical", $"old_asof_served", $"gauge_reset",
         $"cross_rollback_refused", $"post_cutover_applies",
-        $"retired_refuses")
+        $"sidecar_carried", $"retired_refuses")
       .orderBy($"q_id")
   }
 
@@ -1148,7 +1171,7 @@ object NswSnapshotLayout {
       |  true AS matches_fresh, true AS boundary_live_identical,
       |  true AS old_asof_served, true AS gauge_reset,
       |  true AS cross_rollback_refused, true AS post_cutover_applies,
-      |  true AS retired_refuses
+      |  true AS sidecar_carried, true AS retired_refuses
       |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
       |ORDER BY q_id""".stripMargin
 }

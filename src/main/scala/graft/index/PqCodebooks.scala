@@ -319,6 +319,49 @@ object PqCodebooks {
       s.toFloat
     }
 
+  /** Cross-distance table between two codebook sets over the same
+    * subspace split: `table(s)(a)(b)` = squared L2 distance between
+    * entry a of `aBooks(s)` and entry b of `bBooks(s)`, so
+    * `Σ_s table(s)(aCode(s))(bCode(s))` ≈ ‖â − b̂‖² for vectors
+    * encoded against the respective sets (ascending — the [[lut]]
+    * ordering semantics with both sides quantized). m·|a|·|b| doubles:
+    * 64 KiB at the batch join's 8×64×16 — one broadcast serves every
+    * query of a batch kNN join, which is what kills the per-query
+    * driver LUT state for corpus-as-queries shapes. */
+  def crossTable(aBooks: Array[Array[Array[Float]]],
+      bBooks: Array[Array[Array[Float]]]): Array[Array[Array[Double]]] = {
+    require(aBooks.length == bBooks.length,
+      "cross table: codebook sets differ in subspace count")
+    aBooks.indices.toArray.map { s =>
+      val ac = aBooks(s); val bc = bBooks(s)
+      Array.tabulate(ac.length, bc.length) { (a, b) =>
+        var d = 0.0
+        var i = 0
+        while (i < ac(a).length) {
+          val t = ac(a)(i).toDouble - bc(b)(i).toDouble
+          d += t * t
+          i += 1
+        }
+        d
+      }
+    }
+  }
+
+  /** Symmetric-distance table for one codebook set: the
+    * [[crossTable]] of the set against itself. */
+  def sdcTable(books: Array[Array[Array[Float]]]): Array[Array[Array[Double]]] =
+    crossTable(books, books)
+
+  /** Query-side codebook resolution for the batch kNN join: the
+    * CORPUS side is pinned to the sidecar's stored codes, but the
+    * query side is encoded fresh per join — nothing stops it using a
+    * finer alphabet. 64 codes (vs the stored 16) costs the same 1
+    * byte per subspace on the co-location exchange and quarters the
+    * query-side quantization error; measured on sf0.001 it is the
+    * difference between the join clearing the exact-join recall bar
+    * and missing it. */
+  val fineCodes = 64
+
   /** Per-query ADC lookup table against trained codebooks:
     * `lut(s)(c)` = squared L2 distance between the NORMALIZED query's
     * s-th subvector (zero-padded, the encode rule) and codebook entry

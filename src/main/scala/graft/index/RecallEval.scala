@@ -306,9 +306,13 @@ object RecallEval {
   }
 
   def indexRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    // every exact baseline computed ONCE and checkpointed: recallRow
+    // reads its `exact` side twice (hit join + query count) and the
+    // cos5 baseline grades three families — without the checkpoint
+    // the brute scan re-runs per read (6× for cos5 at sf0.1)
     val exactCos10 = exactTopK(spark, dir, 10, dot = false).localCheckpoint(true)
-    val exactCos5 = exactTopK(spark, dir, 5, dot = false)
-    val exactDot10 = exactTopK(spark, dir, 10, dot = true)
+    val exactCos5 = exactTopK(spark, dir, 5, dot = false).localCheckpoint(true)
+    val exactDot10 = exactTopK(spark, dir, 10, dot = true).localCheckpoint(true)
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -392,8 +396,16 @@ object RecallEval {
     // quantization-induced walk regression fails the same table
     val nswPq = NswIndex.searchPersistedPq(spark,
       NswIndex.pqLayoutFor(spark, dir), queries)
+    // the rotated graph sidecar (round 13): whether OPQ pays on the
+    // QUANTIZED NAVIGATION — a walk mis-sorts frontiers on quantized
+    // distances, so rotation's effect here is a genuinely different
+    // question from the IVF tier's pq_opq (a flat ADC pre-rank) —
+    // measured head-to-head against nsw_pq from the same base layout
+    val nswPqOpq = NswIndex.searchPersistedPq(spark,
+      NswIndex.pqLayoutFor(spark, dir), queries, sub = "pqr")
     recallRow("bq", bq, exactCos10, 10, 800000L)
       .unionByName(recallRow("nsw_pq", nswPq, exactCos5, 5, 850000L))
+      .unionByName(recallRow("nsw_pq_opq", nswPqOpq, exactCos5, 5, 850000L))
       .unionByName(
         recallRow("nsw_pq_filtered", nswPqFiltered, exactFiltered, 10, 850000L))
       .unionByName(recallRow("ivf_bq", ivfBq, exactCos10, 10, 800000L))

@@ -590,14 +590,18 @@ object SnapshotLayout {
     * prefix filter) and to every as-of reconstruction. Same dot-tmp +
     * rename discipline as [[writeManifest]] — a tailing reader must
     * never see a truncated marker. */
+  private val RollbackMarkerPattern = """rollback-(\d+)\.json""".r
+
   private[index] def writeRollbackMarker(spark: SparkSession, path: String,
       target: Long): Unit = {
     val dir = new Path(s"$path/_snapshots")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pattern-match and SKIP non-conforming names (a stray
+    // rollback-backup.json must not brick every subsequent rollback) —
+    // the VersionedPointer/ManifestPattern readers' discipline
     val seq = (if (!fs.exists(dir)) Seq.empty[Long]
       else fs.listStatus(dir).map(_.getPath.getName).toSeq
-        .collect { case s if s.startsWith("rollback-") && s.endsWith(".json") =>
-          s.stripPrefix("rollback-").stripSuffix(".json").toLong })
+        .collect { case RollbackMarkerPattern(n) => n.toLong })
       .foldLeft(0L)(math.max) + 1L
     val p = new Path(s"$path/_snapshots/rollback-$seq.json")
     val tmp = new Path(s"$path/_snapshots/.rollback-$seq.json.tmp")

@@ -224,16 +224,22 @@ object IndexStream {
   /** Generation retention cadence: every generation is a FULL layout
     * (vectors + code sidecars), so a sink that cuts over forever
     * without retiring accumulates corpus-sized copies without bound —
-    * at scale that is the dominant storage line item. After each
-    * cutover the sink keeps the current generation plus this many
-    * most-recent predecessors and retires the rest via
-    * [[graft.index.Generations.dropGeneration]] — retired as-ofs
-    * REFUSE at routing (the routing-gap guard) instead of silently
-    * aliasing an older head, the same explicit retention trade the
-    * versioned compaction cadence already makes within a generation.
-    * Retirement runs only on the triggers that cut over: zero cost on
-    * the steady-state path. */
-  val generationRetain = 2
+    * at scale that is the dominant storage line item. A sink given a
+    * finite `retainGens` keeps, after each cutover, the current
+    * generation plus that many most-recent predecessors and retires
+    * the rest via [[graft.index.Generations.dropGeneration]] — retired
+    * as-ofs REFUSE at routing (the routing-gap guard) instead of
+    * silently aliasing an older head, the same explicit retention
+    * trade the versioned compaction cadence already makes within a
+    * generation. Retirement runs only on the triggers that cut over:
+    * zero cost on the steady-state path.
+    *
+    * The DEFAULT is the no-retirement sentinel: retirement DELETES
+    * DATA (historical as-of reads and CDC consumers anchored in a
+    * retired generation start refusing), so it is opt-in — an operator
+    * upgrading an existing root keeps every generation until they pass
+    * a finite `retainGens` deliberately. */
+  val generationRetain: Int = Int.MaxValue
 
   def maintainIvfGenerational(mutations: DataFrame, root: String,
       threshold: Double = IvfIndex.rebuildThreshold,
@@ -313,8 +319,10 @@ object IndexStream {
           // current generation + retainGens predecessors, retire the
           // rest (their as-ofs refuse at routing — the explicit trade)
           val cur = graft.index.Generations.current(spark, root)
+          // long arithmetic: the Int.MaxValue no-retirement sentinel
+          // must not underflow into accidental retirement
           graft.index.Generations.list(spark, root)
-            .filter(_ < cur - retainGens)
+            .filter(_.toLong < cur.toLong - retainGens.toLong)
             .foreach(g =>
               graft.index.Generations.dropGeneration(spark, root, g))
         }
@@ -717,25 +725,69 @@ object IndexStream {
       root
     }
 
+  /** The NSW twin of [[pristineGenCdcRoot]]: the same four-batch
+    * history over a generational GRAPH root — base graph in
+    * generation 1, cutover (a clean LSH rebuild of the head) after
+    * batch 2, corrupt batch 3 in generation 2. The changelog is again
+    * identical to the single-generation scenario's by construction,
+    * so the `gen_nsw` feed leg shares the families' SQL oracle while
+    * exercising [[changesNswGen]]'s family-specific differ
+    * ([[graft.index.NswSnapshotLayout.asOfDiffGen]]) across a real
+    * boundary — a graph-differ regression now flips a CORRECTNESS
+    * row, not just NswSnapshotSpec. */
+  private val genCdcNswCache = new graft.store.VersionedMemo[String](p =>
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(p).getParentFile))
+
+  private[graft] def pristineGenCdcRootNsw(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    genCdcNswCache.get(spark, s"gen_cdc_scenario_nsw:$dir", dir) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-cdc-gen-nsw").toString + "/root"
+      val all = graft.core.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val base = all.filter(col("vec_id") >= 50).localCheckpoint(true)
+      graft.index.NswSnapshotLayout.initGen(base,
+        graft.index.NswIndex.buildEdgesLsh(base), root)
+      graft.index.NswSnapshotLayout.applyBatchGen(spark, root, 1L,
+        upserts = all.filter(col("vec_id") < 25),
+        deletes = all.limit(0).select(col("vec_id")))
+      graft.index.NswSnapshotLayout.applyBatchGen(spark, root, 2L,
+        upserts = all.filter(col("vec_id") >= 25 && col("vec_id") < 50),
+        deletes = all.filter(col("vec_id") < 25 && col("vec_id") % 7 === 0)
+          .select(col("vec_id")))
+      graft.index.NswSnapshotLayout.newGeneration(spark, root)
+      graft.index.NswSnapshotLayout.applyBatchGen(spark, root, 3L,
+        upserts = all.filter(col("vec_id") < 10)
+          .select(col("vec_id"),
+            transform(col("embedding"), _ => lit(0.0f)).as("embedding")),
+        deletes = all.limit(0).select(col("vec_id")))
+      graft.core.Checkpoints.free(base)
+      root
+    }
+
   /** `index_changes_stream`: the streaming CDC feed certified for
-    * both families PLUS the generational reader — each leg drains the
-    * deterministic scenario's manifests with an availableNow trigger
-    * into a fresh consumer dir, and the collected feed must equal the
-    * pure-SQL changelog: batch 0 anchors silently, 0→1 emits the
-    * batch-1 upserts as `added`, 1→2 and 2→3 match `index_asof_diff`'s
-    * legs. The `gen` leg runs the same history across a CUTOVER
-    * ([[pristineGenCdcRoot]]): its 1→2 diff straddles the generation
-    * boundary and the successor's base manifest must skip at the
-    * anchor — the feed a consumer reads across a cutover contains
-    * exactly the real changes, nothing else. Read-only over the
-    * memoized pristine scenarios (the consumer state — checkpoint,
-    * anchor, data — lives in the per-invocation temp dir, never under
-    * the layout). */
+    * both families PLUS both generational readers — each leg drains
+    * the deterministic scenario's manifests with an availableNow
+    * trigger into a fresh consumer dir, and the collected feed must
+    * equal the pure-SQL changelog: batch 0 anchors silently, 0→1
+    * emits the batch-1 upserts as `added`, 1→2 and 2→3 match
+    * `index_asof_diff`'s legs. The `gen`/`gen_nsw` legs run the same
+    * history across a CUTOVER ([[pristineGenCdcRoot]] /
+    * [[pristineGenCdcRootNsw]]): their 1→2 diffs straddle the
+    * generation boundary and the successor's base manifest must skip
+    * at the anchor — the feed a consumer reads across a cutover
+    * contains exactly the real changes, nothing else, on BOTH
+    * families' differs. Read-only over the memoized pristine
+    * scenarios (the consumer state — checkpoint, anchor, data —
+    * lives in the per-invocation temp dir, never under the
+    * layout). */
   def indexChangesStream(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val ivfPath = graft.index.SnapshotLayout.pristineScenario(spark, dir)
     val nswPath = graft.index.NswSnapshotLayout.pristineScenario(spark, dir)
     val genRoot = pristineGenCdcRoot(spark, dir)
+    val genNswRoot = pristineGenCdcRootNsw(spark, dir)
     // deterministic per-app dir, cleared on entry — a fresh temp per
     // invocation would leak one checkpoint+data tree per bench repeat
     val out = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
@@ -750,6 +802,8 @@ object IndexStream {
           col("vec_id"), col("change"))
     }
     run("gen", changesIvfGen(spark, genRoot, s"$out/gen"), "gen")
+      .unionByName(
+        run("gen_nsw", changesNswGen(spark, genNswRoot, s"$out/gen_nsw"), "gen_nsw"))
       .unionByName(run("ivf", changesIvf(spark, ivfPath, s"$out/ivf"), "ivf"))
       .unionByName(run("nsw", changesNsw(spark, nswPath, s"$out/nsw"), "nsw"))
       .orderBy(col("family"), col("to_b"), col("vec_id"))
@@ -757,8 +811,8 @@ object IndexStream {
 
   val indexChangesStreamSql: String =
     """SELECT f.family, d.to_b, d.vec_id, d.change
-      |FROM (SELECT 'gen' AS family UNION ALL SELECT 'ivf'
-      |      UNION ALL SELECT 'nsw') f
+      |FROM (SELECT 'gen' AS family UNION ALL SELECT 'gen_nsw'
+      |      UNION ALL SELECT 'ivf' UNION ALL SELECT 'nsw') f
       |CROSS JOIN (
       |  SELECT CAST(1 AS BIGINT) AS to_b, vec_id, 'added' AS change
       |  FROM embeddings WHERE vec_id < 25

@@ -394,4 +394,74 @@ class PqSpec extends AnyFunSuite {
       lateTop.head.getAs[Long]("score_e6") == 1000000L)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  private def refSdc(a: Array[Byte], b: Array[Byte],
+      table: Array[Array[Array[Double]]]): Double =
+    a.indices.take(math.min(b.length, table.length))
+      .map(s => table(s)(a(s).toInt & 0xff)(b(s).toInt & 0xff)).sum
+
+  test("PqSdc: interpreted and codegen agree with the reference; table matches pairwise codebook distances") {
+    val books = randBooks(m = 4, codes = 8, subDim = 3)
+    val table = PqCodebooks.sdcTable(books)
+    // the table IS the pairwise squared-L2 of codebook entries
+    for (s <- books.indices; c1 <- books(s).indices; c2 <- books(s).indices) {
+      val want = books(s)(c1).zip(books(s)(c2))
+        .map { case (x, y) => val t = x.toDouble - y.toDouble; t * t }.sum
+      assert(math.abs(table(s)(c1)(c2) - want) < 1e-12)
+      assert(table(s)(c1)(c2) == table(s)(c2)(c1), "table must be symmetric")
+      if (c1 == c2) assert(table(s)(c1)(c2) == 0.0)
+    }
+    val tableBc = spark.sparkContext.broadcast(table)
+    val codes: Seq[Array[Byte]] =
+      Seq(Array[Byte](0, 7, 3, 1), Array[Byte](2, 2, 2, 2), Array[Byte](5, 0, 6, 4))
+    // codegen'd projection
+    val got = (for (i <- codes.indices; j <- codes.indices)
+        yield (i * codes.length + j, codes(i).toSeq, codes(j).toSeq))
+      .toDF("row", "a", "b")
+      .select($"row", pq.pqSdc($"a", $"b", tableBc).as("d"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val expected = for (a <- codes; b <- codes) yield refSdc(a, b, table)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+    // interpreted eval
+    import org.apache.spark.sql.types.ByteType
+    for (a <- codes; b <- codes) {
+      val interp = graft.functions.PqSdc(
+        Literal.create(a.toSeq, ArrayType(ByteType)),
+        Literal.create(b.toSeq, ArrayType(ByteType)), tableBc)
+        .eval(null).asInstanceOf[Double]
+      assert(interp == refSdc(a, b, table))
+    }
+    // SDC(code(x), code(y)) approximates the ADC LUT applied to a
+    // quantized query: for encoded q, lut(q̂)(s)(c) sums to the same
+    // table row (the "map-side LUT is a row-select" claim)
+    tableBc.unpersist()
+  }
+
+  test("knn_join_pq: grid all-true, recall@5 >= 0.85 vs exact join") {
+    val grid = IvfIndex.knnJoinPqChecked(spark, sf).collect()
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val n = emb.count()
+    assert(grid.length.toLong == n * 5, "every corpus vector must get exactly 5 ranked hits")
+    Seq("neighbor_in_corpus", "not_self", "score_exact", "monotone").foreach { c =>
+      assert(grid.forall(_.getAs[Boolean](c)), s"grid column $c not all-true")
+    }
+    val exact = graft.operators.KnnSearch.topK(
+      emb.crossJoin(broadcast(emb.select($"vec_id".as("q_id"), $"embedding".as("q_vec"))))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("neighbor_id"),
+          graft.core.Stab.e6(graft.functions.vectors.cosineSim($"embedding", $"q_vec")).as("score_e6")),
+      5, asc = false).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val approx = IvfIndex.knnJoinPq(spark, IvfIndex.pqLayoutFor(spark, sf))
+      .collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls = exact.keys.toSeq.sorted.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"knn_join_pq mean recall@5 vs exact = $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.85, f"mean recall $mean%.3f below bar")
+  }
 }

@@ -15,25 +15,32 @@ class RecallEvalSpec extends AnyFunSuite {
     val rows = graft.index.RecallEval.indexRecallEval(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("bq", "ivf", "ivf_bq", "ivf_filtered", "lsh", "nsw",
-        "nsw_filtered", "nsw_pq", "nsw_pq_filtered", "pca16", "pq",
-        "pq_filtered", "pq_opq", "sq8"),
+        "nsw_filtered", "nsw_pq", "nsw_pq_filtered", "nsw_pq_opq",
+        "pca16", "pq", "pq_filtered", "pq_opq", "sq8"),
       "one row per family, sorted")
-    // the rotated tier serves at the family bar and within noise of
-    // the unrotated build: this synthetic corpus is near-isotropic
+    // the rotated tiers serve at the family bar and within noise of
+    // the unrotated builds: this synthetic corpus is near-isotropic
     // (the pca16 row documents the same property), so the OPQ lift is
     // ~0 here and quantization-boundary noise of ±1-2 neighbors out
-    // of 50 is expected — a LARGER gap would mean the rotation
-    // plumbing (fit/encode/query) is broken. Orthonormality of the
-    // fitted basis is pinned exactly in PqSpec.
+    // of the hit pool is expected — a LARGER gap would mean the
+    // rotation plumbing (fit/encode/query) is broken. Orthonormality
+    // of the fitted basis is pinned exactly in PqSpec. The graph
+    // twin's tolerance is wider (k=5 over 5 queries = 25 hits, so ONE
+    // flipped neighbor moves the mean by 0.04; the walk also re-sorts
+    // frontiers on the rotated distances, compounding the boundary
+    // noise the flat ADC pre-rank doesn't have).
     val byIdx = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(byIdx("pq_opq") >= byIdx("pq") - 40000L,
       s"OPQ rotation lost recall beyond noise: ${byIdx("pq_opq")} vs ${byIdx("pq")}")
+    assert(byIdx("nsw_pq_opq") >= byIdx("nsw_pq") - 80000L,
+      s"graph OPQ rotation lost recall beyond noise: " +
+        s"${byIdx("nsw_pq_opq")} vs ${byIdx("nsw_pq")}")
     rows.foreach { r =>
       val (idx, nq, k, recall, bar, meets) =
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getBoolean(5))
       assert(nq == 5, s"$idx evaluated the fixed 5-query workload")
-      assert(k == (if (idx == "nsw" || idx == "nsw_pq") 5L else 10L),
+      assert(k == (if (Set("nsw", "nsw_pq", "nsw_pq_opq")(idx)) 5L else 10L),
         s"$idx k")
       assert(recall >= 0L && recall <= 1000000L, s"$idx recall in [0,1e6]")
       assert(meets == (recall >= bar), s"$idx meets_bar consistent")
