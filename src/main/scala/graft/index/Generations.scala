@@ -127,14 +127,65 @@ object Generations {
     if (fs.exists(legacy)) fs.delete(legacy, false)
   }
 
-  /** Generation numbers present on disk, ascending, bounded above by
-    * the pointer (a partial successor directory from a crashed
-    * cutover is invisible). */
+  /** Generation numbers present on disk AND not retired, ascending,
+    * bounded above by the pointer (a partial successor directory from
+    * a crashed cutover is invisible; a tombstoned generation — see
+    * [[retireGeneration]] — is already logically gone even though its
+    * files await the deferred purge). */
   def list(spark: SparkSession, root: String): Seq[Int] = {
     val cur = current(spark, root)
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (1 to cur).filter(g => fs.exists(new Path(genPath(root, g))))
+    (1 to cur).filter { g =>
+      fs.exists(new Path(genPath(root, g))) && !isRetired(fs, root, g)
+    }
+  }
+
+  private def tombstone(root: String, g: Int): Path =
+    new Path(s"${genPath(root, g)}/_retired.json")
+
+  private[graft] def isRetired(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, g: Int): Boolean = fs.exists(tombstone(root, g))
+
+  /** Phase 1 of SAFE retirement: write a tombstone into an old
+    * generation. Routing refuses its as-ofs immediately (the
+    * [[list]] skip — the retention trade is visible at once), but the
+    * directory's FILES stay readable, so a change-feed trigger that
+    * listed its manifests just before the retirement still completes
+    * — the listed-but-unread window [[dropGeneration]]'s immediate
+    * delete leaves open. Physical deletion is [[purgeRetired]],
+    * deferred by the caller to a later trigger (the generational sink
+    * purges on the NEXT cutover — a full drift-envelope period, so an
+    * in-flight reader trigger would have to straddle two cutovers to
+    * observe a vanished file). Same preconditions as
+    * [[dropGeneration]]; idempotent. */
+  def retireGeneration(spark: SparkSession, root: String, g: Int): Unit = {
+    val cur = current(spark, root)
+    require(g < cur,
+      s"generation $g is ${if (g == cur) "CURRENT" else "not a predecessor"} " +
+        s"under $root (pointer at $cur) — only old generations can be retired")
+    val p = tombstone(root, g)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(genPath(root, g))),
+      s"generation $g does not exist under $root")
+    val out = fs.create(p, true)
+    try out.write(s"""{"retired":$g}"""
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Phase 2 of SAFE retirement: physically delete every tombstoned
+    * generation directory. Callers run this a full trigger period (or
+    * more) after the tombstones landed — by then no reader can hold a
+    * listing of the retired files (their generation has been refusing
+    * at routing since phase 1). Returns the purged numbers. */
+  def purgeRetired(spark: SparkSession, root: String): Seq[Int] = {
+    val cur = current(spark, root)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1 until cur).filter { g =>
+      fs.exists(new Path(genPath(root, g))) && isRetired(fs, root, g)
+    }.map { g => fs.delete(new Path(genPath(root, g)), true); g }
   }
 
   /** Route an as-of batch id to the generation that answers it: the

@@ -821,10 +821,17 @@ object Collections {
       import spark.implicits._
       val root = java.nio.file.Files
         .createTempDirectory("graft-chunk-gen").toString + "/root"
+      // meta-bearing (round 13): `doc_id` rides the posting rows —
+      // through the delta batch AND the cutover's re-fit — so the
+      // generational root serves the FILTERED mode too (a document-
+      // scoped predicate is the chunk workload's natural filter)
       val corpus = chunkEmbeddings(spark, dir)
+        .select($"vec_id", $"embedding",
+          expr(s"vec_id DIV $chunkIdBase").as("doc_id"))
       graft.index.SnapshotLayout.initGen(
         graft.index.IvfIndex.build(spark,
-          corpus.filter(pmod($"vec_id", lit(5L)) =!= 0L)), root)
+          corpus.filter(pmod($"vec_id", lit(5L)) =!= 0L),
+          metaCols = Seq("doc_id")), root)
       graft.index.SnapshotLayout.applyBatchGen(spark, root, 1L,
         upserts = corpus.filter(pmod($"vec_id", lit(5L)) === 0L),
         deletes = corpus.limit(0).select($"vec_id"))
@@ -869,7 +876,12 @@ object Collections {
     *  - `old_k_hits`: the historical serve still returns a full top-k;
     *  - `old_predates_delta`: every as-of-0 hit comes from the base
     *    fifth-excluded corpus slice — an as-of that leaked post-cutover
-    *    (or delta) chunks would flip it. */
+    *    (or delta) chunks would flip it;
+    *  - `filtered_k_legal` (round 13): the FILTERED head serve through
+    *    the same root — a document-scoped predicate (even doc_id) on
+    *    the carried metaCol — returns a full k with every hit's parent
+    *    document judged from the chunks TABLE (a stale posting-row
+    *    doc_id or a post-filter shortfall flips it). */
   def queryChunksGenChecked(spark: SparkSession, dir: String,
       k: Int = 10): DataFrame = {
     import spark.implicits._
@@ -882,16 +894,35 @@ object Collections {
       .route(spark, root, 0L).endsWith("generation=1")
     val old = queryTextChunksGen(spark, root, dir, k = k, asOf = 0L)
       .localCheckpoint(true)
+    val q = spark.range(1).select(lit(0L).as("q_id"),
+      Embedder.embedText(lit(DemoQueryText)).as("q_vec"))
+    val filteredHits = graft.index.SnapshotLayout.searchAsOfFilteredGen(
+        spark, root, Long.MaxValue, q, pmod(col("doc_id"), lit(2L)) === 0L,
+        k = k).localCheckpoint(true)
+    // k-row hit set broadcasts into the chunk scan (never the
+    // reverse — the serve paths' own join direction), then the ≤k-row
+    // result broadcasts back onto the hits for the null-aware check
+    val hitDocs = chunksRaw(spark, dir)
+      .select(packedChunkId($"doc_id", $"chunk_idx").as("neighbor_id"),
+        $"doc_id")
+      .join(broadcast(filteredHits.select($"neighbor_id")), Seq("neighbor_id"))
+    val filteredLegal = filteredHits.select($"neighbor_id")
+      .join(broadcast(hitDocs), Seq("neighbor_id"), "left")
+      .agg(((count(lit(1)) === k.toLong) &&
+        (count(when($"doc_id".isNull || pmod($"doc_id", lit(2L)) =!= 0L, 1))
+          === 0L)).as("filtered_k_legal"))
     val oldStats = old.agg(
       (count(lit(1)) === k.toLong).as("old_k_hits"),
       (count(when(pmod(packedChunkId($"doc_id", $"chunk_idx"), lit(5L)) === 0L,
         1)) === 0L).as("old_predates_delta"))
       .withColumn("routes_head_successor", lit(routesHead))
       .withColumn("routes_old_predecessor", lit(routesOld))
+      .crossJoin(filteredLegal)
     grid.crossJoin(broadcast(oldStats))
       .select($"rank", $"id_in_corpus", $"content_ok", $"score_bounded",
         $"next_not_higher", $"routes_head_successor",
-        $"routes_old_predecessor", $"old_k_hits", $"old_predates_delta")
+        $"routes_old_predecessor", $"old_k_hits", $"old_predates_delta",
+        $"filtered_k_legal")
       .orderBy($"rank")
   }
 
@@ -899,7 +930,8 @@ object Collections {
     """SELECT CAST(r.rank AS BIGINT) AS rank, true AS id_in_corpus,
       |  true AS content_ok, true AS score_bounded, true AS next_not_higher,
       |  true AS routes_head_successor, true AS routes_old_predecessor,
-      |  true AS old_k_hits, true AS old_predates_delta
+      |  true AS old_k_hits, true AS old_predates_delta,
+      |  true AS filtered_k_legal
       |FROM generate_series(1, 10) r(rank) ORDER BY rank""".stripMargin
 
   /** `persist_chunks_build`: the one-time batch build of the persisted

@@ -315,16 +315,22 @@ object IndexStream {
       graft.index.IndexMeta.read(spark, curPath).foreach { m =>
         if (m.fittedN > 0 && m.deltaSinceFit.toDouble / m.fittedN > threshold) {
           cutover(spark)
-          // retention, on the cutover trigger only: keep the new
-          // current generation + retainGens predecessors, retire the
-          // rest (their as-ofs refuse at routing — the explicit trade)
+          // retention, on the cutover trigger only, in TWO PHASES so a
+          // live change-feed trigger never reads a vanished file:
+          // purge the PREVIOUS cycle's tombstones first (they have
+          // been refusing at routing for a full envelope period — no
+          // reader can still hold a listing of their files), then
+          // tombstone the generations that just fell out of the
+          // window (as-ofs refuse immediately; files linger until the
+          // next cutover's purge)
+          graft.index.Generations.purgeRetired(spark, root)
           val cur = graft.index.Generations.current(spark, root)
           // long arithmetic: the Int.MaxValue no-retirement sentinel
           // must not underflow into accidental retirement
           graft.index.Generations.list(spark, root)
             .filter(_.toLong < cur.toLong - retainGens.toLong)
             .foreach(g =>
-              graft.index.Generations.dropGeneration(spark, root, g))
+              graft.index.Generations.retireGeneration(spark, root, g))
         }
       }
     envelopeCutover()
@@ -403,21 +409,29 @@ object IndexStream {
       apply(batch0, 0L, root)
       val fired = graft.index.Generations.current(spark, root) == 2
       val gen2 = graft.index.Generations.genPath(root, 2)
-      val gaugeReset = graft.index.IndexMeta.read(spark, gen2)
-        .exists(m => m.deltaSinceFit == 0L && m.fittedN == 140L)
+      // the successor gauge as VALUES (round 13): fitted_n is the
+      // cutover-time live count — the base slice plus batch 0's
+      // upserts — and the delta resets to 0; both SQL-recomputable
+      // from the scenario's slice arithmetic, so the oracle derives
+      // them instead of pinning a folded constant-true boolean
+      val gauge = graft.index.IndexMeta.read(spark, gen2)
+      val gen2FittedN = gauge.map(_.fittedN).getOrElse(-1L)
+      val gen2Delta = gauge.map(_.deltaSinceFit).getOrElse(-1L)
       val rows = spark.read.parquet(s"$gen2/vectors").count()
       apply(batch0, 0L, root) // a replay from before the cutover
       val replaySkips = spark.read.parquet(s"$gen2/vectors").count() == rows
       apply(batch1, 1L, root)
       // the VALUE columns below are recomputed by the SQL oracle from
-      // the embeddings table (manifest list, live counts per as-of) —
-      // the grid-oracle depth discipline: where a value is
+      // the embeddings table (manifest list, gauge, live counts per
+      // as-of) — the grid-oracle depth discipline: where a value is
       // SQL-derivable, emit the value and make the oracle recompute
       // it rather than pin a constant `true`
       val gen2Manifests = graft.index.SnapshotLayout
         .manifestIds(spark, gen2).mkString(",")
       spark.range(1).select(lit(family).as("family"),
-        lit(fired).as("cutover_fired"), lit(gaugeReset).as("gauge_reset"),
+        lit(fired).as("cutover_fired"),
+        lit(gen2FittedN).as("gen2_fitted_n"),
+        lit(gen2Delta).as("gen2_delta_since_fit"),
         lit(replaySkips).as("replay_skips"),
         lit(gen2Manifests).as("gen2_manifests"),
         lit(liveCount(root, Long.MaxValue)).as("head_live"),
@@ -438,13 +452,19 @@ object IndexStream {
     ivf.unionByName(nsw).orderBy(col("family"))
   }
 
-  /** The oracle recomputes the live counts from the embeddings table
-    * (base slice 50..174, 15 upserts `< 15`, one delete of id 7) and
-    * pins the successor's manifest id list — value-recomputing where
-    * SQL can express the value, constant-true only for the stream-
-    * machinery booleans whose real coverage is IndexStreamSpec. */
+  /** The oracle recomputes the live counts AND the successor gauge
+    * from the embeddings table (base slice 50..174, 15 upserts
+    * `< 15`, one delete of id 7; fitted_n = the cutover-time live
+    * count, delta resets to 0) and pins the successor's manifest id
+    * list — value-recomputing where SQL can express the value,
+    * constant-true only for the stream-machinery booleans whose real
+    * coverage is IndexStreamSpec. */
   val indexGenerationStreamSql: String =
-    """SELECT f.family, true AS cutover_fired, true AS gauge_reset,
+    """SELECT f.family, true AS cutover_fired,
+      |  (SELECT COUNT(*) FROM embeddings
+      |   WHERE (vec_id >= 50 AND vec_id < 175) OR vec_id < 15)
+      |    AS gen2_fitted_n,
+      |  CAST(0 AS BIGINT) AS gen2_delta_since_fit,
       |  true AS replay_skips, '1,2' AS gen2_manifests,
       |  (SELECT COUNT(*) FROM embeddings
       |   WHERE ((vec_id >= 50 AND vec_id < 175) OR vec_id < 15)
@@ -536,17 +556,20 @@ object IndexStream {
     * itself is an empty diff by construction, the
     * `boundary_live_identical` grid pin). Retiring a generation at or
     * below a consumer's anchor refuses loudly at routing (the
-    * retired-coverage guard) instead of aliasing an older head; a
-    * retirement racing the source's directory listing can fail ONE
-    * trigger transiently (file-not-found mid-glob) — the restart
-    * re-expands the glob without the retired directory and resumes
-    * from the checkpoint, losing nothing. */
+    * retired-coverage guard) instead of aliasing an older head.
+    * Retirement itself cannot fail an in-flight trigger: the sink
+    * retires in two phases ([[graft.index.Generations
+    * .retireGeneration]] tombstones — files stay readable, routing
+    * refuses at once, this reader skips the tombstoned manifests via
+    * its live-ids filter — and the NEXT cutover purges), so a reader
+    * would have to hold one listing across two cutovers to observe a
+    * vanished file. */
   def changesIvfGen(spark: org.apache.spark.sql.SparkSession, root: String,
       outPath: String): DataStreamWriter[Row] =
     changes(spark, s"$root/generation=*/_snapshots", outPath,
       (from, to) =>
         graft.index.SnapshotLayout.asOfDiffGen(spark, root, from, to),
-      () => genManifestIds(spark, root))
+      () => genManifestIds(spark, root), filterToLive = true)
 
   /** The NSW twin: generational change feed over a graph root. */
   def changesNswGen(spark: org.apache.spark.sql.SparkSession, root: String,
@@ -554,7 +577,7 @@ object IndexStream {
     changes(spark, s"$root/generation=*/_snapshots", outPath,
       (from, to) =>
         graft.index.NswSnapshotLayout.asOfDiffGen(spark, root, from, to),
-      () => genManifestIds(spark, root))
+      () => genManifestIds(spark, root), filterToLive = true)
 
   /** All manifest ids visible under a generational root (the
     * head-regression guard's view): per generation bounded by the
@@ -572,7 +595,8 @@ object IndexStream {
 
   private def changes(spark: org.apache.spark.sql.SparkSession,
       sourceGlob: String, outPath: String, diff: (Long, Long) => DataFrame,
-      liveIds: () => Seq[Long]): DataStreamWriter[Row] =
+      liveIds: () => Seq[Long],
+      filterToLive: Boolean = false): DataStreamWriter[Row] =
     spark.readStream.text(sourceGlob)
       .writeStream
       .option("checkpointLocation", s"$outPath/_checkpoint")
@@ -581,9 +605,18 @@ object IndexStream {
         // (one small JSON per maintenance batch), processed ascending
         // so multi-manifest batches emit consecutive diffs in order
         val lines = b.collect().iterator.map(_.getString(0).trim).toSeq
-        val ids = lines
+        val rawIds = lines
           .collect { case ManifestIdPattern(id) => id.toLong }
           .distinct.sorted
+        // generational readers: a TOMBSTONED generation's manifests
+        // are still on disk (deferred purge) and still match the
+        // glob, but its history is logically retired — delivering
+        // them would anchor a fresh reader into history whose diffs
+        // refuse at routing. Restrict to ids some LIVE generation
+        // still manifests (exactly the post-purge view).
+        val ids =
+          if (!filterToLive) rawIds
+          else { val live = liveIds().toSet; rawIds.filter(live) }
         var anchor = readAnchor(spark, outPath)
         // a rollback below the anchor rewrote history this feed
         // already emitted — the checkpoint will never redeliver the

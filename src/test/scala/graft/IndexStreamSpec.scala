@@ -725,6 +725,69 @@ class IndexStreamSpec extends AnyFunSuite {
     q.awaitTermination()
   }
 
+  test("two-phase retirement: tombstones refuse at routing with files intact; next cutover purges; readers skip retired manifests") {
+    val root = tmp("graft-gen-2phase") + "/root"
+    val out = tmp("graft-gen-2phase-out")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gen(g: Int) = new org.apache.hadoop.fs.Path(s"$root/generation=$g")
+    graft.index.SnapshotLayout.initGen(IvfIndex.build(spark, base), root)
+    def mut(ids: Range, op: String): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, vecs(i.toLong), op)).toDF("vec_id", "embedding", "op")
+    drainGen(root, out) // anchor = 0 (generation 1's base manifest)
+    // cutover #1 (fitted 450, 50 upserts > 45): retainGens=1 keeps 1
+    IndexStream.applyIvfGenBatch(mut(0 until 50, "upsert"), 0L, root,
+      retainGens = 1)
+    assert(graft.index.Generations.current(spark, root) == 2)
+    drainGen(root, out) // diff 0→1 routes to the still-live generation 1
+    assert(feedRows(out).contains((1L, 0L, "added")))
+    // cutover #2 (fitted 500, 50 deletes + 1 re-upsert = 51 > 50):
+    // generation 1 falls out of the window — PHASE 1 only
+    val del50 = ((0 until 50).map(i => (i.toLong, vecs(i.toLong), "delete")) :+
+      ((0L, vecs(0L), "upsert"))).toDF("vec_id", "embedding", "op")
+    IndexStream.applyIvfGenBatch(del50, 1L, root, retainGens = 1)
+    assert(graft.index.Generations.current(spark, root) == 3)
+    // tombstoned: files intact (an in-flight reader's listing stays
+    // readable), but logically gone — list skips it, routing refuses
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/generation=1/_snapshots/batch-0.json")),
+      "phase-1 retirement must leave the retired manifests readable")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/generation=1/_retired.json")))
+    assert(graft.index.Generations.list(spark, root) == Seq(2, 3))
+    val ex = intercept[IllegalArgumentException] {
+      graft.index.SnapshotLayout.asOfAssignedGen(spark, root, 0L)
+    }
+    assert(ex.getMessage.contains("predates every generation's floor"))
+    // the anchored reader (anchor 1, covered by live generation 2)
+    // keeps feeding across the retirement — no failed trigger
+    drainGen(root, out)
+    assert(feedRows(out).contains((2L, 1L, "deleted")))
+    // a FRESH reader sees the tombstoned generation's manifests on
+    // disk but SKIPS them (the live-ids filter): it anchors at the
+    // live floor instead of anchoring at 0 and refusing on diff 0→1
+    val out2 = tmp("graft-gen-2phase-out2")
+    drainGen(root, out2)
+    assert(IndexStream.readAnchor(spark, out2).contains(2L),
+      "fresh reader must anchor at the live head, not retired history")
+    // cutover #3 (fitted 451, re-adding 49 deleted ids > 45.1):
+    // PHASE 2 — the previous cycle's tombstone is purged, and
+    // generation 2 is tombstoned in its place
+    IndexStream.applyIvfGenBatch(mut(1 until 50, "upsert"), 2L, root,
+      retainGens = 1)
+    assert(graft.index.Generations.current(spark, root) == 4)
+    assert(!fs.exists(gen(1)), "second cutover must purge the tombstoned dir")
+    assert(fs.exists(gen(2)) && graft.index.Generations
+      .isRetired(fs, root, 2))
+    assert(graft.index.Generations.list(spark, root) == Seq(3, 4))
+    // and the feed still follows
+    drainGen(root, out)
+    assert(feedRows(out).contains((3L, 1L, "added")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out2))
+  }
+
   test("generational changes stream: the feed follows the pointer across cutovers, restart included") {
     val root = tmp("graft-cdc-gen") + "/root"
     val out = tmp("graft-cdc-gen-out")
