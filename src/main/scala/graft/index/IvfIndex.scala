@@ -178,6 +178,26 @@ object IvfIndex {
     KnnSearch.topKSingle(scored, k, asc = false)
   }
 
+  /** Single-query PRE-filter probe search: [[searchFiltered]]'s
+    * semantics with [[searchSingle]]'s cuts — the /query-shaped
+    * filtered serve must not fold its top-k window to one task. */
+  def searchFilteredSingle(built: Built, query: DataFrame,
+      pred: org.apache.spark.sql.Column, nProbe: Int = defaultNProbe,
+      k: Int = 10): DataFrame = {
+    val qMetaCols = query.columns.toSeq.filterNot(Set("q_id", "q_vec"))
+    val probes = query.crossJoin(broadcast(built.centroids))
+      .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
+      .orderBy(col("csim").desc, col("cluster_id").asc)
+      .limit(nProbe)
+      .select(Seq(col("q_id"), col("q_vec"), col("cluster_id")) ++
+        qMetaCols.map(col): _*)
+    val scored = built.assigned.join(broadcast(probes), Seq("cluster_id"))
+      .filter(pred)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"))
+    KnnSearch.topKSingle(scored, k, asc = false)
+  }
+
   /** Approximate all-pairs kNN JOIN: every vector in the index gets
     * its top-k cosine neighbors (self excluded) via IVF probing — the
     * scale path for what [[graft.operators.KnnSearch.knnJoinExact]]

@@ -195,6 +195,20 @@ object SnapshotLayout {
         spark.read.parquet(s"$path/centroids")),
       queries, nProbe, k)
 
+  /** SINGLE-query probe serve from the as-of posting set — the
+    * [[IvfIndex.searchSingle]] discipline composed with time travel:
+    * a one-row query frame with a constant q_id constant-folds a
+    * windowed top-k's partition spec to EMPTY, pulling every scored
+    * candidate into one task; here both cuts are TakeOrdered. The
+    * /query-shaped serves (one text query in) use this. */
+  def searchAsOfSingle(spark: SparkSession, path: String, batchId: Long,
+      query: DataFrame, nProbe: Int = IvfIndex.defaultNProbe,
+      k: Int = 10): DataFrame =
+    IvfIndex.searchSingle(
+      IvfIndex.Built(asOfAssigned(spark, path, batchId),
+        spark.read.parquet(s"$path/centroids")),
+      query, nProbe, k)
+
   /** PRE-filter probe search served from the as-of posting set — the
     * filtered serving mode composed with time travel: the metadata a
     * meta-bearing layout's batches carry ([[applyBatch]]) rides the
@@ -1359,6 +1373,28 @@ object SnapshotLayout {
       k: Int = 10): DataFrame =
     searchAsOf(spark, Generations.route(spark, root, batchId), batchId,
       queries, nProbe, k)
+
+  /** Single-query probe serve routed across generations — the
+    * [[searchAsOfSingle]] shape for /query-style serves over a
+    * generational root. */
+  def searchAsOfSingleGen(spark: SparkSession, root: String, batchId: Long,
+      query: DataFrame, nProbe: Int = IvfIndex.defaultNProbe,
+      k: Int = 10): DataFrame =
+    searchAsOfSingle(spark, Generations.route(spark, root, batchId), batchId,
+      query, nProbe, k)
+
+  /** Single-query PRE-filter probe serve routed across generations —
+    * [[IvfIndex.searchFilteredSingle]] over the routed as-of
+    * reconstruction (the /query-shaped filtered serve). */
+  def searchAsOfFilteredSingleGen(spark: SparkSession, root: String,
+      batchId: Long, query: DataFrame, pred: org.apache.spark.sql.Column,
+      nProbe: Int = 13, k: Int = 10): DataFrame = {
+    val path = Generations.route(spark, root, batchId)
+    IvfIndex.searchFilteredSingle(
+      IvfIndex.Built(asOfAssigned(spark, path, batchId),
+        spark.read.parquet(s"$path/centroids")),
+      query, pred, nProbe, k)
+  }
 
   /** PRE-filter probe serve routed across generations — the filtered
     * serving mode survives a cutover (metadata rides the re-fit:

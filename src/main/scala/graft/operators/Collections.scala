@@ -854,8 +854,11 @@ object Collections {
     import spark.implicits._
     val q = spark.range(1).select(lit(0L).as("q_id"),
       Embedder.embedText(lit(queryText)).as("q_vec"))
+    // single-query serve takes the TakeOrdered shape (the constant
+    // q_id would fold a windowed top-k to one task — the
+    // searchSingleText discipline, applied to the as-of route)
     val hits = graft.index.SnapshotLayout
-      .searchAsOfGen(spark, root, asOf, q, k = k)
+      .searchAsOfSingleGen(spark, root, asOf, q, k = k)
     val chunks = chunksRaw(spark, dir).select(
       packedChunkId($"doc_id", $"chunk_idx").as("neighbor_id"),
       $"doc_id", $"chunk_idx", substring($"chunk_text", 1, 40).as("content"))
@@ -896,7 +899,7 @@ object Collections {
       .localCheckpoint(true)
     val q = spark.range(1).select(lit(0L).as("q_id"),
       Embedder.embedText(lit(DemoQueryText)).as("q_vec"))
-    val filteredHits = graft.index.SnapshotLayout.searchAsOfFilteredGen(
+    val filteredHits = graft.index.SnapshotLayout.searchAsOfFilteredSingleGen(
         spark, root, Long.MaxValue, q, pmod(col("doc_id"), lit(2L)) === 0L,
         k = k).localCheckpoint(true)
     // k-row hit set broadcasts into the chunk scan (never the
