@@ -129,6 +129,8 @@ object SparkEntry {
     // crud_asof's discipline composed with the persisted IVF layout
     "ivf_search_asof" -> (graft.index.SnapshotLayout.ivfSearchAsof _),
     "ivf_search_asof_pq" -> (graft.index.SnapshotLayout.ivfSearchAsofPq _),
+    "knn_join_pq_asof" -> (graft.index.SnapshotLayout.knnJoinPqAsofChecked _),
+    "knn_join_pq_gen" -> (graft.index.SnapshotLayout.knnJoinPqGenChecked _),
     "ivf_search_asof_filtered" -> (graft.index.SnapshotLayout.ivfSearchAsofFiltered _),
     "nsw_search_asof_filtered" -> (graft.index.NswSnapshotLayout.nswSearchAsofFiltered _),
     "nsw_search_asof" -> (graft.index.NswSnapshotLayout.nswSearchAsof _),
@@ -182,6 +184,7 @@ object SparkEntry {
     "dedup_cluster_stats" -> (Dedup.clusterStats _),
     // SemDeDup: k-means clusters bound the pairwise prune (checked grid)
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticDedupChecked(s, d)),
+    "dedup_semantic_pq" -> ((s: SparkSession, d: String) => Dedup.semanticDedupPqChecked(s, d)),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
     // the spans dedup_substring excludes, reported as a stopspan list
     "dedup_boilerplate" -> ((s: SparkSession, d: String) => Dedup.boilerplateSpans(s, d)),
@@ -681,6 +684,8 @@ object SparkEntry {
     "nsw_search_filtered" -> NswIndex.nswSearchFilteredSql,
     "ivf_search_asof" -> graft.index.SnapshotLayout.ivfSearchAsofSql,
     "ivf_search_asof_pq" -> graft.index.SnapshotLayout.ivfSearchAsofPqSql,
+    "knn_join_pq_asof" -> graft.index.SnapshotLayout.knnJoinPqAsofSql,
+    "knn_join_pq_gen" -> graft.index.SnapshotLayout.knnJoinPqGenSql,
     "ivf_search_asof_filtered" -> graft.index.SnapshotLayout.ivfSearchAsofFilteredSql,
     "nsw_search_asof_filtered" -> graft.index.NswSnapshotLayout.nswSearchAsofFilteredSql,
     "nsw_search_asof" -> graft.index.NswSnapshotLayout.nswSearchAsofSql,
@@ -711,6 +716,7 @@ object SparkEntry {
     "dedup_keep_best" -> Dedup.keepBestSql,
     "dedup_cluster_stats" -> Dedup.clusterStatsSql,
     "dedup_semantic" -> Dedup.semanticDedupSql,
+    "dedup_semantic_pq" -> Dedup.semanticDedupPqSql,
     "dedup_substring" -> Dedup.substringSpansSql,
     "dedup_boilerplate" -> Dedup.boilerplateSpansSql,
     "contamination_check" -> Dedup.contaminationSql,

@@ -2,7 +2,7 @@ package graft.dedup
 
 import graft.core.{Stab, Tables}
 import graft.functions.vectors._
-import graft.index.LshIndex
+import graft.index.{LshIndex, PqCodebooks}
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -932,5 +932,124 @@ object Dedup {
     """SELECT count(*) AS n_total, true AS partition_exact,
       |  true AS pairs_resolve, true AS removed_justified,
       |  true AS removed_lt_total
+      |FROM embeddings""".stripMargin
+
+  // ---- compressed semantic dedup (PQ-codes pair generation) -------------
+
+  /** SDC confirm slack: the per-pair overshoot budget between the
+    * symmetric quantized distance and the exact distance. The
+    * prefilter keeps a candidate pair iff
+    * `SDC(a,b) ≤ (2 − 2τ) + slack`; a confirmed-duplicate pair is
+    * LOST (decisions diverge from the raw path) only if quantization
+    * inflates its distance estimate by more than `slack`. Measured on
+    * the test corpora (SemanticDedupSpec reports the max observed
+    * inflation over every exact-confirmed within-cluster pair and
+    * bars it at half this budget) — sized with ≥2× headroom. */
+  val sdcConfirmSlack = 0.5
+
+  /** Candidate stage of [[semanticDedupPqDecisions]] — pair
+    * generation where the within-cluster self-join exchange carries
+    * m-BYTE PQ codes instead of d×4-byte embeddings, factored out so
+    * the plan spec can pin its scale shape in isolation (no
+    * float-array column on any exchange). Scoring a candidate pair is
+    * m byte-indexed adds against one broadcast symmetric-distance
+    * table ([[PqCodebooks.sdcTable]]), not d float multiplies. */
+  private[graft] def semanticDedupPqCand(spark: SparkSession, dir: String,
+      tauE6: Long, slack: Double): DataFrame = {
+    import spark.implicits._
+    val built = graft.index.IvfIndex.buildCached(spark, dir)
+    val books = PqCodebooks.train(Tables.embeddings(spark, dir))
+    val booksBc = spark.sparkContext.broadcast(books)
+    val sdcBc = spark.sparkContext.broadcast(PqCodebooks.sdcTable(books))
+    // the checkpointed frame itself is code-width: the raw embedding
+    // is consumed map-side by the encode + centroid-cosine pass and
+    // does not survive this projection
+    val withCodes = built.assigned
+      .join(broadcast(built.centroids), Seq("cluster_id"))
+      .select($"cluster_id", $"vec_id",
+        graft.functions.pq.pqEncode($"embedding", booksBc).as("code"),
+        Stab.e6(cosineSim($"embedding", $"centroid")).as("centroid_cos_e6"))
+      .localCheckpoint(true)
+    // on unit vectors ‖a−b‖² = 2 − 2·cos, so cos ≥ τ ⇔ dist ≤ 2−2τ;
+    // SDC estimates that distance with both sides quantized — the
+    // slack absorbs the quantization inflation (false positives cost
+    // only exact confirms; false negatives would change decisions)
+    val bound = 2.0 - 2.0 * tauE6.toDouble / 1e6 + slack
+    val a = withCodes.select($"cluster_id", $"vec_id".as("a_id"),
+      $"code".as("a_code"), $"centroid_cos_e6".as("a_cc"))
+    val b = withCodes.select($"cluster_id", $"vec_id".as("b_id"),
+      $"code".as("b_code"), $"centroid_cos_e6".as("b_cc"))
+    a.join(b, Seq("cluster_id"))
+      .filter($"a_id" < $"b_id")
+      .filter(graft.functions.pq.pqSdc($"a_code", $"b_code", sdcBc) <= lit(bound))
+      .select($"a_id", $"b_id", $"a_cc", $"b_cc")
+  }
+
+  /** Compressed [[semanticDedupDecisions]]: same SemDeDup semantics,
+    * same clusters, same removal rule — but the O(n²/k)-shaped
+    * within-cluster pair stage runs over PQ codes
+    * ([[semanticDedupPqCand]]), and raw embeddings move only for the
+    * shortlisted candidate pairs (two narrow-key joins, the
+    * [[graft.index.IvfIndex.knnJoinPq]] rerank discipline). Every
+    * shortlisted pair is confirmed by the EXACT stabilized cosine, so
+    * decisions are identical to the raw path as long as the SDC
+    * prefilter drops no true pair — the `slack` budget's contract,
+    * measured and barred in SemanticDedupSpec and pinned per-corpus
+    * by the checked grid's `decisions_match_raw`.
+    *
+    * At 100 TB this is the difference between the dedup job's shuffle
+    * moving n²/k · d×4 bytes and n²/k · m bytes (32× at d=64, m=8):
+    * the pair stage, not the confirm, is the job. */
+  def semanticDedupPqDecisions(spark: SparkSession, dir: String,
+      tauE6: Long = 400000L, slack: Double = sdcConfirmSlack): DataFrame = {
+    import spark.implicits._
+    val cand = semanticDedupPqCand(spark, dir, tauE6, slack)
+      .localCheckpoint(true)
+    val emb = Tables.embeddings(spark, dir)
+    val losers = cand
+      .join(emb.select($"vec_id".as("a_id"), $"embedding".as("a_emb")), Seq("a_id"))
+      .join(emb.select($"vec_id".as("b_id"), $"embedding".as("b_emb")), Seq("b_id"))
+      .filter(Stab.e6(cosineSim($"a_emb", $"b_emb")) >= tauE6)
+      .select(when($"a_cc" < $"b_cc" ||
+          ($"a_cc" === $"b_cc" && $"a_id" > $"b_id"), $"a_id")
+        .otherwise($"b_id").as("vec_id"))
+      .distinct()
+    val built = graft.index.IvfIndex.buildCached(spark, dir)
+    val withC = built.assigned
+      .join(broadcast(built.centroids), Seq("cluster_id"))
+      .select($"cluster_id", $"vec_id",
+        Stab.e6(cosineSim($"embedding", $"centroid")).as("centroid_cos_e6"))
+    withC.join(losers.withColumn("lost", lit(true)), Seq("vec_id"), "left_outer")
+      .select($"vec_id", $"cluster_id", $"centroid_cos_e6",
+        coalesce(!$"lost", lit(true)).as("keep"))
+  }
+
+  /** `dedup_semantic_pq` through a summary contract grid: `n_total`
+    * is the SQL-exact corpus count; `partition_exact` pins one
+    * decision per vector; `decisions_match_raw` pins the whole
+    * decision frame IDENTICAL to the raw full-width path's (both
+    * directions of exceptAll empty) — the compressed pair stage is
+    * an optimization, not a semantics change; `removed_lt_total`
+    * pins the prune never consuming the corpus. */
+  def semanticDedupPqChecked(spark: SparkSession, dir: String,
+      tauE6: Long = 400000L): DataFrame = {
+    import spark.implicits._
+    val pqDec = semanticDedupPqDecisions(spark, dir, tauE6).localCheckpoint(true)
+    val rawDec = semanticDedupDecisions(spark, dir, tauE6).localCheckpoint(true)
+    val nTotal = Tables.embeddings(spark, dir).count()
+    val nDecisions = pqDec.count()
+    val nDistinctIds = pqDec.select($"vec_id").distinct().count()
+    val diff = pqDec.exceptAll(rawDec).count() + rawDec.exceptAll(pqDec).count()
+    val nRemoved = pqDec.filter(!$"keep").count()
+    Seq((nTotal,
+      nDecisions == nTotal && nDistinctIds == nTotal,
+      diff == 0L,
+      nRemoved < nTotal)).toDF(
+      "n_total", "partition_exact", "decisions_match_raw", "removed_lt_total")
+  }
+
+  val semanticDedupPqSql: String =
+    """SELECT count(*) AS n_total, true AS partition_exact,
+      |  true AS decisions_match_raw, true AS removed_lt_total
       |FROM embeddings""".stripMargin
 }

@@ -335,6 +335,108 @@ object SnapshotLayout {
     graft.operators.KnnSearch.topK(scored, k, asc = false)
   }
 
+  /** Compressed batch kNN join served AS OF `batchId`: the
+    * [[IvfIndex.knnJoinPq]] all-pairs shape composed with the
+    * versioned layout — every vector LIVE as of the batch gets its
+    * top-k among the other live vectors, with the same no-full-width
+    * exchange discipline:
+    *  - probe fan-out and the fine-alphabet query encode run MAP-SIDE
+    *    over the stored posting tree (`batch_id ≤ B` scan → project;
+    *    the embedding never reaches an exchange — encoding superseded
+    *    versions wastes bounded work, history depth × encode cost,
+    *    which compaction folds away; the alternative, attaching
+    *    winners first, would push every live embedding through a
+    *    shuffle);
+    *  - the keys-only [[asOfWinners]] pairs (16 B/row) then filter the
+    *    probe rows to live queries and [[asOfCodes]] supplies the live
+    *    candidate codes, so the cluster co-location join is codes ⋈
+    *    probes exactly like the head join;
+    *  - exact rerank direct-addresses the winning raw rows by
+    *    (cluster_id, vec_id, batch_id) for the n×rerank shortlist.
+    * The fine query-side codebooks fit on the LIVE rows (winners
+    * attach inside the bounded TakeOrdered fit job, not the candidate
+    * plan) — fitting on raw stored rows would make the sample
+    * ambiguous between versions of the same id and the codebooks
+    * layout-dependent. */
+  def knnJoinPqAsOf(spark: SparkSession, path: String, batchId: Long,
+      nProbe: Int = IvfIndex.defaultNProbe, k: Int = 5, rerank: Int = 200,
+      sub: String = "pq"): DataFrame = {
+    val cand = knnJoinPqAsOfCand(spark, path, batchId, nProbe, rerank, sub)
+    val raw = spark.read.parquet(s"$path/vectors")
+    val nv = raw.join(cand, Seq("cluster_id", "vec_id", "batch_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_vec"))
+    val qWinners = asOfWinners(spark, path, batchId)
+      .withColumnRenamed("vec_id", "q_id")
+    val qv = raw.select(col("vec_id").as("q_id"), col("batch_id"),
+        col("embedding").as("q_vec"))
+      .join(qWinners, Seq("q_id", "batch_id"))
+    val exact = nv.join(qv.select(col("q_id"), col("q_vec")), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        graft.core.Stab.e6(
+          graft.functions.vectors.cosineSim(col("n_vec"), col("q_vec")))
+          .as("score_e6"))
+    graft.operators.KnnSearch.topK(exact, k, asc = false)
+  }
+
+  /** Candidate stage of [[knnJoinPqAsOf]] — everything through the
+    * per-query rerank cut, before any raw vector is touched; factored
+    * out so the plan spec can pin that no float-array column rides
+    * any of its exchanges. */
+  private[graft] def knnJoinPqAsOfCand(spark: SparkSession, path: String,
+      batchId: Long, nProbe: Int, rerank: Int, sub: String): DataFrame = {
+    repairCompaction(spark, path)
+    val books = IvfIndex.readCodebooks(spark, path, sub)
+    val rotation = IvfIndex.readRotation(spark, path, sub)
+    val raw = spark.read.parquet(s"$path/vectors")
+      .filter(col("batch_id") <= batchId)
+    val winners = asOfWinners(spark, path, batchId)
+    // fine-alphabet fit on the LIVE set: one bounded TakeOrdered job,
+    // eager, outside the candidate plan
+    val liveForFit = {
+      val l = raw.select(col("vec_id"), col("batch_id"), col("embedding"))
+        .join(winners, Seq("vec_id", "batch_id"))
+      rotation.map(r => l.select(col("vec_id"),
+          PqCodebooks.rotateCol(col("embedding"), r).as("embedding")))
+        .getOrElse(l.select(col("vec_id"), col("embedding")))
+    }
+    val fineBooks = PqCodebooks.train(liveForFit,
+      books.length, PqCodebooks.fineCodes)
+    val booksBc = spark.sparkContext.broadcast(fineBooks)
+    val sdcBc = spark.sparkContext.broadcast(
+      PqCodebooks.crossTable(fineBooks, books))
+    val centArr = spark.read.parquet(s"$path/centroids")
+      .agg(collect_list(struct(col("cluster_id"), col("centroid"))).as("cents"))
+    val encodeInput = rotation.map(r =>
+      PqCodebooks.rotateCol(col("embedding"), r)).getOrElse(col("embedding"))
+    // map-side probe fan-out + encode over EVERY stored row ≤ B; the
+    // embedding dies in this projection, and the winners join below
+    // keeps only live versions
+    val probes = raw
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id").as("q_id"), col("batch_id"),
+        graft.functions.pq.pqEncode(encodeInput, booksBc).as("q_code"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct((-graft.functions.vectors.cosineSim(
+              col("embedding"), c.getField("centroid"))).as("neg_sim"),
+            c.getField("cluster_id").as("cluster_id")))), 1, nProbe)).as("p"))
+      .select(col("q_id"), col("batch_id"), col("q_code"),
+        col("p.cluster_id").as("cluster_id"))
+      .join(winners.withColumnRenamed("vec_id", "q_id"),
+        Seq("q_id", "batch_id"))
+      .select(col("q_id"), col("q_code"), col("cluster_id"))
+    val codes = asOfCodes(spark, path, batchId, sub)
+      .select(col("cluster_id"), col("vec_id"), col("batch_id"), col("code"))
+    val scored = codes.join(probes, Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cluster_id"), col("vec_id"), col("batch_id"),
+        graft.functions.pq.pqSdc(col("q_code"), col("code"), sdcBc).as("sdc"))
+    scored.withColumn("srank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sdc").asc, col("vec_id").asc)))
+      .filter(col("srank") <= rerank)
+      .select(col("q_id"), col("cluster_id"), col("vec_id"), col("batch_id"))
+  }
+
   /** Roll back to `batchId`: delete every later batch's directories
     * (vectors and tombstones) and restore the sidecar from the
     * target's manifest. No rebuild, no rewrite of surviving files. */
@@ -968,6 +1070,123 @@ object SnapshotLayout {
       |  true AS rollback_prunes
       |FROM embeddings WHERE vec_id < 5 AND vec_id % 7 <> 0
       |ORDER BY q_id""".stripMargin
+
+  /** `knn_join_pq_asof`: [[knnJoinPqAsOf]] over [[pristineScenario]]
+    * at the good batch (as-of 2; read-only, so no per-invocation copy
+    * is needed), pushed through the [[IvfIndex.knnJoinPqChecked]]
+    * oracle grid against the SQL-recomputable live set — every id
+    * except the batch-2 deletes (`< 25 ∧ % 7 = 0`) gets a full k:
+    *  - `neighbor_live`: each hit is a live-as-of-2 id (a tombstoned
+    *    id or a fabricated one joins to nothing and flips the hash);
+    *  - `score_exact`: each score recomputed here as the exact e6
+    *    cosine of the two embeddings from the TABLE — as of batch 2
+    *    every live id's embedding equals the table's, so a leaked
+    *    batch-3 corrupt row (zero vector, exists at head for
+    *    `vec_id < 10`) cannot score exact and flips the hash;
+    *  - `not_self`, `monotone`: the batch-join contract. */
+  def knnJoinPqAsofChecked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = pristineScenario(spark, dir)
+    val hits = knnJoinPqAsOf(spark, path, 2L).localCheckpoint(true)
+    val live = Tables.embeddings(spark, dir)
+      .filter(!($"vec_id" < 25 && $"vec_id" % 7 === 0))
+      .select($"vec_id", $"embedding")
+    val qv = live.select($"vec_id".as("q_id"), $"embedding".as("q_vec0"))
+    val nv = live.select($"vec_id".as("neighbor_id"), $"embedding".as("n_vec0"))
+    val next = hits.select($"q_id", ($"rank" - 1).as("rank"),
+      $"score_e6".as("next_score"))
+    hits.join(qv, Seq("q_id")).join(nv, Seq("neighbor_id"), "left")
+      .join(next, Seq("q_id", "rank"), "left")
+      .select($"q_id", $"rank",
+        $"n_vec0".isNotNull.as("neighbor_live"),
+        ($"q_id" =!= $"neighbor_id").as("not_self"),
+        coalesce(graft.core.Stab.e6(graft.functions.vectors.cosineSim(
+            $"n_vec0", $"q_vec0")) === $"score_e6",
+          lit(false)).as("score_exact"),
+        coalesce($"next_score" <= $"score_e6", lit(true)).as("monotone"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val knnJoinPqAsofSql: String =
+    """SELECT e.vec_id AS q_id, CAST(r.rank AS BIGINT) AS rank,
+      |  true AS neighbor_live, true AS not_self,
+      |  true AS score_exact, true AS monotone
+      |FROM embeddings e CROSS JOIN generate_series(1, 5) r(rank)
+      |WHERE NOT (e.vec_id < 25 AND e.vec_id % 7 = 0)
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** Compressed batch kNN join routed across generations: the offline
+    * all-pairs job reads whatever generation answers the as-of —
+    * after a cutover the successor's fresh fit and CARRIED PQ sidecar
+    * serve it, so the periodic neighbor-graph build keeps its
+    * no-full-width-exchange shape across index lifecycle events. */
+  def knnJoinPqGen(spark: SparkSession, root: String, batchId: Long,
+      nProbe: Int = IvfIndex.defaultNProbe, k: Int = 5, rerank: Int = 200,
+      sub: String = "pq"): DataFrame =
+    knnJoinPqAsOf(spark, Generations.route(spark, root, batchId), batchId,
+      nProbe, k, rerank, sub)
+
+  /** `knn_join_pq_gen`: [[knnJoinPqGen]] at HEAD over a generational
+    * wrap of [[pristineScenario]] (copied → generation 1, rolled back
+    * to the good batch 2, then cut over — the ivf_generation
+    * scenario), so the batch join must route to the SUCCESSOR and
+    * serve from its fresh fit + carried PQ sidecar. Per-hit
+    * invariants are [[knnJoinPqAsofChecked]]'s (`neighbor_live`,
+    * `score_exact` vs the TABLE, `not_self`, `monotone` — the live
+    * set at head equals the batch-2 live set, re-addressed by the
+    * cutover); globals pin the lifecycle:
+    *  - `routed_to_successor`: the head route resolves to generation
+    *    2 and the pointer agrees;
+    *  - `sidecar_carried`: the successor owns a code sidecar (the
+    *    carry, not a leftover — generation 1's files are untouched
+    *    but unused at head). */
+  def knnJoinPqGenChecked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
+      s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/ivf_gen_join"
+    val gen1 = Generations.genPath(root, 1)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    copyLayout(spark, pristineScenario(spark, dir), gen1)
+    Generations.writePointer(spark, root, 1)
+    rollback(spark, gen1, 2L) // head := the good batch
+    newGeneration(spark, root)
+    val hits = knnJoinPqGen(spark, root, Long.MaxValue).localCheckpoint(true)
+    val routedOk = Generations.current(spark, root) == 2 &&
+      Generations.route(spark, root, Long.MaxValue) ==
+        Generations.genPath(root, 2)
+    val sidecarOk = fs.exists(
+      new Path(s"${Generations.genPath(root, 2)}/pq/codes"))
+    val live = Tables.embeddings(spark, dir)
+      .filter(!($"vec_id" < 25 && $"vec_id" % 7 === 0))
+      .select($"vec_id", $"embedding")
+    val qv = live.select($"vec_id".as("q_id"), $"embedding".as("q_vec0"))
+    val nv = live.select($"vec_id".as("neighbor_id"), $"embedding".as("n_vec0"))
+    val next = hits.select($"q_id", ($"rank" - 1).as("rank"),
+      $"score_e6".as("next_score"))
+    hits.join(qv, Seq("q_id")).join(nv, Seq("neighbor_id"), "left")
+      .join(next, Seq("q_id", "rank"), "left")
+      .select($"q_id", $"rank",
+        $"n_vec0".isNotNull.as("neighbor_live"),
+        ($"q_id" =!= $"neighbor_id").as("not_self"),
+        coalesce(graft.core.Stab.e6(graft.functions.vectors.cosineSim(
+            $"n_vec0", $"q_vec0")) === $"score_e6",
+          lit(false)).as("score_exact"),
+        coalesce($"next_score" <= $"score_e6", lit(true)).as("monotone"),
+        lit(routedOk).as("routed_to_successor"),
+        lit(sidecarOk).as("sidecar_carried"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val knnJoinPqGenSql: String =
+    """SELECT e.vec_id AS q_id, CAST(r.rank AS BIGINT) AS rank,
+      |  true AS neighbor_live, true AS not_self,
+      |  true AS score_exact, true AS monotone,
+      |  true AS routed_to_successor, true AS sidecar_carried
+      |FROM embeddings e CROSS JOIN generate_series(1, 5) r(rank)
+      |WHERE NOT (e.vec_id < 25 AND e.vec_id % 7 = 0)
+      |ORDER BY q_id, rank""".stripMargin
 
   /** `ivf_search_asof_filtered`: filtered serving composed with time
     * travel — the last empty cell of the serving-mode matrix

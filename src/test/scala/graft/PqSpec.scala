@@ -464,4 +464,51 @@ class PqSpec extends AnyFunSuite {
     info(f"knn_join_pq mean recall@5 vs exact = $mean%.3f over ${recalls.size} queries")
     assert(mean >= 0.85, f"mean recall $mean%.3f below bar")
   }
+
+  test("knn_join_pq_asof: grid all-true, recall@5 >= 0.85 vs the exact as-of join") {
+    val grid = graft.index.SnapshotLayout.knnJoinPqAsofChecked(spark, sf).collect()
+    val live = graft.core.Tables.embeddings(spark, sf)
+      .filter(!($"vec_id" < 25 && $"vec_id" % 7 === 0))
+      .select($"vec_id", $"embedding")
+      .localCheckpoint(true)
+    val n = live.count()
+    assert(grid.length.toLong == n * 5,
+      "every live-as-of-2 vector must get exactly 5 ranked hits")
+    Seq("neighbor_live", "not_self", "score_exact", "monotone").foreach { c =>
+      assert(grid.forall(_.getAs[Boolean](c)), s"grid column $c not all-true")
+    }
+    // exact as-of join: brute top-5 over the live set only
+    val exact = graft.operators.KnnSearch.topK(
+      live.crossJoin(broadcast(live.select($"vec_id".as("q_id"), $"embedding".as("q_vec"))))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("neighbor_id"),
+          graft.core.Stab.e6(graft.functions.vectors.cosineSim($"embedding", $"q_vec")).as("score_e6")),
+      5, asc = false).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val approx = graft.index.SnapshotLayout.knnJoinPqAsOf(spark,
+        graft.index.SnapshotLayout.pristineScenario(spark, sf), 2L)
+      .collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls = exact.keys.toSeq.sorted.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"knn_join_pq_asof mean recall@5 vs exact = $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.85, f"mean recall $mean%.3f below bar")
+    graft.core.Checkpoints.free(live)
+  }
+
+  test("knn_join_pq_gen: grid all-true across the cutover (successor's carried sidecar serves the batch join)") {
+    val grid = graft.index.SnapshotLayout.knnJoinPqGenChecked(spark, sf).collect()
+    val n = graft.core.Tables.embeddings(spark, sf)
+      .filter(!($"vec_id" < 25 && $"vec_id" % 7 === 0)).count()
+    assert(grid.length.toLong == n * 5,
+      "every live-at-head vector must get exactly 5 ranked hits")
+    Seq("neighbor_live", "not_self", "score_exact", "monotone",
+      "routed_to_successor", "sidecar_carried").foreach { c =>
+      assert(grid.forall(_.getAs[Boolean](c)), s"grid column $c not all-true")
+    }
+  }
 }

@@ -55,4 +55,60 @@ class Round13PlanSpec extends AnyFunSuite {
       assert(cand.select($"q_id").distinct().count() == n)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  test("dedup_semantic_pq candidate stage: no float-array column rides any exchange") {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cand = graft.dedup.Dedup.semanticDedupPqCand(spark, sf,
+        tauE6 = 400000L, slack = graft.dedup.Dedup.sdcConfirmSlack)
+      val plan = cand.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(exchanges.nonEmpty, "pair stage lost its cluster co-location shuffle?")
+      exchanges.foreach { e =>
+        val floatArrays = e.output.filter(_.dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        })
+        assert(floatArrays.isEmpty,
+          s"pair-stage exchange carries full-width float arrays " +
+            s"${floatArrays.map(_.name).mkString(",")}:\n$e")
+      }
+      // and the stage still finds pairs on this corpus — an empty
+      // candidate set would make the decisions-match pin vacuous
+      assert(cand.count() > 0, "no candidate pairs at τ=0.40 + slack")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("knn_join_pq_asof candidate stage: no float-array column rides any exchange") {
+    val path = graft.index.SnapshotLayout.pristineScenario(spark, sf)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cand = graft.index.SnapshotLayout.knnJoinPqAsOfCand(spark, path,
+        batchId = 2L, nProbe = IvfIndex.defaultNProbe, rerank = 200, sub = "pq")
+      val plan = cand.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(exchanges.nonEmpty, "as-of candidate stage lost its shuffles?")
+      exchanges.foreach { e =>
+        val floatArrays = e.output.filter(_.dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        })
+        assert(floatArrays.isEmpty,
+          s"as-of candidate-stage exchange carries full-width float arrays " +
+            s"${floatArrays.map(_.name).mkString(",")}:\n$e")
+      }
+      // every live-as-of-2 vector shortlisted (tombstoned ids absent)
+      val qs = cand.select($"q_id").distinct().collect().map(_.getLong(0)).toSet
+      val live = graft.core.Tables.embeddings(spark, sf)
+        .filter(!($"vec_id" < 25 && $"vec_id" % 7 === 0))
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      assert(qs == live, "candidate q_id set != live-as-of-2 set")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }

@@ -79,4 +79,60 @@ class SemanticDedupSpec extends AnyFunSuite {
       assert(row.getAs[Boolean](c), s"contract check $c failed")
     }
   }
+
+  test("dedup_semantic_pq: compressed pair stage yields IDENTICAL decisions to the raw path") {
+    val row = Dedup.semanticDedupPqChecked(spark, sf).collect().head
+    assert(row.getAs[Long]("n_total") ==
+      graft.core.Tables.embeddings(spark, sf).count())
+    Seq("partition_exact", "decisions_match_raw", "removed_lt_total")
+      .foreach { c => assert(row.getAs[Boolean](c), s"contract check $c failed") }
+  }
+
+  test("SDC prefilter safety: max quantization inflation over confirmed pairs stays inside HALF the slack") {
+    // the compressed path loses a confirmed-dup pair (and diverges
+    // from the raw decisions) only if SDC(a,b) − ‖a−b‖² > slack for
+    // some exact-confirmed pair; measure that inflation over EVERY
+    // within-cluster confirmed pair with an independent driver-side
+    // recompute and demand ≥2× headroom, so codebook drift trips the
+    // suite before it can flip a CORRECTNESS row
+    val tau = 400000L
+    val books = graft.index.PqCodebooks.train(
+      graft.core.Tables.embeddings(spark, sf))
+    val table = graft.index.PqCodebooks.sdcTable(books)
+    val booksBc = spark.sparkContext.broadcast(books)
+    val built = graft.index.IvfIndex.buildCached(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val members = built.assigned
+      .select(col("cluster_id"), col("vec_id"), col("embedding"),
+        graft.functions.pq.pqEncode(col("embedding"), booksBc).as("code"))
+      .collect()
+      .map(r => (r.getAs[Int]("cluster_id"), r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toIndexedSeq,
+        r.getAs[scala.collection.Seq[Byte]]("code").toIndexedSeq))
+    var maxInfl = Double.MinValue
+    var confirmed = 0
+    members.groupBy(_._1).values.foreach { ms =>
+      for (Array((_, _, embA, codeA), (_, _, embB, codeB)) <-
+          ms.sortBy(_._2).combinations(2).map(_.toArray)) {
+        if (cosE6(embA, embB) >= tau) {
+          confirmed += 1
+          // exact squared distance on the normalized sphere
+          val exact = 2.0 - 2.0 * (cosE6(embA, embB).toDouble / 1e6)
+          var sdc = 0.0
+          var s = 0
+          while (s < table.length) {
+            sdc += table(s)(codeA(s).toInt & 0xff)(codeB(s).toInt & 0xff)
+            s += 1
+          }
+          maxInfl = math.max(maxInfl, sdc - exact)
+        }
+      }
+    }
+    assert(confirmed > 0, "no confirmed pairs at τ=0.40 — vacuous corpus")
+    info(f"max SDC inflation over $confirmed confirmed pairs = $maxInfl%.4f " +
+      f"(slack budget ${Dedup.sdcConfirmSlack}%.2f)")
+    assert(maxInfl <= Dedup.sdcConfirmSlack / 2,
+      f"SDC inflation $maxInfl%.4f exceeds half the slack budget " +
+        f"${Dedup.sdcConfirmSlack}%.2f — decisions_match_raw is at risk")
+  }
 }
