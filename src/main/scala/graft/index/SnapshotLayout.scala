@@ -386,6 +386,11 @@ object SnapshotLayout {
   private[graft] def knnJoinPqAsOfCand(spark: SparkSession, path: String,
       batchId: Long, nProbe: Int, rerank: Int, sub: String): DataFrame = {
     repairCompaction(spark, path)
+    // a batch join is an expensive corpus job: an as-of the truncated
+    // log cannot reconstruct must refuse up front (the CDC endpoints'
+    // guard), not silently serve the compaction-floor state under the
+    // requested label
+    requireAnswerable(spark, path, batchId)
     val books = IvfIndex.readCodebooks(spark, path, sub)
     val rotation = IvfIndex.readRotation(spark, path, sub)
     val raw = spark.read.parquet(s"$path/vectors")

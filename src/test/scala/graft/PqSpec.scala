@@ -500,6 +500,15 @@ class PqSpec extends AnyFunSuite {
     graft.core.Checkpoints.free(live)
   }
 
+  test("knn_join_pq_asof refuses an unanswerable as-of loudly (mistyped future batch id)") {
+    val path = graft.index.SnapshotLayout.pristineScenario(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      graft.index.SnapshotLayout.knnJoinPqAsOf(spark, path, 99L).count()
+    }
+    assert(e.getMessage.contains("above the newest manifested batch"),
+      s"wrong refusal: ${e.getMessage}")
+  }
+
   test("knn_join_pq_gen: grid all-true across the cutover (successor's carried sidecar serves the batch join)") {
     val grid = graft.index.SnapshotLayout.knnJoinPqGenChecked(spark, sf).collect()
     val n = graft.core.Tables.embeddings(spark, sf)
