@@ -857,8 +857,16 @@ object Dedup {
     val a = withC.select($"cluster_id", $"vec_id".as("a_id"),
       $"embedding".as("a_emb"), $"centroid_cos_e6".as("a_cc"))
     val b = withC.select($"cluster_id", $"vec_id".as("b_id"),
-      $"embedding".as("b_emb"), $"centroid_cos_e6".as("b_cc"))
-    val losers = a.join(b, Seq("cluster_id"))
+      $"embedding".as("b_emb"), $"centroid_cos_e6".as("b_cc"),
+      graft.index.IvfIndex.coSaltOf($"vec_id").as("cosalt"))
+    // the within-cluster pair join is salted (cluster_id, cosalt) —
+    // the a-side explodes across all salts, so every (a, b) pair still
+    // meets exactly once, in b's bucket; without the salt the pair
+    // stage's parallelism is capped at the CLUSTER COUNT (see
+    // IvfIndex.coSaltBuckets)
+    val losers = a
+      .withColumn("cosalt", explode(graft.index.IvfIndex.coSaltValues))
+      .join(b.hint("shuffle_hash"), Seq("cluster_id", "cosalt"))
       .filter($"a_id" < $"b_id")
       .filter(Stab.e6(cosineSim($"a_emb", $"b_emb")) >= tauE6)
       .select(when($"a_cc" < $"b_cc" ||
@@ -899,8 +907,11 @@ object Dedup {
     val a = withC.select($"cluster_id", $"vec_id".as("a_id"),
       $"embedding".as("a_emb"), $"centroid_cos_e6".as("a_cc"))
     val b = withC.select($"cluster_id", $"vec_id".as("b_id"),
-      $"embedding".as("b_emb"), $"centroid_cos_e6".as("b_cc"))
-    val pairs = a.join(b, Seq("cluster_id"))
+      $"embedding".as("b_emb"), $"centroid_cos_e6".as("b_cc"),
+      graft.index.IvfIndex.coSaltOf($"vec_id").as("cosalt"))
+    val pairs = a
+      .withColumn("cosalt", explode(graft.index.IvfIndex.coSaltValues))
+      .join(b.hint("shuffle_hash"), Seq("cluster_id", "cosalt"))
       .filter($"a_id" < $"b_id")
       .filter(Stab.e6(cosineSim($"a_emb", $"b_emb")) >= tauE6)
       .select($"a_id", $"b_id", $"a_cc", $"b_cc")
@@ -978,8 +989,10 @@ object Dedup {
     val a = withCodes.select($"cluster_id", $"vec_id".as("a_id"),
       $"code".as("a_code"), $"centroid_cos_e6".as("a_cc"))
     val b = withCodes.select($"cluster_id", $"vec_id".as("b_id"),
-      $"code".as("b_code"), $"centroid_cos_e6".as("b_cc"))
-    a.join(b, Seq("cluster_id"))
+      $"code".as("b_code"), $"centroid_cos_e6".as("b_cc"),
+      graft.index.IvfIndex.coSaltOf($"vec_id").as("cosalt"))
+    a.withColumn("cosalt", explode(graft.index.IvfIndex.coSaltValues))
+      .join(b.hint("shuffle_hash"), Seq("cluster_id", "cosalt"))
       .filter($"a_id" < $"b_id")
       .filter(graft.functions.pq.pqSdc($"a_code", $"b_code", sdcBc) <= lit(bound))
       .select($"a_id", $"b_id", $"a_cc", $"b_cc")

@@ -237,13 +237,43 @@ object IvfIndex {
         explode(slice(array_sort(transform(col("cents"), c =>
           struct((-cosineSim(col("q_vec"), c.getField("centroid"))).as("neg_sim"),
             c.getField("cluster_id").as("cluster_id")))), 1, nProbe)).as("p"))
-      .select(col("q_id"), col("q_vec"), col("p.cluster_id").as("cluster_id"))
-    val scored = built.assigned.join(probes, Seq("cluster_id"))
+      .select(col("q_id"), col("q_vec"), col("p.cluster_id").as("cluster_id"),
+        explode(coSaltValues).as("cosalt"))
+    // shuffle_hash: the probes side is corpus-sized (n·nProbe·S keyed
+    // rows) — auto-broadcast would pick it at toy SF and fall over at
+    // scale; the hinted shuffled hash join is the one plan that works
+    // at every SF, building the (smaller-per-partition) corpus side
+    val scored = built.assigned
+      .withColumn("cosalt", coSaltOf(col("vec_id")))
+      .hint("shuffle_hash")
+      .join(probes, Seq("cluster_id", "cosalt"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"))
     KnnSearch.topK(scored, k, asc = false)
   }
+
+  /** Co-location SALT for the batch all-pairs joins: joining on
+    * `cluster_id` alone caps the candidate stage's parallelism at the
+    * CLUSTER COUNT — with the default 16 cells, the n²/k-shaped
+    * scored stream (and the map-side WindowGroupLimit pass the rerank
+    * cut pushes below its shuffle) funnels into ≤16 tasks no matter
+    * how many executors exist; measured on the 10× replica one such
+    * task burned 400+ s CPU while 31 cores idled. The corpus side
+    * salts each posting row by `xxhash64(vec_id) % S` and the probe
+    * side explodes every probe across all S salts (probe rows are
+    * keys+code only, so the ×S inflation is bytes-cheap), making the
+    * join key (cluster_id, cosalt): every candidate pair still meets
+    * EXACTLY once — in the corpus row's salt bucket — so results are
+    * identical, and parallelism becomes k×S. */
+  val coSaltBuckets = 8
+
+  private[graft] def coSaltOf(
+      vecId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(vecId), lit(coSaltBuckets.toLong)).cast("int")
+
+  private[graft] def coSaltValues: org.apache.spark.sql.Column =
+    array((0 until coSaltBuckets).map(lit): _*)
 
   /** argmin-L2 assignment of vectors to EXISTING centroids — the same
     * metric `KMeans.transform` applies to the L2-normalized features
@@ -1098,10 +1128,15 @@ object IvfIndex {
         explode(slice(array_sort(transform(col("cents"), c =>
           struct((-cosineSim(col("embedding"), c.getField("centroid"))).as("neg_sim"),
             c.getField("cluster_id").as("cluster_id")))), 1, nProbe)).as("p"))
-      .select(col("q_id"), col("q_code"), col("p.cluster_id").as("cluster_id"))
+      .select(col("q_id"), col("q_code"), col("p.cluster_id").as("cluster_id"),
+        explode(coSaltValues).as("cosalt"))
     val codes = spark.read.parquet(s"$path/$sub/codes")
-      .select(col("cluster_id"), col("vec_id"), col("code"))
-    val scored = codes.join(probes, Seq("cluster_id"))
+      .select(col("cluster_id"), col("vec_id"), col("code"),
+        coSaltOf(col("vec_id")).as("cosalt"))
+    // shuffle_hash (build = codes): probes are corpus-sized — see
+    // knnJoinIvf's hint note
+    val scored = codes.hint("shuffle_hash")
+      .join(probes, Seq("cluster_id", "cosalt"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         graft.functions.pq.pqSdc(col("q_code"), col("code"), sdcBc).as("sdc"))

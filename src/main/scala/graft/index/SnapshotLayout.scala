@@ -429,10 +429,15 @@ object SnapshotLayout {
         col("p.cluster_id").as("cluster_id"))
       .join(winners.withColumnRenamed("vec_id", "q_id"),
         Seq("q_id", "batch_id"))
-      .select(col("q_id"), col("q_code"), col("cluster_id"))
+      .select(col("q_id"), col("q_code"), col("cluster_id"),
+        explode(IvfIndex.coSaltValues).as("cosalt"))
     val codes = asOfCodes(spark, path, batchId, sub)
-      .select(col("cluster_id"), col("vec_id"), col("batch_id"), col("code"))
-    val scored = codes.join(probes, Seq("cluster_id"))
+      .select(col("cluster_id"), col("vec_id"), col("batch_id"), col("code"),
+        IvfIndex.coSaltOf(col("vec_id")).as("cosalt"))
+    // shuffle_hash (build = codes): probes are corpus-sized — see
+    // IvfIndex.knnJoinIvf's hint note
+    val scored = codes.hint("shuffle_hash")
+      .join(probes, Seq("cluster_id", "cosalt"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("cluster_id"), col("vec_id"), col("batch_id"),
         graft.functions.pq.pqSdc(col("q_code"), col("code"), sdcBc).as("sdc"))

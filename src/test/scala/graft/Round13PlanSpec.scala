@@ -50,6 +50,18 @@ class Round13PlanSpec extends AnyFunSuite {
       }
       assert(windows.length == 1,
         s"expected exactly one Window (the rerank cut), got ${windows.length}")
+      // the co-location exchange must be SALTED: hashing on cluster_id
+      // alone caps the n²/k candidate stage (and the map-side rerank
+      // pre-cut below it) at cluster-count parallelism — measured on
+      // the 10× replica, one task burned 400+ s while 31 cores idled
+      val salted = exchanges.exists(_.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.exists(_.references.exists(_.name == "cosalt"))
+        case _ => false
+      })
+      assert(salted,
+        "no exchange hashes on the co-location salt — candidate-stage " +
+          "parallelism is capped at the cluster count")
       // and the stage still answers: every corpus vector shortlisted
       val n = graft.core.Tables.embeddings(spark, sf).count()
       assert(cand.select($"q_id").distinct().count() == n)
@@ -76,6 +88,13 @@ class Round13PlanSpec extends AnyFunSuite {
           s"pair-stage exchange carries full-width float arrays " +
             s"${floatArrays.map(_.name).mkString(",")}:\n$e")
       }
+      // the pair-stage exchange must be salted (cluster-count ceiling)
+      val salted = exchanges.exists(_.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.exists(_.references.exists(_.name == "cosalt"))
+        case _ => false
+      })
+      assert(salted, "dedup pair stage is not salted")
       // and the stage still finds pairs on this corpus — an empty
       // candidate set would make the decisions-match pin vacuous
       assert(cand.count() > 0, "no candidate pairs at τ=0.40 + slack")
@@ -103,6 +122,13 @@ class Round13PlanSpec extends AnyFunSuite {
           s"as-of candidate-stage exchange carries full-width float arrays " +
             s"${floatArrays.map(_.name).mkString(",")}:\n$e")
       }
+      // the as-of candidate exchange must be salted too
+      val salted = exchanges.exists(_.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.exists(_.references.exists(_.name == "cosalt"))
+        case _ => false
+      })
+      assert(salted, "as-of candidate stage is not salted")
       // every live-as-of-2 vector shortlisted (tombstoned ids absent)
       val qs = cand.select($"q_id").distinct().collect().map(_.getLong(0)).toSet
       val live = graft.core.Tables.embeddings(spark, sf)
