@@ -101,7 +101,12 @@ object SparkEntry {
     // the compressed batch twin: SDC pre-rank over the code sidecar
     // (no full-width floats on the co-location exchange, no driver
     // LUT state) + exact rerank of the shortlist (same grid oracle)
-    "knn_join_pq" -> (IvfIndex.knnJoinPqChecked _),
+    "knn_join_pq" -> ((s: SparkSession, d: String) => IvfIndex.knnJoinPqChecked(s, d)),
+    // the OPQ-rotated sidecar variant: both join sides quantize, so
+    // rotation's decorrelation can pay more in the SDC batch shape
+    // than in serving — promoted to its own key so the head-to-head
+    // is driver-checked, the pq_opq/nsw_pq_opq precedent
+    "knn_join_pq_opq" -> ((s: SparkSession, d: String) => IvfIndex.knnJoinPqChecked(s, d, sub = "pqr")),
     // radius (range) search, BM25 lexical leg, hybrid fusion, and the
     // MMR diversity rerank — the retrieval surface around the ANN core
     "range_search" -> ((s: SparkSession, d: String) => KnnSearch.rangeSearch(s, d)),
@@ -673,6 +678,7 @@ object SparkEntry {
     "knn_join_exact" -> KnnSearch.knnJoinExactSql,
     "knn_join_ivf" -> IvfIndex.knnJoinIvfSql,
     "knn_join_pq" -> IvfIndex.knnJoinPqSql,
+    "knn_join_pq_opq" -> IvfIndex.knnJoinPqSql,
     "range_search" -> KnnSearch.rangeSearchSql,
     "knn_filtered" -> KnnSearch.knnFilteredSql,
     "mine_triplets" -> KnnSearch.mineTripletsSql,

@@ -1154,10 +1154,12 @@ object IvfIndex {
     * flips the hash), ranks monotone. Recall vs the exact join is
     * PqSpec's measured bar; the no-full-width-exchange plan shape is
     * Round13PlanSpec's pin. */
-  def knnJoinPqChecked(spark: SparkSession, dir: String): DataFrame = {
+  def knnJoinPqChecked(spark: SparkSession, dir: String,
+      sub: String = "pq"): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val hits = knnJoinPq(spark, pqLayoutFor(spark, dir)).localCheckpoint(true)
+    val hits = knnJoinPq(spark, pqLayoutFor(spark, dir), sub = sub)
+      .localCheckpoint(true)
     val qv = emb.select($"vec_id".as("q_id"), $"embedding".as("q_vec0"))
     val nv = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("n_vec0"))
     val next = hits.select($"q_id", ($"rank" - 1).as("rank"),

@@ -465,6 +465,37 @@ class PqSpec extends AnyFunSuite {
     assert(mean >= 0.85, f"mean recall $mean%.3f below bar")
   }
 
+  test("knn_join_pq_opq: rotated sidecar clears the bar and stays inside the parity band vs unrotated") {
+    val grid = IvfIndex.knnJoinPqChecked(spark, sf, sub = "pqr").collect()
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    assert(grid.length.toLong == emb.count() * 5)
+    Seq("neighbor_in_corpus", "not_self", "score_exact", "monotone").foreach { c =>
+      assert(grid.forall(_.getAs[Boolean](c)), s"grid column $c not all-true")
+    }
+    val exact = graft.operators.KnnSearch.topK(
+      emb.crossJoin(broadcast(emb.select($"vec_id".as("q_id"), $"embedding".as("q_vec"))))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("neighbor_id"),
+          graft.core.Stab.e6(graft.functions.vectors.cosineSim($"embedding", $"q_vec")).as("score_e6")),
+      5, asc = false).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    def meanRecall(sub: String): Double = {
+      val approx = IvfIndex.knnJoinPq(spark, IvfIndex.pqLayoutFor(spark, sf), sub = sub)
+        .collect()
+        .groupBy(_.getAs[Long]("q_id")).view
+        .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+      val rs = exact.keys.toSeq.sorted.map(q =>
+        approx.getOrElse(q, Set.empty).intersect(exact(q)).size / 5.0)
+      rs.sum / rs.size
+    }
+    val (plain, rotated) = (meanRecall("pq"), meanRecall("pqr"))
+    info(f"knn_join_pq recall@5: unrotated $plain%.3f, OPQ-rotated $rotated%.3f")
+    assert(rotated >= 0.85, f"rotated batch join recall $rotated%.3f below bar")
+    assert(math.abs(rotated - plain) <= 0.08,
+      f"rotation moved batch-join recall by ${rotated - plain}%.3f — outside the parity band")
+  }
+
   test("knn_join_pq_asof: grid all-true, recall@5 >= 0.85 vs the exact as-of join") {
     val grid = graft.index.SnapshotLayout.knnJoinPqAsofChecked(spark, sf).collect()
     val live = graft.core.Tables.embeddings(spark, sf)
