@@ -969,18 +969,35 @@ object Dedup {
       tauE6: Long, slack: Double): DataFrame = {
     import spark.implicits._
     val built = graft.index.IvfIndex.buildCached(spark, dir)
-    val books = PqCodebooks.train(Tables.embeddings(spark, dir))
-    val booksBc = spark.sparkContext.broadcast(books)
+    // opportunistic sidecar reuse: if this session already persisted
+    // a PQ layout for the dir (ivf_search_pq et al.), its UNROTATED
+    // codes are byte-identical to a fresh encode — the fit is
+    // deterministic over the same table (SemanticDedupSpec pins the
+    // byte-identity) — so dedup skips the train AND the corpus
+    // encode pass, reading m-byte code rows instead. peek never
+    // forces the expensive build on sessions that only dedup.
+    val sidecar = graft.index.IvfIndex.pqLayoutPeek(spark, dir)
+    val books = sidecar match {
+      case Some(path) => graft.index.IvfIndex.readCodebooks(spark, path, "pq")
+      case None => PqCodebooks.train(Tables.embeddings(spark, dir))
+    }
     val sdcBc = spark.sparkContext.broadcast(PqCodebooks.sdcTable(books))
     // the checkpointed frame itself is code-width: the raw embedding
-    // is consumed map-side by the encode + centroid-cosine pass and
-    // does not survive this projection
-    val withCodes = built.assigned
-      .join(broadcast(built.centroids), Seq("cluster_id"))
-      .select($"cluster_id", $"vec_id",
-        graft.functions.pq.pqEncode($"embedding", booksBc).as("code"),
-        Stab.e6(cosineSim($"embedding", $"centroid")).as("centroid_cos_e6"))
-      .localCheckpoint(true)
+    // is consumed map-side by the encode + centroid-cosine pass (or
+    // replaced by the stored code rows) and does not survive
+    val base = built.assigned.join(broadcast(built.centroids), Seq("cluster_id"))
+    val withCodes = (sidecar match {
+      case Some(path) =>
+        base.select($"cluster_id", $"vec_id",
+            Stab.e6(cosineSim($"embedding", $"centroid")).as("centroid_cos_e6"))
+          .join(spark.read.parquet(s"$path/pq/codes")
+            .select($"vec_id", $"code"), Seq("vec_id"))
+      case None =>
+        val booksBc = spark.sparkContext.broadcast(books)
+        base.select($"cluster_id", $"vec_id",
+          graft.functions.pq.pqEncode($"embedding", booksBc).as("code"),
+          Stab.e6(cosineSim($"embedding", $"centroid")).as("centroid_cos_e6"))
+    }).localCheckpoint(true)
     // on unit vectors ‖a−b‖² = 2 − 2·cos, so cos ≥ τ ⇔ dist ≤ 2−2τ;
     // SDC estimates that distance with both sides quantized — the
     // slack absorbs the quantization inflation (false positives cost

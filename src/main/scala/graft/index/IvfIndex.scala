@@ -910,7 +910,7 @@ object IvfIndex {
     finally bc.unpersist()
   }
 
-  private[index] def readCodebooks(spark: SparkSession, path: String,
+  private[graft] def readCodebooks(spark: SparkSession, path: String,
       sub: String = "pq"): Array[Array[Array[Float]]] = {
     val rows = spark.read.parquet(s"$path/$sub/codebooks").collect()
       .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
@@ -1188,6 +1188,13 @@ object IvfIndex {
     * layout (same discipline as the chunk-layout memo). */
   private val pqLayoutCache = new graft.store.VersionedMemo[String](p =>
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+
+  /** The memoized persisted PQ layout IF this session already built
+    * one for `dir` (and no store write invalidated it) — never
+    * triggers the build. Lets dedup reuse the sidecar's stored codes
+    * (identical by the deterministic fit) instead of re-encoding. */
+  private[graft] def pqLayoutPeek(spark: SparkSession, dir: String): Option[String] =
+    pqLayoutCache.peek(spark, s"pq_layout:$dir", dir)
 
   private[graft] def pqLayoutFor(spark: SparkSession, dir: String): String =
     pqLayoutCache.get(spark, s"pq_layout:$dir", dir) {

@@ -81,6 +81,18 @@ final class VersionedMemo[V](onEvict: V => Unit = (_: V) => ()) {
       }).value
   }
 
+  /** The memoized value if present AND current — never builds. Lets
+    * an operator OPPORTUNISTICALLY reuse an expensive sibling build
+    * (e.g. dedup reading a session's persisted PQ sidecar codes
+    * instead of re-encoding the corpus) without forcing that build
+    * on sessions that never needed it. */
+  def peek(spark: SparkSession, key: String, versionDir: String): Option[V] = {
+    val e = m.get((spark, key))
+    if (e != null && !spark.sparkContext.isStopped &&
+        e.version == IndexVersions.version(versionDir)) Some(e.value)
+    else None
+  }
+
   /** Eviction frees memory best-effort — it must never fail a lookup
     * (e.g. unpersist against an already-stopped session). */
   private def evictQuietly(v: V): Unit =

@@ -80,6 +80,34 @@ class SemanticDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("sidecar reuse contract: persisted PQ codes are byte-identical to a fresh dedup encode") {
+    // the opportunistic reuse path reads the session's persisted
+    // sidecar codes instead of re-encoding; that is sound ONLY
+    // because the deterministic fit makes both encodes identical —
+    // pin it row by row
+    import org.apache.spark.sql.functions.col
+    val path = graft.index.IvfIndex.pqLayoutFor(spark, sf)
+    val stored = spark.read.parquet(s"$path/pq/codes")
+      .select(col("vec_id"), col("code").as("stored_code"))
+    val books = graft.index.PqCodebooks.train(
+      graft.core.Tables.embeddings(spark, sf))
+    val booksBc = spark.sparkContext.broadcast(books)
+    val fresh = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.pq.pqEncode(col("embedding"), booksBc).as("fresh_code"))
+    val n = fresh.count()
+    val matching = stored.join(fresh, Seq("vec_id"))
+      .filter(col("stored_code") === col("fresh_code")).count()
+    assert(stored.count() == n, "sidecar does not cover the corpus")
+    assert(matching == n,
+      s"only $matching of $n stored codes match a fresh encode — the reuse path would change decisions")
+    // and the reused path's grid still holds end to end (the memo is
+    // warm now, so this exercises the REUSE branch)
+    val row = Dedup.semanticDedupPqChecked(spark, sf).collect().head
+    Seq("partition_exact", "decisions_match_raw", "removed_lt_total")
+      .foreach { c => assert(row.getAs[Boolean](c), s"reuse-path contract $c failed") }
+  }
+
   test("dedup_semantic_pq: compressed pair stage yields IDENTICAL decisions to the raw path") {
     val row = Dedup.semanticDedupPqChecked(spark, sf).collect().head
     assert(row.getAs[Long]("n_total") ==
