@@ -40,13 +40,25 @@ object JoinBytes {
       }
     })
 
+    // The listener bus is async: a fixed sleep under-drains on a slow
+    // bus and mis-attributes shuffle bytes across measurements. Block
+    // on LiveListenerBus.waitUntilEmpty instead — it is public
+    // bytecode but private[spark] in the Scala signature, so this
+    // dev-only instrument reaches it reflectively.
+    def drainListenerBus(): Unit = {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+        .invoke(bus, java.lang.Long.valueOf(60000L))
+    }
+
     def measure(label: String)(f: => Long): Unit = {
-      Thread.sleep(2000) // drain listener events from prior jobs
+      drainListenerBus() // events from prior jobs must not leak in
       bytes.reset(); records.reset()
       val t0 = System.nanoTime()
       val n = f
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(2000) // listener bus is async
+      drainListenerBus() // … and this job's events must all be counted
       println(f"JOINBYTES $label%-16s rows=$n%8d wall=$wall%7.2fs " +
         f"shuffleMB=${bytes.sum / 1e6}%9.1f shuffleRows=${records.sum}%12d")
     }

@@ -62,6 +62,14 @@ object Regress {
     }
 
     // ---- B: sub-plans of the exact build ----
+    // Deliberate O(n²) crossJoin: this mirrors nsw_build's EXACT
+    // build (whose scale path is nsw_build_lsh) so the A/B can
+    // isolate which sub-operator regressed. Test instrument only —
+    // never lift this shape into a production path; the cap makes a
+    // misuse on a real corpus fail fast instead of running for days.
+    require(emb.count() <= 100000L,
+      "graft.Regress is a dev instrument: its exact O(n²) sub-plans are " +
+        "capped at 100k vectors — point it at a test-SF dir")
     val pairsScored = emb.select(col("vec_id").as("src"), col("embedding").as("src_vec"))
       .crossJoin(emb.select(col("vec_id").as("dst"), col("embedding").as("dst_vec")))
       .filter(col("src") =!= col("dst"))

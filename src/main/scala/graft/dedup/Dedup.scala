@@ -848,6 +848,7 @@ object Dedup {
   def semanticDedupDecisions(spark: SparkSession, dir: String,
       tauE6: Long = 400000L): DataFrame = {
     import spark.implicits._
+    val saltS = graft.index.IvfIndex.coSaltBuckets
     val built = graft.index.IvfIndex.buildCached(spark, dir)
     val withC = built.assigned
       .join(broadcast(built.centroids), Seq("cluster_id"))
@@ -858,14 +859,14 @@ object Dedup {
       $"embedding".as("a_emb"), $"centroid_cos_e6".as("a_cc"))
     val b = withC.select($"cluster_id", $"vec_id".as("b_id"),
       $"embedding".as("b_emb"), $"centroid_cos_e6".as("b_cc"),
-      graft.index.IvfIndex.coSaltOf($"vec_id").as("cosalt"))
+      graft.index.IvfIndex.coSaltOf($"vec_id", saltS).as("cosalt"))
     // the within-cluster pair join is salted (cluster_id, cosalt) —
     // the a-side explodes across all salts, so every (a, b) pair still
     // meets exactly once, in b's bucket; without the salt the pair
     // stage's parallelism is capped at the CLUSTER COUNT (see
     // IvfIndex.coSaltBuckets)
     val losers = a
-      .withColumn("cosalt", explode(graft.index.IvfIndex.coSaltValues))
+      .withColumn("cosalt", explode(graft.index.IvfIndex.coSaltValues(saltS)))
       .join(b.hint("shuffle_hash"), Seq("cluster_id", "cosalt"))
       .filter($"a_id" < $"b_id")
       .filter(Stab.e6(cosineSim($"a_emb", $"b_emb")) >= tauE6)
@@ -898,6 +899,7 @@ object Dedup {
       tauE6: Long = 400000L): DataFrame = {
     import spark.implicits._
     val dec = semanticDedupDecisions(spark, dir, tauE6).localCheckpoint(true)
+    val saltS = graft.index.IvfIndex.coSaltBuckets
     val built = graft.index.IvfIndex.buildCached(spark, dir)
     val withC = built.assigned
       .join(broadcast(built.centroids), Seq("cluster_id"))
@@ -908,9 +910,9 @@ object Dedup {
       $"embedding".as("a_emb"), $"centroid_cos_e6".as("a_cc"))
     val b = withC.select($"cluster_id", $"vec_id".as("b_id"),
       $"embedding".as("b_emb"), $"centroid_cos_e6".as("b_cc"),
-      graft.index.IvfIndex.coSaltOf($"vec_id").as("cosalt"))
+      graft.index.IvfIndex.coSaltOf($"vec_id", saltS).as("cosalt"))
     val pairs = a
-      .withColumn("cosalt", explode(graft.index.IvfIndex.coSaltValues))
+      .withColumn("cosalt", explode(graft.index.IvfIndex.coSaltValues(saltS)))
       .join(b.hint("shuffle_hash"), Seq("cluster_id", "cosalt"))
       .filter($"a_id" < $"b_id")
       .filter(Stab.e6(cosineSim($"a_emb", $"b_emb")) >= tauE6)
@@ -955,7 +957,16 @@ object Dedup {
     * inflates its distance estimate by more than `slack`. Measured on
     * the test corpora (SemanticDedupSpec reports the max observed
     * inflation over every exact-confirmed within-cluster pair and
-    * bars it at half this budget) — sized with ≥2× headroom. */
+    * bars it at half this budget) — sized with ≥2× headroom.
+    *
+    * The identity guarantee is CORPUS-CONDITIONAL: the budget was
+    * measured on these corpora's codebooks, and a corpus whose
+    * quantization inflation exceeds it would silently drop true
+    * duplicate pairs if [[semanticDedupPqDecisions]] is called
+    * directly. Callers on a new corpus should go through
+    * [[semanticDedupPqChecked]] (whose `decisions_match_raw` column
+    * flips on any divergence) or re-measure the inflation bound for
+    * their trained books before trusting the direct path. */
   val sdcConfirmSlack = 0.5
 
   /** Candidate stage of [[semanticDedupPqDecisions]] — pair
@@ -968,6 +979,7 @@ object Dedup {
   private[graft] def semanticDedupPqCand(spark: SparkSession, dir: String,
       tauE6: Long, slack: Double): DataFrame = {
     import spark.implicits._
+    val saltS = graft.index.IvfIndex.coSaltBuckets
     val built = graft.index.IvfIndex.buildCached(spark, dir)
     // opportunistic sidecar reuse: if this session already persisted
     // a PQ layout for the dir (ivf_search_pq et al.), its UNROTATED
@@ -1007,8 +1019,8 @@ object Dedup {
       $"code".as("a_code"), $"centroid_cos_e6".as("a_cc"))
     val b = withCodes.select($"cluster_id", $"vec_id".as("b_id"),
       $"code".as("b_code"), $"centroid_cos_e6".as("b_cc"),
-      graft.index.IvfIndex.coSaltOf($"vec_id").as("cosalt"))
-    a.withColumn("cosalt", explode(graft.index.IvfIndex.coSaltValues))
+      graft.index.IvfIndex.coSaltOf($"vec_id", saltS).as("cosalt"))
+    a.withColumn("cosalt", explode(graft.index.IvfIndex.coSaltValues(saltS)))
       .join(b.hint("shuffle_hash"), Seq("cluster_id", "cosalt"))
       .filter($"a_id" < $"b_id")
       .filter(graft.functions.pq.pqSdc($"a_code", $"b_code", sdcBc) <= lit(bound))

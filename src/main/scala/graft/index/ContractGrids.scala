@@ -120,13 +120,17 @@ object ContractGrids {
     val n = Tables.embeddings(spark, dir).count()
     val total = built.assigned.count()
     val once = built.assigned.select($"vec_id").distinct().count()
+    // the expected cell count is the corpus-derived one (kFor) — at
+    // the test SFs that is exactly defaultK, on a bigger corpus the
+    // invariant follows the auto sizing instead of pinning a constant
+    val kExpect = IvfIndex.kFor(spark, n)
     val bad = built.assigned.filter($"cluster_id" < 0 ||
-      $"cluster_id" >= IvfIndex.defaultK).count()
+      $"cluster_id" >= kExpect).count()
     val kC = built.centroids.count()
     Seq(
       ("assigned_once", once == total),
       ("assigned_total", total == n),
-      ("centroids_k", kC == IvfIndex.defaultK.toLong),
+      ("centroids_k", kC == kExpect.toLong),
       ("clusters_in_range", bad == 0L))
       .toDF("invariant", "holds").orderBy($"invariant")
   }

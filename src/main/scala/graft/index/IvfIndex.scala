@@ -34,6 +34,55 @@ object IvfIndex {
   // pruning 5/16 of the data; real clustered corpora prune far more.
   val defaultNProbe = 11
 
+  /** Explicit cluster-count override; unset means [[kFor]] derives it
+    * from corpus size. */
+  val kConfKey = "spark.graft.ivf.k"
+
+  /** Hard k ceiling for the auto derivation: past this, centroid
+    * ranking itself (a k-row broadcast scan per query) starts to cost,
+    * and a corpus that big wants an explicitly tuned k anyway. */
+  val maxAutoK = 4096
+
+  /** Cluster count for an n-row corpus: the session conf if set, else
+    * k = max(defaultK, ⌈√n / 3⌉) capped at [[maxAutoK]] — the k ~ √n
+    * sizing every IVF deployment converges on (per-cluster block size
+    * 3√n rows, so both the per-task build side of the salted batch
+    * joins and a probe's partition-pruned read stay bounded as n
+    * grows), floored at the measured test-SF default so the small
+    * corpora the recall bars were tuned on keep their exact layouts.
+    * A 100 TB corpus gets thousands of cells without a code edit; this
+    * sandbox's corpora (≤ 2 304 rows before the floor lifts) keep
+    * k = 16. */
+  def kFor(spark: SparkSession, n: Long): Int =
+    spark.conf.getOption(kConfKey).map(_.toInt).getOrElse(
+      math.min(maxAutoK,
+        math.max(defaultK, math.ceil(math.sqrt(n.toDouble) / 3.0).toInt)))
+
+  /** nProbe for a k-cell index at the SAME probe coverage the measured
+    * default holds (11/16 of the cells): on near-uniform corpora
+    * recall tracks coverage, so scaling k without scaling nProbe would
+    * silently trade recall for speed. Clustered real corpora can serve
+    * with far lower coverage — that is a per-deployment tuning, not a
+    * default. At k = defaultK this is exactly [[defaultNProbe]]. */
+  def nProbeFor(k: Int): Int =
+    math.max(1, math.ceil(k * defaultNProbe.toDouble / defaultK).toInt)
+
+  /** The filtered serves' measured test-SF probe count (13/16 cells):
+    * a selective predicate thins each probed cluster, so the filtered
+    * recall bar needs more coverage than the unfiltered one. */
+  val filteredNProbeBase = 13
+
+  /** Resolve an nProbe parameter: 0 (the auto sentinel) scales
+    * `base`-of-defaultK coverage to the built index's actual cell
+    * count — one tiny count() on the centroids table, which is a
+    * local DataFrame for in-memory builds and a one-footer parquet
+    * read for persisted layouts. */
+  private[graft] def resolveNProbe(nProbe: Int, centroids: DataFrame,
+      base: Int = defaultNProbe): Int =
+    if (nProbe > 0) nProbe
+    else math.max(1, math.ceil(
+      centroids.count() * base.toDouble / defaultK).toInt)
+
   case class Built(assigned: DataFrame, centroids: DataFrame)
 
   /** Session-scoped index memo: the reference builds each index once
@@ -85,7 +134,7 @@ object IvfIndex {
     * (attribute storage) — filtered search reads them in-scan instead
     * of joining a side table per query, the way production vector
     * stores co-locate filterable metadata with the index. */
-  def build(spark: SparkSession, emb: DataFrame, k: Int = defaultK,
+  def build(spark: SparkSession, emb: DataFrame, k: Int = 0,
       seed: Long = 42L, initMode: String = "random",
       metaCols: Seq[String] = Nil): Built = {
     import spark.implicits._
@@ -95,10 +144,13 @@ object IvfIndex {
     // count() on a column-pruned parquet scan is metadata-cheap; the
     // alternative (fit on the full table) is ~20 full scans.
     val n = feat.count()
+    // k = 0 (the default) sizes the index to the corpus — [[kFor]]'s
+    // k ~ √n past the measured small-corpus floor
+    val kUse = if (k > 0) k else kFor(spark, n)
     val train =
       if (n <= fitSampleCap) feat
       else feat.sample(withReplacement = false, fitSampleCap.toDouble / n, seed)
-    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+    val model = new KMeans().setK(kUse).setSeed(seed).setFeaturesCol("features")
       .setInitMode(initMode)
       .fit(train)
     val assigned = model.transform(feat)
@@ -114,8 +166,11 @@ object IvfIndex {
   /** Probe search: rank centroids per query, keep nProbe, semi-join
     * into the assigned table (partition-pruned at scale), brute-force
     * cosine within the probed clusters, top-k. */
-  def search(built: Built, queries: DataFrame, nProbe: Int = defaultNProbe,
+  def search(built: Built, queries: DataFrame, nProbe: Int = 0,
       k: Int = 10): DataFrame = {
+    // nProbe = 0 (the default) scales coverage to the index's actual
+    // cell count — [[resolveNProbe]]; exactly defaultNProbe at k = 16
+    val np = resolveNProbe(nProbe, built.centroids)
     // Probe ranking uses the SAME metric as the within-cluster scoring
     // (cosine). Ranking centroids by L2 while scoring by cosine loses
     // recall on unnormalized data: the L2-nearest centroid need not
@@ -124,7 +179,7 @@ object IvfIndex {
       .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster_id").asc)))
-      .filter(col("crank") <= nProbe)
+      .filter(col("crank") <= np)
       .select(col("q_id"), col("q_vec"), col("cluster_id"))
     val scored = built.assigned.join(broadcast(probes), Seq("cluster_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -144,13 +199,14 @@ object IvfIndex {
     * recall bar under filters should raise nProbe — the candidate
     * pool is |matches|·(nProbe/k-clusters), not |cluster|·nProbe. */
   def searchFiltered(built: Built, queries: DataFrame,
-      pred: org.apache.spark.sql.Column, nProbe: Int = defaultNProbe,
+      pred: org.apache.spark.sql.Column, nProbe: Int = 0,
       k: Int = 10): DataFrame = {
+    val np = resolveNProbe(nProbe, built.centroids)
     val probes = queries.crossJoin(broadcast(built.centroids))
       .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster_id").asc)))
-      .filter(col("crank") <= nProbe)
+      .filter(col("crank") <= np)
       .drop("csim", "crank", "centroid")
     val scored = built.assigned.join(broadcast(probes), Seq("cluster_id"))
       .filter(pred)
@@ -166,11 +222,12 @@ object IvfIndex {
     * the centroid ranking is a TakeOrdered over k centroids and the
     * final cut is [[KnnSearch.topKSingle]]. */
   def searchSingle(built: Built, query: DataFrame,
-      nProbe: Int = defaultNProbe, k: Int = 10): DataFrame = {
+      nProbe: Int = 0, k: Int = 10): DataFrame = {
+    val np = resolveNProbe(nProbe, built.centroids)
     val probes = query.crossJoin(broadcast(built.centroids))
       .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
       .orderBy(col("csim").desc, col("cluster_id").asc)
-      .limit(nProbe)
+      .limit(np)
       .select(col("q_id"), col("q_vec"), col("cluster_id"))
     val scored = built.assigned.join(broadcast(probes), Seq("cluster_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -182,13 +239,14 @@ object IvfIndex {
     * semantics with [[searchSingle]]'s cuts — the /query-shaped
     * filtered serve must not fold its top-k window to one task. */
   def searchFilteredSingle(built: Built, query: DataFrame,
-      pred: org.apache.spark.sql.Column, nProbe: Int = defaultNProbe,
+      pred: org.apache.spark.sql.Column, nProbe: Int = 0,
       k: Int = 10): DataFrame = {
+    val np = resolveNProbe(nProbe, built.centroids)
     val qMetaCols = query.columns.toSeq.filterNot(Set("q_id", "q_vec"))
     val probes = query.crossJoin(broadcast(built.centroids))
       .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
       .orderBy(col("csim").desc, col("cluster_id").asc)
-      .limit(nProbe)
+      .limit(np)
       .select(Seq(col("q_id"), col("q_vec"), col("cluster_id")) ++
         qMetaCols.map(col): _*)
     val scored = built.assigned.join(broadcast(probes), Seq("cluster_id"))
@@ -223,10 +281,15 @@ object IvfIndex {
     * serve and join paths on one memoized build), so the join is
     * O(nProbe·n^1.5) with every cluster-pair block an independent
     * task. */
-  def knnJoinIvf(built: Built, nProbe: Int = defaultNProbe,
+  def knnJoinIvf(built: Built, nProbe: Int = 0,
       k: Int = 5): DataFrame = {
+    val np = resolveNProbe(nProbe, built.centroids)
+    val s = coSaltBuckets
     val centArr = built.centroids
       .agg(collect_list(struct(col("cluster_id"), col("centroid"))).as("cents"))
+    // Salt orientation: probe side SALTED by q_id, corpus side
+    // exploded ×S — the uniform round-14 orientation; the bytes,
+    // shortlist, and build-side arithmetic is [[coSaltBuckets]]'s doc.
     val probes = built.assigned
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       .crossJoin(broadcast(centArr))
@@ -236,22 +299,28 @@ object IvfIndex {
       .select(col("q_id"), col("q_vec"),
         explode(slice(array_sort(transform(col("cents"), c =>
           struct((-cosineSim(col("q_vec"), c.getField("centroid"))).as("neg_sim"),
-            c.getField("cluster_id").as("cluster_id")))), 1, nProbe)).as("p"))
+            c.getField("cluster_id").as("cluster_id")))), 1, np)).as("p"))
       .select(col("q_id"), col("q_vec"), col("p.cluster_id").as("cluster_id"),
-        explode(coSaltValues).as("cosalt"))
-    // shuffle_hash: the probes side is corpus-sized (n·nProbe·S keyed
-    // rows) — auto-broadcast would pick it at toy SF and fall over at
-    // scale; the hinted shuffled hash join is the one plan that works
-    // at every SF, building the (smaller-per-partition) corpus side
-    val scored = built.assigned
-      .withColumn("cosalt", coSaltOf(col("vec_id")))
+        coSaltOf(col("q_id"), s).as("cosalt"))
+    // shuffle_hash with the PROBES as the hinted build side: both
+    // sides are corpus-sized (auto-broadcast would grab one at toy SF
+    // and fall over at scale), and a (cluster, salt) partition holds
+    // n·nProbe/(k·S) probe rows vs the exploded corpus's n/k — the
+    // salt divides the probe side's per-task hash table, the corpus
+    // side streams
+    val scored = probes
       .hint("shuffle_hash")
-      .join(probes, Seq("cluster_id", "cosalt"))
+      .join(built.assigned.withColumn("cosalt", explode(coSaltValues(s))),
+        Seq("cluster_id", "cosalt"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"))
     KnnSearch.topK(scored, k, asc = false)
   }
+
+  /** Explicit salt-width override; unset means [[coSaltBuckets]]
+    * derives it from the session's parallelism. */
+  val coSaltConfKey = "spark.graft.cosalt.buckets"
 
   /** Co-location SALT for the batch all-pairs joins: joining on
     * `cluster_id` alone caps the candidate stage's parallelism at the
@@ -259,21 +328,50 @@ object IvfIndex {
     * scored stream (and the map-side WindowGroupLimit pass the rerank
     * cut pushes below its shuffle) funnels into ≤16 tasks no matter
     * how many executors exist; measured on the 10× replica one such
-    * task burned 400+ s CPU while 31 cores idled. The corpus side
-    * salts each posting row by `xxhash64(vec_id) % S` and the probe
-    * side explodes every probe across all S salts (probe rows are
-    * keys+code only, so the ×S inflation is bytes-cheap), making the
-    * join key (cluster_id, cosalt): every candidate pair still meets
-    * EXACTLY once — in the corpus row's salt bucket — so results are
-    * identical, and parallelism becomes k×S. */
-  val coSaltBuckets = 8
+    * task burned 400+ s CPU while 31 cores idled. One join side
+    * carries each row's salt `xxhash64(id) % S`, the other explodes
+    * every row across all S salts, making the join key
+    * (cluster_id, cosalt): every candidate pair still meets EXACTLY
+    * once — in the salted row's bucket — so results are identical,
+    * and parallelism becomes k×S.
+    *
+    * Orientation (which side salts vs explodes): every probe→corpus
+    * batch join salts the PROBE side by q_id and explodes the CORPUS
+    * side, for three compounding reasons measured in round 14 —
+    * (a) rows: n·S + n·nProbe exchange rows beat the probe-explode's
+    * n + n·nProbe·S whenever nProbe > 1 (4.7× fewer at nProbe=11,
+    * S=8); (b) shortlist: a query's candidate rows land only in its
+    * OWN salt bucket, so the rerank pre-cut's map-side heaps feed the
+    * q_id rank shuffle ≤ rerank·nProbe rows per query instead of
+    * rerank·nProbe·S — the S× shortlist-shuffle cut VERDICT r13 asked
+    * to measure, obtained structurally; (c) the hinted build side
+    * (the probes) stays S× divided per task. The `dedup_semantic`
+    * pair stages join the corpus to itself, so orientation is
+    * symmetric there — the ×S side is full-width either way on the
+    * raw path, and the compressed twin (`dedup_semantic_pq`) exists
+    * precisely to make that exchange code-width.
+    *
+    * S itself derives from the SESSION, not a constant: the conf
+    * override if set, else ⌈defaultParallelism / 4⌉ clamped to
+    * [8, 64] — k×S ≥ 4× the core count at the measured floor (this
+    * sandbox's local[32] derives exactly the S = 8 the r13 curves
+    * measured), a 1000-executor cluster deepens the salt without a
+    * code edit, and the cap bounds the ×S explode inflation. Every
+    * join site captures S ONCE and threads it to both sides, so the
+    * two halves of a join can never disagree mid-plan. */
+  def coSaltBuckets: Int = {
+    val spark = SparkSession.active
+    spark.conf.getOption(coSaltConfKey).map(_.toInt).getOrElse(
+      math.min(64, math.max(8,
+        math.ceil(spark.sparkContext.defaultParallelism / 4.0).toInt)))
+  }
 
-  private[graft] def coSaltOf(
-      vecId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(xxhash64(vecId), lit(coSaltBuckets.toLong)).cast("int")
+  private[graft] def coSaltOf(vecId: org.apache.spark.sql.Column,
+      s: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(vecId), lit(s.toLong)).cast("int")
 
-  private[graft] def coSaltValues: org.apache.spark.sql.Column =
-    array((0 until coSaltBuckets).map(lit): _*)
+  private[graft] def coSaltValues(s: Int): org.apache.spark.sql.Column =
+    array((0 until s).map(lit): _*)
 
   /** argmin-L2 assignment of vectors to EXISTING centroids — the same
     * metric `KMeans.transform` applies to the L2-normalized features
@@ -364,6 +462,7 @@ object IvfIndex {
       assigned.write.mode("append").partitionBy("cluster_id").parquet(s"$path/vectors")
       encodeDeltaPq(spark, path, assigned)
     } finally graft.core.Checkpoints.free(assigned)
+    graft.store.IndexVersions.bump(path) // see persist's bump note
   }
 
   /** PQ sidecars present under a persisted layout: any subdirectory
@@ -462,6 +561,7 @@ object IvfIndex {
     // ADC pre-rank would keep surfacing the old position
     pqSubdirs(spark, path).foreach(sub =>
       removeRowsUnder(spark, s"$path/$sub/codes", removeIds))
+    graft.store.IndexVersions.bump(path) // see persist's bump note
   }
 
   /** Remove ids from one `cluster_id=`-partitioned table (the raw
@@ -535,7 +635,7 @@ object IvfIndex {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster_id="))
       .filter(d => fs.listStatus(d.getPath)
         .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerPartition)
-      .map(_.getPath.getName.stripPrefix("cluster_id=").toInt)
+      .flatMap(d => SnapshotLayout.clusterDirId(d.getPath.getName))
       .toSeq.sorted
     if (crowded.nonEmpty) {
       val affectedDf = broadcast(
@@ -565,6 +665,10 @@ object IvfIndex {
     val spark = built.assigned.sparkSession
     IndexMeta.write(spark, path,
       IndexMeta.Meta(spark.read.parquet(s"$path/vectors").count(), 0L))
+    // every layout mutation funnels through persist/addDeltaRows/
+    // removeRows: bumping here invalidates the session memos keyed
+    // under this layout (the fine query-side alphabets) so they refit
+    graft.store.IndexVersions.bump(path)
   }
 
   /** Drift envelope for [[maintain]]: measured on this corpus
@@ -680,7 +784,7 @@ object IvfIndex {
     * dynamic partition pruning restricts the scan to the probed
     * `cluster_id=` directories instead of the whole index. */
   def searchPersisted(spark: SparkSession, path: String, queries: DataFrame,
-      nProbe: Int = defaultNProbe, k: Int = 10): DataFrame = {
+      nProbe: Int = 0, k: Int = 10): DataFrame = {
     val built = Built(
       assigned = spark.read.parquet(s"$path/vectors"),
       centroids = spark.read.parquet(s"$path/centroids"))
@@ -691,7 +795,7 @@ object IvfIndex {
     * [[searchSingle]] plan (orderBy+limit cuts, no constant-q_id
     * window) over the same partition-pruned files. */
   def searchPersistedSingle(spark: SparkSession, path: String, query: DataFrame,
-      nProbe: Int = defaultNProbe, k: Int = 10): DataFrame =
+      nProbe: Int = 0, k: Int = 10): DataFrame =
     searchSingle(Built(
       assigned = spark.read.parquet(s"$path/vectors"),
       centroids = spark.read.parquet(s"$path/centroids")), query, nProbe, k)
@@ -940,7 +1044,7 @@ object IvfIndex {
     * corpus-sized sides never shuffle; the only windows run over
     * probe-bounded candidate sets. */
   def searchPersistedPq(spark: SparkSession, path: String, queries: DataFrame,
-      nProbe: Int = defaultNProbe, k: Int = 10, rerank: Int = 200,
+      nProbe: Int = 0, k: Int = 10, rerank: Int = 200,
       sub: String = "pq"): DataFrame =
     searchPersistedPqImpl(spark, path, queries, None, nProbe, k, rerank, sub)
 
@@ -962,7 +1066,7 @@ object IvfIndex {
     * `pq_filtered` row of `index_recall_eval` serves it nightly). */
   def searchPersistedPqFiltered(spark: SparkSession, path: String,
       queries: DataFrame, pred: org.apache.spark.sql.Column,
-      nProbe: Int = 13, k: Int = 10, rerank: Int = 200,
+      nProbe: Int = 0, k: Int = 10, rerank: Int = 200,
       sub: String = "pq"): DataFrame =
     searchPersistedPqImpl(spark, path, queries, Some(pred), nProbe, k, rerank, sub)
 
@@ -1005,7 +1109,9 @@ object IvfIndex {
   private def searchPersistedPqImpl(spark: SparkSession, path: String,
       queries: DataFrame, pred: Option[org.apache.spark.sql.Column],
       nProbe: Int, k: Int, rerank: Int, sub: String): DataFrame = {
-    val (lutBc, probes) = pqQueryState(spark, path, queries, nProbe, sub)
+    val np = resolveNProbe(nProbe, spark.read.parquet(s"$path/centroids"),
+      if (pred.isDefined) filteredNProbeBase else defaultNProbe)
+    val (lutBc, probes) = pqQueryState(spark, path, queries, np, sub)
     val codes = spark.read.parquet(s"$path/$sub/codes")
     // ADC pass over the probed partitions: m byte-indexed adds per
     // row; a filtered serve's predicate prunes the scan FIRST, so the
@@ -1076,9 +1182,10 @@ object IvfIndex {
     * output contract (exact scores, full k, ranked) hash-matches the
     * same oracle shape as [[knnJoinIvfChecked]]. */
   def knnJoinPq(spark: SparkSession, path: String,
-      nProbe: Int = defaultNProbe, k: Int = 5, rerank: Int = 200,
+      nProbe: Int = 0, k: Int = 5, rerank: Int = 200,
       sub: String = "pq"): DataFrame = {
-    val cand = knnJoinPqCand(spark, path, nProbe, rerank, sub)
+    val np = resolveNProbe(nProbe, spark.read.parquet(s"$path/centroids"))
+    val cand = knnJoinPqCand(spark, path, np, rerank, sub)
     val vecs = spark.read.parquet(s"$path/vectors")
     // exact rerank of the n×rerank shortlist: attach both raw vectors
     // by narrow-key joins (the only stages where full-width rows move)
@@ -1090,6 +1197,22 @@ object IvfIndex {
     KnnSearch.topK(exact, k, asc = false)
   }
 
+  /** Fine query-side alphabet memo: the fit is a deterministic
+    * driver-side Lloyd's over a bounded TakeOrdered sample, so on an
+    * unchanged layout every invocation of a batch join would retrain
+    * byte-identical books — a session running the join repeatedly
+    * re-paid that driver-side fit each time. Memoized per
+    * (layout, sub[, as-of batch]); store writes under the layout bump
+    * its version ([[graft.store.IndexVersions]]) and invalidate the
+    * entry, so a mutated corpus refits. Determinism is what makes the
+    * reuse byte-safe (the dedup sidecar-reuse precedent). */
+  private val fineBooksCache =
+    new graft.store.VersionedMemo[Array[Array[Array[Float]]]]()
+
+  private[index] def fineBooksCached(spark: SparkSession, key: String,
+      versionDir: String)(fit: => Array[Array[Array[Float]]]): Array[Array[Array[Float]]] =
+    fineBooksCache.get(spark, key, versionDir)(fit)
+
   /** The candidate stage of [[knnJoinPq]] — everything up to (and
     * including) the per-query `rerank` cut, before any raw vector is
     * touched. Factored out so Round13PlanSpec can pin its scale shape
@@ -1097,6 +1220,7 @@ object IvfIndex {
     * stage (the co-location shuffle carries m-byte codes only). */
   private[graft] def knnJoinPqCand(spark: SparkSession, path: String,
       nProbe: Int, rerank: Int, sub: String): DataFrame = {
+    val saltS = coSaltBuckets
     val books = readCodebooks(spark, path, sub)
     val rotation = readRotation(spark, path, sub)
     // query side: a FINER codebook set trained on the same bounded
@@ -1109,8 +1233,9 @@ object IvfIndex {
       rotation.map(r => v.select(col("vec_id"),
         PqCodebooks.rotateCol(col("embedding"), r).as("embedding"))).getOrElse(v)
     }
-    val fineBooks = PqCodebooks.train(vecsForFit,
-      books.length, PqCodebooks.fineCodes)
+    val fineBooks = fineBooksCached(spark, s"fine:$path/$sub", path) {
+      PqCodebooks.train(vecsForFit, books.length, PqCodebooks.fineCodes)
+    }
     val booksBc = spark.sparkContext.broadcast(fineBooks)
     val sdcBc = spark.sparkContext.broadcast(
       PqCodebooks.crossTable(fineBooks, books))
@@ -1129,14 +1254,16 @@ object IvfIndex {
           struct((-cosineSim(col("embedding"), c.getField("centroid"))).as("neg_sim"),
             c.getField("cluster_id").as("cluster_id")))), 1, nProbe)).as("p"))
       .select(col("q_id"), col("q_code"), col("p.cluster_id").as("cluster_id"),
-        explode(coSaltValues).as("cosalt"))
+        coSaltOf(col("q_id"), saltS).as("cosalt"))
+    // corpus codes explode ×S (m-byte rows — the inflation is cheap);
+    // probes salt by q_id: orientation per [[coSaltBuckets]]'s doc
     val codes = spark.read.parquet(s"$path/$sub/codes")
       .select(col("cluster_id"), col("vec_id"), col("code"),
-        coSaltOf(col("vec_id")).as("cosalt"))
-    // shuffle_hash (build = codes): probes are corpus-sized — see
-    // knnJoinIvf's hint note
-    val scored = codes.hint("shuffle_hash")
-      .join(probes, Seq("cluster_id", "cosalt"))
+        explode(coSaltValues(saltS)).as("cosalt"))
+    // shuffle_hash (build = probes, the S×-divided side): both sides
+    // are corpus-sized — see knnJoinIvf's hint note
+    val scored = probes.hint("shuffle_hash")
+      .join(codes, Seq("cluster_id", "cosalt"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         graft.functions.pq.pqSdc(col("q_code"), col("code"), sdcBc).as("sdc"))

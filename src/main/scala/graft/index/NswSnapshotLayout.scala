@@ -161,7 +161,8 @@ object NswSnapshotLayout {
     val tombRoot = new Path(s"$path/tombstones")
     val fs = tombRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasTombs = fs.exists(tombRoot) &&
-      fs.listStatus(tombRoot).exists(_.isDirectory)
+      fs.listStatus(tombRoot).exists(d =>
+        d.isDirectory && SnapshotLayout.batchDirId(d.getPath.getName).isDefined)
     val tombs =
       if (!hasTombs) ups.limit(0)
       else spark.read.parquet(s"$path/tombstones")
@@ -479,7 +480,7 @@ object NswSnapshotLayout {
       def dropLe(): Unit =
         if (fs.exists(root))
           fs.listStatus(root).filter(_.isDirectory)
-            .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upTo)
+            .filter(d => SnapshotLayout.batchDirId(d.getPath.getName).exists(_ <= upTo))
             .foreach(d => fs.delete(d.getPath, true))
       val stage = new Path(s"$path/_compact_tmp/$sub/batch_id=$upTo")
       if (!staged.contains(i)) dropLe() // staged-empty root: old rows all dead
@@ -492,7 +493,7 @@ object NswSnapshotLayout {
     val tombRoot = new Path(s"$path/tombstones")
     if (fs.exists(tombRoot)) {
       fs.listStatus(tombRoot).filter(_.isDirectory)
-        .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upTo)
+        .filter(d => SnapshotLayout.batchDirId(d.getPath.getName).exists(_ <= upTo))
         .foreach(d => fs.delete(d.getPath, true))
       if (!fs.listStatus(tombRoot).exists(_.isDirectory))
         fs.delete(tombRoot, true)
@@ -526,7 +527,7 @@ object NswSnapshotLayout {
       val root = new Path(s"$path/$sub")
       if (fs.exists(root))
         fs.listStatus(root).filter(_.isDirectory)
-          .filter(_.getPath.getName.stripPrefix("batch_id=").toLong > batchId)
+          .filter(d => SnapshotLayout.batchDirId(d.getPath.getName).exists(_ > batchId))
           .foreach(d => fs.delete(d.getPath, true))
     }
     SnapshotLayout.manifestIds(spark, path).filter(_ > batchId).foreach { id =>
@@ -717,7 +718,7 @@ object NswSnapshotLayout {
       val root = new Path(s"$path/$sub")
       if (!fs.exists(root)) Set.empty
       else fs.listStatus(root).filter(_.isDirectory)
-        .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
+        .flatMap(d => SnapshotLayout.batchDirId(d.getPath.getName)).toSet
     }
     val manifests = SnapshotLayout.manifestIds(spark, path)
     val guardOk =
@@ -879,7 +880,7 @@ object NswSnapshotLayout {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def codeBatchDirs(): Set[Long] =
       fs.listStatus(new Path(s"$path/pq/codes")).filter(_.isDirectory)
-        .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
+        .flatMap(d => SnapshotLayout.batchDirId(d.getPath.getName)).toSet
     val boundedOk = codeBatchDirs().forall(_ >= 2L)
     rollback(spark, path, 2L)
     val prunedOk = codeBatchDirs().forall(_ <= 2L)

@@ -164,7 +164,8 @@ object SnapshotLayout {
     // every ≤-upTo list; an empty dir has no readable schema)
     val tombRoot = new Path(s"$path/tombstones")
     val hasTombs = fs.exists(tombRoot) &&
-      fs.listStatus(tombRoot).exists(_.isDirectory)
+      fs.listStatus(tombRoot).exists(d =>
+        d.isDirectory && batchDirId(d.getPath.getName).isDefined)
     val tombs =
       if (!hasTombs) ups.limit(0)
       else spark.read.parquet(s"$path/tombstones")
@@ -188,7 +189,7 @@ object SnapshotLayout {
   /** Probe search served from the as-of posting set (centroids are
     * the base fit — the incremental-add serving contract). */
   def searchAsOf(spark: SparkSession, path: String, batchId: Long,
-      queries: DataFrame, nProbe: Int = IvfIndex.defaultNProbe,
+      queries: DataFrame, nProbe: Int = 0,
       k: Int = 10): DataFrame =
     IvfIndex.search(
       IvfIndex.Built(asOfAssigned(spark, path, batchId),
@@ -202,7 +203,7 @@ object SnapshotLayout {
     * candidate into one task; here both cuts are TakeOrdered. The
     * /query-shaped serves (one text query in) use this. */
   def searchAsOfSingle(spark: SparkSession, path: String, batchId: Long,
-      query: DataFrame, nProbe: Int = IvfIndex.defaultNProbe,
+      query: DataFrame, nProbe: Int = 0,
       k: Int = 10): DataFrame =
     IvfIndex.searchSingle(
       IvfIndex.Built(asOfAssigned(spark, path, batchId),
@@ -218,11 +219,13 @@ object SnapshotLayout {
     * stance as the persisted filtered path. */
   def searchAsOfFiltered(spark: SparkSession, path: String, batchId: Long,
       queries: DataFrame, pred: org.apache.spark.sql.Column,
-      nProbe: Int = 13, k: Int = 10): DataFrame =
+      nProbe: Int = 0, k: Int = 10): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
     IvfIndex.searchFiltered(
-      IvfIndex.Built(asOfAssigned(spark, path, batchId),
-        spark.read.parquet(s"$path/centroids")),
-      queries, pred, nProbe, k)
+      IvfIndex.Built(asOfAssigned(spark, path, batchId), centroids),
+      queries, pred,
+      IvfIndex.resolveNProbe(nProbe, centroids, IvfIndex.filteredNProbeBase), k)
+  }
 
   // ---- versioned compressed tier (PQ sidecar over the batch log) ------
 
@@ -258,7 +261,8 @@ object SnapshotLayout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tombRoot = new Path(s"$path/tombstones")
     val hasTombs = fs.exists(tombRoot) &&
-      fs.listStatus(tombRoot).exists(_.isDirectory)
+      fs.listStatus(tombRoot).exists(d =>
+        d.isDirectory && batchDirId(d.getPath.getName).isDefined)
     val tombs =
       if (!hasTombs) ups.limit(0)
       else spark.read.parquet(s"$path/tombstones")
@@ -292,7 +296,7 @@ object SnapshotLayout {
     * winning raw row's partition address, so the fetch is a
     * partition-pruned broadcast join of `rerank × |queries|` rows. */
   def searchAsOfPq(spark: SparkSession, path: String, batchId: Long,
-      queries: DataFrame, nProbe: Int = IvfIndex.defaultNProbe,
+      queries: DataFrame, nProbe: Int = 0,
       k: Int = 10, rerank: Int = 200, sub: String = "pq"): DataFrame =
     searchAsOfPqImpl(spark, path, batchId, queries, None, nProbe, k, rerank, sub)
 
@@ -305,7 +309,7 @@ object SnapshotLayout {
     * Compensated probe, same stance as every filtered path. */
   def searchAsOfPqFiltered(spark: SparkSession, path: String, batchId: Long,
       queries: DataFrame, pred: org.apache.spark.sql.Column,
-      nProbe: Int = 13, k: Int = 10, rerank: Int = 200,
+      nProbe: Int = 0, k: Int = 10, rerank: Int = 200,
       sub: String = "pq"): DataFrame =
     searchAsOfPqImpl(spark, path, batchId, queries, Some(pred), nProbe, k,
       rerank, sub)
@@ -314,7 +318,11 @@ object SnapshotLayout {
       queries: DataFrame, pred: Option[org.apache.spark.sql.Column],
       nProbe: Int, k: Int, rerank: Int, sub: String): DataFrame = {
     repairCompaction(spark, path)
-    val (lutBc, probes) = IvfIndex.pqQueryState(spark, path, queries, nProbe, sub)
+    val np = IvfIndex.resolveNProbe(nProbe,
+      spark.read.parquet(s"$path/centroids"),
+      if (pred.isDefined) IvfIndex.filteredNProbeBase
+      else IvfIndex.defaultNProbe)
+    val (lutBc, probes) = IvfIndex.pqQueryState(spark, path, queries, np, sub)
     val joined = asOfCodes(spark, path, batchId, sub)
       .join(broadcast(probes), Seq("cluster_id"))
     val adc = pred.map(joined.filter).getOrElse(joined)
@@ -359,9 +367,11 @@ object SnapshotLayout {
     * ambiguous between versions of the same id and the codebooks
     * layout-dependent. */
   def knnJoinPqAsOf(spark: SparkSession, path: String, batchId: Long,
-      nProbe: Int = IvfIndex.defaultNProbe, k: Int = 5, rerank: Int = 200,
+      nProbe: Int = 0, k: Int = 5, rerank: Int = 200,
       sub: String = "pq"): DataFrame = {
-    val cand = knnJoinPqAsOfCand(spark, path, batchId, nProbe, rerank, sub)
+    val np = IvfIndex.resolveNProbe(nProbe,
+      spark.read.parquet(s"$path/centroids"))
+    val cand = knnJoinPqAsOfCand(spark, path, batchId, np, rerank, sub)
     val raw = spark.read.parquet(s"$path/vectors")
     val nv = raw.join(cand, Seq("cluster_id", "vec_id", "batch_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -385,6 +395,7 @@ object SnapshotLayout {
     * any of its exchanges. */
   private[graft] def knnJoinPqAsOfCand(spark: SparkSession, path: String,
       batchId: Long, nProbe: Int, rerank: Int, sub: String): DataFrame = {
+    val saltS = IvfIndex.coSaltBuckets
     repairCompaction(spark, path)
     // a batch join is an expensive corpus job: an as-of the truncated
     // log cannot reconstruct must refuse up front (the CDC endpoints'
@@ -405,8 +416,12 @@ object SnapshotLayout {
           PqCodebooks.rotateCol(col("embedding"), r).as("embedding")))
         .getOrElse(l.select(col("vec_id"), col("embedding")))
     }
-    val fineBooks = PqCodebooks.train(liveForFit,
-      books.length, PqCodebooks.fineCodes)
+    // the live set is a function of (layout state, batchId): the memo
+    // key carries the as-of label, the version guard catches mutation
+    val fineBooks = IvfIndex.fineBooksCached(
+        spark, s"fine-asof:$path/$sub@$batchId", path) {
+      PqCodebooks.train(liveForFit, books.length, PqCodebooks.fineCodes)
+    }
     val booksBc = spark.sparkContext.broadcast(fineBooks)
     val sdcBc = spark.sparkContext.broadcast(
       PqCodebooks.crossTable(fineBooks, books))
@@ -430,14 +445,16 @@ object SnapshotLayout {
       .join(winners.withColumnRenamed("vec_id", "q_id"),
         Seq("q_id", "batch_id"))
       .select(col("q_id"), col("q_code"), col("cluster_id"),
-        explode(IvfIndex.coSaltValues).as("cosalt"))
+        IvfIndex.coSaltOf(col("q_id"), saltS).as("cosalt"))
+    // probes salted by q_id, live codes exploded xS — the uniform
+    // round-14 orientation (IvfIndex.coSaltBuckets's doc)
     val codes = asOfCodes(spark, path, batchId, sub)
       .select(col("cluster_id"), col("vec_id"), col("batch_id"), col("code"),
-        IvfIndex.coSaltOf(col("vec_id")).as("cosalt"))
-    // shuffle_hash (build = codes): probes are corpus-sized — see
-    // IvfIndex.knnJoinIvf's hint note
-    val scored = codes.hint("shuffle_hash")
-      .join(probes, Seq("cluster_id", "cosalt"))
+        explode(IvfIndex.coSaltValues(saltS)).as("cosalt"))
+    // shuffle_hash (build = probes, the S×-divided side): both sides
+    // are corpus-sized — see IvfIndex.knnJoinIvf's hint note
+    val scored = probes.hint("shuffle_hash")
+      .join(codes, Seq("cluster_id", "cosalt"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("cluster_id"), col("vec_id"), col("batch_id"),
         graft.functions.pq.pqSdc(col("q_code"), col("code"), sdcBc).as("sdc"))
@@ -468,9 +485,11 @@ object SnapshotLayout {
     (Seq(s"$path/vectors") ++
         IvfIndex.pqSubdirs(spark, path).map(sub => s"$path/$sub/codes"))
       .map(new Path(_)).filter(fs.exists).foreach { root =>
-      fs.listStatus(root).filter(_.isDirectory).foreach { c =>
+      fs.listStatus(root).filter(_.isDirectory)
+        .filter(c => clusterDirId(c.getPath.getName).isDefined)
+        .foreach { c =>
         fs.listStatus(c.getPath).filter(_.isDirectory)
-          .filter(_.getPath.getName.stripPrefix("batch_id=").toLong > batchId)
+          .filter(d => batchDirId(d.getPath.getName).exists(_ > batchId))
           .foreach(d => fs.delete(d.getPath, true))
         // a cluster dir emptied of every batch dir disappears too
         if (fs.listStatus(c.getPath).isEmpty) fs.delete(c.getPath, true)
@@ -479,7 +498,7 @@ object SnapshotLayout {
     val tombRoot = new Path(s"$path/tombstones")
     if (fs.exists(tombRoot))
       fs.listStatus(tombRoot).filter(_.isDirectory)
-        .filter(_.getPath.getName.stripPrefix("batch_id=").toLong > batchId)
+        .filter(d => batchDirId(d.getPath.getName).exists(_ > batchId))
         .foreach(d => fs.delete(d.getPath, true))
     // drop later manifests; restore the sidecar from the target's
     manifestIds(spark, path).filter(_ > batchId).foreach { id =>
@@ -562,7 +581,7 @@ object SnapshotLayout {
     }
     val clusters = fs.listStatus(new Path(s"$path/_compact_tmp/vectors"))
       .filter(_.isDirectory)
-      .map(_.getPath.getName.stripPrefix("cluster_id=").toInt).toSeq.sorted
+      .flatMap(d => clusterDirId(d.getPath.getName)).toSeq.sorted
     writeCompactPlan(fs, path, upTo, clusters)
     commitCompaction(spark, path, upTo, clusters)
   }
@@ -589,7 +608,7 @@ object SnapshotLayout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dropLe(clusterDir: Path): Unit =
       fs.listStatus(clusterDir).filter(_.isDirectory)
-        .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upTo)
+        .filter(d => batchDirId(d.getPath.getName).exists(_ <= upTo))
         .foreach(d => fs.delete(d.getPath, true))
     // every batch-partitioned table commits with the same idempotent
     // per-cluster swap: the raw posting rows plus each code sidecar
@@ -605,8 +624,8 @@ object SnapshotLayout {
       // dead — their old dirs just go (idempotent)
       if (fs.exists(root))
         fs.listStatus(root).filter(_.isDirectory)
-          .filterNot(c => clusters.contains(
-            c.getPath.getName.stripPrefix("cluster_id=").toInt))
+          .filter(c => clusterDirId(c.getPath.getName)
+            .exists(cid => !clusters.contains(cid)))
           .foreach(c => dropLe(c.getPath))
       // clusters WITH staged data: swap, gated on the stage dir so a
       // re-run cannot delete already-committed consolidated rows
@@ -622,15 +641,17 @@ object SnapshotLayout {
     val tombRoot = new Path(s"$path/tombstones")
     if (fs.exists(tombRoot)) {
       fs.listStatus(tombRoot).filter(_.isDirectory)
-        .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upTo)
+        .filter(d => batchDirId(d.getPath.getName).exists(_ <= upTo))
         .foreach(d => fs.delete(d.getPath, true))
       if (!fs.listStatus(tombRoot).exists(_.isDirectory))
         fs.delete(tombRoot, true)
     }
-    // empty cluster dirs left by the deletes disappear
+    // empty cluster dirs left by the deletes disappear (only the
+    // layout's own cluster_id= dirs — never a stray someone parked)
     roots.map(_._1).filter(fs.exists).foreach { root =>
       fs.listStatus(root).filter(_.isDirectory)
-        .filter(c => fs.listStatus(c.getPath).isEmpty)
+        .filter(c => clusterDirId(c.getPath.getName).isDefined &&
+          fs.listStatus(c.getPath).isEmpty)
         .foreach(c => fs.delete(c.getPath, true))
     }
     // history below the compaction point is gone — so are its manifests
@@ -739,6 +760,28 @@ object SnapshotLayout {
       if (fs.exists(p)) fs.delete(p, false)
       require(fs.rename(tmp, p), s"could not commit rollback marker $p")
     }
+  }
+
+  /** Partition-directory name parses — the ManifestPattern /
+    * RollbackMarkerPattern discipline applied to the layout's own
+    * `batch_id=N` / `cluster_id=N` dirs: pattern-match and SKIP
+    * non-conforming names, so a stray file or backup directory dropped
+    * under a layout cannot throw NumberFormatException mid-rollback or
+    * mid-compaction (the destructive paths walk these listings to
+    * decide what to DELETE — they must refuse to touch anything they
+    * did not write, not crash halfway through deleting). */
+  private val BatchDirPattern = """batch_id=(\d+)""".r
+
+  private[index] def batchDirId(name: String): Option[Long] = name match {
+    case BatchDirPattern(n) => Some(n.toLong)
+    case _ => None
+  }
+
+  private val ClusterDirPattern = """cluster_id=(\d+)""".r
+
+  private[index] def clusterDirId(name: String): Option[Int] = name match {
+    case ClusterDirPattern(n) => Some(n.toInt)
+    case _ => None
   }
 
   private val ManifestPattern =
@@ -961,13 +1004,13 @@ object SnapshotLayout {
     val batchDirs = fs.listStatus(new Path(s"$path/vectors"))
       .filter(_.isDirectory)
       .flatMap(c => fs.listStatus(c.getPath).filter(_.isDirectory)
-        .map(_.getPath.getName.stripPrefix("batch_id=").toLong))
+        .flatMap(d => batchDirId(d.getPath.getName)))
       .toSet
     val tombRoot = new Path(s"$path/tombstones")
     val tombDirs =
       if (!fs.exists(tombRoot)) Set.empty[Long]
       else fs.listStatus(tombRoot).filter(_.isDirectory)
-        .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
+        .flatMap(d => batchDirId(d.getPath.getName)).toSet
     val manifests = manifestIds(spark, path)
     val guardOk =
       try { rollback(spark, path, 1L); false }
@@ -1052,7 +1095,7 @@ object SnapshotLayout {
     def codeBatchDirs(): Set[Long] =
       fs.listStatus(new Path(s"$path/pq/codes")).filter(_.isDirectory)
         .flatMap(c => fs.listStatus(c.getPath).filter(_.isDirectory)
-          .map(_.getPath.getName.stripPrefix("batch_id=").toLong))
+          .flatMap(d => batchDirId(d.getPath.getName)))
         .toSet
     val boundedOk = codeBatchDirs().forall(_ >= 2L)
     rollback(spark, path, 2L)
@@ -1131,7 +1174,7 @@ object SnapshotLayout {
     * serve it, so the periodic neighbor-graph build keeps its
     * no-full-width-exchange shape across index lifecycle events. */
   def knnJoinPqGen(spark: SparkSession, root: String, batchId: Long,
-      nProbe: Int = IvfIndex.defaultNProbe, k: Int = 5, rerank: Int = 200,
+      nProbe: Int = 0, k: Int = 5, rerank: Int = 200,
       sub: String = "pq"): DataFrame =
     knnJoinPqAsOf(spark, Generations.route(spark, root, batchId), batchId,
       nProbe, k, rerank, sub)
@@ -1329,7 +1372,8 @@ object SnapshotLayout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tombRoot = new Path(s"$path/tombstones")
     val hasTombs = fs.exists(tombRoot) &&
-      fs.listStatus(tombRoot).exists(_.isDirectory)
+      fs.listStatus(tombRoot).exists(d =>
+        d.isDirectory && batchDirId(d.getPath.getName).isDefined)
     val tombs =
       if (!hasTombs) ups.limit(0)
       else spark.read.parquet(s"$path/tombstones")
@@ -1460,7 +1504,8 @@ object SnapshotLayout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tombRoot = new Path(s"$path/tombstones")
     val hasTombs = fs.exists(tombRoot) &&
-      fs.listStatus(tombRoot).exists(_.isDirectory)
+      fs.listStatus(tombRoot).exists(d =>
+        d.isDirectory && batchDirId(d.getPath.getName).isDefined)
     val tombs =
       if (!hasTombs) ups.limit(0)
       else spark.read.parquet(s"$path/tombstones")
@@ -1598,7 +1643,7 @@ object SnapshotLayout {
     * the successor's fresh fit answers; below it the old generation
     * keeps serving its frozen addresses. */
   def searchAsOfGen(spark: SparkSession, root: String, batchId: Long,
-      queries: DataFrame, nProbe: Int = IvfIndex.defaultNProbe,
+      queries: DataFrame, nProbe: Int = 0,
       k: Int = 10): DataFrame =
     searchAsOf(spark, Generations.route(spark, root, batchId), batchId,
       queries, nProbe, k)
@@ -1607,7 +1652,7 @@ object SnapshotLayout {
     * [[searchAsOfSingle]] shape for /query-style serves over a
     * generational root. */
   def searchAsOfSingleGen(spark: SparkSession, root: String, batchId: Long,
-      query: DataFrame, nProbe: Int = IvfIndex.defaultNProbe,
+      query: DataFrame, nProbe: Int = 0,
       k: Int = 10): DataFrame =
     searchAsOfSingle(spark, Generations.route(spark, root, batchId), batchId,
       query, nProbe, k)
@@ -1617,12 +1662,13 @@ object SnapshotLayout {
     * reconstruction (the /query-shaped filtered serve). */
   def searchAsOfFilteredSingleGen(spark: SparkSession, root: String,
       batchId: Long, query: DataFrame, pred: org.apache.spark.sql.Column,
-      nProbe: Int = 13, k: Int = 10): DataFrame = {
+      nProbe: Int = 0, k: Int = 10): DataFrame = {
     val path = Generations.route(spark, root, batchId)
+    val centroids = spark.read.parquet(s"$path/centroids")
     IvfIndex.searchFilteredSingle(
-      IvfIndex.Built(asOfAssigned(spark, path, batchId),
-        spark.read.parquet(s"$path/centroids")),
-      query, pred, nProbe, k)
+      IvfIndex.Built(asOfAssigned(spark, path, batchId), centroids),
+      query, pred,
+      IvfIndex.resolveNProbe(nProbe, centroids, IvfIndex.filteredNProbeBase), k)
   }
 
   /** PRE-filter probe serve routed across generations — the filtered
@@ -1631,7 +1677,7 @@ object SnapshotLayout {
     * successor's build). */
   def searchAsOfFilteredGen(spark: SparkSession, root: String, batchId: Long,
       queries: DataFrame, pred: org.apache.spark.sql.Column,
-      nProbe: Int = 13, k: Int = 10): DataFrame =
+      nProbe: Int = 0, k: Int = 10): DataFrame =
     searchAsOfFiltered(spark, Generations.route(spark, root, batchId),
       batchId, queries, pred, nProbe, k)
 
@@ -1639,7 +1685,7 @@ object SnapshotLayout {
     * survives a cutover ([[newGeneration]] re-inits each sidecar at
     * its configured geometry on the successor). */
   def searchAsOfPqGen(spark: SparkSession, root: String, batchId: Long,
-      queries: DataFrame, nProbe: Int = IvfIndex.defaultNProbe,
+      queries: DataFrame, nProbe: Int = 0,
       k: Int = 10, rerank: Int = 200, sub: String = "pq"): DataFrame =
     searchAsOfPq(spark, Generations.route(spark, root, batchId), batchId,
       queries, nProbe, k, rerank, sub)

@@ -39,7 +39,7 @@ object QueryStream {
     * `spark.read.option("basePath", out).parquet(out)` (carries the
     * `batch` column). */
   def serveIvf(queries: DataFrame, path: String, out: String,
-      nProbe: Int = IvfIndex.defaultNProbe, k: Int = 10): DataStreamWriter[Row] =
+      nProbe: Int = 0, k: Int = 10): DataStreamWriter[Row] =
     queries.writeStream.foreachBatch(
       (batch: DataFrame, id: Long) => serveBatch(batch, id, path, out, nProbe, k))
 

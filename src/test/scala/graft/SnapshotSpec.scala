@@ -661,4 +661,61 @@ class SnapshotSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(path).getParentFile)
   }
+
+  test("stray non-conforming dirs/files never brick rollback or compaction") {
+    val all = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-snapstray").toString + "/ivf"
+    SnapshotLayout.init(IvfIndex.build(spark, all.filter($"vec_id" >= 50)), path)
+    SnapshotLayout.applyBatch(spark, path, 1L,
+      upserts = all.filter($"vec_id" < 25), deletes = all.limit(0).select($"vec_id"))
+    SnapshotLayout.applyBatch(spark, path, 2L,
+      upserts = all.filter($"vec_id" >= 25 && $"vec_id" < 50),
+      deletes = all.filter($"vec_id" < 25 && $"vec_id" % 7 === 0).select($"vec_id"))
+    SnapshotLayout.applyBatch(spark, path, 3L,
+      upserts = all.filter($"vec_id" < 3), deletes = all.limit(0).select($"vec_id"))
+
+    // drop strays of the fragility class the raw .toLong parses had:
+    // EMPTY backup dirs with non-conforming names (invisible to
+    // Spark's leaf-file-driven partition discovery, so reads are
+    // unaffected — but listStatus-driven destructive walks see them)
+    // plus a dot-file (ignored by reads per FileInputFormat rules)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val clusterDir = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/vectors"))
+      .filter(_.isDirectory).head.getPath
+    val strays = Seq(
+      new org.apache.hadoop.fs.Path(clusterDir, "batch_id=backup"),
+      new org.apache.hadoop.fs.Path(clusterDir, "stray_dir"),
+      new org.apache.hadoop.fs.Path(s"$path/vectors/cluster_backup"),
+      new org.apache.hadoop.fs.Path(s"$path/tombstones/batch_id=old.bak"))
+    strays.foreach(fs.mkdirs)
+    val strayFile = new org.apache.hadoop.fs.Path(clusterDir, ".notes.txt.swp")
+    val out = fs.create(strayFile)
+    out.write("stray".getBytes("UTF-8")); out.close()
+
+    val queries = all.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    def serveHead() = SnapshotLayout
+      .searchAsOf(spark, path, Long.MaxValue, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    // rollback walks the listings deciding what to DELETE: it must
+    // skip what it did not write, not throw NumberFormatException
+    SnapshotLayout.rollback(spark, path, 2L)
+    assert(SnapshotLayout.manifestIds(spark, path) == Seq(0L, 1L, 2L))
+    (strays :+ strayFile).foreach(p =>
+      assert(fs.exists(p), s"rollback deleted a stray it did not own: $p"))
+    val afterRollback = serveHead()
+    assert(afterRollback.nonEmpty)
+
+    // compaction's commit walk has the same discipline
+    SnapshotLayout.compact(spark, path, 1L)
+    assert(serveHead() == afterRollback,
+      "compaction with strays present changed head serves")
+    (strays :+ strayFile).foreach(p =>
+      assert(fs.exists(p), s"compaction deleted a stray it did not own: $p"))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(path).getParentFile)
+  }
 }
