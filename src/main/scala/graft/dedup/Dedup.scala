@@ -977,7 +977,7 @@ object Dedup {
     * m byte-indexed adds against one broadcast symmetric-distance
     * table ([[PqCodebooks.sdcTable]]), not d float multiplies. */
   private[graft] def semanticDedupPqCand(spark: SparkSession, dir: String,
-      tauE6: Long, slack: Double): DataFrame = {
+      tauE6: Long, slack: Double, sub: String = "pq"): DataFrame = {
     import spark.implicits._
     val saltS = graft.index.IvfIndex.coSaltBuckets
     val built = graft.index.IvfIndex.buildCached(spark, dir)
@@ -989,8 +989,15 @@ object Dedup {
     // encode pass, reading m-byte code rows instead. peek never
     // forces the expensive build on sessions that only dedup.
     val sidecar = graft.index.IvfIndex.pqLayoutPeek(spark, dir)
+    // sub selects a sidecar geometry ("pqr" = the OPQ-rotated books):
+    // SDC in a rotated space estimates the SAME ||a-b|| (rotation is
+    // an isometry), so the prefilter semantics are unchanged — only
+    // the quantization inflation moves. Rotated measurement needs the
+    // stored sidecar; the fresh-train fallback is unrotated-only.
+    require(sub == "pq" || sidecar.isDefined,
+      s"semantic dedup over sub=$sub needs a persisted sidecar")
     val books = sidecar match {
-      case Some(path) => graft.index.IvfIndex.readCodebooks(spark, path, "pq")
+      case Some(path) => graft.index.IvfIndex.readCodebooks(spark, path, sub)
       case None => PqCodebooks.train(Tables.embeddings(spark, dir))
     }
     val sdcBc = spark.sparkContext.broadcast(PqCodebooks.sdcTable(books))
@@ -1002,7 +1009,7 @@ object Dedup {
       case Some(path) =>
         base.select($"cluster_id", $"vec_id",
             Stab.e6(cosineSim($"embedding", $"centroid")).as("centroid_cos_e6"))
-          .join(spark.read.parquet(s"$path/pq/codes")
+          .join(spark.read.parquet(s"$path/$sub/codes")
             .select($"vec_id", $"code"), Seq("vec_id"))
       case None =>
         val booksBc = spark.sparkContext.broadcast(books)
@@ -1043,9 +1050,10 @@ object Dedup {
     * moving n²/k · d×4 bytes and n²/k · m bytes (32× at d=64, m=8):
     * the pair stage, not the confirm, is the job. */
   def semanticDedupPqDecisions(spark: SparkSession, dir: String,
-      tauE6: Long = 400000L, slack: Double = sdcConfirmSlack): DataFrame = {
+      tauE6: Long = 400000L, slack: Double = sdcConfirmSlack,
+      sub: String = "pq"): DataFrame = {
     import spark.implicits._
-    val cand = semanticDedupPqCand(spark, dir, tauE6, slack)
+    val cand = semanticDedupPqCand(spark, dir, tauE6, slack, sub)
       .localCheckpoint(true)
     val emb = Tables.embeddings(spark, dir)
     val losers = cand

@@ -163,4 +163,69 @@ class SemanticDedupSpec extends AnyFunSuite {
       f"SDC inflation $maxInfl%.4f exceeds half the slack budget " +
         f"${Dedup.sdcConfirmSlack}%.2f — decisions_match_raw is at risk")
   }
+
+  test("OPQ rotation for the dedup pair shape: measured — rotated sidecar decisions identical, inflation compared") {
+    // VERDICT r13 #7: does rotation pay for the dedup pair shape?
+    // The batch-join measurement said no (knn_join_pq_opq, 0.890 vs
+    // 0.902 recall); dedup's SDC geometry is the same but its metric
+    // of merit is different — prefilter INFLATION, not recall. So:
+    // measure both alphabets' max inflation over every confirmed
+    // pair, and pin that the rotated sidecar still yields decisions
+    // frame-identical to the raw path (rotation is an isometry, so
+    // the prefilter bound is semantics-preserving by construction).
+    import org.apache.spark.sql.functions.col
+    val tau = 400000L
+    val base = graft.index.IvfIndex.pqLayoutFor(spark, sf) // pq + pqr
+    val raw = Dedup.semanticDedupDecisions(spark, sf)
+      .select(col("vec_id"), col("keep")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+    val rotated = Dedup.semanticDedupPqDecisions(spark, sf, tau, sub = "pqr")
+      .select(col("vec_id"), col("keep")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+    assert(rotated == raw,
+      "rotated-sidecar compressed dedup diverged from the raw decisions")
+
+    // per-alphabet inflation, from the STORED sidecar codes
+    def maxInflation(sub: String): (Double, Int) = {
+      val books = graft.index.IvfIndex.readCodebooks(spark, base, sub)
+      val table = graft.index.PqCodebooks.sdcTable(books)
+      val emb = graft.core.Tables.embeddings(spark, sf)
+      val built = graft.index.IvfIndex.buildCached(spark, sf)
+      val members = built.assigned.select(col("cluster_id"), col("vec_id"), col("embedding"))
+        .join(spark.read.parquet(s"$base/$sub/codes")
+          .select(col("vec_id"), col("code")), Seq("vec_id"))
+        .collect()
+        .map(r => (r.getAs[Int]("cluster_id"), r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Float]]("embedding").toIndexedSeq,
+          r.getAs[scala.collection.Seq[Byte]]("code").toIndexedSeq))
+      var maxInfl = Double.MinValue
+      var confirmed = 0
+      members.groupBy(_._1).values.foreach { ms =>
+        for (Array((_, _, embA, codeA), (_, _, embB, codeB)) <-
+            ms.sortBy(_._2).combinations(2).map(_.toArray)) {
+          if (cosE6(embA, embB) >= tau) {
+            confirmed += 1
+            val exact = 2.0 - 2.0 * (cosE6(embA, embB).toDouble / 1e6)
+            var sdc = 0.0
+            var s = 0
+            while (s < table.length) {
+              sdc += table(s)(codeA(s).toInt & 0xff)(codeB(s).toInt & 0xff)
+              s += 1
+            }
+            maxInfl = math.max(maxInfl, sdc - exact)
+          }
+        }
+      }
+      (maxInfl, confirmed)
+    }
+    val (inflPq, nPq) = maxInflation("pq")
+    val (inflPqr, nPqr) = maxInflation("pqr")
+    assert(nPq > 0 && nPq == nPqr)
+    info(f"max SDC inflation over $nPq confirmed pairs: pq=$inflPq%.4f " +
+      f"pqr=$inflPqr%.4f (slack ${Dedup.sdcConfirmSlack}%.2f)")
+    // the safety contract the rotated path must clear is the same
+    // half-slack bar the unrotated alphabet clears
+    assert(inflPqr <= Dedup.sdcConfirmSlack / 2,
+      f"rotated SDC inflation $inflPqr%.4f exceeds half the slack budget")
+  }
 }
