@@ -287,9 +287,6 @@ object IvfIndex {
     val s = coSaltBuckets
     val centArr = built.centroids
       .agg(collect_list(struct(col("cluster_id"), col("centroid"))).as("cents"))
-    // Salt orientation: probe side SALTED by q_id, corpus side
-    // exploded ×S — the uniform round-14 orientation; the bytes,
-    // shortlist, and build-side arithmetic is [[coSaltBuckets]]'s doc.
     val probes = built.assigned
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       .crossJoin(broadcast(centArr))
@@ -301,17 +298,22 @@ object IvfIndex {
           struct((-cosineSim(col("q_vec"), c.getField("centroid"))).as("neg_sim"),
             c.getField("cluster_id").as("cluster_id")))), 1, np)).as("p"))
       .select(col("q_id"), col("q_vec"), col("p.cluster_id").as("cluster_id"),
-        coSaltOf(col("q_id"), s).as("cosalt"))
-    // shuffle_hash with the PROBES as the hinted build side: both
-    // sides are corpus-sized (auto-broadcast would grab one at toy SF
-    // and fall over at scale), and a (cluster, salt) partition holds
-    // n·nProbe/(k·S) probe rows vs the exploded corpus's n/k — the
-    // salt divides the probe side's per-task hash table, the corpus
-    // side streams
-    val scored = probes
+        explode(coSaltValues(s)).as("cosalt"))
+    // shuffle_hash: the probes side is corpus-sized (n·nProbe·S keyed
+    // rows) — auto-broadcast would pick it at toy SF and fall over at
+    // scale; the hinted shuffled hash join is the one plan that works
+    // at every SF, building the (smaller-per-partition) corpus side.
+    // ORIENTATION (probes explode ×S, corpus salts by vec_id) is a
+    // measured decision, not a bytes-arithmetic one — see
+    // [[coSaltBuckets]]'s orientation note: streaming the probe side
+    // emits the pair stream grouped by q_id, which makes the rank
+    // pre-cut's partition-local sort nearly free; the flipped shape
+    // moves 4.7× fewer exchange rows yet ran 1.5× (raw) to 3×
+    // (compressed) SLOWER end-to-end on the 10× replica, same JVM.
+    val scored = built.assigned
+      .withColumn("cosalt", coSaltOf(col("vec_id"), s))
       .hint("shuffle_hash")
-      .join(built.assigned.withColumn("cosalt", explode(coSaltValues(s))),
-        Seq("cluster_id", "cosalt"))
+      .join(probes, Seq("cluster_id", "cosalt"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"))
@@ -335,21 +337,26 @@ object IvfIndex {
     * once — in the salted row's bucket — so results are identical,
     * and parallelism becomes k×S.
     *
-    * Orientation (which side salts vs explodes): every probe→corpus
-    * batch join salts the PROBE side by q_id and explodes the CORPUS
-    * side, for three compounding reasons measured in round 14 —
-    * (a) rows: n·S + n·nProbe exchange rows beat the probe-explode's
-    * n + n·nProbe·S whenever nProbe > 1 (4.7× fewer at nProbe=11,
-    * S=8); (b) shortlist: a query's candidate rows land only in its
-    * OWN salt bucket, so the rerank pre-cut's map-side heaps feed the
-    * q_id rank shuffle ≤ rerank·nProbe rows per query instead of
-    * rerank·nProbe·S — the S× shortlist-shuffle cut VERDICT r13 asked
-    * to measure, obtained structurally; (c) the hinted build side
-    * (the probes) stays S× divided per task. The `dedup_semantic`
-    * pair stages join the corpus to itself, so orientation is
-    * symmetric there — the ×S side is full-width either way on the
-    * raw path, and the compressed twin (`dedup_semantic_pq`) exists
-    * precisely to make that exchange code-width.
+    * Orientation (which side salts vs explodes) is MEASURED, and the
+    * row-count arithmetic loses: flipping to probe-side salt (salt
+    * probes by q_id, explode the corpus ×S) moves 4.7× fewer exchange
+    * rows (n·S + n·nProbe vs n + n·nProbe·S) and bounds the rerank
+    * shortlist at rerank·nProbe per query — yet ran 1.5× (raw) to 3×
+    * (compressed) SLOWER on the 10× replica in a same-JVM A/B
+    * (candidate stage 28.1 s vs 10.5 s). The mechanism: with the
+    * probes STREAMING through the shuffled hash join, the n²/k pair
+    * stream is emitted grouped by q_id, so the partition-local sort
+    * feeding the rank pre-cut (WindowGroupLimit) is over
+    * nearly-sorted runs and the heaps close as each query's group
+    * passes; streaming the corpus instead interleaves every query and
+    * pays a full 8.6M-row sort per partition. Exchange ROWS are
+    * compressed wire bytes (lz4 folds the S explode-copies); the sort
+    * is real CPU. So every batch join keeps the r13 shape: corpus
+    * side salted by its id, probe side exploded ×S, probe side
+    * streamed. The ADVICE-r13 byte note stands as the documented
+    * cost: the raw join's exploded probe rows carry full-width
+    * q_vecs — that width is the price of the q-grouped pair stream,
+    * and the compressed twins exist precisely to shrink it.
     *
     * S itself derives from the SESSION, not a constant: the conf
     * override if set, else ⌈defaultParallelism / 4⌉ clamped to
@@ -369,6 +376,7 @@ object IvfIndex {
   private[graft] def coSaltOf(vecId: org.apache.spark.sql.Column,
       s: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(vecId), lit(s.toLong)).cast("int")
+
 
   private[graft] def coSaltValues(s: Int): org.apache.spark.sql.Column =
     array((0 until s).map(lit): _*)
@@ -1254,16 +1262,15 @@ object IvfIndex {
           struct((-cosineSim(col("embedding"), c.getField("centroid"))).as("neg_sim"),
             c.getField("cluster_id").as("cluster_id")))), 1, nProbe)).as("p"))
       .select(col("q_id"), col("q_code"), col("p.cluster_id").as("cluster_id"),
-        coSaltOf(col("q_id"), saltS).as("cosalt"))
-    // corpus codes explode ×S (m-byte rows — the inflation is cheap);
-    // probes salt by q_id: orientation per [[coSaltBuckets]]'s doc
+        explode(coSaltValues(saltS)).as("cosalt"))
     val codes = spark.read.parquet(s"$path/$sub/codes")
       .select(col("cluster_id"), col("vec_id"), col("code"),
-        explode(coSaltValues(saltS)).as("cosalt"))
-    // shuffle_hash (build = probes, the S×-divided side): both sides
-    // are corpus-sized — see knnJoinIvf's hint note
-    val scored = probes.hint("shuffle_hash")
-      .join(codes, Seq("cluster_id", "cosalt"))
+        coSaltOf(col("vec_id"), saltS).as("cosalt"))
+    // shuffle_hash (build = codes): probes are corpus-sized — and the
+    // probe side STREAMS for the q_id-grouping reason knnJoinIvf's
+    // orientation note measures
+    val scored = codes.hint("shuffle_hash")
+      .join(probes, Seq("cluster_id", "cosalt"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         graft.functions.pq.pqSdc(col("q_code"), col("code"), sdcBc).as("sdc"))

@@ -445,16 +445,15 @@ object SnapshotLayout {
       .join(winners.withColumnRenamed("vec_id", "q_id"),
         Seq("q_id", "batch_id"))
       .select(col("q_id"), col("q_code"), col("cluster_id"),
-        IvfIndex.coSaltOf(col("q_id"), saltS).as("cosalt"))
-    // probes salted by q_id, live codes exploded xS — the uniform
-    // round-14 orientation (IvfIndex.coSaltBuckets's doc)
+        explode(IvfIndex.coSaltValues(saltS)).as("cosalt"))
     val codes = asOfCodes(spark, path, batchId, sub)
       .select(col("cluster_id"), col("vec_id"), col("batch_id"), col("code"),
-        explode(IvfIndex.coSaltValues(saltS)).as("cosalt"))
-    // shuffle_hash (build = probes, the S×-divided side): both sides
-    // are corpus-sized — see IvfIndex.knnJoinIvf's hint note
-    val scored = probes.hint("shuffle_hash")
-      .join(codes, Seq("cluster_id", "cosalt"))
+        IvfIndex.coSaltOf(col("vec_id"), saltS).as("cosalt"))
+    // shuffle_hash (build = codes), probes stream — the measured
+    // q_id-grouped-pair-stream orientation (IvfIndex.coSaltBuckets's
+    // orientation note)
+    val scored = codes.hint("shuffle_hash")
+      .join(probes, Seq("cluster_id", "cosalt"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("cluster_id"), col("vec_id"), col("batch_id"),
         graft.functions.pq.pqSdc(col("q_code"), col("code"), sdcBc).as("sdc"))

@@ -117,13 +117,12 @@ class JoinBytesBudgetSpec extends AnyFunSuite {
       assert(shortlistRows > 0, "rank exchange metrics read zero — not executed?")
       // per query the map-side WindowGroupLimit heaps feed ≤ rerank
       // rows from every shuffle partition holding that query's
-      // candidates; q_id-salting bounds those partitions by nProbe
-      // (the round-14 orientation win — corpus-salting allowed
-      // nProbe×S). The budget is the conservative min with the
-      // session's partition count.
+      // candidates — at most min(nProbe·S, shuffle partitions) of
+      // them under the corpus-salted orientation (the measured r13
+      // shape round 14 kept; see IvfIndex.coSaltBuckets).
       val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val budget = n * rerank *
-        math.min(IvfIndex.defaultNProbe, parts).toLong
+      val budget = n * rerank * math.min(
+        IvfIndex.defaultNProbe.toLong * IvfIndex.coSaltBuckets, parts.toLong)
       assert(shortlistRows <= budget,
         s"shortlist exchange rows $shortlistRows exceed budget $budget")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
