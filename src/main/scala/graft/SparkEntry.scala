@@ -322,6 +322,7 @@ object SparkEntry {
     "mixture_anneal" -> (Libraries.mixtureAnneal _),
     // ANN index family
     "ivf_build" -> (graft.index.ContractGrids.ivfBuildChecked _),
+    "index_scale_knobs" -> (graft.index.IvfIndex.scaleKnobs _),
     "ivf_search" -> (graft.index.ContractGrids.ivfSearchChecked _),
     // SparkSessionExtensions optimizer rule: brute cosine top-k → IVF probe
     "ann_rewrite" -> (graft.plans.AnnRewrite.annRewriteChecked _),
@@ -1009,6 +1010,7 @@ object SparkEntry {
     // serve/build contract grids over the approximate indexes (the
     // all-true grid is SQL-exact; recall stays the ScalaTest bars)
     "ivf_build" -> graft.index.ContractGrids.ivfBuildCheckedSql,
+    "index_scale_knobs" -> graft.index.IvfIndex.scaleKnobsSql,
     "ivf_search" -> graft.index.ContractGrids.ivfSearchCheckedSql,
     "ann_rewrite" -> graft.plans.AnnRewrite.annRewriteCheckedSql,
     "ann_rewrite_filtered" -> graft.plans.AnnRewrite.annRewriteFilteredCheckedSql,

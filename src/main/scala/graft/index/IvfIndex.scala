@@ -1347,6 +1347,30 @@ object IvfIndex {
       base
     }
 
+  /** `index_scale_knobs`: the corpus-derived index sizing surfaced as
+    * a servable one-row query whose DuckDB oracle RECOMPUTES the
+    * derivations in SQL — the round-14 knob wiring is itself oracled,
+    * not only spec-pinned: n from the corpus, k = [[kFor]] (floor 16,
+    * √n/3, cap 4096), nProbe at [[nProbeFor]]'s constant coverage.
+    * The salt width is SESSION-derived (parallelism), so it has no
+    * SQL mirror; Round14PlanSpec owns it. */
+  def scaleKnobs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.embeddings(spark, dir).count()
+    val k = kFor(spark, n)
+    Seq((n, k.toLong, nProbeFor(k).toLong))
+      .toDF("n", "k_auto", "nprobe_auto")
+  }
+
+  val scaleKnobsSql: String =
+    """SELECT count(*) AS n,
+      |  LEAST(4096, GREATEST(16,
+      |    CAST(ceil(sqrt(count(*)) / 3) AS BIGINT))) AS k_auto,
+      |  CAST(ceil(LEAST(4096, GREATEST(16,
+      |    CAST(ceil(sqrt(count(*)) / 3) AS BIGINT))) * 11.0 / 16)
+      |    AS BIGINT) AS nprobe_auto
+      |FROM embeddings""".stripMargin
+
   /** `pq_build`: the PQ sidecar's structural contract as a per-sub
     * grid the SQL oracle pins all-true — every corpus row has exactly
     * one m-byte code, every byte indexes inside the codebook, the
