@@ -68,6 +68,35 @@ class Round14PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("the probes STREAM and the codes BUILD: the measured orientation is pinned") {
+    // Round 14 flipped the salt orientation, measured it 3× slower
+    // (the probe-streamed join emits the pair stream grouped by q_id,
+    // making the rank pre-cut's sort nearly free — SURVEY §19), and
+    // kept the r13 shape. This pin makes that measured decision
+    // suite-fatal: the shuffled hash join's BUILD side must be the
+    // corpus codes and the probe side (q_code) must stream.
+    val base = IvfIndex.pqLayoutFor(spark, sf)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cand = IvfIndex.knnJoinPqCand(spark, base,
+        nProbe = IvfIndex.defaultNProbe, rerank = 200, sub = "pq")
+      val joins = cand.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty, "candidate stage lost its shuffled hash join")
+      val j = joins.head
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+      }
+      assert(build.output.exists(_.name == "code") &&
+          !build.output.exists(_.name == "q_code"),
+        "the corpus codes must BUILD and the probes must STREAM — " +
+          s"build side outputs ${build.output.map(_.name).mkString(",")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("results are salt-width-invariant: S=3 and S=13 frames identical to the default") {
     def joinIvf() = IvfIndex.knnJoinIvf(IvfIndex.buildCached(spark, sf))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
