@@ -17,8 +17,13 @@ document into a 10-clique of exact dups, which inflates dedup outputs
   by r*7 positions — another near-uniform unit vector with ~0 cosine
   to its source, so the near-dup graph scales instead of cliquing.
 - region/nation/part: copied verbatim (dimensions don't scale).
-- events: not scaled (TIMESTAMP_NS round-trip is lossy here); events
-  queries are excluded from the scale-curve run.
+- events: event_id/user_id remapped key*F+r (disjoint user
+  populations per replica, identical temporal patterns) with ts
+  copied through — per-user session/funnel/retention structure is
+  preserved exactly while counts scale ~F. (Earlier testdata
+  generations wrote TIMESTAMP_NS, which DuckDB round-tripped
+  lossily; the current generation is TIMESTAMP_US end-to-end, so
+  events now replicate like every other fact table.)
 
 Usage: python3 tools/scale_up.py /root/testdata/sf0.1 /tmp/graft_sf1 10
 """
@@ -76,6 +81,11 @@ emit("embeddings", f"""
          label
   FROM '{src}/embeddings.parquet' CROSS JOIN r""")
 
-for t in ["region", "nation", "part", "events"]:
+emit("events", f"""
+  SELECT event_id*{factor}+r AS event_id, ts,
+         user_id*{factor}+r AS user_id, event_type, value, props
+  FROM '{src}/events.parquet' CROSS JOIN r""")
+
+for t in ["region", "nation", "part"]:
     shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
     print(f"{t}: copied verbatim")
