@@ -137,6 +137,12 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val runs = (1 to math.max(1, repeat)).map(_ => timeOnce(name, fn))
+      // per-repeat distribution to stderr when asked: the floors are
+      // cross-run minima, so a variance question ("is this key noisy
+      // or regressed?") needs the raw repeats, not the min
+      if (sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE"))
+        System.err.println(f"BENCHRUNS $name%-28s " +
+          runs.map(r => f"${r._1}%.2f").mkString(" "))
       val t = if (buildQueries(name) || persistedServeQueries(name)) runs.head._1
         else runs.map(_._1).min
       (name, t, runs.flatMap(_._2).headOption)
