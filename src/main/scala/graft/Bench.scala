@@ -65,7 +65,7 @@ object Bench {
     * build. */
   private val buildQueries =
     Set("ivf_build", "nsw_build", "nsw_build_lsh", "ivf_add_delta", "nsw_add_delta",
-      "persist_chunks_build", "pq_build",
+      "persist_chunks_build", "pq_build", "nsw_generation_build",
       // the BPE trainers are memoized (round 9): without a build-first
       // cold label, bpe_apply (alphabetically first) would pay the
       // training and everyone's take-min would hide it under the memo

@@ -149,6 +149,10 @@ object SparkEntry {
     // N+1, atomic pointer swap, old generations readable for as-of
     "ivf_generation" -> (graft.index.SnapshotLayout.ivfGeneration _),
     "nsw_generation" -> (graft.index.NswSnapshotLayout.nswGeneration _),
+    // the graph cutover's one-time lifecycle under its own build
+    // label (VERDICT r14 #3 — the serve key above floors the steady
+    // state; this one owns the 54 s-class scenario build)
+    "nsw_generation_build" -> (graft.index.NswSnapshotLayout.nswGenerationBuild _),
     // the versioned layouts' change-data feed: added/deleted/updated
     // between two as-of points, identical for both index families
     "index_asof_diff" -> (graft.index.SnapshotLayout.indexAsofDiff _),
@@ -324,6 +328,10 @@ object SparkEntry {
     "ivf_build" -> (graft.index.ContractGrids.ivfBuildChecked _),
     "index_scale_knobs" -> (graft.index.IvfIndex.scaleKnobs _),
     "ivf_search" -> (graft.index.ContractGrids.ivfSearchChecked _),
+    // coverage-adaptive probing (round 15): probe-until-centroid-mass
+    // behind spark.graft.ivf.probeMass; the grid pins the contract,
+    // the clustered-slice measurement (SURVEY §20) pins the value
+    "ivf_search_mass" -> (graft.index.ContractGrids.ivfSearchMassChecked _),
     // SparkSessionExtensions optimizer rule: brute cosine top-k → IVF probe
     "ann_rewrite" -> (graft.plans.AnnRewrite.annRewriteChecked _),
     // filtered shape through the same rule: WHERE pred + top-k →
@@ -700,6 +708,7 @@ object SparkEntry {
     "nsw_compact" -> graft.index.NswSnapshotLayout.nswCompactCheckedSql,
     "ivf_generation" -> graft.index.SnapshotLayout.ivfGenerationSql,
     "nsw_generation" -> graft.index.NswSnapshotLayout.nswGenerationSql,
+    "nsw_generation_build" -> graft.index.NswSnapshotLayout.nswGenerationBuildSql,
     "index_asof_diff" -> graft.index.SnapshotLayout.indexAsofDiffSql,
     "index_layout_stats" -> graft.index.SnapshotLayout.indexLayoutStatsSql,
     "index_changes_stream" ->
@@ -1012,6 +1021,7 @@ object SparkEntry {
     "ivf_build" -> graft.index.ContractGrids.ivfBuildCheckedSql,
     "index_scale_knobs" -> graft.index.IvfIndex.scaleKnobsSql,
     "ivf_search" -> graft.index.ContractGrids.ivfSearchCheckedSql,
+    "ivf_search_mass" -> graft.index.ContractGrids.ivfSearchMassCheckedSql,
     "ann_rewrite" -> graft.plans.AnnRewrite.annRewriteCheckedSql,
     "ann_rewrite_filtered" -> graft.plans.AnnRewrite.annRewriteFilteredCheckedSql,
     "sql_knn_cosine" -> KnnSearch.sqlKnnCosineSql,

@@ -848,7 +848,7 @@ object Dedup {
   def semanticDedupDecisions(spark: SparkSession, dir: String,
       tauE6: Long = 400000L): DataFrame = {
     import spark.implicits._
-    val saltS = graft.index.IvfIndex.coSaltBuckets
+    val saltS = graft.index.IvfIndex.coSaltBuckets(spark)
     val built = graft.index.IvfIndex.buildCached(spark, dir)
     val withC = built.assigned
       .join(broadcast(built.centroids), Seq("cluster_id"))
@@ -899,7 +899,7 @@ object Dedup {
       tauE6: Long = 400000L): DataFrame = {
     import spark.implicits._
     val dec = semanticDedupDecisions(spark, dir, tauE6).localCheckpoint(true)
-    val saltS = graft.index.IvfIndex.coSaltBuckets
+    val saltS = graft.index.IvfIndex.coSaltBuckets(spark)
     val built = graft.index.IvfIndex.buildCached(spark, dir)
     val withC = built.assigned
       .join(broadcast(built.centroids), Seq("cluster_id"))
@@ -979,7 +979,7 @@ object Dedup {
   private[graft] def semanticDedupPqCand(spark: SparkSession, dir: String,
       tauE6: Long, slack: Double, sub: String = "pq"): DataFrame = {
     import spark.implicits._
-    val saltS = graft.index.IvfIndex.coSaltBuckets
+    val saltS = graft.index.IvfIndex.coSaltBuckets(spark)
     val built = graft.index.IvfIndex.buildCached(spark, dir)
     // opportunistic sidecar reuse: if this session already persisted
     // a PQ layout for the dir (ivf_search_pq et al.), its UNROTATED

@@ -89,6 +89,17 @@ object ContractGrids {
 
   val ivfSearchCheckedSql: String = annServeGridSql(10, withTop1 = true)
 
+  /** `ivf_search_mass`: the coverage-adaptive serve (probe until the
+    * ranked cells' cumulative row mass reaches tau — round 15) through
+    * the same grid. `top1_exact` is STRUCTURAL at any tau: the
+    * nearest cell has prior mass 0, so it is always probed and the
+    * query's own cluster always scans. */
+  def ivfSearchMassChecked(spark: SparkSession, dir: String): DataFrame =
+    annServeGrid(spark, dir, IvfIndex.ivfSearchMass(spark, dir),
+      withTop1 = true)
+
+  val ivfSearchMassCheckedSql: String = annServeGridSql(10, withTop1 = true)
+
   /** `nsw_search`: beam search through the serve grid. No `top1_exact`
     * — a greedy graph walk has no structural self-reachability
     * guarantee; self-recall is the ScalaTest bar's job. */

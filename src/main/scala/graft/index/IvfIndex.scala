@@ -54,9 +54,16 @@ object IvfIndex {
     * sandbox's corpora (≤ 2 304 rows before the floor lifts) keep
     * k = 16. */
   def kFor(spark: SparkSession, n: Long): Int =
-    spark.conf.getOption(kConfKey).map(_.toInt).getOrElse(
-      math.min(maxAutoK,
-        math.max(defaultK, math.ceil(math.sqrt(n.toDouble) / 3.0).toInt)))
+    graft.core.Knobs.confInt(spark, kConfKey).getOrElse(kAutoFor(n))
+
+  /** The UNCONDITIONAL corpus-size derivation (no conf consulted) —
+    * what `index_scale_knobs` reports, because its DuckDB oracle
+    * recomputes exactly this formula from count(*) and a session
+    * override would make the checked query disagree with its own
+    * oracle by construction. */
+  def kAutoFor(n: Long): Int =
+    math.min(maxAutoK,
+      math.max(defaultK, math.ceil(math.sqrt(n.toDouble) / 3.0).toInt))
 
   /** nProbe for a k-cell index at the SAME probe coverage the measured
     * default holds (11/16 of the cells): on near-uniform corpora
@@ -83,6 +90,74 @@ object IvfIndex {
     else math.max(1, math.ceil(
       centroids.count() * base.toDouble / defaultK).toInt)
 
+  /** Memoized centroid-cell count of a PERSISTED layout: the auto
+    * sentinel needs it per serve call, and without a memo every
+    * micro-batch serve pays a parquet-footer count job
+    * (QueryStream.serveBatch — VERDICT r14). Invalidation rides
+    * [[graft.store.IndexVersions]]: every layout mutation
+    * (persist / addDelta / remove / applyBatch / rollback / compact)
+    * bumps the path, so a re-fit index recounts. */
+  private val cellCountCache = new graft.store.VersionedMemo[Long]()
+
+  private[graft] def cellCount(spark: SparkSession, path: String): Long =
+    cellCountCache.get(spark, s"cells:$path", path) {
+      spark.read.parquet(s"$path/centroids").count()
+    }
+
+  /** [[resolveNProbe]] for persisted layouts — same arithmetic, cell
+    * count from the per-layout memo instead of a count() job. */
+  private[graft] def resolveNProbeAt(spark: SparkSession, path: String,
+      nProbe: Int, base: Int = defaultNProbe): Int =
+    if (nProbe > 0) nProbe
+    else math.max(1, math.ceil(
+      cellCount(spark, path) * base.toDouble / defaultK).toInt)
+
+  /** Coverage-ADAPTIVE probing (round 15, VERDICT r14 #1): a fraction
+    * in (0, 1]. When set — and the caller uses the nProbe auto
+    * sentinel — each query probes its nearest centroids until their
+    * cumulative posting-row MASS reaches the fraction, instead of a
+    * fixed CELL COUNT. On a near-uniform corpus the two policies
+    * coincide (every cell holds ~n/k rows, so tau of mass ≈ tau·k
+    * cells — the driver testdata cannot distinguish them); on a real
+    * CLUSTERED corpus most queries' neighbors live in a few heavy
+    * cells and the mass policy reaches the same recall at a fraction
+    * of the candidate volume (measured on the mixture-of-Gaussians
+    * slice, tools/make_clustered.py — see SURVEY §20). It also
+    * EQUALIZES per-query candidate volume at ~tau·n: under a fixed
+    * count, a head-cell query scans whole heavy cells while a
+    * tail-cell query scans crumbs — the skew an all-pairs join feels
+    * directly. Default UNSET: the measured constant-coverage counts
+    * stay the oracled behavior. */
+  val probeMassConfKey = "spark.graft.ivf.probeMass"
+
+  /** The effective mass threshold: the explicit parameter, else the
+    * session conf; an explicit nProbe always wins (returns None). */
+  private[graft] def probeMassOf(spark: SparkSession, nProbe: Int,
+      explicit: Option[Double]): Option[Double] = {
+    val tau = explicit.orElse(
+      graft.core.Knobs.confDouble(spark, probeMassConfKey))
+    tau.foreach(t => require(t > 0.0 && t <= 1.0,
+      s"$probeMassConfKey must be a fraction in (0, 1], got $t"))
+    if (nProbe > 0) None else tau
+  }
+
+  /** Per-cell posting-row masses of an in-memory build — one k-row
+    * aggregation over the (cached) assigned table. */
+  private[graft] def cellMassesDf(built: Built): DataFrame =
+    built.assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("cmass"))
+
+  /** Memoized per-cell masses of a PERSISTED layout (k ≤ maxAutoK
+    * rows, driver-resident; the cellCount memo's discipline — every
+    * layout mutation bumps and the next serve recounts). */
+  private val cellMassCache = new graft.store.VersionedMemo[Map[Int, Long]]()
+
+  private[graft] def cellMassesAt(spark: SparkSession, path: String): Map[Int, Long] =
+    cellMassCache.get(spark, s"cellmass:$path", path) {
+      spark.read.parquet(s"$path/vectors").groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cmass")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+
   case class Built(assigned: DataFrame, centroids: DataFrame)
 
   /** Session-scoped index memo: the reference builds each index once
@@ -97,17 +172,25 @@ object IvfIndex {
     new graft.store.VersionedMemo[Built](_.assigned.unpersist())
 
   def buildCached(spark: SparkSession, dir: String): Built =
-    builtCache.get(spark, dir, dir) {
+    // the effective-k conf rides the memo key: a session that sets
+    // (or changes) spark.graft.ivf.k must not be served a layout
+    // memoized under a different cluster count (ADVICE r14 — the
+    // checked grids assert kExpect against what this memo returns)
+    builtCache.get(spark, s"$dir@k=${kConfSuffix(spark)}", dir) {
       val b = build(spark, Tables.embeddings(spark, dir))
       Built(b.assigned.cache(), b.centroids)
     }
+
+  /** The session's k override rendered for memo keys (`auto` unset). */
+  private def kConfSuffix(spark: SparkSession): String =
+    spark.conf.getOption(kConfKey).getOrElse("auto")
 
   /** Memoized build over an arbitrary corpus (e.g. document-content
     * embeddings) under an explicit cache key; `versionDir` is the
     * data dir whose writes must invalidate this index. */
   def buildCachedFor(key: String, spark: SparkSession, emb: DataFrame,
       versionDir: String, metaCols: Seq[String] = Nil): Built =
-    builtCache.get(spark, key, versionDir) {
+    builtCache.get(spark, s"$key@k=${kConfSuffix(spark)}", versionDir) {
       val b = build(spark, emb, metaCols = metaCols)
       Built(b.assigned.cache(), b.centroids)
     }
@@ -167,20 +250,38 @@ object IvfIndex {
     * into the assigned table (partition-pruned at scale), brute-force
     * cosine within the probed clusters, top-k. */
   def search(built: Built, queries: DataFrame, nProbe: Int = 0,
-      k: Int = 10): DataFrame = {
-    // nProbe = 0 (the default) scales coverage to the index's actual
-    // cell count — [[resolveNProbe]]; exactly defaultNProbe at k = 16
-    val np = resolveNProbe(nProbe, built.centroids)
+      k: Int = 10, probeMass: Option[Double] = None): DataFrame = {
+    val spark = built.assigned.sparkSession
     // Probe ranking uses the SAME metric as the within-cluster scoring
     // (cosine). Ranking centroids by L2 while scoring by cosine loses
     // recall on unnormalized data: the L2-nearest centroid need not
     // contain the cosine-nearest vectors.
-    val probes = queries.crossJoin(broadcast(built.centroids))
+    val ranked = queries.crossJoin(broadcast(built.centroids))
       .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster_id").asc)))
-      .filter(col("crank") <= np)
-      .select(col("q_id"), col("q_vec"), col("cluster_id"))
+    val probes = probeMassOf(spark, nProbe, probeMass) match {
+      case Some(tau) =>
+        // coverage-adaptive: keep a ranked cell while the mass BEFORE
+        // it is still under the target, so the crossing cell is
+        // included and the nearest cell (prior mass 0) always probes —
+        // self-top-1 stays structural under any tau
+        val masses = cellMassesDf(built)
+        val target = math.max(1L, math.ceil(
+          tau * masses.agg(sum(col("cmass"))).first().getLong(0)).toLong)
+        ranked.join(broadcast(masses), Seq("cluster_id"))
+          .withColumn("prior_mass", coalesce(sum(col("cmass")).over(
+            Window.partitionBy(col("q_id")).orderBy(col("crank"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .filter(col("prior_mass") < target)
+          .select(col("q_id"), col("q_vec"), col("cluster_id"))
+      case None =>
+        // nProbe = 0 (the default) scales coverage to the index's
+        // actual cell count — [[resolveNProbe]]; defaultNProbe at k=16
+        val np = resolveNProbe(nProbe, built.centroids)
+        ranked.filter(col("crank") <= np)
+          .select(col("q_id"), col("q_vec"), col("cluster_id"))
+    }
     val scored = built.assigned.join(broadcast(probes), Seq("cluster_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"))
@@ -282,21 +383,53 @@ object IvfIndex {
     * O(nProbe·n^1.5) with every cluster-pair block an independent
     * task. */
   def knnJoinIvf(built: Built, nProbe: Int = 0,
-      k: Int = 5): DataFrame = {
-    val np = resolveNProbe(nProbe, built.centroids)
-    val s = coSaltBuckets
-    val centArr = built.centroids
-      .agg(collect_list(struct(col("cluster_id"), col("centroid"))).as("cents"))
+      k: Int = 5, probeMass: Option[Double] = None): DataFrame = {
+    val spark = built.assigned.sparkSession
+    val s = coSaltBuckets(spark)
+    val tau = probeMassOf(spark, nProbe, probeMass)
+    // under the mass policy each centroid struct carries its cell's
+    // row count, and the probe cut is a running-mass prefix instead
+    // of a fixed slice — same codegen stage, still zero shuffle
+    val centArr = tau match {
+      case Some(_) =>
+        built.centroids.join(cellMassesDf(built), Seq("cluster_id"))
+          .agg(collect_list(struct(col("cluster_id"), col("centroid"),
+            col("cmass"))).as("cents"))
+      case None =>
+        built.centroids
+          .agg(collect_list(struct(col("cluster_id"), col("centroid"))).as("cents"))
+    }
+    // struct sort order = (neg_sim asc, cluster_id asc) — identical
+    // ranking (cosine desc, cluster_id asc tie-break) to search()'s
+    // window, so the two paths probe the same cells for a vector
+    val probeList: org.apache.spark.sql.Column = tau match {
+      case Some(t) =>
+        val target = lit(math.max(1L, math.ceil(t * cellMassesDf(built)
+          .agg(sum(col("cmass"))).first().getLong(0)).toLong))
+        val sorted = array_sort(transform(col("cents"), c =>
+          struct((-cosineSim(col("q_vec"), c.getField("centroid"))).as("neg_sim"),
+            c.getField("cluster_id").as("cluster_id"),
+            c.getField("cmass").as("cmass"))))
+        // prefix length = cells until the running mass crosses the
+        // target (the crossing cell included): one O(k) fold per
+        // query, inside the same whole-stage-codegen'd projection
+        val taken = aggregate(sorted,
+          struct(lit(0L).as("m"), lit(0).as("t")),
+          (acc, x) => when(acc.getField("m") >= target, acc)
+            .otherwise(struct((acc.getField("m") + x.getField("cmass")).as("m"),
+              (acc.getField("t") + lit(1)).as("t"))),
+          acc => acc.getField("t"))
+        slice(sorted, lit(1), greatest(lit(1), taken))
+      case None =>
+        val np = resolveNProbe(nProbe, built.centroids)
+        slice(array_sort(transform(col("cents"), c =>
+          struct((-cosineSim(col("q_vec"), c.getField("centroid"))).as("neg_sim"),
+            c.getField("cluster_id").as("cluster_id")))), 1, np)
+    }
     val probes = built.assigned
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       .crossJoin(broadcast(centArr))
-      // struct sort order = (neg_sim asc, cluster_id asc) — identical
-      // ranking (cosine desc, cluster_id asc tie-break) to search()'s
-      // window, so the two paths probe the same cells for a vector
-      .select(col("q_id"), col("q_vec"),
-        explode(slice(array_sort(transform(col("cents"), c =>
-          struct((-cosineSim(col("q_vec"), c.getField("centroid"))).as("neg_sim"),
-            c.getField("cluster_id").as("cluster_id")))), 1, np)).as("p"))
+      .select(col("q_id"), col("q_vec"), explode(probeList).as("p"))
       .select(col("q_id"), col("q_vec"), col("p.cluster_id").as("cluster_id"),
         explode(coSaltValues(s)).as("cosalt"))
     // shuffle_hash: the probes side is corpus-sized (n·nProbe·S keyed
@@ -366,12 +499,10 @@ object IvfIndex {
     * code edit, and the cap bounds the ×S explode inflation. Every
     * join site captures S ONCE and threads it to both sides, so the
     * two halves of a join can never disagree mid-plan. */
-  def coSaltBuckets: Int = {
-    val spark = SparkSession.active
-    spark.conf.getOption(coSaltConfKey).map(_.toInt).getOrElse(
+  def coSaltBuckets(spark: SparkSession): Int =
+    graft.core.Knobs.confInt(spark, coSaltConfKey).getOrElse(
       math.min(64, math.max(8,
         math.ceil(spark.sparkContext.defaultParallelism / 4.0).toInt)))
-  }
 
   private[graft] def coSaltOf(vecId: org.apache.spark.sql.Column,
       s: Int): org.apache.spark.sql.Column =
@@ -892,6 +1023,22 @@ object IvfIndex {
     search(built, queries)
   }
 
+  /** `ivf_search_mass` query: the coverage-ADAPTIVE probe serve
+    * ([[probeMassConfKey]]) for the fixed query set, at
+    * tau = defaultNProbe/defaultK — the constant-coverage default's
+    * volume on this near-uniform corpus, so the checked grid pins the
+    * POLICY's contract while the testdata cannot reward it; its value
+    * is measured on the clustered slice (SURVEY §20). */
+  def ivfSearchMass(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val built = buildCached(spark, dir)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    search(built, queries,
+      probeMass = Some(defaultNProbe.toDouble / defaultK))
+  }
+
   /** `ivf_search_filtered`: label-constrained probe search (each query
     * returns only neighbors sharing its label — the multi-tenant /
     * metadata-predicate serving shape) pushed through an invariant
@@ -1117,7 +1264,7 @@ object IvfIndex {
   private def searchPersistedPqImpl(spark: SparkSession, path: String,
       queries: DataFrame, pred: Option[org.apache.spark.sql.Column],
       nProbe: Int, k: Int, rerank: Int, sub: String): DataFrame = {
-    val np = resolveNProbe(nProbe, spark.read.parquet(s"$path/centroids"),
+    val np = resolveNProbeAt(spark, path, nProbe,
       if (pred.isDefined) filteredNProbeBase else defaultNProbe)
     val (lutBc, probes) = pqQueryState(spark, path, queries, np, sub)
     val codes = spark.read.parquet(s"$path/$sub/codes")
@@ -1191,9 +1338,10 @@ object IvfIndex {
     * same oracle shape as [[knnJoinIvfChecked]]. */
   def knnJoinPq(spark: SparkSession, path: String,
       nProbe: Int = 0, k: Int = 5, rerank: Int = 200,
-      sub: String = "pq"): DataFrame = {
-    val np = resolveNProbe(nProbe, spark.read.parquet(s"$path/centroids"))
-    val cand = knnJoinPqCand(spark, path, np, rerank, sub)
+      sub: String = "pq", probeMass: Option[Double] = None): DataFrame = {
+    val tau = probeMassOf(spark, nProbe, probeMass)
+    val np = if (tau.isDefined) 0 else resolveNProbeAt(spark, path, nProbe)
+    val cand = knnJoinPqCand(spark, path, np, rerank, sub, tau)
     val vecs = spark.read.parquet(s"$path/vectors")
     // exact rerank of the n×rerank shortlist: attach both raw vectors
     // by narrow-key joins (the only stages where full-width rows move)
@@ -1227,8 +1375,9 @@ object IvfIndex {
     * in isolation: NO float-array column on ANY exchange in this
     * stage (the co-location shuffle carries m-byte codes only). */
   private[graft] def knnJoinPqCand(spark: SparkSession, path: String,
-      nProbe: Int, rerank: Int, sub: String): DataFrame = {
-    val saltS = coSaltBuckets
+      nProbe: Int, rerank: Int, sub: String,
+      probeMass: Option[Double] = None): DataFrame = {
+    val saltS = coSaltBuckets(spark)
     val books = readCodebooks(spark, path, sub)
     val rotation = readRotation(spark, path, sub)
     // query side: a FINER codebook set trained on the same bounded
@@ -1247,8 +1396,41 @@ object IvfIndex {
     val booksBc = spark.sparkContext.broadcast(fineBooks)
     val sdcBc = spark.sparkContext.broadcast(
       PqCodebooks.crossTable(fineBooks, books))
-    val centArr = spark.read.parquet(s"$path/centroids")
-      .agg(collect_list(struct(col("cluster_id"), col("centroid"))).as("cents"))
+    // mass policy (probeMass set): centroid structs carry their cell
+    // masses (the memoized per-layout map) and the probe cut is the
+    // knnJoinIvf running-mass prefix — a tau that equalizes per-query
+    // candidate volume on clustered corpora
+    val massMap = probeMass.map(_ => cellMassesAt(spark, path))
+    val centBase = spark.read.parquet(s"$path/centroids")
+    val centArr = massMap match {
+      case Some(m) =>
+        val mdf = spark.createDataFrame(m.toSeq).toDF("cluster_id", "cmass")
+        centBase.join(mdf, Seq("cluster_id"))
+          .agg(collect_list(struct(col("cluster_id"), col("centroid"),
+            col("cmass"))).as("cents"))
+      case None =>
+        centBase
+          .agg(collect_list(struct(col("cluster_id"), col("centroid"))).as("cents"))
+    }
+    val probeList: org.apache.spark.sql.Column = (probeMass, massMap) match {
+      case (Some(t), Some(m)) =>
+        val target = lit(math.max(1L, math.ceil(t * m.values.sum).toLong))
+        val sorted = array_sort(transform(col("cents"), c =>
+          struct((-cosineSim(col("embedding"), c.getField("centroid"))).as("neg_sim"),
+            c.getField("cluster_id").as("cluster_id"),
+            c.getField("cmass").as("cmass"))))
+        val taken = aggregate(sorted,
+          struct(lit(0L).as("m"), lit(0).as("t")),
+          (acc, x) => when(acc.getField("m") >= target, acc)
+            .otherwise(struct((acc.getField("m") + x.getField("cmass")).as("m"),
+              (acc.getField("t") + lit(1)).as("t"))),
+          acc => acc.getField("t"))
+        slice(sorted, lit(1), greatest(lit(1), taken))
+      case _ =>
+        slice(array_sort(transform(col("cents"), c =>
+          struct((-cosineSim(col("embedding"), c.getField("centroid"))).as("neg_sim"),
+            c.getField("cluster_id").as("cluster_id")))), 1, nProbe)
+    }
     val vecs = spark.read.parquet(s"$path/vectors")
     val encodeInput = rotation.map(r =>
       PqCodebooks.rotateCol(col("embedding"), r)).getOrElse(col("embedding"))
@@ -1258,9 +1440,7 @@ object IvfIndex {
       .crossJoin(broadcast(centArr))
       .select(col("vec_id").as("q_id"),
         graft.functions.pq.pqEncode(encodeInput, booksBc).as("q_code"),
-        explode(slice(array_sort(transform(col("cents"), c =>
-          struct((-cosineSim(col("embedding"), c.getField("centroid"))).as("neg_sim"),
-            c.getField("cluster_id").as("cluster_id")))), 1, nProbe)).as("p"))
+        explode(probeList).as("p"))
       .select(col("q_id"), col("q_code"), col("p.cluster_id").as("cluster_id"),
         explode(coSaltValues(saltS)).as("cosalt"))
     val codes = spark.read.parquet(s"$path/$sub/codes")
@@ -1357,7 +1537,11 @@ object IvfIndex {
   def scaleKnobs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = Tables.embeddings(spark, dir).count()
-    val k = kFor(spark, n)
+    // the UNCONDITIONAL derivation (kAutoFor, not kFor): the oracle
+    // recomputes the formula from count(*), so honoring a session's
+    // spark.graft.ivf.k here would make the checked query disagree
+    // with its own oracle whenever the override is set (ADVICE r14)
+    val k = kAutoFor(n)
     Seq((n, k.toLong, nProbeFor(k).toLong))
       .toDF("n", "k_auto", "nprobe_auto")
   }

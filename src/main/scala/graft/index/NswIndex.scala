@@ -50,6 +50,63 @@ object NswIndex {
   // a fixed small cap silently starves recall exactly when the
   // corpus grows; 10 keeps headroom beyond the cut.
   val hops = 10
+
+  /** Conf overrides for the graph family's knobs (round 15 — the
+    * kFor/resolveNProbe discipline applied to the graph: corpus-derived
+    * defaults, conf overrides, floored at the measured test-SF
+    * values). */
+  val beamConfKey = "spark.graft.nsw.beam"
+  val filteredBeamConfKey = "spark.graft.nsw.beam.filtered"
+  val pqBeamConfKey = "spark.graft.nsw.beam.pq"
+  val hopsConfKey = "spark.graft.nsw.hops"
+  val degreeConfKey = "spark.graft.nsw.degree"
+
+  /** Beam width for an n-row corpus: the conf if set, else
+    * max([[beamWidth]], ceil(2 * ln n)). NSW search-path length grows
+    * ~log n, so a fixed beam silently starves recall exactly as the
+    * corpus grows (the IVF constant-coverage lesson applied to the
+    * graph). The floor keeps every test-SF corpus (n <= 2304 ->
+    * ceil(15.5) = 16) on the exact beam the recall bars were measured
+    * at; the 10x replica derives 20 (recall measured >= bar there,
+    * SURVEY SS20), n = 1e9 derives 42. */
+  def beamFor(spark: SparkSession, n: Long): Int =
+    graft.core.Knobs.confInt(spark, beamConfKey).getOrElse(
+      math.max(beamWidth,
+        math.ceil(2.0 * math.log(math.max(2L, n).toDouble)).toInt))
+
+  /** Filtered-walk beam: the conf if set, else 2 * [[beamFor]] — the
+    * measured accepted-pool compensation (filteredBeamWidth = 2x the
+    * base width at the floor) held at RATIO as the base beam scales. */
+  def filteredBeamFor(spark: SparkSession, n: Long): Int =
+    graft.core.Knobs.confInt(spark, filteredBeamConfKey)
+      .getOrElse(2 * beamFor(spark, n))
+
+  /** ADC-walk beam: the conf if set, else 2 * [[beamFor]]
+    * ([[pqBeamWidth]]'s measured wider-frontier discipline — quantized
+    * scores mis-sort near-ties — held at ratio). */
+  def pqBeamFor(spark: SparkSession, n: Long): Int =
+    graft.core.Knobs.confInt(spark, pqBeamConfKey)
+      .getOrElse(2 * beamFor(spark, n))
+
+  /** Hop cap: the conf if set, else max([[hops]], ceil(ln n)) — graph
+    * diameter grows ~log n, and both walk loops stop early on
+    * convergence, so the cap only binds while the walk still improves.
+    * Floors at the measured 10 through the 10x replica
+    * (ceil(ln 20000) = 10); n = 1e6 derives 14. */
+  def hopsFor(spark: SparkSession, n: Long): Int =
+    graft.core.Knobs.confInt(spark, hopsConfKey).getOrElse(
+      math.max(hops, math.ceil(math.log(math.max(2L, n).toDouble)).toInt))
+
+  /** Graph degree: the conf if set, else
+    * max([[graphDegree]], ceil(log10 n)). Degree is the EXPENSIVE knob
+    * (build cost and edge storage are n*degree, and the reference's
+    * n_neighbors = 5 is the oracled contract at test SF), so it grows
+    * an order slower than the beam: the beam is the recall lever,
+    * degree only preserves long-range navigability as the corpus grows
+    * (5 until 1e5 rows, 6 at 1e6, 9 at 1e9). */
+  def degreeFor(spark: SparkSession, n: Long): Int =
+    graft.core.Knobs.confInt(spark, degreeConfKey).getOrElse(
+      math.max(graphDegree, math.ceil(math.log10(math.max(2L, n).toDouble)).toInt))
   // LSH candidate generation for the graph build (the 100 TB path):
   // bucket bit depth adapts to n (LshIndex.adaptiveBits, target ~64
   // rows/bucket) so within-bucket pair counts stay linear; multiple
@@ -66,7 +123,11 @@ object NswIndex {
   /** Directed kNN edges: top-`graphDegree` neighbors per vector.
     * EXACT mode — all-pairs scoring; n² and only for oracle-checkable
     * small data. The scale path is [[buildEdgesLsh]]. */
-  def buildEdges(emb: DataFrame, degree: Int = graphDegree): DataFrame = {
+  def buildEdges(emb: DataFrame, degree: Int = 0): DataFrame = {
+    // 0 resolves the degree from the corpus ([[degreeFor]]'s floor
+    // keeps every oracled test corpus at the reference's 5)
+    val deg = if (degree > 0) degree
+      else degreeFor(emb.sparkSession, emb.count())
     val pairs = emb.select(col("vec_id").as("src"), col("embedding").as("src_vec"))
       .crossJoin(emb.select(col("vec_id").as("dst"), col("embedding").as("dst_vec")))
       .filter(col("src") =!= col("dst"))
@@ -74,7 +135,7 @@ object NswIndex {
         Stab.e6(cosineSim(col("src_vec"), col("dst_vec"))).as("score_e6"))
     pairs.withColumn("rank", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("score_e6").desc, col("dst").asc)).cast("long"))
-      .filter(col("rank") <= degree)
+      .filter(col("rank") <= deg)
   }
 
   /** Directed kNN edges from LSH-bucketed candidates, refined by
@@ -92,13 +153,18 @@ object NswIndex {
     * reverse edges), rescore, top-k recovers most edges a bucketing
     * split apart. Per-node candidate count is (2·degree)² — linear in
     * n, never all-pairs. */
-  def buildEdgesLsh(emb: DataFrame, degree: Int = graphDegree,
+  def buildEdgesLsh(emb: DataFrame, degree: Int = 0,
       nTables: Int = buildTables, nBits: Int = -1,
       refineRounds: Int = buildRefineRounds): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"))
+    // one count serves both adaptive knobs (bucket bits and, round 15,
+    // the corpus-derived degree)
+    val nBase = base.count()
     val bits =
       if (nBits > 0) nBits
-      else LshIndex.adaptiveBits(base.count(), buildTargetBucket)
+      else LshIndex.adaptiveBits(nBase, buildTargetBucket)
+    val deg = if (degree > 0) degree
+      else degreeFor(emb.sparkSession, nBase)
     def topEdges(cand: DataFrame): DataFrame = {
       val scored = cand
         .join(base.select(col("vec_id").as("src"), col("embedding").as("src_vec")), Seq("src"))
@@ -107,7 +173,7 @@ object NswIndex {
           Stab.e6(cosineSim(col("src_vec"), col("dst_vec"))).as("score_e6"))
       scored.withColumn("rank", row_number().over(
           Window.partitionBy(col("src")).orderBy(col("score_e6").desc, col("dst").asc)).cast("long"))
-        .filter(col("rank") <= degree)
+        .filter(col("rank") <= deg)
     }
     val cand = LshIndex.saltedCandidatePairs(base, nTables, bits,
       bucketCap = 128, seedBase = 1042L)
@@ -415,7 +481,10 @@ object NswIndex {
     val edges = spark.read.parquet(s"$path/edges")
     val queries = newVecs
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val linked = beamSearch(emb, edges, queries, k = graphDegree)
+    // delta links match the stored graph's corpus-derived degree
+    // (footer-only count; floors to the reference's 5 at test SF)
+    val linked = beamSearch(emb, edges, queries,
+      k = degreeFor(spark, emb.count()))
       .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
       .localCheckpoint(true)
     linked.write.mode("append").parquet(s"$path/edges")
@@ -608,9 +677,9 @@ object NswIndex {
     * the frontier ⋈ edges join needs no Exchange on the edge side. */
   def beamSearch(emb: DataFrame, edges: DataFrame, queries: DataFrame,
       k: Int = 5, singleQuery: Boolean = false,
-      preExpandedEdges: Boolean = false, maxHops: Int = hops,
+      preExpandedEdges: Boolean = false, maxHops: Int = 0,
       seedSampleMod: Int = entrySeedMod,
-      beamW: Int = beamWidth,
+      beamW: Int = 0,
       metaCols: Seq[String] = Nil,
       acceptPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     if (singleQuery)
@@ -637,6 +706,18 @@ object NswIndex {
     val embSel0 = emb.select(
       (Seq(col("vec_id").as("node"), col("embedding")) ++ metaCols.map(col)): _*)
     val embSel = if (preExpandedEdges) embSel0 else embSel0.cache()
+    // 0 sentinels (round 15) resolve the beam/hop knobs from the
+    // corpus size: one count on the frame the walk scans anyway —
+    // footer-only for bucketed layouts, a cache warm-up (work the
+    // first superstep needed regardless) for in-memory walks,
+    // block-cheap for checkpointed reconstructions. Explicit widths
+    // skip the count entirely.
+    val nCorpus = if (beamW > 0 && maxHops > 0) -1L else embSel.count()
+    val sparkR = emb.sparkSession
+    val bw = if (beamW > 0) beamW
+      else if (acceptPred.isDefined) filteredBeamFor(sparkR, nCorpus)
+      else beamFor(sparkR, nCorpus)
+    val hopCap = if (maxHops > 0) maxHops else hopsFor(sparkR, nCorpus)
     // query-side columns beyond (q_id, q_vec) — e.g. q_label — that
     // the accept predicate may reference; carried through every hop
     val qExtra = queries.columns.toSeq.filterNot(Seq("q_id", "q_vec").contains)
@@ -680,11 +761,11 @@ object NswIndex {
     var frontier = visitedParts.head
       .withColumn("brank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)))
-      .filter(col("brank") <= beamW)
+      .filter(col("brank") <= bw)
       .drop("brank")
     var hop = 1
     var exhausted = false
-    while (hop <= maxHops && !exhausted) {
+    while (hop <= hopCap && !exhausted) {
       val expanded = frontier
         .join(edgeSel, Seq("node"))
         .select((Seq(col("q_id"), col("dst").as("node"), col("q_vec")) ++
@@ -703,7 +784,7 @@ object NswIndex {
         visitedParts ::= scored
         frontier = scored.withColumn("brank", row_number().over(
             Window.partitionBy(col("q_id")).orderBy(col("score_e6").desc, col("node").asc)))
-          .filter(col("brank") <= beamW)
+          .filter(col("brank") <= bw)
           .drop("brank")
       }
       hop += 1
@@ -739,10 +820,10 @@ object NswIndex {
     * Exchange disappears too). */
   private def beamSearchSingle(emb: DataFrame, edges: DataFrame,
       queries: DataFrame, k: Int, preExpandedEdges: Boolean,
-      maxHops: Int = hops, seedSampleMod: Int = entrySeedMod,
+      maxHops0: Int = 0, seedSampleMod: Int = entrySeedMod,
       metaCols: Seq[String] = Nil,
       acceptPred: Option[org.apache.spark.sql.Column] = None,
-      beamW: Int = beamWidth): DataFrame = {
+      beamW0: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     val q = queries.select(col("q_id"), col("q_vec")).collect()
     require(q.length == 1, s"single-query beam got ${q.length} query rows")
@@ -750,6 +831,13 @@ object NswIndex {
     val qLit = typedlit(q(0).getSeq[Float](1).toArray)
     val embSel = emb.select(
       (Seq(col("vec_id").as("node"), col("embedding")) ++ metaCols.map(col)): _*)
+    // the batch walk's 0-sentinel knob resolution — for the bucketed
+    // single-query serve the count is parquet-footer metadata
+    val nCorpus = if (beamW0 > 0 && maxHops0 > 0) -1L else embSel.count()
+    val beamW = if (beamW0 > 0) beamW0
+      else if (acceptPred.isDefined) filteredBeamFor(spark, nCorpus)
+      else beamFor(spark, nCorpus)
+    val maxHops = if (maxHops0 > 0) maxHops0 else hopsFor(spark, nCorpus)
     // Filtered mode: the predicate may reference node metadata only
     // (a single query's own columns fold into the predicate as
     // literals caller-side). As in the batch walk, it constrains what
@@ -852,7 +940,7 @@ object NswIndex {
     * the ivf filtered precedent. */
   def searchFiltered(emb: DataFrame, edges: DataFrame, queries: DataFrame,
       pred: org.apache.spark.sql.Column, metaCols: Seq[String],
-      k: Int = 10, beamW: Int = filteredBeamWidth): DataFrame =
+      k: Int = 10, beamW: Int = 0): DataFrame =
     beamSearch(emb, edges, queries, k = k, beamW = beamW,
       metaCols = metaCols, acceptPred = Some(pred))
 
@@ -1026,18 +1114,23 @@ object NswIndex {
 
   def searchPersistedPq(spark: SparkSession, path: String,
       queries: DataFrame, k: Int = 5, rerank: Int = pqRerank,
-      beamW: Int = pqBeamWidth, maxHops: Int = hops,
+      beamW: Int = 0, maxHops: Int = 0,
       seedSampleMod: Int = entrySeedMod, sub: String = "pq"): DataFrame = {
     val (lutBc, qIdx) = pqWalkState(spark, path, queries, sub)
     val codes = spark.read.parquet(s"$path/$sub/codes")
       .select(col("vec_id").as("node"), col("code")).cache()
+    // 0 sentinels: the codes table mirrors the corpus 1:1, so its
+    // footer count is the layout's n (the resolveNProbeAt discipline)
+    val nCorpus = if (beamW > 0 && maxHops > 0) -1L else codes.count()
+    val bw = if (beamW > 0) beamW else pqBeamFor(spark, nCorpus)
+    val hopCap = if (maxHops > 0) maxHops else hopsFor(spark, nCorpus)
     val edgeSel = spark.read.parquet(s"$path/edges")
       .select(col("src").as("node"), col("dst"))
       .unionByName(spark.read.parquet(s"$path/edges")
         .select(col("dst").as("node"), col("src").as("dst")))
       .cache()
-    val cand = adcWalk(codes, edgeSel, lutBc, qIdx, rerank, beamW,
-      maxHops, seedSampleMod)
+    val cand = adcWalk(codes, edgeSel, lutBc, qIdx, rerank, bw,
+      hopCap, seedSampleMod)
     codes.unpersist(); edgeSel.unpersist()
     // exact rerank: the adc-best `rerank` visited candidates per query
     // fetch their raw vectors (a broadcast of |q|·rerank keys into the
@@ -1064,8 +1157,8 @@ object NswIndex {
     * the codes). */
   def searchPersistedPqFiltered(spark: SparkSession, path: String,
       queries: DataFrame, pred: org.apache.spark.sql.Column, k: Int = 10,
-      rerank: Int = pqRerank, beamW: Int = pqBeamWidth,
-      maxHops: Int = hops, seedSampleMod: Int = entrySeedMod,
+      rerank: Int = pqRerank, beamW: Int = 0,
+      maxHops: Int = 0, seedSampleMod: Int = entrySeedMod,
       sub: String = "pq"): DataFrame = {
     val (lutBc, qIdx) = pqWalkState(spark, path, queries, sub)
     val codesRaw = spark.read.parquet(s"$path/$sub/codes")
@@ -1074,6 +1167,9 @@ object NswIndex {
     val codes = codesRaw
       .select(col("vec_id").as("node") +: col("code") +: metaCols.map(col): _*)
       .cache()
+    val nCorpus = if (beamW > 0 && maxHops > 0) -1L else codes.count()
+    val bw = if (beamW > 0) beamW else pqBeamFor(spark, nCorpus)
+    val hopCap = if (maxHops > 0) maxHops else hopsFor(spark, nCorpus)
     val edgeSel = spark.read.parquet(s"$path/edges")
       .select(col("src").as("node"), col("dst"))
       .unionByName(spark.read.parquet(s"$path/edges")
@@ -1081,8 +1177,8 @@ object NswIndex {
       .cache()
     val qExtra = queries.columns.toSeq.filterNot(Set("q_id", "q_vec"))
     val qFrame = qIdx.join(broadcast(queries.drop("q_vec")), Seq("q_id"))
-    val cand = adcWalk(codes, edgeSel, lutBc, qFrame, rerank, beamW,
-      maxHops, seedSampleMod, carryCols = metaCols, qExtraCols = qExtra,
+    val cand = adcWalk(codes, edgeSel, lutBc, qFrame, rerank, bw,
+      hopCap, seedSampleMod, carryCols = metaCols, qExtraCols = qExtra,
       acceptPred = Some(pred))
       .select(col("q_id"), col("node"))
     codes.unpersist(); edgeSel.unpersist()

@@ -104,7 +104,7 @@ object NswSnapshotLayout {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val linked = NswIndex.beamSearch(
           headVecs.select(col("vec_id"), col("embedding")), headEdges, queries,
-          k = NswIndex.graphDegree)
+          k = NswIndex.degreeFor(spark, headVecs.count()))
         .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
         // a re-added id finds its own still-live old row — never
         // self-link
@@ -141,6 +141,10 @@ object NswSnapshotLayout {
     IndexMeta.bumpDelta(spark, path, drift)
     val meta = IndexMeta.read(spark, path).getOrElse(IndexMeta.Meta(0L, 0L))
     SnapshotLayout.writeManifest(spark, path, batchId, meta)
+    // the IVF twin's discipline: an applied batch invalidates every
+    // memo keyed under this layout (head-addressed fine alphabets
+    // would otherwise survive the append with a constant key)
+    graft.store.IndexVersions.bump(path)
   }
 
   /** Live (vec_id, embedding) as of `batchId` — the latest-event
@@ -1044,126 +1048,181 @@ object NswSnapshotLayout {
     * routed reconstruction STATE (fingerprints + the route resolving
     * to generation 1) instead of running two walks whose inputs it
     * is — the one head serve keeps the end-to-end walk proof. */
+  /** The lifecycle's captured verdicts plus the finished root — plain
+    * driver values, so the session memo stores nothing plan-bound. */
+  private[graft] case class GenLifecycle(root: String,
+      matchesFresh: Boolean, boundaryIdentical: Boolean,
+      oldAsofServed: Boolean, gaugeReset: Boolean, crossRefused: Boolean,
+      postCutoverApplies: Boolean, sidecarCarried: Boolean,
+      retiredRefuses: Boolean)
+
+  /** Session memo of the FULL generational lifecycle (VERDICT r14 #3:
+    * the old rebuild-per-invocation grid mixed a measured 54 s cold
+    * build into an 18-20 s steady state and the bench floor landed
+    * anywhere in between — the persist_chunks_build precedent applies:
+    * the lifecycle is now a labeled one-time build, `nsw_generation_
+    * build`, and the serve key floors the steady-state head walk over
+    * the finished root). Every grid verdict is captured HERE, at the
+    * lifecycle step that proves it (the fingerprint diffs must read
+    * generation 1 before retirement drops it). */
+  private val genLifecycleCache = new graft.store.VersionedMemo[GenLifecycle]()
+
+  private[graft] def genLifecycle(spark: SparkSession, dir: String): GenLifecycle =
+    genLifecycleCache.get(spark, s"nsw_gen_lifecycle:$dir", dir) {
+      import spark.implicits._
+      val all = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding", $"label")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
+        s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/nsw_gen"
+      val gen1 = Generations.genPath(root, 1)
+      val fs = new Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      SnapshotLayout.copyLayout(spark, pristineScenario(spark, dir), gen1)
+      Generations.writePointer(spark, root, 1)
+      rollback(spark, gen1, 2L) // head := the good batch
+      // a PQ sidecar at NON-default geometry (m=4, codes=8): the
+      // cutover must re-fit the carried sidecar at its STORED geometry
+      // (newGeneration recovers m/codes from the predecessor's
+      // codebooks) — a carry that silently re-defaulted to 8×16 flips
+      // `sidecar_carried` below, which an exists-check would miss
+      initPq(spark, gen1, m = 4, codes = 8)
+      // pre-cutover as-of-1 state, CAPTURED (checkpoint) so the
+      // post-cutover comparison cannot silently read post-cutover files
+      val asof1Before = SnapshotLayout
+        .asOfFingerprints(spark, gen1, 1L, nswNonPayload, "fp")
+        .localCheckpoint(true)
+      val newGen = newGeneration(spark, root)
+      val gen2 = Generations.genPath(root, 2)
+      // fresh-build identity on the successor's base: vectors are the
+      // head live set (the boundary fingerprint diff below) and edges a
+      // fresh LSH build. The comparator is MEMOIZED from the pristine
+      // scenario's as-of-2 reconstruction — identical content (rollback
+      // restores the byte-identical layout, and the copy preserves
+      // bytes, so both builds read the same file set) on a stable
+      // session-lived path the cached frame can safely re-evaluate from
+      val freshEdges = NswIndex.edgesCachedFor(s"nsw_gen_fresh:$dir",
+        asOfVectors(spark, pristineScenario(spark, dir), 2L)
+          .select($"vec_id", $"embedding"), dir)
+      val storedEdges = spark.read.parquet(s"$gen2/edges")
+        .filter($"batch_id" === 2L).select($"src", $"dst")
+      val matchesFresh = SnapshotLayout.rowSetDiffCount(
+        freshEdges.select($"src", $"dst"), storedEdges, "n_edges_diff")
+        .collect()(0).getLong(0) == 0L
+      val boundaryIdentical = SnapshotLayout.diffFingerprints(
+          SnapshotLayout.asOfFingerprints(spark, gen1, 2L, nswNonPayload, "b_fp"),
+          SnapshotLayout.asOfFingerprints(spark, gen2, 2L, nswNonPayload, "a_fp"))
+        .count() == 0L
+      // old as-ofs answerable through the root: the route must resolve
+      // to generation 1 AND its batch-1 reconstruction must be intact
+      // (the walk is a deterministic function of that state, so state
+      // identity implies the old serve-level identity — two beam walks
+      // saved; the serve key's per-probe head walk still proves the
+      // machinery end-to-end through the generational route)
+      val routed = Generations.route(spark, root, 1L)
+      val asof1After = SnapshotLayout
+        .asOfFingerprints(spark, routed, 1L, nswNonPayload, "fp")
+      val oldAsofServed = routed == gen1 &&
+        SnapshotLayout.rowSetDiffCount(asof1Before, asof1After, "n_old_diff")
+          .collect()(0).getLong(0) == 0L
+      val debts = layoutDebtGen(spark, root).collect()
+      val gen2Row = debts.find(_.getAs[Long]("generation") == 2L)
+      val gaugeReset = newGen == 2 && Generations.current(spark, root) == 2 &&
+        gen2Row.exists(r =>
+          r.getAs[Boolean]("is_current") && r.getAs[Long]("n_batches") == 1L &&
+            r.getAs[Long]("delta_since_fit") == 0L &&
+            r.getAs[Long]("fitted_n") == r.getAs[Long]("live_rows")) &&
+        debts.count(_.getAs[Boolean]("is_current")) == 1
+      val crossRefused =
+        try { rollbackGen(spark, root, 1L); false }
+        catch { case _: IllegalArgumentException => true }
+      // sidecar carried AT ITS STORED GEOMETRY: the successor's
+      // codebooks re-fit as 4 subspaces × 8 codes (not the 8×16
+      // default), and its base codes cover the boundary live set
+      // exactly — checked BEFORE batch 3 appends post-cutover codes
+      val gen2Books = IvfIndex.readCodebooks(spark, gen2, "pq")
+      val gen2BaseLive = spark.read.parquet(s"$gen2/vectors")
+        .filter($"batch_id" === 2L).count()
+      val sidecarCarried = gen2Books.length == 4 &&
+        gen2Books.forall(_.length == 8) &&
+        spark.read.parquet(s"$gen2/pq/codes")
+          .filter($"batch_id" === 2L).count() == gen2BaseLive
+      applyBatchGen(spark, root, 3L,
+        upserts = all.filter($"vec_id" === 14 || $"vec_id" === 21),
+        deletes = all.limit(0).select($"vec_id"))
+      val postCutoverApplies = asOfVectorsGen(spark, root, Long.MaxValue)
+        .filter($"vec_id" === 14 || $"vec_id" === 21).count() == 2L &&
+        SnapshotLayout.manifestIds(spark, gen2) == Seq(2L, 3L)
+      // retirement (the IVF grid's contract on the graph): every
+      // generation-1-reading verdict is already collected above, so
+      // the drop is safe — then pin the loud refusal at routing
+      Generations.dropGeneration(spark, root, 1)
+      val retiredRefuses =
+        (try { Generations.route(spark, root, 1L); false }
+        catch { case _: IllegalArgumentException => true }) &&
+          Generations.list(spark, root) == Seq(2)
+      GenLifecycle(root, matchesFresh, boundaryIdentical, oldAsofServed,
+        gaugeReset, crossRefused, postCutoverApplies, sidecarCarried,
+        retiredRefuses)
+    }
+
+  /** `nsw_generation_build`: the one-time generational lifecycle
+    * surfaced as its OWN labeled entry (VERDICT r14 #3, the
+    * persist_chunks_build precedent) — forces [[genLifecycle]] and
+    * reports its verdict grid; the oracle pins all-true. */
+  def nswGenerationBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = genLifecycle(spark, dir)
+    Seq(
+      ("boundary_live_identical", g.boundaryIdentical),
+      ("cross_rollback_refused", g.crossRefused),
+      ("gauge_reset", g.gaugeReset),
+      ("matches_fresh", g.matchesFresh),
+      ("old_asof_served", g.oldAsofServed),
+      ("post_cutover_applies", g.postCutoverApplies),
+      ("retired_refuses", g.retiredRefuses),
+      ("sidecar_carried", g.sidecarCarried))
+      .toDF("flag", "ok").orderBy($"flag")
+  }
+
+  val nswGenerationBuildSql: String =
+    """SELECT t.flag, true AS ok
+      |FROM (VALUES ('boundary_live_identical'), ('cross_rollback_refused'),
+      |  ('gauge_reset'), ('matches_fresh'), ('old_asof_served'),
+      |  ('post_cutover_applies'), ('retired_refuses'), ('sidecar_carried'))
+      |  t(flag)
+      |ORDER BY flag""".stripMargin
+
+  /** `nsw_generation`: the graph family's cutover contract —
+    * `ivf_generation`'s grid (including `retired_refuses`: drop
+    * generation 1 last, pin the loud refusal) with the fresh-build
+    * identity on the EDGE set (the successor's base graph must equal
+    * a fresh LSH build over the head live rows, set-level) and
+    * `sidecar_carried` pinned at STORED geometry. The lifecycle runs
+    * once per session under its own build label ([[genLifecycle]] /
+    * `nsw_generation_build`); THIS key is the steady-state serve — a
+    * per-probe beam walk at head through the generational route, with
+    * the captured lifecycle verdicts attached as the grid's global
+    * columns (same output contract as the pre-split key). */
   def nswGeneration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val all = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", $"label")
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
-      s"${spark.sparkContext.applicationId}-${math.abs(dir.hashCode)}/nsw_gen"
-    val gen1 = Generations.genPath(root, 1)
-    val fs = new Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(root), true)
-    SnapshotLayout.copyLayout(spark, pristineScenario(spark, dir), gen1)
-    Generations.writePointer(spark, root, 1)
-    rollback(spark, gen1, 2L) // head := the good batch
-    // a PQ sidecar at NON-default geometry (m=4, codes=8): the
-    // cutover must re-fit the carried sidecar at its STORED geometry
-    // (newGeneration recovers m/codes from the predecessor's
-    // codebooks) — a carry that silently re-defaulted to 8×16 flips
-    // `sidecar_carried` below, which an exists-check would miss
-    initPq(spark, gen1, m = 4, codes = 8)
-    val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
+    val g = genLifecycle(spark, dir)
+    val queries = Tables.embeddings(spark, dir)
+      .filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
-    // pre-cutover as-of-1 state, CAPTURED (checkpoint) so the
-    // post-cutover comparison cannot silently read post-cutover files
-    val asof1Before = SnapshotLayout
-      .asOfFingerprints(spark, gen1, 1L, nswNonPayload, "fp")
-      .localCheckpoint(true)
-    val newGen = newGeneration(spark, root)
-    val gen2 = Generations.genPath(root, 2)
-    // fresh-build identity on the successor's base: vectors are the
-    // head live set (the boundary fingerprint diff below) and edges a
-    // fresh LSH build. The comparator is MEMOIZED from the pristine
-    // scenario's as-of-2 reconstruction — identical content (rollback
-    // restores the byte-identical layout, and the copy preserves
-    // bytes, so both builds read the same file set) on a stable
-    // session-lived path the cached frame can safely re-evaluate
-    // from; per-invocation copies would otherwise pay a second LSH
-    // build every run for a deterministic result
-    val freshEdges = NswIndex.edgesCachedFor(s"nsw_gen_fresh:$dir",
-      asOfVectors(spark, pristineScenario(spark, dir), 2L)
-        .select($"vec_id", $"embedding"), dir)
-    val storedEdges = spark.read.parquet(s"$gen2/edges")
-      .filter($"batch_id" === 2L).select($"src", $"dst")
-    val edgesDiff = SnapshotLayout.rowSetDiffCount(
-      freshEdges.select($"src", $"dst"), storedEdges, "n_edges_diff")
-    val boundary = SnapshotLayout.diffFingerprints(
-        SnapshotLayout.asOfFingerprints(spark, gen1, 2L, nswNonPayload, "b_fp"),
-        SnapshotLayout.asOfFingerprints(spark, gen2, 2L, nswNonPayload, "a_fp"))
-      .agg(count(lit(1)).as("n_boundary_diff"))
-    // old as-ofs answerable through the root: the route must resolve
-    // to generation 1 AND its batch-1 reconstruction must be intact
-    // (the walk is a deterministic function of that state, so state
-    // identity implies the old serve-level identity — two beam walks
-    // saved; the per-probe head serve below still proves the walk
-    // machinery end-to-end through the generational route)
-    val routed = Generations.route(spark, root, 1L)
-    val routedTo1 = routed == gen1
-    val asof1After = SnapshotLayout
-      .asOfFingerprints(spark, routed, 1L, nswNonPayload, "fp")
-    val oldServed = SnapshotLayout.rowSetDiffCount(asof1Before, asof1After,
-      "n_old_diff")
-    val debts = layoutDebtGen(spark, root).collect()
-    val gen2Row = debts.find(_.getAs[Long]("generation") == 2L)
-    val gaugeReset = gen2Row.exists(r =>
-      r.getAs[Boolean]("is_current") && r.getAs[Long]("n_batches") == 1L &&
-        r.getAs[Long]("delta_since_fit") == 0L &&
-        r.getAs[Long]("fitted_n") == r.getAs[Long]("live_rows")) &&
-      debts.count(_.getAs[Boolean]("is_current")) == 1
-    val crossRefused =
-      try { rollbackGen(spark, root, 1L); false }
-      catch { case _: IllegalArgumentException => true }
-    // sidecar carried AT ITS STORED GEOMETRY: the successor's
-    // codebooks re-fit as 4 subspaces × 8 codes (not the 8×16
-    // default), and its base codes cover the boundary live set
-    // exactly — checked BEFORE batch 3 appends post-cutover codes
-    val gen2Books = IvfIndex.readCodebooks(spark, gen2, "pq")
-    val gen2BaseLive = spark.read.parquet(s"$gen2/vectors")
-      .filter($"batch_id" === 2L).count()
-    val sidecarCarried = gen2Books.length == 4 &&
-      gen2Books.forall(_.length == 8) &&
-      spark.read.parquet(s"$gen2/pq/codes")
-        .filter($"batch_id" === 2L).count() == gen2BaseLive
-    applyBatchGen(spark, root, 3L,
-      upserts = all.filter($"vec_id" === 14 || $"vec_id" === 21),
-      deletes = all.limit(0).select($"vec_id"))
-    val reAdded = asOfVectorsGen(spark, root, Long.MaxValue)
-      .filter($"vec_id" === 14 || $"vec_id" === 21)
-      .agg(count(lit(1)).as("n_readded"))
-    val landedGen2 = SnapshotLayout.manifestIds(spark, gen2) == Seq(2L, 3L)
-    // retirement (the IVF grid's contract on the graph): materialize
-    // every generation-1-reading aggregate, drop, and pin the loud
-    // refusal at routing
-    val edgesDiffM = edgesDiff.localCheckpoint(true)
-    val boundaryM = boundary.localCheckpoint(true)
-    val oldServedM = oldServed.localCheckpoint(true)
-    Generations.dropGeneration(spark, root, 1)
-    val retiredRefuses =
-      (try { Generations.route(spark, root, 1L); false }
-      catch { case _: IllegalArgumentException => true }) &&
-        Generations.list(spark, root) == Seq(2)
-    val head = searchAsOfGen(spark, root, Long.MaxValue, queries)
-    val perProbe = head.groupBy($"q_id").agg(
-      (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
-      (max($"score_e6") === 1000000L).as("top1_exact"))
-    val globals = edgesDiffM.crossJoin(boundaryM)
-      .crossJoin(oldServedM).crossJoin(reAdded)
-      .select(
-        ($"n_edges_diff" === 0L).as("matches_fresh"),
-        ($"n_boundary_diff" === 0L).as("boundary_live_identical"),
-        ($"n_old_diff" === 0L && lit(routedTo1)).as("old_asof_served"),
-        lit(newGen == 2 && Generations.current(spark, root) == 2 &&
-          gaugeReset).as("gauge_reset"),
-        lit(crossRefused).as("cross_rollback_refused"),
-        ($"n_readded" === 2L && lit(landedGen2)).as("post_cutover_applies"),
-        lit(sidecarCarried).as("sidecar_carried"),
-        lit(retiredRefuses).as("retired_refuses"))
-    perProbe.crossJoin(broadcast(globals))
-      .select($"q_id", $"self_found", $"top1_exact", $"matches_fresh",
-        $"boundary_live_identical", $"old_asof_served", $"gauge_reset",
-        $"cross_rollback_refused", $"post_cutover_applies",
-        $"sidecar_carried", $"retired_refuses")
+    val head = searchAsOfGen(spark, g.root, Long.MaxValue, queries)
+    head.groupBy($"q_id").agg(
+        (max(when($"neighbor_id" === $"q_id", 1)).isNotNull).as("self_found"),
+        (max($"score_e6") === 1000000L).as("top1_exact"))
+      .select($"q_id", $"self_found", $"top1_exact",
+        lit(g.matchesFresh).as("matches_fresh"),
+        lit(g.boundaryIdentical).as("boundary_live_identical"),
+        lit(g.oldAsofServed).as("old_asof_served"),
+        lit(g.gaugeReset).as("gauge_reset"),
+        lit(g.crossRefused).as("cross_rollback_refused"),
+        lit(g.postCutoverApplies).as("post_cutover_applies"),
+        lit(g.sidecarCarried).as("sidecar_carried"),
+        lit(g.retiredRefuses).as("retired_refuses"))
       .orderBy($"q_id")
   }
 

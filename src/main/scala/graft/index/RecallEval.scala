@@ -254,6 +254,11 @@ object RecallEval {
   def annFilteredCurve(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val built = IvfIndex.buildCached(spark, dir)
+    // the full-probe leg must cover the BUILT index's actual cell
+    // count: with auto-k a corpus past the floor builds k > defaultK,
+    // and probing only defaultK cells would break the all-true
+    // full_probe_exact oracle grid (ADVICE r14)
+    val kBuilt = built.centroids.count().toInt
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val legs = for (m <- filterMods) yield {
@@ -265,7 +270,7 @@ object RecallEval {
         10, asc = false).localCheckpoint(true)
       val exactN = exact.agg(count(lit(1)).as("n_exact"))
       for (full <- Seq(false, true)) yield {
-        val nProbe = if (full) IvfIndex.defaultK else IvfIndex.defaultNProbe
+        val nProbe = if (full) kBuilt else IvfIndex.defaultNProbe
         val approx = IvfIndex.searchFiltered(built, queries,
           pmod(col("vec_id"), lit(m)) === 0L, nProbe = nProbe)
         val hits = approx.select(col("q_id"), col("neighbor_id"))

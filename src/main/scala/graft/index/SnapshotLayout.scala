@@ -138,6 +138,12 @@ object SnapshotLayout {
     IndexMeta.bumpDelta(spark, path, drift)
     val meta = IndexMeta.read(spark, path).getOrElse(IndexMeta.Meta(0L, 0L))
     writeManifest(spark, path, batchId, meta)
+    // an applied batch is a layout mutation like rollback/compaction:
+    // without this bump a HEAD-addressed memo (batchId=Long.MaxValue —
+    // the fine as-of alphabets key on the label, and the head label is
+    // constant across appends) would keep serving a fit trained on the
+    // pre-append live set. Replays return above and never bump.
+    graft.store.IndexVersions.bump(path)
   }
 
   /** The live posting set AS OF `batchId` — the crud_asof argmax
@@ -224,7 +230,8 @@ object SnapshotLayout {
     IvfIndex.searchFiltered(
       IvfIndex.Built(asOfAssigned(spark, path, batchId), centroids),
       queries, pred,
-      IvfIndex.resolveNProbe(nProbe, centroids, IvfIndex.filteredNProbeBase), k)
+      IvfIndex.resolveNProbeAt(spark, path, nProbe,
+        IvfIndex.filteredNProbeBase), k)
   }
 
   // ---- versioned compressed tier (PQ sidecar over the batch log) ------
@@ -318,8 +325,7 @@ object SnapshotLayout {
       queries: DataFrame, pred: Option[org.apache.spark.sql.Column],
       nProbe: Int, k: Int, rerank: Int, sub: String): DataFrame = {
     repairCompaction(spark, path)
-    val np = IvfIndex.resolveNProbe(nProbe,
-      spark.read.parquet(s"$path/centroids"),
+    val np = IvfIndex.resolveNProbeAt(spark, path, nProbe,
       if (pred.isDefined) IvfIndex.filteredNProbeBase
       else IvfIndex.defaultNProbe)
     val (lutBc, probes) = IvfIndex.pqQueryState(spark, path, queries, np, sub)
@@ -369,8 +375,7 @@ object SnapshotLayout {
   def knnJoinPqAsOf(spark: SparkSession, path: String, batchId: Long,
       nProbe: Int = 0, k: Int = 5, rerank: Int = 200,
       sub: String = "pq"): DataFrame = {
-    val np = IvfIndex.resolveNProbe(nProbe,
-      spark.read.parquet(s"$path/centroids"))
+    val np = IvfIndex.resolveNProbeAt(spark, path, nProbe)
     val cand = knnJoinPqAsOfCand(spark, path, batchId, np, rerank, sub)
     val raw = spark.read.parquet(s"$path/vectors")
     val nv = raw.join(cand, Seq("cluster_id", "vec_id", "batch_id"))
@@ -395,7 +400,7 @@ object SnapshotLayout {
     * any of its exchanges. */
   private[graft] def knnJoinPqAsOfCand(spark: SparkSession, path: String,
       batchId: Long, nProbe: Int, rerank: Int, sub: String): DataFrame = {
-    val saltS = IvfIndex.coSaltBuckets
+    val saltS = IvfIndex.coSaltBuckets(spark)
     repairCompaction(spark, path)
     // a batch join is an expensive corpus job: an as-of the truncated
     // log cannot reconstruct must refuse up front (the CDC endpoints'
@@ -1667,7 +1672,8 @@ object SnapshotLayout {
     IvfIndex.searchFilteredSingle(
       IvfIndex.Built(asOfAssigned(spark, path, batchId), centroids),
       query, pred,
-      IvfIndex.resolveNProbe(nProbe, centroids, IvfIndex.filteredNProbeBase), k)
+      IvfIndex.resolveNProbeAt(spark, path, nProbe,
+        IvfIndex.filteredNProbeBase), k)
   }
 
   /** PRE-filter probe serve routed across generations — the filtered

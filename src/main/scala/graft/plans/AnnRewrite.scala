@@ -209,8 +209,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // superstep, which exists for unbounded query batches
       val hits = graft.index.NswIndex.beamSearch(
           emb, edges, queries, k = k, singleQuery = true,
-          metaCols = metaCols, acceptPred = Some(replayPred(cond)),
-          beamW = graft.index.NswIndex.filteredBeamWidth)
+          metaCols = metaCols, acceptPred = Some(replayPred(cond)))
         .select(col("neighbor_id").as("vec_id"))
       Some(emb.join(broadcast(hits), Seq("vec_id"))
         .select(passthrough.map(a => col(a.name)) :+

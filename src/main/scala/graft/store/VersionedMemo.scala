@@ -43,6 +43,15 @@ object IndexVersions {
   private def norm(p: String): String = p.stripSuffix("/")
 }
 
+object VersionedMemo {
+  /** Default entry cap. Sized for the heaviest user (the fine as-of
+    * alphabet memo: one ~64 KB float block per swept as-of label —
+    * VERDICT r14's long-lived-serving-session growth note); 64 bounds
+    * any memo to a constant footprint while still covering every
+    * concurrent layout/label a real session touches. */
+  val defaultMaxEntries = 64
+}
+
 /** Session- and version-aware memo for built indexes/sketches.
   *
   *  - Keyed by (SparkSession, key): a DataFrame is bound to the
@@ -52,12 +61,21 @@ object IndexVersions {
   *  - Validated against [[IndexVersions]]: a store write under the
   *    memo's data dir invalidates the entry and the next lookup
   *    rebuilds, so upsert-then-query sees current data.
+  *  - LRU-capped at `maxEntries`: a serving session sweeping an
+  *    unbounded label space (one as-of fit per label) stays bounded —
+  *    the least-recently-used entry is evicted (→ `onEvict`) and a
+  *    re-access simply refits, byte-identical because every memoized
+  *    build here is deterministic.
   *
   * `onEvict` releases the replaced value's executor memory (e.g.
   * `unpersist()` for cached plans).
   */
-final class VersionedMemo[V](onEvict: V => Unit = (_: V) => ()) {
-  private case class Entry(version: Long, value: V)
+final class VersionedMemo[V](onEvict: V => Unit = (_: V) => (),
+    maxEntries: Int = VersionedMemo.defaultMaxEntries) {
+  private val tick = new AtomicLong()
+  private final class Entry(val version: Long, val value: V) {
+    @volatile var lastUsed: Long = tick.incrementAndGet()
+  }
   private val m = new ConcurrentHashMap[(SparkSession, String), Entry]()
 
   /** Memoized `build`, rebuilt whenever `versionDir`'s data changes.
@@ -73,12 +91,26 @@ final class VersionedMemo[V](onEvict: V => Unit = (_: V) => ()) {
         if (removed != null) evictQuietly(removed.value)
       }
     }
-    m.compute((spark, key), (_, old) =>
+    val e = m.compute((spark, key), (_, old) =>
       if (old != null && old.version == IndexVersions.version(versionDir)) old
       else {
         if (old != null) evictQuietly(old.value)
-        Entry(IndexVersions.version(versionDir), build)
-      }).value
+        new Entry(IndexVersions.version(versionDir), build)
+      })
+    e.lastUsed = tick.incrementAndGet()
+    // LRU trim AFTER the touch so the entry just served can never be
+    // the eviction victim; the scan is O(entries) per insert against
+    // a small constant cap
+    while (m.size > maxEntries) {
+      var victim: ((SparkSession, String), Entry) = null
+      m.forEach { (k, v) =>
+        if (v != e && (victim == null || v.lastUsed < victim._2.lastUsed))
+          victim = (k, v)
+      }
+      if (victim == null) return e.value // nothing evictable
+      if (m.remove(victim._1, victim._2)) evictQuietly(victim._2.value)
+    }
+    e.value
   }
 
   /** The memoized value if present AND current — never builds. Lets
@@ -89,9 +121,14 @@ final class VersionedMemo[V](onEvict: V => Unit = (_: V) => ()) {
   def peek(spark: SparkSession, key: String, versionDir: String): Option[V] = {
     val e = m.get((spark, key))
     if (e != null && !spark.sparkContext.isStopped &&
-        e.version == IndexVersions.version(versionDir)) Some(e.value)
-    else None
+        e.version == IndexVersions.version(versionDir)) {
+      e.lastUsed = tick.incrementAndGet()
+      Some(e.value)
+    } else None
   }
+
+  /** Live entry count — the LRU cap's observable (spec gate). */
+  private[graft] def size: Int = m.size
 
   /** Eviction frees memory best-effort — it must never fail a lookup
     * (e.g. unpersist against an already-stopped session). */

@@ -122,7 +122,7 @@ class JoinBytesBudgetSpec extends AnyFunSuite {
       // shape round 14 kept; see IvfIndex.coSaltBuckets).
       val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val budget = n * rerank * math.min(
-        IvfIndex.defaultNProbe.toLong * IvfIndex.coSaltBuckets, parts.toLong)
+        IvfIndex.defaultNProbe.toLong * IvfIndex.coSaltBuckets(spark), parts.toLong)
       assert(shortlistRows <= budget,
         s"shortlist exchange rows $shortlistRows exceed budget $budget")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)

@@ -53,7 +53,7 @@ class Round14PlanSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       withSalt(Some(5)) {
-        assert(IvfIndex.coSaltBuckets == 5)
+        assert(IvfIndex.coSaltBuckets(spark) == 5)
         val cand = IvfIndex.knnJoinPqCand(spark, base,
           nProbe = IvfIndex.defaultNProbe, rerank = 200, sub = "pq")
         assert(explodeWidths(cand).contains(5),
@@ -120,10 +120,10 @@ class Round14PlanSpec extends AnyFunSuite {
     // would derive 64 (the cap) with no code edit
     withSalt(None) {
       val p = spark.sparkContext.defaultParallelism
-      assert(IvfIndex.coSaltBuckets ==
+      assert(IvfIndex.coSaltBuckets(spark) ==
         math.min(64, math.max(8, math.ceil(p / 4.0).toInt)))
     }
-    withSalt(Some(17))(assert(IvfIndex.coSaltBuckets == 17))
+    withSalt(Some(17))(assert(IvfIndex.coSaltBuckets(spark) == 17))
 
     // k ~ √n/3 past the measured small-corpus floor, capped
     assert(IvfIndex.kFor(spark, 500) == IvfIndex.defaultK)
