@@ -16,12 +16,18 @@ import org.apache.spark.sql.functions._
 object NswProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")
+    // SPARK_GRAFT_CONF="k=v;k=v" (the ScaleCurve convention): sweep
+    // the graph knobs (degree/hops/beam confs) without a code edit
+    val extra = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config(graft.core.EngineConf.recommended)
+      .config(extra)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -61,18 +61,28 @@ object NswIndex {
   val hopsConfKey = "spark.graft.nsw.hops"
   val degreeConfKey = "spark.graft.nsw.degree"
 
-  /** Beam width for an n-row corpus: the conf if set, else
-    * max([[beamWidth]], ceil(2 * ln n)). NSW search-path length grows
-    * ~log n, so a fixed beam silently starves recall exactly as the
-    * corpus grows (the IVF constant-coverage lesson applied to the
-    * graph). The floor keeps every test-SF corpus (n <= 2304 ->
-    * ceil(15.5) = 16) on the exact beam the recall bars were measured
-    * at; the 10x replica derives 20 (recall measured >= bar there,
-    * SURVEY SS20), n = 1e9 derives 42. */
+  /** The corpus size where the auto knobs leave their measured
+    * small-corpus floors — exactly where [[IvfIndex.kAutoFor]] lifts
+    * off ITS floor (ceil(sqrt(n)/3) > 16 first at n = 2305), so the
+    * whole engine enters the scale regime at one documented point.
+    * Below it every oracled corpus keeps the reference-parity
+    * constants the bars were measured at. */
+  val autoFloorN = 2304L
+
+  /** Beam width for an n-row corpus: the conf if set; the measured 16
+    * inside the small-corpus floor; else max(24, ceil(2.4 * ln n)).
+    * NSW search-path length grows ~log n, so a fixed beam silently
+    * starves recall as the corpus grows — MEASURED on the 10x replica
+    * (bench_runs/r15_nswprobe_10x.txt): at the scale-regime degree
+    * ([[degreeFor]] = 16 there) beam 16 reads recall@10 = 0.835,
+    * 20 = 0.883, 24 = 0.907 (the bar), 32 = 0.946 — so the scale
+    * coefficient is fit to the measured bar point (2.4 * ln 20000 =
+    * 23.8 -> 24), not extrapolated. */
   def beamFor(spark: SparkSession, n: Long): Int =
     graft.core.Knobs.confInt(spark, beamConfKey).getOrElse(
-      math.max(beamWidth,
-        math.ceil(2.0 * math.log(math.max(2L, n).toDouble)).toInt))
+      if (n <= autoFloorN) beamWidth
+      else math.max(24,
+        math.ceil(2.4 * math.log(n.toDouble)).toInt))
 
   /** Filtered-walk beam: the conf if set, else 2 * [[beamFor]] — the
     * measured accepted-pool compensation (filteredBeamWidth = 2x the
@@ -97,16 +107,23 @@ object NswIndex {
     graft.core.Knobs.confInt(spark, hopsConfKey).getOrElse(
       math.max(hops, math.ceil(math.log(math.max(2L, n).toDouble)).toInt))
 
-  /** Graph degree: the conf if set, else
-    * max([[graphDegree]], ceil(log10 n)). Degree is the EXPENSIVE knob
-    * (build cost and edge storage are n*degree, and the reference's
-    * n_neighbors = 5 is the oracled contract at test SF), so it grows
-    * an order slower than the beam: the beam is the recall lever,
-    * degree only preserves long-range navigability as the corpus grows
-    * (5 until 1e5 rows, 6 at 1e6, 9 at 1e9). */
+  /** Graph degree: the conf if set; the reference-parity 5 inside the
+    * small-corpus floor (n_neighbors = 5 IS the oracled nsw_build
+    * contract at test SF); else max(16, ceil(1.6 * ln n)) — the
+    * HNSW-class production value. This is the round-15 MEASURED
+    * decision, not a guess (bench_runs/r15_nswprobe_10x.txt, n =
+    * 20000, 100 queries vs brute): at degree 5 NO beam rescues the
+    * walk (recall@10 = 0.42 at beam 16, 0.57 at beam 32 — the graph
+    * itself is the ceiling), degree 10 reads 0.66-0.82, degree 16
+    * reaches 0.907 at beam 24 and 0.946 at 32, at a build cost of
+    * 21.3 s vs 16.9 s (the LSH bucketing dominates the build, so
+    * degree is CHEAPER to raise than the r14 assumption predicted —
+    * the beam-only wiring this round started with was measured
+    * insufficient and replaced by this). */
   def degreeFor(spark: SparkSession, n: Long): Int =
     graft.core.Knobs.confInt(spark, degreeConfKey).getOrElse(
-      math.max(graphDegree, math.ceil(math.log10(math.max(2L, n).toDouble)).toInt))
+      if (n <= autoFloorN) graphDegree
+      else math.max(16, math.ceil(1.6 * math.log(n.toDouble)).toInt))
   // LSH candidate generation for the graph build (the 100 TB path):
   // bucket bit depth adapts to n (LshIndex.adaptiveBits, target ~64
   // rows/bucket) so within-bucket pair counts stay linear; multiple

@@ -184,21 +184,27 @@ class Round15Spec extends AnyFunSuite {
   }
 
   test("NSW knobs derive from the corpus, conf-overridable, floored at test-SF") {
-    // beam ~ 2·ln n, floored at the measured 16 for every test corpus
+    // beam: measured 16 through the small-corpus floor, then the
+    // bar-fit max(24, 2.4·ln n) — 24 IS the measured 0.907 point on
+    // the 10× replica at the scale-regime degree
     assert(NswIndex.beamFor(spark, 500) == 16)
-    assert(NswIndex.beamFor(spark, 2304) == 16)
-    assert(NswIndex.beamFor(spark, 20000) == 20) // the 10× replica
-    assert(NswIndex.beamFor(spark, 1000000000L) == 42)
+    assert(NswIndex.beamFor(spark, NswIndex.autoFloorN) == 16)
+    assert(NswIndex.beamFor(spark, 20000) == 24) // the 10× replica
+    assert(NswIndex.beamFor(spark, 1000000000L) == 50)
     // compensated walks hold their measured 2× RATIO as the base scales
     assert(NswIndex.filteredBeamFor(spark, 2304) == NswIndex.filteredBeamWidth)
-    assert(NswIndex.filteredBeamFor(spark, 20000) == 40)
+    assert(NswIndex.filteredBeamFor(spark, 20000) == 48)
     assert(NswIndex.pqBeamFor(spark, 2304) == NswIndex.pqBeamWidth)
     // hop cap ~ ln n floors at the measured 10 through the 10× replica
     assert(NswIndex.hopsFor(spark, 20000) == NswIndex.hops)
     assert(NswIndex.hopsFor(spark, 1000000L) == 14)
-    // degree grows an order slower (the expensive knob): 5 until 1e5
-    assert(NswIndex.degreeFor(spark, 20000) == NswIndex.graphDegree)
-    assert(NswIndex.degreeFor(spark, 1000000L) == 6)
+    // degree: reference-parity 5 through the floor, then the measured
+    // HNSW-class max(16, 1.6·ln n) — degree 5 was MEASURED unrescuable
+    // at 10× (recall 0.42–0.57 at any beam)
+    assert(NswIndex.degreeFor(spark, 500) == NswIndex.graphDegree)
+    assert(NswIndex.degreeFor(spark, NswIndex.autoFloorN) == NswIndex.graphDegree)
+    assert(NswIndex.degreeFor(spark, 20000) == 16)
+    assert(NswIndex.degreeFor(spark, 1000000000L) == 34)
     def withConf[T](key: String, v: String)(body: => T): T = {
       val old = spark.conf.getOption(key)
       spark.conf.set(key, v)
