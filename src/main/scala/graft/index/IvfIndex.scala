@@ -246,6 +246,24 @@ object IvfIndex {
     Built(assigned, centroids)
   }
 
+  /** The coverage-adaptive probe frame over a per-query centroid
+    * ranking: keep a ranked cell while the mass BEFORE it is still
+    * under the target, so the crossing cell is included and the
+    * nearest cell (prior mass 0) always probes — self-top-1 stays
+    * structural under any tau. */
+  private def massProbes(built: Built, ranked: DataFrame,
+      tau: Double): DataFrame = {
+    val masses = cellMassesDf(built)
+    val target = math.max(1L, math.ceil(
+      tau * masses.agg(sum(col("cmass"))).first().getLong(0)).toLong)
+    ranked.join(broadcast(masses), Seq("cluster_id"))
+      .withColumn("prior_mass", coalesce(sum(col("cmass")).over(
+        Window.partitionBy(col("q_id")).orderBy(col("crank"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("prior_mass") < target)
+      .select(col("q_id"), col("q_vec"), col("cluster_id"))
+  }
+
   /** Probe search: rank centroids per query, keep nProbe, semi-join
     * into the assigned table (partition-pruned at scale), brute-force
     * cosine within the probed clusters, top-k. */
@@ -261,20 +279,7 @@ object IvfIndex {
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster_id").asc)))
     val probes = probeMassOf(spark, nProbe, probeMass) match {
-      case Some(tau) =>
-        // coverage-adaptive: keep a ranked cell while the mass BEFORE
-        // it is still under the target, so the crossing cell is
-        // included and the nearest cell (prior mass 0) always probes —
-        // self-top-1 stays structural under any tau
-        val masses = cellMassesDf(built)
-        val target = math.max(1L, math.ceil(
-          tau * masses.agg(sum(col("cmass"))).first().getLong(0)).toLong)
-        ranked.join(broadcast(masses), Seq("cluster_id"))
-          .withColumn("prior_mass", coalesce(sum(col("cmass")).over(
-            Window.partitionBy(col("q_id")).orderBy(col("crank"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .filter(col("prior_mass") < target)
-          .select(col("q_id"), col("q_vec"), col("cluster_id"))
+      case Some(tau) => massProbes(built, ranked, tau)
       case None =>
         // nProbe = 0 (the default) scales coverage to the index's
         // actual cell count — [[resolveNProbe]]; defaultNProbe at k=16
@@ -301,14 +306,23 @@ object IvfIndex {
     * pool is |matches|·(nProbe/k-clusters), not |cluster|·nProbe. */
   def searchFiltered(built: Built, queries: DataFrame,
       pred: org.apache.spark.sql.Column, nProbe: Int = 0,
-      k: Int = 10): DataFrame = {
-    val np = resolveNProbe(nProbe, built.centroids)
-    val probes = queries.crossJoin(broadcast(built.centroids))
+      k: Int = 10, probeMass: Option[Double] = None): DataFrame = {
+    val ranked = queries.crossJoin(broadcast(built.centroids))
       .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster_id").asc)))
-      .filter(col("crank") <= np)
-      .drop("csim", "crank", "centroid")
+    val probes = probeMassOf(built.assigned.sparkSession, nProbe, probeMass) match {
+      case Some(tau) =>
+        // the filtered compensation at RATIO: the count policy probes
+        // 13/11 of the unfiltered coverage, so the mass policy does too
+        massProbes(built, ranked,
+          math.min(1.0, tau * filteredNProbeBase.toDouble / defaultNProbe))
+          .drop("q_vec")
+      case None =>
+        ranked.filter(col("crank") <=
+            resolveNProbe(nProbe, built.centroids, filteredNProbeBase))
+          .drop("csim", "crank", "centroid")
+    }
     val scored = built.assigned.join(broadcast(probes), Seq("cluster_id"))
       .filter(pred)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
