@@ -150,6 +150,37 @@ object MassCurve {
       5, asc = false), 5)
     println(f"JOINRECALL mass(0.20) recall@5=${recall(joinMass, bruteTop5)}%.3f " +
       s"(brute5 superset check=${brute5.nonEmpty})")
+
+    // versioned tier on the clustered slice (round-15 pointer 2): a
+    // three-batch history (90% base, 10% append, mod-17 deletes), then
+    // the as-of serves/joins at the count default vs mass taus — the
+    // as-of masses ride the memoized per-(layout, batch) map
+    val vpath = java.nio.file.Files
+      .createTempDirectory("graft-massasof").toString + "/ivf"
+    graft.index.SnapshotLayout.init(
+      IvfIndex.build(spark, emb.filter(pmod($"vec_id", lit(10L)) =!= 0L)), vpath)
+    graft.index.SnapshotLayout.applyBatch(spark, vpath, 1L,
+      upserts = emb.filter(pmod($"vec_id", lit(10L)) === 0L),
+      deletes = emb.limit(0).select($"vec_id"))
+    graft.index.SnapshotLayout.applyBatch(spark, vpath, 2L,
+      upserts = emb.limit(0),
+      deletes = emb.filter(pmod($"vec_id", lit(17L)) === 0L).select($"vec_id"))
+    graft.index.SnapshotLayout.initPq(spark, vpath)
+    bestOf2("asof_join count(auto)") {
+      graft.index.SnapshotLayout.knnJoinPqAsOf(spark, vpath, Long.MaxValue).count() }
+    for (tau <- Seq(0.10, 0.20))
+      bestOf2(f"asof_join mass($tau%.2f)") {
+        graft.index.SnapshotLayout.knnJoinPqAsOf(spark, vpath, Long.MaxValue,
+          probeMass = Some(tau)).count() }
+    def withMass[T](tau: Double)(body: => T): T = {
+      spark.conf.set(IvfIndex.probeMassConfKey, tau.toString)
+      try body finally spark.conf.unset(IvfIndex.probeMassConfKey)
+    }
+    bestOf2("asof_adc_serve count(auto)") {
+      graft.index.SnapshotLayout.searchAsOfPq(spark, vpath, Long.MaxValue, queries).count() }
+    for (tau <- Seq(0.10, 0.20))
+      bestOf2(f"asof_adc_serve mass($tau%.2f)") { withMass(tau) {
+        graft.index.SnapshotLayout.searchAsOfPq(spark, vpath, Long.MaxValue, queries).count() } }
     spark.stop()
   }
 }

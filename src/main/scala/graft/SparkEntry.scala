@@ -332,6 +332,10 @@ object SparkEntry {
     // behind spark.graft.ivf.probeMass; the grid pins the contract,
     // the clustered-slice measurement (SURVEY §20) pins the value
     "ivf_search_mass" -> (graft.index.ContractGrids.ivfSearchMassChecked _),
+    // the tau autotuner: sweep the mass grid on a held-out sample vs
+    // the exact baseline, choose the cheapest bar-clearing tau (the
+    // value a deployment sets the probeMass conf to)
+    "probe_mass_tune" -> ((s, d) => graft.index.RecallEval.probeMassTune(s, d)),
     // SparkSessionExtensions optimizer rule: brute cosine top-k → IVF probe
     "ann_rewrite" -> (graft.plans.AnnRewrite.annRewriteChecked _),
     // filtered shape through the same rule: WHERE pred + top-k →
@@ -1022,6 +1026,7 @@ object SparkEntry {
     "index_scale_knobs" -> graft.index.IvfIndex.scaleKnobsSql,
     "ivf_search" -> graft.index.ContractGrids.ivfSearchCheckedSql,
     "ivf_search_mass" -> graft.index.ContractGrids.ivfSearchMassCheckedSql,
+    "probe_mass_tune" -> graft.index.RecallEval.probeMassTuneSql,
     "ann_rewrite" -> graft.plans.AnnRewrite.annRewriteCheckedSql,
     "ann_rewrite_filtered" -> graft.plans.AnnRewrite.annRewriteFilteredCheckedSql,
     "sql_knn_cosine" -> KnnSearch.sqlKnnCosineSql,

@@ -252,10 +252,18 @@ object IvfIndex {
     * nearest cell (prior mass 0) always probes — self-top-1 stays
     * structural under any tau. */
   private def massProbes(built: Built, ranked: DataFrame,
-      tau: Double): DataFrame = {
-    val masses = cellMassesDf(built)
-    val target = math.max(1L, math.ceil(
-      tau * masses.agg(sum(col("cmass"))).first().getLong(0)).toLong)
+      tau: Double, cellMasses: Option[Map[Int, Long]]): DataFrame = {
+    val spark = built.assigned.sparkSession
+    import spark.implicits._
+    // a precomputed mass map (the memoized per-layout / per-as-of
+    // masses) skips the per-serve aggregation over the posting set
+    val masses = cellMasses match {
+      case Some(m) => m.toSeq.toDF("cluster_id", "cmass")
+      case None => cellMassesDf(built)
+    }
+    val total = cellMasses.map(_.values.sum).getOrElse(
+      masses.agg(sum(col("cmass"))).first().getLong(0))
+    val target = math.max(1L, math.ceil(tau * total).toLong)
     ranked.join(broadcast(masses), Seq("cluster_id"))
       .withColumn("prior_mass", coalesce(sum(col("cmass")).over(
         Window.partitionBy(col("q_id")).orderBy(col("crank"))
@@ -268,7 +276,8 @@ object IvfIndex {
     * into the assigned table (partition-pruned at scale), brute-force
     * cosine within the probed clusters, top-k. */
   def search(built: Built, queries: DataFrame, nProbe: Int = 0,
-      k: Int = 10, probeMass: Option[Double] = None): DataFrame = {
+      k: Int = 10, probeMass: Option[Double] = None,
+      cellMasses: Option[Map[Int, Long]] = None): DataFrame = {
     val spark = built.assigned.sparkSession
     // Probe ranking uses the SAME metric as the within-cluster scoring
     // (cosine). Ranking centroids by L2 while scoring by cosine loses
@@ -279,7 +288,7 @@ object IvfIndex {
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster_id").asc)))
     val probes = probeMassOf(spark, nProbe, probeMass) match {
-      case Some(tau) => massProbes(built, ranked, tau)
+      case Some(tau) => massProbes(built, ranked, tau, cellMasses)
       case None =>
         // nProbe = 0 (the default) scales coverage to the index's
         // actual cell count — [[resolveNProbe]]; defaultNProbe at k=16
@@ -306,7 +315,8 @@ object IvfIndex {
     * pool is |matches|·(nProbe/k-clusters), not |cluster|·nProbe. */
   def searchFiltered(built: Built, queries: DataFrame,
       pred: org.apache.spark.sql.Column, nProbe: Int = 0,
-      k: Int = 10, probeMass: Option[Double] = None): DataFrame = {
+      k: Int = 10, probeMass: Option[Double] = None,
+      cellMasses: Option[Map[Int, Long]] = None): DataFrame = {
     val ranked = queries.crossJoin(broadcast(built.centroids))
       .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
       .withColumn("crank", row_number().over(
@@ -316,7 +326,8 @@ object IvfIndex {
         // the filtered compensation at RATIO: the count policy probes
         // 13/11 of the unfiltered coverage, so the mass policy does too
         massProbes(built, ranked,
-          math.min(1.0, tau * filteredNProbeBase.toDouble / defaultNProbe))
+          math.min(1.0, tau * filteredNProbeBase.toDouble / defaultNProbe),
+          cellMasses)
           .drop("q_vec")
       case None =>
         ranked.filter(col("crank") <=
@@ -1246,8 +1257,12 @@ object IvfIndex {
     * + the LUT index + any non-vector query columns, so a filtered
     * predicate can compare them against code-row metadata). Shared by
     * the persisted and versioned compressed-tier serves. */
+  /** `probeMass = Some((tau, masses))` switches the probe cut to the
+    * coverage-adaptive running-mass prefix over the given per-cell
+    * masses (head: [[cellMassesAt]]; versioned: the as-of masses). */
   private[index] def pqQueryState(spark: SparkSession, path: String,
-      queries: DataFrame, nProbe: Int, sub: String)
+      queries: DataFrame, nProbe: Int, sub: String,
+      probeMass: Option[(Double, Map[Int, Long])] = None)
       : (org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
         DataFrame) = {
     import spark.implicits._
@@ -1265,11 +1280,22 @@ object IvfIndex {
     val qIdx = qRows.zipWithIndex
       .map { case (r, i) => (r.getLong(0), i) }.toSeq.toDF("q_id", "q_idx")
     val qMetaCols = queries.columns.toSeq.filterNot(Set("q_id", "q_vec"))
-    val probes = queries.crossJoin(broadcast(centroids))
+    val ranked = queries.crossJoin(broadcast(centroids))
       .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster_id").asc)))
-      .filter(col("crank") <= nProbe)
+    val cut = probeMass match {
+      case Some((tau, m)) =>
+        val massesDf = m.toSeq.toDF("cluster_id", "cmass")
+        val target = math.max(1L, math.ceil(tau * m.values.sum).toLong)
+        ranked.join(broadcast(massesDf), Seq("cluster_id"))
+          .withColumn("prior_mass", coalesce(sum(col("cmass")).over(
+            Window.partitionBy(col("q_id")).orderBy(col("crank"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .filter(col("prior_mass") < target)
+      case None => ranked.filter(col("crank") <= nProbe)
+    }
+    val probes = cut
       .select(col("q_id") +: col("cluster_id") +: qMetaCols.map(col): _*)
       .join(broadcast(qIdx), Seq("q_id"))
     (lutBc, probes)
@@ -1278,9 +1304,16 @@ object IvfIndex {
   private def searchPersistedPqImpl(spark: SparkSession, path: String,
       queries: DataFrame, pred: Option[org.apache.spark.sql.Column],
       nProbe: Int, k: Int, rerank: Int, sub: String): DataFrame = {
-    val np = resolveNProbeAt(spark, path, nProbe,
+    // the coverage-adaptive conf applies to the ADC serve exactly as
+    // to the raw probe (filtered serves at the 13/11 ratio); the
+    // count path keeps the memoized cell-count resolution
+    val tau = probeMassOf(spark, nProbe, None).map(t =>
+      (if (pred.isDefined)
+        math.min(1.0, t * filteredNProbeBase.toDouble / defaultNProbe)
+      else t, cellMassesAt(spark, path)))
+    val np = if (tau.isDefined) 0 else resolveNProbeAt(spark, path, nProbe,
       if (pred.isDefined) filteredNProbeBase else defaultNProbe)
-    val (lutBc, probes) = pqQueryState(spark, path, queries, np, sub)
+    val (lutBc, probes) = pqQueryState(spark, path, queries, np, sub, tau)
     val codes = spark.read.parquet(s"$path/$sub/codes")
     // ADC pass over the probed partitions: m byte-indexed adds per
     // row; a filtered serve's predicate prunes the scan FIRST, so the

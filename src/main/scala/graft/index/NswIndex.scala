@@ -109,21 +109,29 @@ object NswIndex {
 
   /** Graph degree: the conf if set; the reference-parity 5 inside the
     * small-corpus floor (n_neighbors = 5 IS the oracled nsw_build
-    * contract at test SF); else max(16, ceil(1.6 * ln n)) — the
-    * HNSW-class production value. This is the round-15 MEASURED
-    * decision, not a guess (bench_runs/r15_nswprobe_10x.txt, n =
-    * 20000, 100 queries vs brute): at degree 5 NO beam rescues the
-    * walk (recall@10 = 0.42 at beam 16, 0.57 at beam 32 — the graph
-    * itself is the ceiling), degree 10 reads 0.66-0.82, degree 16
-    * reaches 0.907 at beam 24 and 0.946 at 32, at a build cost of
-    * 21.3 s vs 16.9 s (the LSH bucketing dominates the build, so
-    * degree is CHEAPER to raise than the r14 assumption predicted —
-    * the beam-only wiring this round started with was measured
-    * insufficient and replaced by this). */
+    * contract at test SF); else max(16, ceil(2.2 * ln n)). TWICE
+    * measured this round, and the coefficient is the 30x refit:
+    *
+    *  - 10x (n=20000, bench_runs/r15_nswprobe_10x.txt): degree 5 is
+    *    unrescuable by ANY beam (recall@10 0.42-0.57 — the graph is
+    *    the ceiling); degree 16 reads 0.907 at beam 24, at an LSH
+    *    build of 21.3 s vs 16.9 s (bucketing dominates, so degree is
+    *    cheap to raise).
+    *  - 30x (n=60000, bench_runs/r15_nswprobe_30x.txt): the first
+    *    fit (1.6 ln n -> degree 18) reads 0.843 at the auto beam —
+    *    UNDER the bar. Both rescue axes were measured: degree 24 at
+    *    beam 27 reads 0.931 (build 62 s), beam 48 at degree 18 reads
+    *    0.949 (build 43 s). The shipped refit grows BOTH ~ln n
+    *    (degree 2.2, beam 2.4 — the published single-layer-NSW
+    *    intuition that neither axis alone scales on uniform data),
+    *    re-measured at the shipped autos: see the artifact. Uniform
+    *    64-d corpora are the navigability worst case — clustered
+    *    real corpora need less, and the confs are the per-deployment
+    *    override. */
   def degreeFor(spark: SparkSession, n: Long): Int =
     graft.core.Knobs.confInt(spark, degreeConfKey).getOrElse(
       if (n <= autoFloorN) graphDegree
-      else math.max(16, math.ceil(1.6 * math.log(n.toDouble)).toInt))
+      else math.max(16, math.ceil(2.2 * math.log(n.toDouble)).toInt))
   // LSH candidate generation for the graph build (the 100 TB path):
   // bucket bit depth adapts to n (LshIndex.adaptiveBits, target ~64
   // rows/bucket) so within-bucket pair counts stay linear; multiple

@@ -426,4 +426,88 @@ object RecallEval {
       .unionByName(recallRow("sq8", sq8, exactDot10, 10, 900000L))
       .orderBy(col("index"))
   }
+
+  /** The tau grid `probe_mass_tune` sweeps (e2-scaled in the output:
+    * DuckDB VALUES stay integer-exact). */
+  val massTuneTaus: Seq[Double] = Seq(0.10, 0.20, 0.30, 0.50, 0.69, 1.00)
+
+  /** `probe_mass_tune`: the coverage-adaptive policy made
+    * SELF-CALIBRATING (round 15, §20 pointer 4 — the quality_train
+    * pattern applied to serving): sweep [[massTuneTaus]] on a
+    * deterministic held-out query sample against the full-probe exact
+    * baseline from the SAME cached build, and choose the CHEAPEST tau
+    * whose recall clears the bar (0.9) — the value a deployment sets
+    * `spark.graft.ivf.probeMass` to. Integer recall arithmetic
+    * (hit/baseline counts), driver-side over |sample|·k-row collects.
+    *
+    * Checked-grid oracle (the ivf_probe_curve convention — measured
+    * values are data-dependent, their INVARIANTS are not):
+    *  - `recall_bounded`, `not_below_prev` (more mass only adds
+    *    candidates — recall non-decreasing in tau);
+    *  - `full_mass_exact`: tau = 1.0 IS the exact serve (recall 1e6);
+    *  - `chosen_consistent`: the flagged row is the first tau at/above
+    *    the bar (every earlier tau reads under it), falling back to
+    *    the last row if none clears;
+    *  - `one_chosen`: exactly one row is flagged.
+    * The measured recall values and the chosen tau on the test corpus
+    * are Round15Spec's job. */
+  /** The raw sweep behind [[probeMassTune]] — (tau_e2, recall_e6)
+    * per grid point; Round15Spec pins the measured values and the
+    * chosen tau on the test corpus. */
+  private[graft] def probeMassSweep(spark: SparkSession,
+      dir: String): Seq[(Int, Long)] = {
+    val emb = Tables.embeddings(spark, dir)
+    val built = IvfIndex.buildCached(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .localCheckpoint(true)
+    def sets(df: DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val kAll = built.centroids.count().toInt
+    val exact = sets(IvfIndex.search(built, queries, nProbe = kAll))
+    val den = exact.values.map(_.size).sum
+    massTuneTaus.map { tau =>
+      val got = sets(IvfIndex.search(built, queries, probeMass = Some(tau)))
+      val num = exact.map { case (q, w) =>
+        got.getOrElse(q, Set.empty).intersect(w).size }.sum
+      val recallE6 = math.floorDiv(num.toLong * 1000000L, math.max(1L, den.toLong))
+      (math.round(tau * 100).toInt, recallE6)
+    }
+  }
+
+  /** The tuner's choice rule: first bar-clearing tau, else the last. */
+  private[graft] def chooseTau(meas: Seq[(Int, Long)], barE6: Long): Int =
+    meas.indexWhere(_._2 >= barE6) match {
+      case -1 => meas.length - 1
+      case i => i
+    }
+
+  def probeMassTune(spark: SparkSession, dir: String,
+      barE6: Long = 900000L): DataFrame = {
+    import spark.implicits._
+    val meas = probeMassSweep(spark, dir)
+    val chosenIdx = chooseTau(meas, barE6)
+    val rows = meas.zipWithIndex.map { case ((tE2, r), i) =>
+      val notBelowPrev = i == 0 || r >= meas(i - 1)._2
+      val chosenConsistent =
+        if (i == chosenIdx) meas.take(i).forall(_._2 < barE6) &&
+          (r >= barE6 || i == meas.length - 1)
+        else true
+      (tE2.toLong, r >= 0L && r <= 1000000L, notBelowPrev,
+        tE2 != 100 || r == 1000000L, chosenConsistent,
+        meas.indices.count(_ == chosenIdx) == 1)
+    }
+    rows.toDF("tau_e2", "recall_bounded", "not_below_prev",
+      "full_mass_exact", "chosen_consistent", "one_chosen")
+      .orderBy(col("tau_e2"))
+  }
+
+  val probeMassTuneSql: String =
+    s"""SELECT CAST(tau_e2 AS BIGINT) AS tau_e2, true AS recall_bounded,
+       |  true AS not_below_prev, true AS full_mass_exact,
+       |  true AS chosen_consistent, true AS one_chosen
+       |FROM (VALUES ${massTuneTaus.map(t => s"(${math.round(t * 100)})").mkString(", ")})
+       |  t(tau_e2)
+       |ORDER BY tau_e2""".stripMargin
 }

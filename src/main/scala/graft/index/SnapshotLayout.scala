@@ -192,15 +192,40 @@ object SnapshotLayout {
         metaFields.map(f => col(f.name)): _*)
   }
 
+  /** Memoized per-cell LIVE masses as of `batchId` — the
+    * coverage-adaptive policy's input on the versioned tier. Keyed
+    * per (layout, as-of label) like the fine alphabets (LRU-capped,
+    * so label sweeps stay bounded); every applyBatch/rollback/compact
+    * bumps the layout and the next serve recounts, which keeps the
+    * head label (Long.MaxValue, constant across appends) honest. */
+  private val asOfMassCache = new graft.store.VersionedMemo[Map[Int, Long]]()
+
+  private[graft] def asOfCellMasses(spark: SparkSession, path: String,
+      batchId: Long): Map[Int, Long] =
+    asOfMassCache.get(spark, s"cellmass-asof:$path@$batchId", path) {
+      asOfAssigned(spark, path, batchId).groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cmass")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+
+  /** The session's mass threshold for an as-of serve: the conf (an
+    * explicit nProbe wins), paired with the memoized as-of masses. */
+  private def asOfMassOf(spark: SparkSession, path: String, batchId: Long,
+      nProbe: Int, ratio: Double = 1.0): Option[(Double, Map[Int, Long])] =
+    IvfIndex.probeMassOf(spark, nProbe, None).map(t =>
+      (math.min(1.0, t * ratio), asOfCellMasses(spark, path, batchId)))
+
   /** Probe search served from the as-of posting set (centroids are
-    * the base fit — the incremental-add serving contract). */
+    * the base fit — the incremental-add serving contract). The
+    * coverage-adaptive conf applies with the AS-OF live masses. */
   def searchAsOf(spark: SparkSession, path: String, batchId: Long,
       queries: DataFrame, nProbe: Int = 0,
       k: Int = 10): DataFrame =
     IvfIndex.search(
       IvfIndex.Built(asOfAssigned(spark, path, batchId),
         spark.read.parquet(s"$path/centroids")),
-      queries, nProbe, k)
+      queries, nProbe, k,
+      cellMasses = asOfMassOf(spark, path, batchId, nProbe).map(_._2))
 
   /** SINGLE-query probe serve from the as-of posting set — the
     * [[IvfIndex.searchSingle]] discipline composed with time travel:
@@ -227,9 +252,14 @@ object SnapshotLayout {
       queries: DataFrame, pred: org.apache.spark.sql.Column,
       nProbe: Int = 0, k: Int = 10): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
-    IvfIndex.searchFiltered(
-      IvfIndex.Built(asOfAssigned(spark, path, batchId), centroids),
-      queries, pred,
+    val built = IvfIndex.Built(asOfAssigned(spark, path, batchId), centroids)
+    val masses = asOfMassOf(spark, path, batchId, nProbe).map(_._2)
+    if (masses.isDefined)
+      // the sentinel flows through searchFiltered's own resolution
+      // (mass at the 13/11 ratio) over the memoized as-of masses
+      IvfIndex.searchFiltered(built, queries, pred, nProbe, k,
+        cellMasses = masses)
+    else IvfIndex.searchFiltered(built, queries, pred,
       IvfIndex.resolveNProbeAt(spark, path, nProbe,
         IvfIndex.filteredNProbeBase), k)
   }
@@ -325,10 +355,16 @@ object SnapshotLayout {
       queries: DataFrame, pred: Option[org.apache.spark.sql.Column],
       nProbe: Int, k: Int, rerank: Int, sub: String): DataFrame = {
     repairCompaction(spark, path)
-    val np = IvfIndex.resolveNProbeAt(spark, path, nProbe,
-      if (pred.isDefined) IvfIndex.filteredNProbeBase
-      else IvfIndex.defaultNProbe)
-    val (lutBc, probes) = IvfIndex.pqQueryState(spark, path, queries, np, sub)
+    val tau = asOfMassOf(spark, path, batchId, nProbe,
+      if (pred.isDefined)
+        IvfIndex.filteredNProbeBase.toDouble / IvfIndex.defaultNProbe
+      else 1.0)
+    val np = if (tau.isDefined) 0
+      else IvfIndex.resolveNProbeAt(spark, path, nProbe,
+        if (pred.isDefined) IvfIndex.filteredNProbeBase
+        else IvfIndex.defaultNProbe)
+    val (lutBc, probes) =
+      IvfIndex.pqQueryState(spark, path, queries, np, sub, tau)
     val joined = asOfCodes(spark, path, batchId, sub)
       .join(broadcast(probes), Seq("cluster_id"))
     val adc = pred.map(joined.filter).getOrElse(joined)
@@ -374,9 +410,11 @@ object SnapshotLayout {
     * layout-dependent. */
   def knnJoinPqAsOf(spark: SparkSession, path: String, batchId: Long,
       nProbe: Int = 0, k: Int = 5, rerank: Int = 200,
-      sub: String = "pq"): DataFrame = {
-    val np = IvfIndex.resolveNProbeAt(spark, path, nProbe)
-    val cand = knnJoinPqAsOfCand(spark, path, batchId, np, rerank, sub)
+      sub: String = "pq", probeMass: Option[Double] = None): DataFrame = {
+    val tau = IvfIndex.probeMassOf(spark, nProbe, probeMass)
+      .map(t => (t, asOfCellMasses(spark, path, batchId)))
+    val np = if (tau.isDefined) 0 else IvfIndex.resolveNProbeAt(spark, path, nProbe)
+    val cand = knnJoinPqAsOfCand(spark, path, batchId, np, rerank, sub, tau)
     val raw = spark.read.parquet(s"$path/vectors")
     val nv = raw.join(cand, Seq("cluster_id", "vec_id", "batch_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -399,7 +437,8 @@ object SnapshotLayout {
     * out so the plan spec can pin that no float-array column rides
     * any of its exchanges. */
   private[graft] def knnJoinPqAsOfCand(spark: SparkSession, path: String,
-      batchId: Long, nProbe: Int, rerank: Int, sub: String): DataFrame = {
+      batchId: Long, nProbe: Int, rerank: Int, sub: String,
+      probeMass: Option[(Double, Map[Int, Long])] = None): DataFrame = {
     val saltS = IvfIndex.coSaltBuckets(spark)
     repairCompaction(spark, path)
     // a batch join is an expensive corpus job: an as-of the truncated
@@ -430,10 +469,44 @@ object SnapshotLayout {
     val booksBc = spark.sparkContext.broadcast(fineBooks)
     val sdcBc = spark.sparkContext.broadcast(
       PqCodebooks.crossTable(fineBooks, books))
-    val centArr = spark.read.parquet(s"$path/centroids")
-      .agg(collect_list(struct(col("cluster_id"), col("centroid"))).as("cents"))
+    // probeMass set: the centroid structs carry the AS-OF live cell
+    // masses (dead rows must not count toward the coverage target)
+    // and the cut is the knnJoinIvf running-mass prefix
+    val centBase = spark.read.parquet(s"$path/centroids")
+    val centArr = probeMass match {
+      case Some((_, m)) =>
+        import spark.implicits._
+        val mdf = m.toSeq.toDF("cluster_id", "cmass")
+        centBase.join(mdf, Seq("cluster_id"))
+          .agg(collect_list(struct(col("cluster_id"), col("centroid"),
+            col("cmass"))).as("cents"))
+      case None =>
+        centBase
+          .agg(collect_list(struct(col("cluster_id"), col("centroid"))).as("cents"))
+    }
     val encodeInput = rotation.map(r =>
       PqCodebooks.rotateCol(col("embedding"), r)).getOrElse(col("embedding"))
+    val probeList: org.apache.spark.sql.Column = probeMass match {
+      case Some((t, m)) =>
+        val target = lit(math.max(1L, math.ceil(t * m.values.sum).toLong))
+        val sorted = array_sort(transform(col("cents"), c =>
+          struct((-graft.functions.vectors.cosineSim(
+              col("embedding"), c.getField("centroid"))).as("neg_sim"),
+            c.getField("cluster_id").as("cluster_id"),
+            c.getField("cmass").as("cmass"))))
+        val taken = aggregate(sorted,
+          struct(lit(0L).as("m"), lit(0).as("t")),
+          (acc, x) => when(acc.getField("m") >= target, acc)
+            .otherwise(struct((acc.getField("m") + x.getField("cmass")).as("m"),
+              (acc.getField("t") + lit(1)).as("t"))),
+          acc => acc.getField("t"))
+        slice(sorted, lit(1), greatest(lit(1), taken))
+      case None =>
+        slice(array_sort(transform(col("cents"), c =>
+          struct((-graft.functions.vectors.cosineSim(
+              col("embedding"), c.getField("centroid"))).as("neg_sim"),
+            c.getField("cluster_id").as("cluster_id")))), 1, nProbe)
+    }
     // map-side probe fan-out + encode over EVERY stored row ≤ B; the
     // embedding dies in this projection, and the winners join below
     // keeps only live versions
@@ -441,10 +514,7 @@ object SnapshotLayout {
       .crossJoin(broadcast(centArr))
       .select(col("vec_id").as("q_id"), col("batch_id"),
         graft.functions.pq.pqEncode(encodeInput, booksBc).as("q_code"),
-        explode(slice(array_sort(transform(col("cents"), c =>
-          struct((-graft.functions.vectors.cosineSim(
-              col("embedding"), c.getField("centroid"))).as("neg_sim"),
-            c.getField("cluster_id").as("cluster_id")))), 1, nProbe)).as("p"))
+        explode(probeList).as("p"))
       .select(col("q_id"), col("batch_id"), col("q_code"),
         col("p.cluster_id").as("cluster_id"))
       .join(winners.withColumnRenamed("vec_id", "q_id"),

@@ -183,6 +183,67 @@ class Round15Spec extends AnyFunSuite {
     } finally spark.conf.unset(IvfIndex.probeMassConfKey)
   }
 
+  test("versioned serves honor the mass conf: tau=1.0 exact at any as-of point") {
+    val all = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val none = all.limit(0).select($"vec_id")
+    val path = tmp("graft-r15-massasof") + "/ivf"
+    SnapshotLayout.init(IvfIndex.build(spark, all.filter($"vec_id" >= 50)), path)
+    SnapshotLayout.applyBatch(spark, path, 1L,
+      upserts = all.filter($"vec_id" < 25), deletes = none)
+    SnapshotLayout.applyBatch(spark, path, 2L,
+      upserts = all.limit(0),
+      deletes = all.filter($"vec_id" < 25 && $"vec_id" % 7 === 0).select($"vec_id"))
+    SnapshotLayout.initPq(spark, path)
+    val kAll = spark.read.parquet(s"$path/centroids").count().toInt
+    val queries = all.filter($"vec_id" < 5 && $"vec_id" % 7 =!= 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    def withMass[T](v: String)(body: => T): T = {
+      spark.conf.set(IvfIndex.probeMassConfKey, v)
+      try body finally spark.conf.unset(IvfIndex.probeMassConfKey)
+    }
+    for (b <- Seq(1L, Long.MaxValue)) {
+      // raw as-of serve: full mass == full count (exact)
+      assert(rows(withMass("1.0")(
+          SnapshotLayout.searchAsOf(spark, path, b, queries))) ==
+        rows(SnapshotLayout.searchAsOf(spark, path, b, queries, nProbe = kAll)),
+        s"raw as-of serve at batch $b must be exact at tau=1.0")
+      // versioned ADC serve through pqQueryState's mass cut
+      assert(rows(withMass("1.0")(
+          SnapshotLayout.searchAsOfPq(spark, path, b, queries))) ==
+        rows(SnapshotLayout.searchAsOfPq(spark, path, b, queries, nProbe = kAll)),
+        s"ADC as-of serve at batch $b must be exact at tau=1.0")
+    }
+    // the as-of batch join's running-mass prefix at tau=1.0 == full probe
+    assert(rows(withMass("1.0")(
+        SnapshotLayout.knnJoinPqAsOf(spark, path, 2L))) ==
+      rows(SnapshotLayout.knnJoinPqAsOf(spark, path, 2L, nProbe = kAll)),
+      "as-of join at tau=1.0 must equal the full-probe join")
+    // a sub-1 tau still serves k rows with self top-1 (the nearest
+    // cell always probes) — the contract, not the recall, is pinned
+    val m = withMass("0.3")(
+      SnapshotLayout.searchAsOf(spark, path, Long.MaxValue, queries, k = 5))
+      .localCheckpoint(true)
+    val nQ = queries.count()
+    assert(m.filter($"rank" === 1L && $"score_e6" === 1000000L).count() == nQ)
+    assert(m.count() == nQ * 5)
+  }
+
+  test("probe_mass_tune: measured sweep is monotone, exact at tau=1, choice minimal") {
+    val meas = graft.index.RecallEval.probeMassSweep(spark, sf)
+    info(s"measured sweep: ${meas.mkString(", ")}")
+    assert(meas.map(_._1) == Seq(10, 20, 30, 50, 69, 100))
+    assert(meas.last._2 == 1000000L, "tau=1.0 must be the exact serve")
+    assert(meas.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      "recall must be non-decreasing in tau")
+    val chosen = graft.index.RecallEval.chooseTau(meas, 900000L)
+    // the choice rule: minimal bar-clearing tau
+    assert(meas(chosen)._2 >= 900000L)
+    assert(meas.take(chosen).forall(_._2 < 900000L))
+  }
+
   test("NSW knobs derive from the corpus, conf-overridable, floored at test-SF") {
     // beam: measured 16 through the small-corpus floor, then the
     // bar-fit max(24, 2.4·ln n) — 24 IS the measured 0.907 point on
@@ -199,12 +260,14 @@ class Round15Spec extends AnyFunSuite {
     assert(NswIndex.hopsFor(spark, 20000) == NswIndex.hops)
     assert(NswIndex.hopsFor(spark, 1000000L) == 14)
     // degree: reference-parity 5 through the floor, then the measured
-    // HNSW-class max(16, 1.6·ln n) — degree 5 was MEASURED unrescuable
-    // at 10× (recall 0.42–0.57 at any beam)
+    // max(16, 2.2·ln n) — degree 5 was MEASURED unrescuable at 10×
+    // (recall 0.42–0.57 at any beam) and the 1.6 first fit was
+    // MEASURED under-bar at 30× (0.843); 2.2 is the 30× refit
     assert(NswIndex.degreeFor(spark, 500) == NswIndex.graphDegree)
     assert(NswIndex.degreeFor(spark, NswIndex.autoFloorN) == NswIndex.graphDegree)
-    assert(NswIndex.degreeFor(spark, 20000) == 16)
-    assert(NswIndex.degreeFor(spark, 1000000000L) == 34)
+    assert(NswIndex.degreeFor(spark, 20000) == 22)
+    assert(NswIndex.degreeFor(spark, 60000) == 25)
+    assert(NswIndex.degreeFor(spark, 1000000000L) == 46)
     def withConf[T](key: String, v: String)(body: => T): T = {
       val old = spark.conf.getOption(key)
       spark.conf.set(key, v)
