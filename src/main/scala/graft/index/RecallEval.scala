@@ -458,7 +458,13 @@ object RecallEval {
       dir: String): Seq[(Int, Long)] = {
     val emb = Tables.embeddings(spark, dir)
     val built = IvfIndex.buildCached(spark, dir)
-    val queries = emb.filter(col("vec_id") < 5)
+    // a ~100-query deterministic sample (mod-spaced, not the lowest
+    // ids): a tuner's sample must SPAN the corpus — the 5 low-id
+    // queries the serve grids use all land in the same few cells on
+    // a clustered corpus and overestimate what a thin tau serves
+    val n = emb.count()
+    val qMod = math.max(1L, n / 100L)
+    val queries = emb.filter(pmod(col("vec_id"), lit(qMod)) === 0L)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       .localCheckpoint(true)
     def sets(df: DataFrame): Map[Long, Set[Long]] =
@@ -488,6 +494,12 @@ object RecallEval {
     import spark.implicits._
     val meas = probeMassSweep(spark, dir)
     val chosenIdx = chooseTau(meas, barE6)
+    // raw sweep to stderr on request (the Bench BENCHRUNS convention):
+    // the oracled grid carries invariants, not the measured values
+    if (sys.env.contains("SPARK_GRAFT_TUNE_VERBOSE"))
+      System.err.println(s"TUNESWEEP dir=$dir " +
+        meas.map { case (t, r) => s"tau=$t:recall_e6=$r" }.mkString(" ") +
+        s" chosen=tau_e2=${meas(chosenIdx)._1}")
     val rows = meas.zipWithIndex.map { case ((tE2, r), i) =>
       val notBelowPrev = i == 0 || r >= meas(i - 1)._2
       val chosenConsistent =
