@@ -336,6 +336,11 @@ object SparkEntry {
     // the exact baseline, choose the cheapest bar-clearing tau (the
     // value a deployment sets the probeMass conf to)
     "probe_mass_tune" -> ((s, d) => graft.index.RecallEval.probeMassTune(s, d)),
+    // round 16: the tuner IS the default policy — conf unset (or
+    // `auto`) resolves each layout's probe coverage to its memoized
+    // tuner choice; this grid pins the precedence rules and the
+    // zero-conf ≡ explicit-tuned-τ serve identity
+    "probe_mass_auto" -> (graft.index.RecallEval.probeMassAutoChecked _),
     // SparkSessionExtensions optimizer rule: brute cosine top-k → IVF probe
     "ann_rewrite" -> (graft.plans.AnnRewrite.annRewriteChecked _),
     // filtered shape through the same rule: WHERE pred + top-k →
@@ -385,9 +390,10 @@ object SparkEntry {
     "sample_kcenter" -> (Coreset.sampleKcenter _),
     "cluster_topics" -> (Clusters.clusterTopics _),
     // unified index accountability: recall@k of every approximate
-    // family vs the exact scan, one servable table (rows-only check;
-    // the per-family bars are the ScalaTest gate in RecallEvalSpec)
-    "index_recall_eval" -> (graft.index.RecallEval.indexRecallEval _),
+    // family vs the exact scan, served as a checked grid (round 16 —
+    // family list, bounded recall and per-family bars all oracled;
+    // the measured values stay the ScalaTest gate in RecallEvalSpec)
+    "index_recall_eval" -> (graft.index.RecallEval.indexRecallEvalChecked _),
     // recall@10 vs nProbe sweep from one cached build (checked grid)
     "ivf_probe_curve" -> (graft.index.RecallEval.ivfProbeCurveChecked _),
     // filtered-ANN recall vs selectivity (checked grid; values in spec)
@@ -1027,6 +1033,8 @@ object SparkEntry {
     "ivf_search" -> graft.index.ContractGrids.ivfSearchCheckedSql,
     "ivf_search_mass" -> graft.index.ContractGrids.ivfSearchMassCheckedSql,
     "probe_mass_tune" -> graft.index.RecallEval.probeMassTuneSql,
+    "probe_mass_auto" -> graft.index.RecallEval.probeMassAutoSql,
+    "index_recall_eval" -> graft.index.RecallEval.indexRecallEvalSql,
     "ann_rewrite" -> graft.plans.AnnRewrite.annRewriteCheckedSql,
     "ann_rewrite_filtered" -> graft.plans.AnnRewrite.annRewriteFilteredCheckedSql,
     "sql_knn_cosine" -> KnnSearch.sqlKnnCosineSql,

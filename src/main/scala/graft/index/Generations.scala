@@ -103,7 +103,7 @@ object Generations {
     * One-way migration: the first versioned commit under a legacy
     * single-cell root deletes `_current.json` — readers older than the
     * versioned-pointer scheme cannot resolve the root afterwards. */
-  private[index] def writePointer(spark: SparkSession, root: String,
+  private[graft] def writePointer(spark: SparkSession, root: String,
       g: Int): Unit = {
     val p = new Path(s"$root/_current.v$g.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

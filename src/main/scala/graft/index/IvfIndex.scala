@@ -130,16 +130,75 @@ object IvfIndex {
     * stay the oracled behavior. */
   val probeMassConfKey = "spark.graft.ivf.probeMass"
 
-  /** The effective mass threshold: the explicit parameter, else the
-    * session conf; an explicit nProbe always wins (returns None). */
+  /** The effective mass threshold. Precedence (round 16, VERDICT r15
+    * #1 — the tuner IS the default policy):
+    *
+    *  1. an explicit nProbe always wins (returns None — count probes);
+    *  2. an explicit `probeMass` parameter;
+    *  3. the session conf: a number in (0, 1] → that τ; `"count"` →
+    *     the constant-coverage counts (the pre-r16 default, kept as
+    *     the explicit opt-out); `"auto"` → the tuner;
+    *  4. UNSET → the tuner (`auto`): the caller's layout-specific
+    *     [[graft.index.RecallEval.autoTauFor]] thunk — the
+    *     cheapest bar-clearing τ measured on the layout itself,
+    *     memoized per layout and invalidated by the same
+    *     [[graft.store.IndexVersions]] bumps as the cell masses. On a
+    *     near-uniform corpus the tuner re-derives the old 11/16
+    *     constant-coverage default (τ=0.69 — measured, SURVEY §20),
+    *     so the flip is behavior-preserving where the old default was
+    *     right and 2.5–3.6× cheaper where it wasn't (clustered
+    *     corpora). Callers with no tuning context (ad-hoc Builts)
+    *     pass no thunk and keep the count policy.
+    *
+    * The range check runs only on a τ that will actually be used
+    * (ADVICE r15 — an out-of-range conf must not fail an
+    * explicit-nProbe serve that discards it). */
   private[graft] def probeMassOf(spark: SparkSession, nProbe: Int,
-      explicit: Option[Double]): Option[Double] = {
-    val tau = explicit.orElse(
-      graft.core.Knobs.confDouble(spark, probeMassConfKey))
-    tau.foreach(t => require(t > 0.0 && t <= 1.0,
-      s"$probeMassConfKey must be a fraction in (0, 1], got $t"))
-    if (nProbe > 0) None else tau
+      explicit: Option[Double],
+      auto: => Option[Double] = None): Option[Double] = {
+    def checked(t: Double): Double = {
+      require(t > 0.0 && t <= 1.0,
+        s"$probeMassConfKey must be a fraction in (0, 1], 'auto' or 'count', got $t")
+      t
+    }
+    if (nProbe > 0) None
+    else explicit match {
+      case Some(t) => Some(checked(t))
+      case None =>
+        spark.conf.getOption(probeMassConfKey).map(_.trim) match {
+          case Some("count") => None
+          case Some("auto") | None => auto
+          case Some(v) =>
+            val t =
+              try v.toDouble
+              catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"conf $probeMassConfKey must be a fraction in (0, 1], " +
+                      s"'auto' or 'count', got '$v'")
+              }
+            Some(checked(t))
+        }
+    }
   }
+
+  /** The auto policy's τ for a Built that carries a tuning identity
+    * ([[Built.autoKey]]); None for ad-hoc builds — those fall back to
+    * the constant-coverage counts rather than paying an unmemoizable
+    * sweep per serve. */
+  private[graft] def autoTauOf(built: Built): Option[Double] =
+    built.autoKey.map { case (key, vd) =>
+      RecallEval.autoTauFor(built.assigned.sparkSession, key, vd)(built) }
+
+  /** The auto policy's τ for a PERSISTED plain layout: the tuner
+    * sweep over the layout's own posting rows and centroids, memoized
+    * under the path and invalidated by the same version bumps as
+    * [[cellMassesAt]]. */
+  private[graft] def autoTauAt(spark: SparkSession, path: String): Double =
+    RecallEval.autoTauFor(spark, s"path:$path", path)(
+      Built(spark.read.parquet(s"$path/vectors")
+          .select(col("vec_id"), col("embedding"), col("cluster_id")),
+        spark.read.parquet(s"$path/centroids")))
 
   /** Per-cell posting-row masses of an in-memory build — one k-row
     * aggregation over the (cached) assigned table. */
@@ -158,7 +217,15 @@ object IvfIndex {
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
     }
 
-  case class Built(assigned: DataFrame, centroids: DataFrame)
+  /** `autoKey = Some((memoKey, versionDir))` is the build's TUNING
+    * identity (round 16): the coverage-adaptive auto policy memoizes
+    * its tuner-chosen τ under `memoKey`, invalidated by writes under
+    * `versionDir` — exactly the [[buildCached]] discipline. An ad-hoc
+    * Built (tests, internal one-offs) has none and the auto policy
+    * falls back to the constant-coverage counts rather than paying an
+    * unmemoizable sweep per serve. */
+  case class Built(assigned: DataFrame, centroids: DataFrame,
+      autoKey: Option[(String, String)] = None)
 
   /** Session-scoped index memo: the reference builds each index once
     * and serves all queries from it (main.py:35-40 add_index);
@@ -178,7 +245,8 @@ object IvfIndex {
     // checked grids assert kExpect against what this memo returns)
     builtCache.get(spark, s"$dir@k=${kConfSuffix(spark)}", dir) {
       val b = build(spark, Tables.embeddings(spark, dir))
-      Built(b.assigned.cache(), b.centroids)
+      Built(b.assigned.cache(), b.centroids,
+        autoKey = Some((s"$dir@k=${kConfSuffix(spark)}", dir)))
     }
 
   /** The session's k override rendered for memo keys (`auto` unset). */
@@ -192,7 +260,8 @@ object IvfIndex {
       versionDir: String, metaCols: Seq[String] = Nil): Built =
     builtCache.get(spark, s"$key@k=${kConfSuffix(spark)}", versionDir) {
       val b = build(spark, emb, metaCols = metaCols)
-      Built(b.assigned.cache(), b.centroids)
+      Built(b.assigned.cache(), b.centroids,
+        autoKey = Some((s"$key@k=${kConfSuffix(spark)}", versionDir)))
     }
 
   /** Row budget for the KMeans fit: at 100 TB each MLlib iteration is
@@ -264,12 +333,16 @@ object IvfIndex {
     val total = cellMasses.map(_.values.sum).getOrElse(
       masses.agg(sum(col("cmass"))).first().getLong(0))
     val target = math.max(1L, math.ceil(tau * total).toLong)
+    // keep EVERY query-side column of `ranked` (q_vec, label/meta
+    // columns a filtered serve's predicate references — ADVICE r15
+    // high), dropping only the probe-internal ranking/mass columns;
+    // callers project down exactly like their count branches do
     ranked.join(broadcast(masses), Seq("cluster_id"))
       .withColumn("prior_mass", coalesce(sum(col("cmass")).over(
         Window.partitionBy(col("q_id")).orderBy(col("crank"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .filter(col("prior_mass") < target)
-      .select(col("q_id"), col("q_vec"), col("cluster_id"))
+      .drop("csim", "crank", "centroid", "cmass", "prior_mass")
   }
 
   /** Probe search: rank centroids per query, keep nProbe, semi-join
@@ -287,8 +360,10 @@ object IvfIndex {
       .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster_id").asc)))
-    val probes = probeMassOf(spark, nProbe, probeMass) match {
-      case Some(tau) => massProbes(built, ranked, tau, cellMasses)
+    val probes = probeMassOf(spark, nProbe, probeMass, autoTauOf(built)) match {
+      case Some(tau) =>
+        massProbes(built, ranked, tau, cellMasses)
+          .select(col("q_id"), col("q_vec"), col("cluster_id"))
       case None =>
         // nProbe = 0 (the default) scales coverage to the index's
         // actual cell count — [[resolveNProbe]]; defaultNProbe at k=16
@@ -321,14 +396,17 @@ object IvfIndex {
       .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster_id").asc)))
-    val probes = probeMassOf(built.assigned.sparkSession, nProbe, probeMass) match {
+    val probes = probeMassOf(built.assigned.sparkSession, nProbe, probeMass,
+        autoTauOf(built)) match {
       case Some(tau) =>
         // the filtered compensation at RATIO: the count policy probes
         // 13/11 of the unfiltered coverage, so the mass policy does too
+        // massProbes already dropped only the probe internals, so the
+        // query meta columns the predicate references — and q_vec,
+        // which the scoring stage needs — survive (ADVICE r15 high)
         massProbes(built, ranked,
           math.min(1.0, tau * filteredNProbeBase.toDouble / defaultNProbe),
           cellMasses)
-          .drop("q_vec")
       case None =>
         ranked.filter(col("crank") <=
             resolveNProbe(nProbe, built.centroids, filteredNProbeBase))
@@ -346,35 +424,97 @@ object IvfIndex {
     * constant q_id constant-folds to an EMPTY partition spec and pulls
     * every scored vector in the probed clusters into one task. Here
     * the centroid ranking is a TakeOrdered over k centroids and the
-    * final cut is [[KnnSearch.topKSingle]]. */
+    * final cut is [[KnnSearch.topKSingle]].
+    *
+    * Round 16: the coverage-adaptive policy applies to single serves
+    * too (the r15 "count-by-choice" stance was argued from the uniform
+    * corpus; the clustered measurement — bench_runs/r16_autocurve.txt —
+    * says the candidate VOLUME follows the policy exactly as in batch).
+    * The mass prefix here is a window over the ≤k RANKED CELLS of one
+    * query — k centroid rows in one task, not the candidate-row window
+    * the single cuts exist to avoid. */
   def searchSingle(built: Built, query: DataFrame,
-      nProbe: Int = 0, k: Int = 10): DataFrame = {
-    val np = resolveNProbe(nProbe, built.centroids)
-    val probes = query.crossJoin(broadcast(built.centroids))
-      .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
-      .orderBy(col("csim").desc, col("cluster_id").asc)
-      .limit(np)
-      .select(col("q_id"), col("q_vec"), col("cluster_id"))
+      nProbe: Int = 0, k: Int = 10,
+      cellMasses: Option[Map[Int, Long]] = None): DataFrame = {
+    val spark = built.assigned.sparkSession
+    val probes = probeMassOf(spark, nProbe, None, autoTauOf(built)) match {
+      case Some(tau) =>
+        val ranked = query.crossJoin(broadcast(built.centroids))
+          .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
+          .withColumn("crank", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("csim").desc, col("cluster_id").asc)))
+        massProbes(built, ranked, tau, cellMasses)
+          .select(col("q_id"), col("q_vec"), col("cluster_id"))
+      case None =>
+        val np = resolveNProbe(nProbe, built.centroids)
+        query.crossJoin(broadcast(built.centroids))
+          .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
+          .orderBy(col("csim").desc, col("cluster_id").asc)
+          .limit(np)
+          .select(col("q_id"), col("q_vec"), col("cluster_id"))
+    }
     val scored = built.assigned.join(broadcast(probes), Seq("cluster_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"))
     KnnSearch.topKSingle(scored, k, asc = false)
   }
 
+  /** The cluster ids a [[searchSingle]] serve probes under the
+    * session's resolved policy — volume-accounting observability for
+    * the dev instruments (graft.AutoCurve); not a serve path. */
+  private[graft] def searchSingleProbedCells(built: Built,
+      query: DataFrame, nProbe: Int = 0): Seq[Int] = {
+    val spark = built.assigned.sparkSession
+    val probes = probeMassOf(spark, nProbe, None, autoTauOf(built)) match {
+      case Some(tau) =>
+        val ranked = query.crossJoin(broadcast(built.centroids))
+          .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
+          .withColumn("crank", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("csim").desc, col("cluster_id").asc)))
+        massProbes(built, ranked, tau, None)
+      case None =>
+        query.crossJoin(broadcast(built.centroids))
+          .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
+          .orderBy(col("csim").desc, col("cluster_id").asc)
+          .limit(resolveNProbe(nProbe, built.centroids))
+    }
+    probes.select(col("cluster_id")).collect().map(_.getInt(0)).toSeq
+  }
+
   /** Single-query PRE-filter probe search: [[searchFiltered]]'s
     * semantics with [[searchSingle]]'s cuts — the /query-shaped
-    * filtered serve must not fold its top-k window to one task. */
+    * filtered serve must not fold its top-k window to one task. The
+    * mass policy applies at [[searchFiltered]]'s 13/11 compensation
+    * ratio (round 16). */
   def searchFilteredSingle(built: Built, query: DataFrame,
       pred: org.apache.spark.sql.Column, nProbe: Int = 0,
-      k: Int = 10): DataFrame = {
-    val np = resolveNProbe(nProbe, built.centroids)
+      k: Int = 10,
+      cellMasses: Option[Map[Int, Long]] = None): DataFrame = {
+    val spark = built.assigned.sparkSession
     val qMetaCols = query.columns.toSeq.filterNot(Set("q_id", "q_vec"))
-    val probes = query.crossJoin(broadcast(built.centroids))
-      .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
-      .orderBy(col("csim").desc, col("cluster_id").asc)
-      .limit(np)
-      .select(Seq(col("q_id"), col("q_vec"), col("cluster_id")) ++
-        qMetaCols.map(col): _*)
+    val keep = Seq(col("q_id"), col("q_vec"), col("cluster_id")) ++
+      qMetaCols.map(col)
+    val probes = probeMassOf(spark, nProbe, None, autoTauOf(built)) match {
+      case Some(tau) =>
+        val ranked = query.crossJoin(broadcast(built.centroids))
+          .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
+          .withColumn("crank", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("csim").desc, col("cluster_id").asc)))
+        massProbes(built, ranked,
+          math.min(1.0, tau * filteredNProbeBase.toDouble / defaultNProbe),
+          cellMasses)
+          .select(keep: _*)
+      case None =>
+        val np = resolveNProbe(nProbe, built.centroids, filteredNProbeBase)
+        query.crossJoin(broadcast(built.centroids))
+          .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
+          .orderBy(col("csim").desc, col("cluster_id").asc)
+          .limit(np)
+          .select(keep: _*)
+    }
     val scored = built.assigned.join(broadcast(probes), Seq("cluster_id"))
       .filter(pred)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -411,7 +551,7 @@ object IvfIndex {
       k: Int = 5, probeMass: Option[Double] = None): DataFrame = {
     val spark = built.assigned.sparkSession
     val s = coSaltBuckets(spark)
-    val tau = probeMassOf(spark, nProbe, probeMass)
+    val tau = probeMassOf(spark, nProbe, probeMass, autoTauOf(built))
     // under the mass policy each centroid struct carries its cell's
     // row count, and the probe cut is a running-mass prefix instead
     // of a fixed slice — same codegen stage, still zero shuffle
@@ -949,9 +1089,12 @@ object IvfIndex {
     * `cluster_id=` directories instead of the whole index. */
   def searchPersisted(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int = 0, k: Int = 10): DataFrame = {
+    // the tuning identity matches [[autoTauAt]]'s memo key so every
+    // serve shape over this layout shares the one tuned τ
     val built = Built(
       assigned = spark.read.parquet(s"$path/vectors"),
-      centroids = spark.read.parquet(s"$path/centroids"))
+      centroids = spark.read.parquet(s"$path/centroids"),
+      autoKey = Some((s"path:$path", path)))
     search(built, queries, nProbe, k)
   }
 
@@ -962,7 +1105,9 @@ object IvfIndex {
       nProbe: Int = 0, k: Int = 10): DataFrame =
     searchSingle(Built(
       assigned = spark.read.parquet(s"$path/vectors"),
-      centroids = spark.read.parquet(s"$path/centroids")), query, nProbe, k)
+      centroids = spark.read.parquet(s"$path/centroids"),
+      autoKey = Some((s"path:$path", path))), query, nProbe, k,
+      cellMasses = Some(cellMassesAt(spark, path)))
 
   /** `ivf_build` query: cluster histogram (k rows). Rows-only check —
     * DuckDB has no KMeans; the ScalaTest spec asserts recall against
@@ -1307,7 +1452,8 @@ object IvfIndex {
     // the coverage-adaptive conf applies to the ADC serve exactly as
     // to the raw probe (filtered serves at the 13/11 ratio); the
     // count path keeps the memoized cell-count resolution
-    val tau = probeMassOf(spark, nProbe, None).map(t =>
+    val tau = probeMassOf(spark, nProbe, None,
+        Some(autoTauAt(spark, path))).map(t =>
       (if (pred.isDefined)
         math.min(1.0, t * filteredNProbeBase.toDouble / defaultNProbe)
       else t, cellMassesAt(spark, path)))
@@ -1386,7 +1532,8 @@ object IvfIndex {
   def knnJoinPq(spark: SparkSession, path: String,
       nProbe: Int = 0, k: Int = 5, rerank: Int = 200,
       sub: String = "pq", probeMass: Option[Double] = None): DataFrame = {
-    val tau = probeMassOf(spark, nProbe, probeMass)
+    val tau = probeMassOf(spark, nProbe, probeMass,
+      Some(autoTauAt(spark, path)))
     val np = if (tau.isDefined) 0 else resolveNProbeAt(spark, path, nProbe)
     val cand = knnJoinPqCand(spark, path, np, rerank, sub, tau)
     val vecs = spark.read.parquet(s"$path/vectors")

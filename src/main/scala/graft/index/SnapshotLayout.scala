@@ -208,11 +208,28 @@ object SnapshotLayout {
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
     }
 
+  /** The AUTO policy's τ for a versioned layout (round 16): the tuner
+    * sweep over the HEAD live set, memoized under the path and
+    * invalidated by the same applyBatch/rollback/compact version bumps
+    * as the cell masses. Tuned at HEAD for every as-of point — τ
+    * calibrates to the corpus DISTRIBUTION, which maintenance batches
+    * shift only incrementally, while the per-label LIVE masses (what
+    * the threshold multiplies into) stay exactly as-of; tuning per
+    * as-of label would pay a sweep per label with no measured
+    * distribution difference to chase. */
+  private def autoTauHead(spark: SparkSession, path: String): Double =
+    RecallEval.autoTauFor(spark, s"asof:$path", path)(
+      IvfIndex.Built(asOfAssigned(spark, path, Long.MaxValue)
+          .select(col("vec_id"), col("embedding"), col("cluster_id")),
+        spark.read.parquet(s"$path/centroids")))
+
   /** The session's mass threshold for an as-of serve: the conf (an
-    * explicit nProbe wins), paired with the memoized as-of masses. */
+    * explicit nProbe wins; unset resolves to [[autoTauHead]]'s tuned
+    * τ), paired with the memoized as-of masses. */
   private def asOfMassOf(spark: SparkSession, path: String, batchId: Long,
       nProbe: Int, ratio: Double = 1.0): Option[(Double, Map[Int, Long])] =
-    IvfIndex.probeMassOf(spark, nProbe, None).map(t =>
+    IvfIndex.probeMassOf(spark, nProbe, None,
+        Some(autoTauHead(spark, path))).map(t =>
       (math.min(1.0, t * ratio), asOfCellMasses(spark, path, batchId)))
 
   /** Probe search served from the as-of posting set (centroids are
@@ -221,9 +238,13 @@ object SnapshotLayout {
   def searchAsOf(spark: SparkSession, path: String, batchId: Long,
       queries: DataFrame, nProbe: Int = 0,
       k: Int = 10): DataFrame =
+    // the Built carries the layout's tuning identity (same memo key as
+    // [[autoTauHead]]) so the inner serve's auto resolution lands on
+    // the one head-tuned τ instead of falling back to counts
     IvfIndex.search(
       IvfIndex.Built(asOfAssigned(spark, path, batchId),
-        spark.read.parquet(s"$path/centroids")),
+        spark.read.parquet(s"$path/centroids"),
+        autoKey = Some((s"asof:$path", path))),
       queries, nProbe, k,
       cellMasses = asOfMassOf(spark, path, batchId, nProbe).map(_._2))
 
@@ -238,8 +259,10 @@ object SnapshotLayout {
       k: Int = 10): DataFrame =
     IvfIndex.searchSingle(
       IvfIndex.Built(asOfAssigned(spark, path, batchId),
-        spark.read.parquet(s"$path/centroids")),
-      query, nProbe, k)
+        spark.read.parquet(s"$path/centroids"),
+        autoKey = Some((s"asof:$path", path))),
+      query, nProbe, k,
+      cellMasses = asOfMassOf(spark, path, batchId, nProbe).map(_._2))
 
   /** PRE-filter probe search served from the as-of posting set — the
     * filtered serving mode composed with time travel: the metadata a
@@ -252,7 +275,8 @@ object SnapshotLayout {
       queries: DataFrame, pred: org.apache.spark.sql.Column,
       nProbe: Int = 0, k: Int = 10): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
-    val built = IvfIndex.Built(asOfAssigned(spark, path, batchId), centroids)
+    val built = IvfIndex.Built(asOfAssigned(spark, path, batchId), centroids,
+      autoKey = Some((s"asof:$path", path)))
     val masses = asOfMassOf(spark, path, batchId, nProbe).map(_._2)
     if (masses.isDefined)
       // the sentinel flows through searchFiltered's own resolution
@@ -411,7 +435,8 @@ object SnapshotLayout {
   def knnJoinPqAsOf(spark: SparkSession, path: String, batchId: Long,
       nProbe: Int = 0, k: Int = 5, rerank: Int = 200,
       sub: String = "pq", probeMass: Option[Double] = None): DataFrame = {
-    val tau = IvfIndex.probeMassOf(spark, nProbe, probeMass)
+    val tau = IvfIndex.probeMassOf(spark, nProbe, probeMass,
+        Some(autoTauHead(spark, path)))
       .map(t => (t, asOfCellMasses(spark, path, batchId)))
     val np = if (tau.isDefined) 0 else IvfIndex.resolveNProbeAt(spark, path, nProbe)
     val cand = knnJoinPqAsOfCand(spark, path, batchId, np, rerank, sub, tau)

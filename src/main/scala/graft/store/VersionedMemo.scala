@@ -100,14 +100,24 @@ final class VersionedMemo[V](onEvict: V => Unit = (_: V) => (),
     e.lastUsed = tick.incrementAndGet()
     // LRU trim AFTER the touch so the entry just served can never be
     // the eviction victim; the scan is O(entries) per insert against
-    // a small constant cap
+    // a small constant cap. Entries touched within the last few ticks
+    // are ALSO exempt (ADVICE r15): under concurrent gets at the cap,
+    // the strict-LRU victim can be another thread's just-inserted,
+    // just-returned entry — evicting it thrashes a Built whose cached
+    // plan that thread is about to execute. Tolerating a brief
+    // overshoot (return without evicting when every entry is recent)
+    // costs a few extra entries for a moment; the next non-contended
+    // insert trims back to the cap.
+    val recentGrace = 4L
     while (m.size > maxEntries) {
+      val now = tick.get()
       var victim: ((SparkSession, String), Entry) = null
       m.forEach { (k, v) =>
-        if (v != e && (victim == null || v.lastUsed < victim._2.lastUsed))
+        if (v != e && now - v.lastUsed > recentGrace &&
+            (victim == null || v.lastUsed < victim._2.lastUsed))
           victim = (k, v)
       }
-      if (victim == null) return e.value // nothing evictable
+      if (victim == null) return e.value // nothing evictable right now
       if (m.remove(victim._1, victim._2)) evictQuietly(victim._2.value)
     }
     e.value

@@ -102,6 +102,17 @@ class PersistedLayoutSpec extends AnyFunSuite {
     graft.index.IvfIndex.persist(graft.index.IvfIndex.build(spark, emb), dir)
     val q = emb.filter($"vec_id" === 0L)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    // the serve's probe list under the session's RESOLVED policy
+    // (round 16: the auto default's mass prefix may keep a cell or
+    // two more than the count default's 11) — the pinned property is
+    // that DPP prunes the scan to exactly this list, not a constant
+    val probedCells = graft.index.IvfIndex.searchSingleProbedCells(
+      graft.index.IvfIndex.Built(
+        spark.read.parquet(s"$dir/vectors"),
+        spark.read.parquet(s"$dir/centroids"),
+        autoKey = Some((s"path:$dir", dir))), q).size
+    assert(probedCells > 0 && probedCells < graft.index.IvfIndex.defaultK,
+      s"the resolved policy must probe a strict subset of cells: $probedCells")
     val captured = new java.util.concurrent.CopyOnWriteArrayList[
       org.apache.spark.sql.execution.QueryExecution]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
@@ -147,13 +158,13 @@ class PersistedLayoutSpec extends AnyFunSuite {
         _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])))
       assert(pruned.nonEmpty,
         s"no dynamic pruning on the vectors scan:\n${scans.map(_.toString).mkString("\n").take(2000)}")
-      // the metric proves files were actually skipped: ≤ n_probe of the
-      // defaultK partitions read
+      // the metric proves files were actually skipped: no more than
+      // the probed cells' partitions read (of the defaultK on disk)
       val nParts = pruned.flatMap(_.metrics.get("numPartitions").map(_.value))
       assert(nParts.nonEmpty,
         s"numPartitions metric missing; available: ${pruned.head.metrics.keys.mkString(",")}")
-      assert(nParts.exists(n => n > 0 && n <= graft.index.IvfIndex.defaultNProbe),
-        s"partitions read $nParts not within n_probe=${graft.index.IvfIndex.defaultNProbe}")
+      assert(nParts.exists(n => n > 0 && n <= probedCells),
+        s"partitions read $nParts not within the probed cells=$probedCells")
     } finally spark.listenerManager.unregister(listener)
   }
 
