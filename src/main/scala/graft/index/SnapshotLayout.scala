@@ -216,9 +216,13 @@ object SnapshotLayout {
     * shift only incrementally, while the per-label LIVE masses (what
     * the threshold multiplies into) stay exactly as-of; tuning per
     * as-of label would pay a sweep per label with no measured
-    * distribution difference to chase. */
+    * distribution difference to chase. Round 17: the choice persists
+    * in the layout's tuning sidecar — applyBatch/rollback/compact keep
+    * it (the fit is frozen across all three; round 16 re-swept on
+    * every bump, a full tuning sweep per ingest batch at scale), and a
+    * generational cutover lands in a fresh dir that never had one. */
   private def autoTauHead(spark: SparkSession, path: String): Double =
-    RecallEval.autoTauFor(spark, s"asof:$path", path)(
+    RecallEval.autoTauPersisted(spark, s"asof:$path", path, path)(
       IvfIndex.Built(asOfAssigned(spark, path, Long.MaxValue)
           .select(col("vec_id"), col("embedding"), col("cluster_id")),
         spark.read.parquet(s"$path/centroids")))
@@ -244,7 +248,7 @@ object SnapshotLayout {
     IvfIndex.search(
       IvfIndex.Built(asOfAssigned(spark, path, batchId),
         spark.read.parquet(s"$path/centroids"),
-        autoKey = Some((s"asof:$path", path))),
+        autoKey = Some((s"asof:$path", path)), tauSidecar = Some(path)),
       queries, nProbe, k,
       cellMasses = asOfMassOf(spark, path, batchId, nProbe).map(_._2))
 
@@ -260,7 +264,7 @@ object SnapshotLayout {
     IvfIndex.searchSingle(
       IvfIndex.Built(asOfAssigned(spark, path, batchId),
         spark.read.parquet(s"$path/centroids"),
-        autoKey = Some((s"asof:$path", path))),
+        autoKey = Some((s"asof:$path", path)), tauSidecar = Some(path)),
       query, nProbe, k,
       cellMasses = asOfMassOf(spark, path, batchId, nProbe).map(_._2))
 
@@ -276,7 +280,7 @@ object SnapshotLayout {
       nProbe: Int = 0, k: Int = 10): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val built = IvfIndex.Built(asOfAssigned(spark, path, batchId), centroids,
-      autoKey = Some((s"asof:$path", path)))
+      autoKey = Some((s"asof:$path", path)), tauSidecar = Some(path))
     val masses = asOfMassOf(spark, path, batchId, nProbe).map(_._2)
     if (masses.isDefined)
       // the sentinel flows through searchFiltered's own resolution
