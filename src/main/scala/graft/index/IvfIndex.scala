@@ -444,7 +444,7 @@ object IvfIndex {
     *
     * Round 16: the coverage-adaptive policy applies to single serves
     * too (the r15 "count-by-choice" stance was argued from the uniform
-    * corpus; the clustered measurement — bench_runs/r16_autocurve.txt —
+    * corpus; the clustered measurement — bench_runs/r17_autocurve_clustered.txt —
     * says the candidate VOLUME follows the policy exactly as in batch).
     * The mass prefix here is a window over the ≤k RANKED CELLS of one
     * query — k centroid rows in one task, not the candidate-row window

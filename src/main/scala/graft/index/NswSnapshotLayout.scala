@@ -87,14 +87,18 @@ object NswSnapshotLayout {
     // side-effect-free (its deletes must not apply at head)
     val storedCols = spark.read.parquet(s"$path/vectors").columns.toSeq
     val keep = storedCols.filterNot(Set("batch_id"))
-    val hasUpserts = !upserts.isEmpty
+    // one counting pass per side serves emptiness checks AND the
+    // drift gauge below — the IVF twin's round-17 job-count trim
+    val nUps = upserts.count()
+    val nDels = deletes.count()
+    val hasUpserts = nUps > 0
     if (hasUpserts) {
       val missing = keep.filterNot(upserts.columns.contains)
       require(missing.isEmpty,
         s"versioned batch missing layout columns ${missing.mkString(", ")}: " +
           "a meta-bearing layout's batches must carry its metadata")
     }
-    if (!deletes.isEmpty)
+    if (nDels > 0)
       deletes.select(col("vec_id")).withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("batch_id")
         .parquet(s"$path/tombstones")
@@ -137,7 +141,7 @@ object NswSnapshotLayout {
       }
       graft.core.Checkpoints.free(linked)
     }
-    val drift = upserts.count() + deletes.count()
+    val drift = nUps + nDels
     IndexMeta.bumpDelta(spark, path, drift)
     val meta = IndexMeta.read(spark, path).getOrElse(IndexMeta.Meta(0L, 0L))
     SnapshotLayout.writeManifest(spark, path, batchId, meta)

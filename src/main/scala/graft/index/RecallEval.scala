@@ -311,47 +311,34 @@ object RecallEval {
   }
 
   def indexRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    // Round 17: the table's 15 family legs are INDEPENDENT measurement
+    // jobs (each its own serve + hit join over a shared baseline), and
+    // several of them — the beam walks especially — run eager
+    // driver-side loops that submit many small jobs. Sequential
+    // construction left most of a local[32] idle per leg (guide §2.6's
+    // stragglers-and-idle-capacity case); the legs now materialize
+    // from a small driver thread pool so one leg's tail back-fills
+    // with the next leg's stages. Values are untouched — every leg
+    // still checkpoints its own 1-row result and the final union
+    // reads the materialized blocks.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     // every exact baseline computed ONCE and checkpointed: recallRow
     // reads its `exact` side twice (hit join + query count) and the
     // cos5 baseline grades three families — without the checkpoint
-    // the brute scan re-runs per read (6× for cos5 at sf0.1)
-    val exactCos10 = exactTopK(spark, dir, 10, dot = false).localCheckpoint(true)
-    val exactCos5 = exactTopK(spark, dir, 5, dot = false).localCheckpoint(true)
-    val exactDot10 = exactTopK(spark, dir, 10, dot = true).localCheckpoint(true)
+    // the brute scan re-runs per read (6× for cos5 at sf0.1); the
+    // four baselines are themselves independent brute scans and
+    // materialize concurrently
+    val fCos10 = Future(exactTopK(spark, dir, 10, dot = false).localCheckpoint(true))
+    val fCos5 = Future(exactTopK(spark, dir, 5, dot = false).localCheckpoint(true))
+    val fDot10 = Future(exactTopK(spark, dir, 10, dot = true).localCheckpoint(true))
+    val exactCos10 = Await.result(fCos10, Duration.Inf)
+    val exactCos5 = Await.result(fCos5, Duration.Inf)
+    val exactDot10 = Await.result(fDot10, Duration.Inf)
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val ivf = IvfIndex.search(IvfIndex.buildCached(spark, dir), queries)
-    val nsw = NswIndex.beamSearch(emb.select(col("vec_id"), col("embedding")),
-      NswIndex.edgesCached(spark, dir), queries)
-    val lsh = LshIndex.annLshBucketed(spark, dir)
-    val sq8 = SqIndex.knnBruteSq(spark, dir)
-    val pq = IvfIndex.searchPersistedPq(spark,
-      IvfIndex.pqLayoutFor(spark, dir), queries)
-    // the OPQ-rotated tier, measured head-to-head against the
-    // unrotated pq row from the SAME base layout — the rotation's
-    // recall effect is a served number, not an assertion
-    val pqOpq = IvfIndex.searchPersistedPq(spark,
-      IvfIndex.pqLayoutFor(spark, dir), queries, sub = "pqr")
-    // pca16: brute cosine in the 16-of-64 PCA projection vs the exact
-    // 64-d scan — not an index but the REDUCTION fidelity row: what a
-    // 4× cheaper scan/store/shuffle costs in recall on THIS corpus.
-    // The synthetic corpus is near-isotropic (no decaying spectrum for
-    // PCA to exploit), so the measured fidelity is low and the bar
-    // documents that floor — on real embedding corpora this row is
-    // what justifies (or forbids) serving from the reduced space.
-    val embSel = emb.select(col("vec_id"), col("embedding"))
-    val fitted = graft.operators.Whiten.fit(spark, embSel, embSel.count())
-    val proj16 = graft.operators.Whiten.projected(embSel, fitted)
-      .select(col("vec_id"), col("proj").cast("array<float>").as("p"))
-      .localCheckpoint(true)
-    val projQ = proj16.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("p").as("q_vec"))
-    val pca = KnnSearch.topK(
-      proj16.crossJoin(broadcast(projQ))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          Stab.e6(cosineSim(col("p"), col("q_vec"))).as("score_e6")),
-      10, asc = false)
     // the FILTERED serving paths at their production compensation
     // (round 10 — they were measured only in their own curves/specs,
     // so a filtered-recall regression could not fail the one table
@@ -367,64 +354,84 @@ object RecallEval {
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
           Stab.e6(cosineSim(col("embedding"), col("q_vec"))).as("score_e6")),
       10, asc = false).localCheckpoint(true)
-    val ivfFiltered = IvfIndex.searchFiltered(
-      IvfIndex.buildCachedFor(s"ivf_meta:$dir", spark,
-        emb.select(col("vec_id"), col("embedding"), col("label")), dir,
-        metaCols = Seq("label")),
-      q5, col("label") === col("q_label"), nProbe = 13)
-    val nswFiltered = NswIndex.searchFiltered(emb,
-      NswIndex.edgesCached(spark, dir), q5,
-      col("label") === col("q_label"), metaCols = Seq("label"))
-    // the compressed tier's filtered serve (round 10): the predicate
-    // evaluates on the CODE rows before the ADC rerank cut, so this
-    // row grades the whole filtered-quantized pipeline — label-bearing
-    // sidecar, pre-filter scan, compensated probe — not just the
-    // unfiltered codebook fidelity the pq row already covers
-    val pqFiltered = IvfIndex.searchPersistedPqFiltered(spark,
-      IvfIndex.pqLayoutFor(spark, dir), q5, col("label") === col("q_label"))
-    // the graph tier's filtered-quantized composition (round 12):
-    // label-bearing code rows, accepted-set shortlist, exact rerank —
-    // graded against the same brute filtered oracle
-    val nswPqFiltered = NswIndex.searchPersistedPqFiltered(spark,
-      NswIndex.pqLayoutFor(spark, dir), q5, col("label") === col("q_label"))
-    // the binary-quantized tiers (round 11 — the last approximate
-    // family outside this table): the 1-bit Hamming pre-rank at its
-    // production R=100 rerank, brute and composed inside the IVF
-    // probe, both vs the exact cosine scan. The 0.80 bar reflects the
-    // sign-bit code's coarser geometry on this near-isotropic corpus
-    // (BqSpec carries the same bar on its own workload).
-    val bq = BqIndex.knnBruteBq(spark, dir)
-    val ivfBq = BqIndex.ivfSearchBq(spark, dir)
-    // the graph family's compressed tier (round 12): the ADC-scored
-    // beam walk + exact rerank, vs the exact cosine scan at the graph
-    // family's k=5 — graded alongside the full-width nsw row so a
-    // quantization-induced walk regression fails the same table
-    val nswPq = NswIndex.searchPersistedPq(spark,
-      NswIndex.pqLayoutFor(spark, dir), queries)
-    // the rotated graph sidecar (round 13): whether OPQ pays on the
-    // QUANTIZED NAVIGATION — a walk mis-sorts frontiers on quantized
-    // distances, so rotation's effect here is a genuinely different
-    // question from the IVF tier's pq_opq (a flat ADC pre-rank) —
-    // measured head-to-head against nsw_pq from the same base layout
-    val nswPqOpq = NswIndex.searchPersistedPq(spark,
-      NswIndex.pqLayoutFor(spark, dir), queries, sub = "pqr")
-    recallRow("bq", bq, exactCos10, 10, 800000L)
-      .unionByName(recallRow("nsw_pq", nswPq, exactCos5, 5, 850000L))
-      .unionByName(recallRow("nsw_pq_opq", nswPqOpq, exactCos5, 5, 850000L))
-      .unionByName(
-        recallRow("nsw_pq_filtered", nswPqFiltered, exactFiltered, 10, 850000L))
-      .unionByName(recallRow("ivf_bq", ivfBq, exactCos10, 10, 800000L))
-      .unionByName(recallRow("ivf", ivf, exactCos10, 10, 900000L))
-      .unionByName(recallRow("ivf_filtered", ivfFiltered, exactFiltered, 10, 900000L))
-      .unionByName(recallRow("lsh", lsh, exactCos10, 10, 600000L))
-      .unionByName(recallRow("nsw", nsw, exactCos5, 5, 900000L))
-      .unionByName(recallRow("nsw_filtered", nswFiltered, exactFiltered, 10, 900000L))
-      .unionByName(recallRow("pca16", pca, exactCos10, 10, 200000L))
-      .unionByName(recallRow("pq", pq, exactCos10, 10, 850000L))
-      .unionByName(recallRow("pq_filtered", pqFiltered, exactFiltered, 10, 850000L))
-      .unionByName(recallRow("pq_opq", pqOpq, exactCos10, 10, 850000L))
-      .unionByName(recallRow("sq8", sq8, exactDot10, 10, 900000L))
-      .orderBy(col("index"))
+    // the shared layouts are forced BEFORE the legs fan out: three pq
+    // legs share one sidecar layout (and the nsw legs another) — built
+    // here once, the concurrent legs then read the memo instead of
+    // serializing on its build lock
+    val pqLayout = IvfIndex.pqLayoutFor(spark, dir)
+    val nswPqLayout = NswIndex.pqLayoutFor(spark, dir)
+    // each leg: its family's serve (the OPQ `pqr` rows measure the
+    // rotated sidecars head-to-head against the unrotated ones from
+    // the SAME base layouts; pca16 is the 16-of-64 PCA reduction-
+    // fidelity row — near-isotropic corpus, hence the 0.2 bar; the bq
+    // rows are the 1-bit Hamming pre-rank at its production R=100
+    // rerank, brute and composed inside the IVF probe; the filtered
+    // legs grade the whole filtered pipelines against the brute
+    // filtered oracle) → recallRow → a checkpointed 1-row frame
+    val filteredPred = col("label") === col("q_label")
+    val legs: Seq[() => DataFrame] = Seq(
+      () => recallRow("bq", BqIndex.knnBruteBq(spark, dir),
+        exactCos10, 10, 800000L),
+      () => recallRow("nsw_pq",
+        NswIndex.searchPersistedPq(spark, nswPqLayout, queries),
+        exactCos5, 5, 850000L),
+      () => recallRow("nsw_pq_opq",
+        NswIndex.searchPersistedPq(spark, nswPqLayout, queries, sub = "pqr"),
+        exactCos5, 5, 850000L),
+      () => recallRow("nsw_pq_filtered",
+        NswIndex.searchPersistedPqFiltered(spark, nswPqLayout, q5, filteredPred),
+        exactFiltered, 10, 850000L),
+      () => recallRow("ivf_bq", BqIndex.ivfSearchBq(spark, dir),
+        exactCos10, 10, 800000L),
+      () => recallRow("ivf",
+        IvfIndex.search(IvfIndex.buildCached(spark, dir), queries),
+        exactCos10, 10, 900000L),
+      () => recallRow("ivf_filtered",
+        IvfIndex.searchFiltered(
+          IvfIndex.buildCachedFor(s"ivf_meta:$dir", spark,
+            emb.select(col("vec_id"), col("embedding"), col("label")), dir,
+            metaCols = Seq("label")),
+          q5, filteredPred, nProbe = 13),
+        exactFiltered, 10, 900000L),
+      () => recallRow("lsh", LshIndex.annLshBucketed(spark, dir),
+        exactCos10, 10, 600000L),
+      () => recallRow("nsw",
+        NswIndex.beamSearch(emb.select(col("vec_id"), col("embedding")),
+          NswIndex.edgesCached(spark, dir), queries),
+        exactCos5, 5, 900000L),
+      () => recallRow("nsw_filtered",
+        NswIndex.searchFiltered(emb, NswIndex.edgesCached(spark, dir), q5,
+          filteredPred, metaCols = Seq("label")),
+        exactFiltered, 10, 900000L),
+      () => {
+        val embSel = emb.select(col("vec_id"), col("embedding"))
+        val fitted = graft.operators.Whiten.fit(spark, embSel, embSel.count())
+        val proj16 = graft.operators.Whiten.projected(embSel, fitted)
+          .select(col("vec_id"), col("proj").cast("array<float>").as("p"))
+          .localCheckpoint(true)
+        val projQ = proj16.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("p").as("q_vec"))
+        recallRow("pca16", KnnSearch.topK(
+          proj16.crossJoin(broadcast(projQ))
+            .select(col("q_id"), col("vec_id").as("neighbor_id"),
+              Stab.e6(cosineSim(col("p"), col("q_vec"))).as("score_e6")),
+          10, asc = false), exactCos10, 10, 200000L)
+      },
+      () => recallRow("pq",
+        IvfIndex.searchPersistedPq(spark, pqLayout, queries),
+        exactCos10, 10, 850000L),
+      () => recallRow("pq_filtered",
+        IvfIndex.searchPersistedPqFiltered(spark, pqLayout, q5, filteredPred),
+        exactFiltered, 10, 850000L),
+      () => recallRow("pq_opq",
+        IvfIndex.searchPersistedPq(spark, pqLayout, queries, sub = "pqr"),
+        exactCos10, 10, 850000L),
+      () => recallRow("sq8", SqIndex.knnBruteSq(spark, dir),
+        exactDot10, 10, 900000L))
+    val rows = Await.result(
+      Future.sequence(legs.map(leg => Future(leg().localCheckpoint(true)))),
+      Duration.Inf)
+    rows.reduce(_ unionByName _).orderBy(col("index"))
   }
 
   /** The families [[indexRecallEval]] measures — the checked grid pins
@@ -506,9 +513,19 @@ object RecallEval {
   private[graft] def sweepBuilt(spark: SparkSession, built: IvfIndex.Built,
       taus: Seq[Double] = massTuneTaus): Seq[(Int, Long)] = {
     val k = 10 // the serves' default k — the bar is recall@10
+    // materialize the sweep's 3-column projection once: an as-of Built
+    // would otherwise replay its reconstruction for each of the three
+    // passes below (masses, query sample, scored scan). With the tune
+    // riding fit events only (the round-17 sidecar), this is one
+    // bounded copy per (re)build/cutover — maintenance-time cost, not
+    // the per-serve corpus copy VERDICT r16 flagged
+    val base = built.assigned
+      .select(col("vec_id"), col("embedding"), col("cluster_id"))
+      .localCheckpoint(true)
+    try {
     // the per-cell masses once (identical to what each serve would
     // re-aggregate); their sum replaces the old count() job
-    val masses = built.assigned.groupBy(col("cluster_id"))
+    val masses = base.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cmass")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = masses.values.sum
@@ -517,10 +534,8 @@ object RecallEval {
     // queries the serve grids use all land in the same few cells on
     // a clustered corpus and overestimate what a thin tau serves
     val qMod = math.max(1L, total / 100L)
-    val queries = built.assigned.filter(pmod(col("vec_id"), lit(qMod)) === 0L)
+    val queries = base.filter(pmod(col("vec_id"), lit(qMod)) === 0L)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      .localCheckpoint(true) // bounds the broadcast subtree to ~100 rows
-    try {
       // the serve's own centroid ranking (search: csim desc, cluster
       // asc), kept per (query, cell) so the driver can replay any
       // mass prefix
@@ -530,7 +545,7 @@ object RecallEval {
           org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
             .orderBy(col("csim").desc, col("cluster_id").asc)))
         .select(col("q_id"), col("q_vec"), col("cluster_id"), col("crank"))
-      val perCell = built.assigned
+      val perCell = base
         .join(broadcast(ranked), Seq("cluster_id"))
         .select(col("q_id"), col("crank"), col("cluster_id"),
           col("vec_id").as("neighbor_id"),
@@ -578,7 +593,7 @@ object RecallEval {
         val recallE6 = math.floorDiv(num.toLong * 1000000L, math.max(1L, den.toLong))
         (math.round(tau * 100).toInt, recallE6)
       }
-    } finally graft.core.Checkpoints.free(queries)
+    } finally graft.core.Checkpoints.free(base)
   }
 
   private[graft] def probeMassSweep(spark: SparkSession,

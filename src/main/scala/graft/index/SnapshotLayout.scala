@@ -98,14 +98,20 @@ object SnapshotLayout {
     // no manifest and re-append on the corrected retry
     val storedCols = spark.read.parquet(s"$path/vectors").columns.toSeq
     val keep = storedCols.filterNot(Set("cluster_id", "batch_id"))
-    val hasUpserts = !upserts.isEmpty
+    // one counting pass per side serves emptiness checks AND the
+    // drift gauge below (round 17: the old isEmpty + count pairs cost
+    // two extra jobs per batch — pure scheduler overhead on the
+    // maintenance path)
+    val nUps = upserts.count()
+    val nDels = deletes.count()
+    val hasUpserts = nUps > 0
     if (hasUpserts) {
       val missing = keep.filterNot(upserts.columns.contains)
       require(missing.isEmpty,
         s"versioned batch missing layout columns ${missing.mkString(", ")}: " +
           "a meta-bearing layout's batches must carry its metadata")
     }
-    if (!deletes.isEmpty)
+    if (nDels > 0)
       deletes.select(col("vec_id")).withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("batch_id")
         .parquet(s"$path/tombstones")
@@ -134,7 +140,7 @@ object SnapshotLayout {
         } finally graft.core.Checkpoints.free(mat)
       }
     }
-    val drift = upserts.count() + deletes.count()
+    val drift = nUps + nDels
     IndexMeta.bumpDelta(spark, path, drift)
     val meta = IndexMeta.read(spark, path).getOrElse(IndexMeta.Meta(0L, 0L))
     writeManifest(spark, path, batchId, meta)
