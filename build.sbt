@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (round 17): 8g starved 32 concurrent local tasks into
+  // GC thrash on the heavy build keys — measured A/B at sf0.1,
+  // pq_build 15.6s @ 8g vs 7.4s @ 24g on local[32] (the VERDICT r16
+  // 32-core-inversion diagnosis; OPTIMIZATION_r17.md). The host has
+  // 128 GiB; the heap stays env-overridable for smaller machines.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -1096,18 +1096,34 @@ object NswSnapshotLayout {
       val asof1Before = SnapshotLayout
         .asOfFingerprints(spark, gen1, 1L, nswNonPayload, "fp")
         .localCheckpoint(true)
-      val newGen = newGeneration(spark, root)
-      val gen2 = Generations.genPath(root, 2)
       // fresh-build identity on the successor's base: vectors are the
       // head live set (the boundary fingerprint diff below) and edges a
       // fresh LSH build. The comparator is MEMOIZED from the pristine
       // scenario's as-of-2 reconstruction — identical content (rollback
       // restores the byte-identical layout, and the copy preserves
       // bytes, so both builds read the same file set) on a stable
-      // session-lived path the cached frame can safely re-evaluate from
-      val freshEdges = NswIndex.edgesCachedFor(s"nsw_gen_fresh:$dir",
-        asOfVectors(spark, pristineScenario(spark, dir), 2L)
-          .select($"vec_id", $"embedding"), dir)
+      // session-lived path the cached frame can safely re-evaluate from.
+      // Round 17: the comparator build depends only on the (static)
+      // pristine scenario, not on the cutover — the lifecycle's two
+      // heavy graph builds (this one and newGeneration's fresh rebuild)
+      // run CONCURRENTLY from driver threads (guide §2.6), halving the
+      // serial wall of its slowest phase; the count() inside the future
+      // forces the cached edge table so the overlap does real work
+      val freshEdgesF = {
+        import scala.concurrent.Future
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Future {
+          val e = NswIndex.edgesCachedFor(s"nsw_gen_fresh:$dir",
+            asOfVectors(spark, pristineScenario(spark, dir), 2L)
+              .select($"vec_id", $"embedding"), dir)
+          e.count()
+          e
+        }
+      }
+      val newGen = newGeneration(spark, root)
+      val gen2 = Generations.genPath(root, 2)
+      val freshEdges = scala.concurrent.Await.result(freshEdgesF,
+        scala.concurrent.duration.Duration.Inf)
       val storedEdges = spark.read.parquet(s"$gen2/edges")
         .filter($"batch_id" === 2L).select($"src", $"dst")
       val matchesFresh = SnapshotLayout.rowSetDiffCount(
